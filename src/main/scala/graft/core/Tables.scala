@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided corpus (TESTDATA.md): one parquet file per
+  * table under `/root/testdata/sf{N}/`. Schemas documented in FIXTURES.md §2.
+  *
+  * At 100 TB these would be partitioned/bucketed table roots rather than
+  * single files; `load` takes any path Spark can scan, so the same code serves
+  * both. Column pruning + predicate pushdown happen at this scan (verify via
+  * `.explain`: `ReadSchema` / `PushedFilters`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    * `nanosAsLong` reads it as epoch-nanos LongType. All corpus values are
+    * µs-aligned (ns%1000==0, verified), so `timestamp_micros(ts div 1000)` is
+    * a lossless conversion matching DuckDB's `CAST(ts AS TIMESTAMP)`. Integer
+    * `div` is load-bearing: double division loses precision at ~1.7e18.
+    */
+  def eventsWithTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn(
+      "ts_ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = eventsWithTs(s, d)
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

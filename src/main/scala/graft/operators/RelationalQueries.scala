@@ -1,0 +1,496 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.{Ora, Tables}
+
+/** Relational operator surface over the TPC-H-ish corpus.
+  *
+  * Covers SURVEY.md §2 rows P1-P7 (filters/projections), §2.3 joins (the
+  * reference has none — declared extensions over the classic join graph),
+  * A1/A11-style aggregations, W1/W2 windows, O1-O3 sorts/limits, §2.7 set ops,
+  * and cube/rollup/top-k extensions.
+  *
+  * Scale notes (100 TB):
+  *   - dimension joins (`region`,`nation`,`customer` vs `lineitem`) are
+  *     explicitly `broadcast()` — no shuffle of the fact side;
+  *   - fact-fact joins (`lineitem` ⋈ `orders`) are left to Catalyst's
+  *     sort-merge + AQE (skew-split, local shuffle reader);
+  *   - all aggregates are algebraic (partial+final hash agg, map-side
+  *     combine) — no `collect_list`-style holistic aggs on the fact table;
+  *   - grand-total shares use a scalar-subquery cross join, not a
+  *     single-partition window, when the group count could be large
+  *     (here group counts are tiny, so W1's empty-frame window is kept
+  *     on one query to exercise that operator too);
+  *   - pagination is stable-key ordered limit/offset, never a driver-side
+  *     collect (fixes reference anti-pattern `BatchRoutes.scala:149,221`).
+  *
+  * Numeric discipline: see [[graft.core.Ora]] — DECIMAL(18,2) sums cast back
+  * to double at the boundary so the DuckDB oracle is bit-identical.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  import Ora.{dec2, avgExact}
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1-style pricing summary (reference A1 analog: the flagship
+    * groupBy/agg with sum/avg/count/countDistinct, desc sort).
+    * Ref: AnalysisAggregator.scala:68-80. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"))
+
+  /** P1: equality filter on an enum column, pushed to the parquet scan. */
+  def filterEq(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+
+  /** P3: set-membership predicate. Ref: AnalysisAggregator.scala:226. */
+  def filterIn(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+
+  /** P4: inclusive date-range predicate on the natural partition column —
+    * at scale this is the partition-pruning path. Ref: BatchJob.scala:47. */
+  def filterDateRange(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(col("o_orderdate").cast("date").between(
+        lit("1996-01-01").cast("date"), lit("1996-12-31").cast("date")))
+      .groupBy(col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("day_total"))
+
+  /** P2: disjunctive predicate (OR across columns).
+    * Ref: AnalysisAggregator.scala:162-163. */
+  def filterDisjunct(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_discount") >= 0.09 || col("l_tax") <= 0.01)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
+
+  /** P5: dynamic AND-ed equality filters folded from a request map (the
+    * reference's user-supplied filter path, BatchJob.scala:50-54) — here with
+    * a fixed exemplar map so the oracle can mirror it. */
+  def filterDynamic(s: SparkSession, d: String): DataFrame = {
+    val filters = Map("l_returnflag" -> "A", "l_linestatus" -> "F")
+    val base = li(s, d)
+    filters.foldLeft(base) { case (df, (k, v)) => df.filter(col(k) === v) }
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+  }
+
+  /** P6/P7: derived-column projection (to_date-style derivations).
+    * Ref: StreamingJob.scala:41-42. */
+  def projectDerived(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("order_month", month(col("o_orderdate")).cast("long"))
+      .groupBy("order_year", "order_month")
+      .agg(count(lit(1)).as("n"),
+        avgExact(col("o_totalprice")).as("avg_price"))
+
+  /** Broadcast dimension join chain: customer ⋈ nation ⋈ region rolled up to
+    * revenue by region/nation. All dims are broadcast — zero fact shuffle
+    * until the aggregation. */
+  def joinBroadcastDims(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val nat = broadcast(Tables.nation(s, d))
+    val reg = broadcast(Tables.region(s, d))
+    ord(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Fact-fact sort-merge join (lineitem ⋈ orders) with post-join agg —
+    * Catalyst plans SMJ; AQE handles skew at scale. */
+  def joinFactFact(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"))
+
+  /** Left outer join keeping customers with zero orders (null-extension). */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_orderless_rows"))
+
+  /** Left-semi join: customers having at least one 'F' order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(ord(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("acctbal_sum"))
+
+  /** Left-anti join: customers with no orders at all. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** TPC-H Q3-style: 3-way join, filter, agg, top-k with a unique tiebreak
+    * (orderBy + limit → Spark TakeOrderedAndProject, no global sort). */
+  def topRevenueOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("order_date"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** W1: grand-total share via an empty-frame window (single-partition
+    * exchange — acceptable only on post-agg group counts; kept to exercise
+    * the operator the reference uses, AnalysisAggregator.scala:112-119). */
+  def windowShare(s: SparkSession, d: String): DataFrame = {
+    val agg = ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+    agg
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .withColumn("revenue_share_pct",
+        (col("rev_dec") * lit(100)).cast("double") /
+          sum(col("rev_dec")).over(Window.partitionBy()).cast("double"))
+      .select("o_orderpriority", "revenue", "n_orders", "revenue_share_pct")
+  }
+
+  /** W2: row_number pagination over a stable unique key — the spec'd
+    * (AGENTS.md:1149-1155) replacement for the reference's driver-side
+    * collect pagination. Page 3 of size 50. */
+  def rowNumberPagination(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+      .filter(col("rn") > 100 && col("rn") <= 150)
+      .select(col("o_orderkey"), col("rn").cast("long").as("rn"),
+        col("o_orderstatus"), col("o_totalprice"))
+
+  /** Ranking window per group: top-3 orders per priority by price, unique
+    * tiebreak on key so the result is deterministic. */
+  def rankPerGroup(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+
+  /** lag/lead over an ordered unique key (month series): month-over-month
+    * revenue delta. */
+  def lagLeadDelta(s: SparkSession, d: String): DataFrame = {
+    val monthly = ord(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("y"), col("m"))
+    monthly
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .withColumn("prev_revenue", lag(col("rev_dec"), 1).over(w).cast("double"))
+      .withColumn("delta", (col("rev_dec") - lag(col("rev_dec"), 1).over(w)).cast("double"))
+      .select("y", "m", "revenue", "prev_revenue", "delta")
+  }
+
+  /** Rolling window frame (rowsBetween): 3-month trailing average revenue. */
+  def rollingFrame(s: SparkSession, d: String): DataFrame = {
+    val monthly = ord(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("y"), col("m")).rowsBetween(-2, 0)
+    monthly
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .withColumn("trailing3_avg",
+        sum(col("rev_dec")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .select("y", "m", "revenue", "trailing3_avg")
+  }
+
+  /** cube(): all grouping-set combinations with grouping flags. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+
+  /** rollup() over the region→nation hierarchy. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val nat = broadcast(Tables.nation(s, d))
+    val reg = broadcast(Tables.region(s, d))
+    Tables.customer(s, d)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("acctbal_sum"))
+  }
+
+  /** Set ops: UNION ALL / INTERSECT / EXCEPT (distinct semantics on both
+    * engines), tagged and re-aggregated into one deterministic result. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val f = ord(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+    val p = ord(s, d).filter(col("o_orderstatus") === "P").select("o_custkey")
+    val union = f.union(p).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+    val inter = f.intersect(p).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    val except = f.except(p).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    union.unionByName(inter).unionByName(except).select("op", "n")
+  }
+
+  /** Projected DISTINCT (exact dedup on a column subset). */
+  def distinctProjection(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+
+  /** A11: keyless global aggregation (seeder summary stats analog). */
+  def globalAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(dec2(col("l_extendedprice"))).cast("double").as("price_sum"),
+      avgExact(col("l_quantity")).as("avg_qty"),
+      min(col("l_shipdate").cast("date")).cast("string").as("min_ship"),
+      max(col("l_shipdate").cast("date")).cast("string").as("max_ship"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** O3: stable-keyed offset/limit pagination (Spark ≥3.4 `offset`). */
+  def offsetLimit(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .orderBy("o_orderkey")
+      .offset(200)
+      .limit(25)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  /** Scalar-subquery correlated-style filter: orders above the global average
+    * price (subquery decorrelation / cross-join of a scalar agg — the
+    * scale-safe alternative to W1's single-partition window). */
+  def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val stats = o.agg(avgExact(col("o_totalprice")).as("global_avg"))
+    o.join(broadcast(stats))
+      .filter(col("o_totalprice") > col("global_avg") * 1.8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val queries: Map[String, Q] = Map(
+    "rel_pricing_summary" -> (pricingSummary _),
+    "rel_filter_eq" -> (filterEq _),
+    "rel_filter_in" -> (filterIn _),
+    "rel_filter_date_range" -> (filterDateRange _),
+    "rel_filter_disjunct" -> (filterDisjunct _),
+    "rel_filter_dynamic" -> (filterDynamic _),
+    "rel_project_derived" -> (projectDerived _),
+    "rel_join_broadcast_dims" -> (joinBroadcastDims _),
+    "rel_join_fact_fact" -> (joinFactFact _),
+    "rel_join_left_outer" -> (joinLeftOuter _),
+    "rel_join_semi" -> (joinSemi _),
+    "rel_join_anti" -> (joinAnti _),
+    "rel_top_revenue_orders" -> (topRevenueOrders _),
+    "rel_window_share" -> (windowShare _),
+    "rel_window_pagination" -> (rowNumberPagination _),
+    "rel_rank_per_group" -> (rankPerGroup _),
+    "rel_lag_lead_delta" -> (lagLeadDelta _),
+    "rel_rolling_frame" -> (rollingFrame _),
+    "rel_cube" -> (cubeAgg _),
+    "rel_rollup" -> (rollupAgg _),
+    "rel_set_ops" -> (setOps _),
+    "rel_distinct_projection" -> (distinctProjection _),
+    "rel_global_agg" -> (globalAgg _),
+    "rel_offset_limit" -> (offsetLimit _),
+    "rel_above_avg_orders" -> (aboveAvgOrders _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+         COUNT(*) AS count_order,
+         COUNT(DISTINCT l_orderkey) AS distinct_orders
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY 1, 2""",
+    "rel_filter_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem WHERE l_returnflag = 'R'""",
+    "rel_filter_in" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderstatus IN ('F','P') GROUP BY 1""",
+    "rel_filter_date_range" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+         GROUP BY 1""",
+    "rel_filter_disjunct" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem WHERE l_discount >= 0.09 OR l_tax <= 0.01 GROUP BY 1""",
+    "rel_filter_dynamic" ->
+      """SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'""",
+    "rel_project_derived" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+         CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price
+         FROM orders GROUP BY 1, 2""",
+    "rel_join_broadcast_dims" ->
+      """SELECT r_name AS region, n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+    "rel_join_fact_fact" ->
+      """SELECT o_orderstatus, l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2""",
+    "rel_join_left_outer" ->
+      """SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+         COUNT(DISTINCT c_custkey) AS n_customers,
+         COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_orderless_rows
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1""",
+    "rel_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+         FROM customer WHERE c_custkey IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY 1""",
+    "rel_join_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+         FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY 1""",
+    "rel_top_revenue_orders" ->
+      """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "rel_window_share" ->
+      """SELECT o_orderpriority,
+         CAST(rev_dec AS DOUBLE) AS revenue, n_orders,
+         CAST(rev_dec * 100 AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS revenue_share_pct
+         FROM (SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+               COUNT(*) AS n_orders FROM orders GROUP BY 1)""",
+    "rel_window_pagination" ->
+      """SELECT o_orderkey, rn, o_orderstatus, o_totalprice FROM
+         (SELECT o_orderkey, o_orderstatus, o_totalprice,
+          ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+         WHERE rn > 100 AND rn <= 150""",
+    "rel_rank_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM
+         (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+         WHERE rk <= 3""",
+    "rel_lag_lead_delta" ->
+      """SELECT y, m, CAST(rev_dec AS DOUBLE) AS revenue,
+         CAST(LAG(rev_dec, 1) OVER (ORDER BY y, m) AS DOUBLE) AS prev_revenue,
+         CAST(rev_dec - LAG(rev_dec, 1) OVER (ORDER BY y, m) AS DOUBLE) AS delta
+         FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+               FROM orders GROUP BY 1, 2)""",
+    "rel_rolling_frame" ->
+      """SELECT y, m, CAST(rev_dec AS DOUBLE) AS revenue,
+         CAST(SUM(rev_dec) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS trailing3_avg
+         FROM (SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+               FROM orders GROUP BY 1, 2)
+         WINDOW w AS (ORDER BY y, m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "rel_rollup" ->
+      """SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (region, nation)""",
+    "rel_set_ops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+            p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         SELECT 'union_all' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f UNION ALL SELECT * FROM p)) AS n
+         UNION ALL
+         SELECT 'intersect' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM p)) AS n
+         UNION ALL
+         SELECT 'except' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM p)) AS n""",
+    "rel_distinct_projection" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "rel_global_agg" ->
+      """SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+         CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
+         CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_ship,
+         COUNT(DISTINCT l_partkey) AS n_parts
+         FROM lineitem""",
+    "rel_offset_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_orderkey LIMIT 25 OFFSET 200""",
+    "rel_above_avg_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE) FROM orders) * 1.8
+         GROUP BY 1""",
+  )
+}
