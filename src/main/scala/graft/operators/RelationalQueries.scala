@@ -464,7 +464,7 @@ object RelationalQueries extends QueryModule {
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP (region, nation)""",
+         GROUP BY ROLLUP (r_name, n_name)""",
     "rel_set_ops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
             p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
