@@ -6,6 +6,7 @@ object SparkEntry {
     * (SURVEY.md §2). Key collisions are a bug: fail fast at class-init. */
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
+    operators.AnalyticsQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
