@@ -7,6 +7,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
     operators.AnalyticsQueries,
+    operators.EventQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

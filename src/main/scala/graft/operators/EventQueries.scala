@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.{Ora, Tables}
+
+/** Time-window operator surface over the `events` stream table (batch replay
+  * of the streaming shapes A6/A8/ST4 — the same plans run under
+  * `readStream`, see graft.streaming).
+  *
+  * Window operators here are the deterministic batch-checkable subset of the
+  * streaming path: tumbling/sliding/session windows + event-time derivations
+  * + JSON payload extraction (the S2 parse analog for a dynamic column).
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key) — at
+  * 100 TB the input would be date-partitioned so the shuffle is bounded per
+  * partition; sliding windows multiply rows ×(size/slide) BEFORE the partial
+  * agg, which Spark handles by expanding inside the hash-agg operator, not by
+  * materializing 5× input. Session windows use Spark's native
+  * `session_window` (state-store merge under streaming, sort-based in batch).
+  */
+object EventQueries extends QueryModule {
+
+  import Ora.dec2
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  /** ST4/A8: tumbling 5-minute windows × event_type. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts_ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(
+        col("window.start").cast("string").as("window_start"),
+        col("window.end").cast("string").as("window_end"),
+        col("event_type"), col("n"), col("value_sum"),
+        col("min_event_id"), col("max_event_id"))
+
+  /** A8: sliding 5-minute windows every 1 minute × event_type (each event in
+    * exactly 5 windows). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts_ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"))
+      .select(
+        col("window.start").cast("string").as("window_start"),
+        col("window.end").cast("string").as("window_end"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Session windows per user with a 5-minute inactivity gap. Spark's
+    * `session_window` end = last event + gap; the oracle reproduces it with
+    * gaps-and-islands (lag + cumulative flag sum). */
+  def sessions(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(session_window(col("ts_ts"), "5 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"))
+      .select(
+        col("session_window.start").cast("string").as("session_start"),
+        col("session_window.end").cast("string").as("session_end"),
+        col("user_id"), col("n_events"), col("value_sum"))
+
+  /** A6 analog on real intra-day times: per (date, hour) trend. */
+  def hourly(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(
+        to_date(col("ts_ts")).cast("string").as("event_date"),
+        hour(col("ts_ts")).cast("long").as("event_hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("value_sum"),
+        countDistinct(col("user_id")).as("unique_users"))
+
+  /** S2 analog: JSON payload extraction from the `props` column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val queries: Map[String, Q] = Map(
+    "evt_tumbling_window" -> (tumbling _),
+    "evt_sliding_window" -> (sliding _),
+    "evt_session_window" -> (sessions _),
+    "evt_hourly" -> (hourly _),
+    "evt_json_extract" -> (jsonExtract _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "evt_tumbling_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+         CAST(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS VARCHAR) AS window_end,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+         MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+         FROM events GROUP BY 1, 2, 3""",
+    "evt_sliding_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS VARCHAR) AS window_start,
+         CAST(time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' + INTERVAL '5 minutes' AS VARCHAR) AS window_end,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events CROSS JOIN (SELECT UNNEST(range(5)) AS k)
+         GROUP BY 1, 2, 3""",
+    "evt_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '5 minutes' OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_no
+           FROM flagged)
+         SELECT CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL '5 minutes' AS VARCHAR) AS session_end,
+           user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM numbered GROUP BY user_id, session_no""",
+    "evt_hourly" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+         CAST(HOUR(ts) AS BIGINT) AS event_hour, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+         COUNT(DISTINCT user_id) AS unique_users
+         FROM events GROUP BY 1, 2""",
+    "evt_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         COUNT(*) AS n,
+         MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1""",
+  )
+}
