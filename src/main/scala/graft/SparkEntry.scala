@@ -8,6 +8,7 @@ object SparkEntry {
     operators.RelationalQueries,
     operators.AnalyticsQueries,
     operators.EventQueries,
+    operators.TextQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table: tokenization, token-class counting (BPE-ish regex),
+  * language identification (charset + stopword-vote heuristic), quality
+  * scoring (length/stopword/uniqueness ratios), and document fingerprinting
+  * (normalized-text digest).
+  *
+  * Everything is built from codegen'd built-in functions (split /
+  * higher-order `filter` / `regexp_count` / `md5`) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * documents: per-doc work is embarrassingly parallel, aggregations are
+  * algebraic partial+final. At 100 TB the only shuffles are the final
+  * group-bys over small key spaces (lang, bucket, ngram).
+  *
+  * Design note: every operator is expressed ONCE in Spark and ONCE as
+  * equivalent DuckDB SQL, and the hash-compare proves both agree — i.e. the
+  * heuristics are deterministic functions of the text, not model calls.
+  */
+object TextQueries extends QueryModule {
+
+  /** Whitespace tokens of the trimmed text. */
+  def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", toks(col("text")))
+
+  private def inSet(lambdaVar: String, words: Seq[String]): String =
+    words.map(w => s"$lambdaVar = '$w'").mkString(" OR ")
+
+  /** Count of tokens belonging to a marker set (higher-order filter — no
+    * explode, no shuffle). */
+  private def markerCount(words: Seq[String]): Column =
+    expr(s"size(filter(toks, t -> ${inSet("t", words)}))")
+
+  private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val frWords = Seq("le", "la", "les", "et", "est", "une")
+  private val esWords = Seq("el", "los", "las", "y", "es", "una")
+
+  /** Language-ID heuristic: CJK/non-ASCII charset ratio first, then
+    * stopword votes with a deterministic precedence chain. Returns the
+    * input plus `predicted_lang`. */
+  def withPredictedLang(df: DataFrame): DataFrame =
+    df.withColumn("nonascii", regexp_count(col("text"), lit("[^\\x00-\\x7F]")))
+      .withColumn("v_en", markerCount(enWords))
+      .withColumn("v_de", markerCount(deWords))
+      .withColumn("v_fr", markerCount(frWords))
+      .withColumn("v_es", markerCount(esWords))
+      .withColumn("predicted_lang",
+        when(col("nonascii").cast("double") / col("n_chars").cast("double") > 0.3, "zh")
+          .when(col("v_de") > col("v_en") && col("v_de") >= col("v_fr") && col("v_de") >= col("v_es"), "de")
+          .when(col("v_fr") > col("v_en") && col("v_fr") >= col("v_es"), "fr")
+          .when(col("v_es") > col("v_en"), "es")
+          .otherwise("en"))
+
+  /** Per-document quality score from deterministic ratios. */
+  def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("uniq_ratio",
+        col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        markerCount(enWords).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.3 +
+          least(col("avg_token_len") / 10.0, lit(1.0)) * 0.2)
+
+  // ---------------------------------------------------------------- queries
+
+  /** Token statistics per (labeled) language. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double") as "avg_tokens_per_doc",
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  /** Confusion matrix of labeled vs predicted language. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    withPredictedLang(docs(s, d))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document quality metrics (the per-doc map stage of a corpus
+    * filter; at scale this is a pure projection — no shuffle). */
+  def quality(s: SparkSession, d: String): DataFrame =
+    withQuality(docs(s, d))
+      .select("doc_id", "n_tokens", "n_uniq", "uniq_ratio", "stop_ratio",
+        "avg_token_len", "quality_score")
+
+  /** Normalized-text digest fingerprint + 256-way bucket histogram check:
+    * emits per-doc md5 so exact-dup detection joins on it. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fingerprint"),
+        substring(md5(col("norm")), 1, 2).as("bucket"))
+
+  /** Top-20 word trigrams (deterministic tiebreak on the ngram text). */
+  def ngramTop(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("ngram", explode(expr(
+        """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks)-3),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE array() END""")))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("ngram"))
+      .limit(20)
+
+  /** BPE-ish token-class counting via regex: word / number / symbol runs per
+    * source. */
+  def tokenClasses(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy("source")
+      .agg(
+        sum(regexp_count(col("text"), lit("[a-z]+")).cast("long")).as("word_runs"),
+        sum(regexp_count(col("text"), lit("[0-9]+")).cast("long")).as("number_runs"),
+        sum(regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long")).as("symbol_chars"),
+        count(lit(1)).as("n_docs"))
+
+  val queries: Map[String, Q] = Map(
+    "txt_token_stats" -> (tokenStats _),
+    "txt_lang_confusion" -> (langConfusion _),
+    "txt_quality" -> (quality _),
+    "txt_fingerprint" -> (fingerprint _),
+    "txt_ngram_top" -> (ngramTop _),
+    "txt_token_classes" -> (tokenClasses _),
+  )
+
+  private val cte =
+    """WITH docs AS (
+         SELECT doc_id, text, lang, source, n_chars,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+         FROM documents)"""
+
+  private def sqlMarker(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> ${inSet("t", words)}))"
+
+  val oracleSql: Map[String, String] = Map(
+    "txt_token_stats" -> s"""$cte
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+        CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens_per_doc,
+        CAST(MIN(len(toks)) AS BIGINT) AS min_tokens,
+        CAST(MAX(len(toks)) AS BIGINT) AS max_tokens
+      FROM docs GROUP BY 1""",
+    "txt_lang_confusion" -> s"""$cte,
+      scored AS (
+        SELECT lang,
+          len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS nonascii,
+          ${sqlMarker(enWords)} AS v_en, ${sqlMarker(deWords)} AS v_de,
+          ${sqlMarker(frWords)} AS v_fr, ${sqlMarker(esWords)} AS v_es,
+          n_chars
+        FROM docs)
+      SELECT lang,
+        CASE WHEN CAST(nonascii AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.3 THEN 'zh'
+             WHEN v_de > v_en AND v_de >= v_fr AND v_de >= v_es THEN 'de'
+             WHEN v_fr > v_en AND v_fr >= v_es THEN 'fr'
+             WHEN v_es > v_en THEN 'es'
+             ELSE 'en' END AS predicted_lang,
+        COUNT(*) AS n
+      FROM scored GROUP BY 1, 2""",
+    "txt_quality" -> s"""$cte
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+        CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+        (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5 +
+        (CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
+        LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2 AS quality_score
+      FROM docs""",
+    "txt_fingerprint" -> s"""$cte
+      SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+        substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2) AS bucket
+      FROM docs""",
+    "txt_ngram_top" -> s"""$cte,
+      grams AS (
+        SELECT array_to_string(toks[i:i+2], ' ') AS ngram
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3)
+      SELECT ngram, COUNT(*) AS n FROM grams
+      GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
+    "txt_token_classes" -> s"""$cte
+      SELECT source,
+        CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS word_runs,
+        CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS number_runs,
+        CAST(SUM(len(regexp_extract_all(text, '[^a-z0-9\\s]'))) AS BIGINT) AS symbol_chars,
+        COUNT(*) AS n_docs
+      FROM docs GROUP BY 1""",
+  )
+}

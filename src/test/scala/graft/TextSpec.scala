@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextQueries
+
+/** Branch coverage for the language-ID precedence chain — the corpus is
+  * all-ASCII synthetic English, so zh/de/fr/es branches only execute here. */
+class TextSpec extends SparkSpec {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .withColumn("toks", TextQueries.toks($"text"))
+  }
+
+  test("language-ID: charset and stopword branches") {
+    import spark.implicits._
+    val d = docsDf(
+      1L -> "这是一个中文测试文档 数据处理 引擎",          // CJK → zh
+      2L -> "der hund und die katze ist nicht da",         // de markers
+      3L -> "le chat et la maison est une idee",           // fr markers
+      4L -> "el perro y los gatos es una casa",            // es markers
+      5L -> "the quick fox and a dog of the farm",         // en markers
+      6L -> "xyzzy plugh quux")                            // no markers → en
+    val got = TextQueries.withPredictedLang(d)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "zh", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "en", 6L -> "en"))
+  }
+
+  test("predicted-lang tie precedence: de beats fr on equal votes") {
+    val d = docsDf(1L -> "und le")
+    val got = TextQueries.withPredictedLang(d)
+      .select("predicted_lang").head().getString(0)
+    assert(got == "de")
+  }
+
+  test("quality: single-token and all-duplicate docs stay finite") {
+    val d = docsDf(1L -> "word", 2L -> "dup dup dup dup")
+    val rows = TextQueries.withQuality(d)
+      .select("doc_id", "uniq_ratio", "quality_score").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == 1.0 && !rows(1L)._2.isNaN)
+    assert(rows(2L)._1 == 0.25 && !rows(2L)._2.isNaN)
+  }
+}
