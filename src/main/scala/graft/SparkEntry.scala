@@ -9,6 +9,7 @@ object SparkEntry {
     operators.AnalyticsQueries,
     operators.EventQueries,
     operators.TextQueries,
+    operators.DedupQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

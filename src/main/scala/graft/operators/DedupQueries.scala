@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.Tables
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * and `embeddings`:
+  *
+  *   - exact dedup (normalized-text `dropDuplicates`),
+  *   - MinHash + LSH banding near-dup pairs (shingle → 16 signatures →
+  *     8 bands → bucket join → exact-Jaccard verify),
+  *   - SimHash (16-bit, md5-derived hyperplanes),
+  *   - n-gram Jaccard pairwise similarity,
+  *   - embedding-cosine near-dup pairs (quantized exact arithmetic).
+  *
+  * Engine-portability trick making all of this oracle-checkable: the hash
+  * family is `md5(seed || value)` and MinHash takes the LEXICOGRAPHIC min of
+  * the hex digests — uniform order statistics without any engine-specific
+  * integer hash. SimHash bits come from hex digits of the same digests.
+  * Cosines are computed over `floor(x*1000)` integer quantization so every
+  * sum is exact and the final double division is bit-identical across
+  * engines (no order-dependent float accumulation).
+  *
+  * Scale path (100 TB): the LSH join is the whole point — candidate pairs
+  * come from an equi-join on (band, bucket-hash), never an O(n²) cross
+  * product; the verify stage touches only candidates. Signatures are
+  * per-row projections (codegen'd, no shuffle); the bucket join shuffles
+  * (band_hash) keys which are ~uniform by construction (md5), so no skew.
+  * The brute-force pair queries are deliberately bounded to a fixed probe
+  * set (`doc_id`/`vec_id` predicates) — the pattern for "batch of new items
+  * vs corpus", which is how near-dup screening runs incrementally.
+  */
+object DedupQueries extends QueryModule {
+
+  private val K = 16 // minhash signatures
+  private val B = 8  // bands of 2 signatures each
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", TextQueries.toks(col("text")))
+      .withColumn("sh", expr(
+        """CASE WHEN size(toks) >= 3
+             THEN array_distinct(transform(sequence(0, size(toks)-3),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             ELSE array() END"""))
+
+  /** doc_id + 3-gram shingle set + the K lexicographic-min md5 signatures. */
+  private def signed(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    (0 until K).foldLeft(base) { (df, k) =>
+      df.withColumn(s"sig$k", expr(
+        s"array_min(transform(sh, x -> md5(concat('$k|', x))))"))
+    }
+  }
+
+  private def bandsOf(df: DataFrame): DataFrame = {
+    val bandCols = (0 until B).map(b =>
+      expr(s"md5(concat('$b|', sig${2 * b}, sig${2 * b + 1}))"))
+    df.withColumn("band", explode(array(bandCols: _*)))
+      .select("doc_id", "band")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact dedup: double the corpus, dropDuplicates on normalized text. */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val doubled = doc.unionByName(doc)
+    val nIn = doubled.agg(count(lit(1)).as("n_input"))
+    val nOut = doubled.dropDuplicates("norm").agg(count(lit(1)).as("n_after_dedup"))
+    nIn.crossJoin(nOut)
+  }
+
+  /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.8. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signed(s, d).cache()
+    val bands = bandsOf(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 16-bit SimHash per document (frequency-weighted token hyperplanes). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val bitSums = (0 until 16).map { b =>
+      val pos = b / 4 + 1
+      val shift = b % 4
+      // tokens whose md5-derived bit b is 1
+      expr(s"""size(filter(toks, t ->
+           ((instr('0123456789abcdef', substring(md5(t), $pos, 1)) - 1) >> $shift) & 1 = 1))""")
+        .as(s"c$b")
+    }
+    val withCounts = docs(s, d).select(col("doc_id") +: col("toks") +: bitSums: _*)
+    // NB: '+' binds tighter than '<<' in both Spark SQL and DuckDB — each
+    // shift term needs its own parentheses.
+    val hashExpr = (0 until 16).map { b =>
+      s"((CASE WHEN 2 * c$b - size(toks) > 0 THEN 1 ELSE 0 END) << $b)"
+    }.mkString(" + ")
+    withCounts
+      .withColumn("simhash", expr(hashExpr).cast("long"))
+      .select("doc_id", "simhash")
+  }
+
+  /** Pairwise token-set (1-gram) Jaccard for a bounded probe set
+    * (doc_id < 50) against itself — the standalone similarity operator
+    * without LSH pruning. (3-gram Jaccard is exercised by the MinHash
+    * verify stage; token-set overlap carries real signal on this corpus.) */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), array_distinct(col("toks")).as("ts"))
+    g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+          size(array_union(col("a.ts"), col("b.ts"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Embedding near-dup pairs: probe batch (vec_id < 200) vs corpus, exact
+    * quantized cosine ≥ 0.4. */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .withColumn("nrm", expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .select("vec_id", "qv", "nrm")
+    val probes = q.filter(col("vec_id") < 200)
+    probes.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_embedding_pairs" -> (embeddingPairs _),
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val docsCte =
+    """docs AS (
+         SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+         FROM documents),
+       shingled AS (
+         SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')))
+                     ELSE [] END AS sh
+         FROM docs)"""
+
+  private val sigSelect = (0 until K).map(k =>
+    s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k").mkString(", ")
+
+  private val bandList = (0 until B).map(b =>
+    s"md5('$b|' || sig${2 * b} || sig${2 * b + 1})").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH u AS (
+           SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents
+           UNION ALL
+           SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents)
+         SELECT (SELECT COUNT(*) FROM u) AS n_input,
+                (SELECT COUNT(DISTINCT norm) FROM u) AS n_after_dedup""",
+    "dedup_minhash_pairs" -> s"""WITH $docsCte,
+         sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
+         bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       FROM cand
+       JOIN sig a ON a.doc_id = doc_a
+       JOIN sig b ON b.doc_id = doc_b
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_simhash" -> {
+      val cs = (0 until 16).map { b =>
+        val pos = b / 4 + 1
+        val shift = b % 4
+        s"""len(list_filter(toks, t ->
+            ((strpos('0123456789abcdef', substring(md5(t), $pos, 1)) - 1) >> $shift) & 1 = 1)) AS c$b"""
+      }.mkString(", ")
+      val h = (0 until 16).map(b =>
+        s"((CASE WHEN 2 * c$b - len(toks) > 0 THEN 1 ELSE 0 END) << $b)").mkString(" + ")
+      s"""WITH $docsCte,
+          counts AS (SELECT doc_id, toks, $cs FROM shingled)
+        SELECT doc_id, CAST($h AS BIGINT) AS simhash FROM counts"""
+    },
+    "dedup_ngram_jaccard" -> s"""WITH $docsCte,
+       ts AS (SELECT doc_id, list_distinct(toks) AS ts FROM shingled WHERE doc_id < 50)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) AS jaccard
+       FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.5""",
+    "dedup_embedding_pairs" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS nrm
+           FROM q)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+           (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 200
+           AND CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+               (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= 0.4""",
+  )
+}
