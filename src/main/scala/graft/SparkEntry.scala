@@ -10,6 +10,7 @@ object SparkEntry {
     operators.EventQueries,
     operators.TextQueries,
     operators.DedupQueries,
+    operators.SimilarityQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

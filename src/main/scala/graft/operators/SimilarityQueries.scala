@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.Tables
+
+/** Approximate-nearest-neighbor surface over the `embeddings` table
+  * (`Array[Float]`, 64-dim):
+  *
+  *   - brute-force cosine top-k — the exactness baseline,
+  *   - sign-random-projection LSH top-k — the 100 TB path: an 8-bit bucket
+  *     from deterministic pseudo-random hyperplanes turns the O(n·m) scan
+  *     into an equi-join on bucket id (candidates ≈ n·m/256),
+  *   - cosine range search (threshold variant).
+  *
+  * All cosines use the exact integer quantization from
+  * [[DedupQueries]] (floor(x*1000)): sums are exact longs, so the final
+  * double math is bit-identical across engines and under any partitioning.
+  * Hyperplane weights are a deterministic LCG of (plane, dim) — the same
+  * arithmetic runs in the DuckDB oracle, so bucket assignment is
+  * hash-checked too.
+  *
+  * Scale notes: probes are broadcast (small batch vs corpus); the LSH
+  * variant shuffles on the 256-value bucket key — with uniform md5-free
+  * buckets from random projections, AQE evens out residual skew. Top-k uses
+  * a per-query `row_number` window AFTER the candidate join, whose partition
+  * key (query id) has probe-batch cardinality — never a global sort.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Hyperplane count per LSH table. Measured on the sf0.01 corpus
+    * (which is near-random — best neighbor cosine ≈0.51 ⇒ angle ≈59°):
+    * planes=3 → recall@5 0.27 scanning 15% of corpus; 4 → 0.20 @ 10%;
+    * 5 → 0.14 @ 5%; 8 → 0.06 @ <1%. Angular LSH is inherently weak when
+    * "neighbors" are nearly orthogonal; on real clustered embeddings the
+    * same construction's recall rises steeply (neighbors at cosine ≥0.9
+    * collide with p=(1-θ/π)^planes ≈ 0.87 for 4 planes). Multi-table
+    * OR-amplification (union of L independent tables) is the standard
+    * recall knob and composes from this same bucket expression. */
+  private val Planes = 4
+
+  /** Quantized vectors + exact squared norm. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("qv", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .withColumn("nrm", expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .select("vec_id", "label", "qv", "nrm")
+
+  /** Deterministic LCG hyperplane weight for (plane j, dim i), in ±1000.
+    * 64-bit literal: the product overflows INT and Spark 4 runs ANSI mode. */
+  private def weightExpr(j: Int): String =
+    s"((1103515245L * ($j * 64 + i) + 12345L) % 2001L) - 1000L"
+
+  /** 8-bit sign-random-projection bucket of a quantized vector column. */
+  private def bucketExpr: String =
+    (0 until Planes).map { j =>
+      s"""((CASE WHEN aggregate(zip_with(qv, sequence(0, size(qv) - 1),
+                                 (x, i) -> x * (${weightExpr(j)})),
+                           0L, (acc, v) -> acc + v) > 0
+             THEN 1 ELSE 0 END) << $j)"""
+    }.mkString(" + ")
+
+  private def cosine = col("dot").cast("double") /
+    (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double")))
+
+  /** Brute-force cosine top-5 per probe (vec_id < 20). */
+  def topkBrute(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val probes = q.filter(col("vec_id") < 20)
+    val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("cosine"), col("b.vec_id"))
+    probes.as("a")
+      .join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** LSH top-5: candidates restricted to the probe's bucket. */
+  def topkLsh(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).withColumn("bucket", expr(bucketExpr))
+    val probes = q.filter(col("vec_id") < 20)
+    val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("cosine"), col("b.vec_id"))
+    probes.as("a")
+      .join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.bucket").cast("long").as("bucket"), col("cosine"), col("rank"))
+  }
+
+  /** Range search: per probe, how many corpus vectors lie within cosine
+    * ≥ 0.3, and the best match. */
+  def rangeCount(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val probes = q.filter(col("vec_id") < 20)
+    probes.as("a")
+      .join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine", cosine)
+      .groupBy(col("a.vec_id").as("query_id"))
+      .agg(
+        sum(when(col("cosine") >= 0.3, 1).otherwise(0)).as("n_in_range"),
+        max(col("cosine")).as("best_cosine"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_brute" -> (topkBrute _),
+    "sim_topk_lsh" -> (topkLsh _),
+    "sim_range_count" -> (rangeCount _),
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val qCte =
+    """q AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, label, qv,
+           list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS nrm
+         FROM q)"""
+
+  /** DuckDB lists are 1-based; Spark `sequence(0,…)` is 0-based — the (i-1)
+    * here keeps the LCG argument identical. */
+  private def sqlBucket: String =
+    (0 until Planes).map { j =>
+      s"""((CASE WHEN list_sum(list_transform(range(1, len(qv) + 1),
+             i -> qv[i] * (((1103515245 * ($j * 64 + (i - 1)) + 12345) % 2001) - 1000)))
+             > 0 THEN 1 ELSE 0 END) << $j)"""
+    }.mkString(" + ")
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))"
+  private val cosSql =
+    s"CAST($dotSql AS DOUBLE) / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" -> s"""WITH $qCte,
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+    "sim_topk_lsh" -> s"""WITH $qCte,
+       bucketed AS (SELECT vec_id, qv, nrm, $sqlBucket AS bucket FROM n),
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                CAST(a.bucket AS BIGINT) AS bucket, $cosSql AS cosine
+         FROM bucketed a JOIN bucketed b
+           ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""",
+    "sim_range_count" -> s"""WITH $qCte
+       SELECT a.vec_id AS query_id,
+         CAST(SUM(CASE WHEN $cosSql >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+         MAX($cosSql) AS best_cosine
+       FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+       GROUP BY 1""",
+  )
+}
