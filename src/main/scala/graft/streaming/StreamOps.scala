@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-specific operators beyond the reference's surface:
+  * watermark-bounded stream dedup and custom sessionization state.
+  */
+object StreamOps {
+
+  /** Exactly-once-per-key within the watermark horizon: the streaming form
+    * of exact dedup (state is bounded by the watermark, so memory is
+    * O(keys per horizon), not O(stream)). */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionSummary(
+      user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, value_sum: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState (event-time timeout):
+    * closes a session when no event arrives within `gapMs` of the
+    * watermark. Demonstrates the KeyValueGroupedDataset custom-state path
+    * the built-in `session_window` cannot express (e.g. emitting per-event
+    * side effects, capping session length, custom merge rules). */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      watermark: String = "10 minutes",
+      gapMs: Long = 5 * 60 * 1000L): Dataset[SessionSummary] = {
+    // state = (sessionStart, lastEventMs, nEvents, valueSum) — tuple encoder
+    // (a nested private case class trips Janino codegen for the state row)
+    type SessionState = (Long, Long, Long, Double)
+    implicit val stateEnc: Encoder[SessionState] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val (start, last, n, total) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              userId, new Timestamp(start), new Timestamp(last + gapMs), n, total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, last, n, total)) if t - last <= gapMs =>
+                  cur = Some((start, t, n + 1, total + e.value))
+                case Some((start, last, n, total)) =>
+                  closed ::= SessionSummary(
+                    userId, new Timestamp(start), new Timestamp(last + gapMs), n, total)
+                  cur = Some((t, t, 1L, e.value))
+                case None =>
+                  cur = Some((t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

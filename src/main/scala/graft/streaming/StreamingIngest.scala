@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.Schemas
+
+/** Streaming ingestion: JSON drop-dir → typed parse → enrich → date-
+  * partitioned Parquet append with checkpointing.
+  *
+  * Parity target: StreamingJob.scala:30-53 (Kafka → Delta). This environment
+  * has no Kafka/Delta jars (SURVEY.md §7), so the source is Structured
+  * Streaming's file source over a drop directory — same at-least-once
+  * delivery + offset tracking via checkpoint — and the sink is the Parquet
+  * file sink, whose `_spark_metadata` commit log gives exactly-once file
+  * visibility to readers that go through the same path (ST2/ST8). Swapping
+  * `format("kafka")`/`format("delta")` back in is a config change, not a
+  * design change.
+  *
+  * Scale notes: the enrich step is a pure projection (codegen, no shuffle);
+  * partitioning by `event_date` makes the batch side's date-range reads
+  * prune at the directory level (§4 partition pruning). `maxFilesPerTrigger`
+  * bounds per-microbatch work so processing time stays under the trigger
+  * interval at any backlog size.
+  */
+object StreamingIngest {
+
+  /** The enrichment applied to every parsed micro-batch (P6):
+    * event_date partition column + ingest timestamp. */
+  def enrich(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .withColumn("processing_timestamp", current_timestamp())
+
+  /** Start the raw-ingest query: dropDir JSON → transactions Parquet. */
+  def start(
+      spark: SparkSession,
+      dropDir: String,
+      tablePath: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.TransactionSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dropDir)
+    enrich(raw).writeStream
+      .queryName("transactions-ingest")
+      .format("parquet")
+      .partitionBy("event_date")
+      .outputMode("append")
+      .option("path", tablePath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Read the ingested table THROUGH the sink's commit log so in-progress
+    * files are invisible (the Parquet stand-in for Delta ACID, §7.3). */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath)
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream // moved in Spark 4.1
+import org.apache.spark.sql.functions._
+
+import graft.streaming._
+
+/** End-to-end streaming behavior (the [X] rows of SURVEY.md §2.9): ingest
+  * with checkpoint-resume, complete-mode dashboard equivalence, watermark
+  * late-data drop, stream dedup, custom sessionization, lifecycle guard. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // A transaction subset wide enough for realtimeDashboard.
+  case class TxLite(
+      transaction_id: String, event_timestamp: Timestamp, customer_id: String,
+      category: String, total_amount: Double, transaction_status: String,
+      is_fraudulent: Option[Boolean])
+
+  test("ingest: JSON drop-dir to partitioned parquet, checkpoint-resume without dupes") {
+    val (drop, table, ckpt) = (tmp("drop"), tmp("table"), tmp("ckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+
+    def tx(id: String, ts: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"$ts","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+
+    writeFile("b1.json", Seq(
+      tx("t1", "2026-01-05 10:00:00"), tx("t2", "2026-01-06 11:00:00")))
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    val read1 = StreamingIngest.readTable(spark, table)
+    assert(read1.count() == 2)
+    assert(read1.select("event_date").distinct().count() == 2) // partition col survives round-trip
+    assert(new java.io.File(table).list().exists(_.startsWith("event_date=")))
+
+    // restart on the same checkpoint with one new file: only the delta lands
+    writeFile("b2.json", Seq(tx("t3", "2026-01-06 12:00:00")))
+    val q2 = StreamingIngest.start(spark, drop, table, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val read2 = StreamingIngest.readTable(spark, table)
+    assert(read2.count() == 3)
+    assert(read2.select("transaction_id").distinct().count() == 3)
+  }
+
+  test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TxLite]
+    val out = tmp("dash")
+    val ckpt = tmp("dashckpt")
+    val q = StreamingDashboard.start(spark, mem.toDF(), out, ckpt)
+    try {
+      mem.addData(
+        TxLite("t1", ts("2026-01-05 10:00:30"), "C1", "electronics", 10.0, "completed", Some(false)),
+        TxLite("t2", ts("2026-01-05 10:01:10"), "C2", "electronics", 20.0, "completed", Some(true)))
+      q.processAllAvailable()
+      val snap1 = StreamingDashboard.readLatest(spark, out)
+      assert(snap1.count() > 0)
+      val total1 = snap1.agg(sum("txn_count")).head().getLong(0)
+
+      mem.addData(
+        TxLite("t3", ts("2026-01-05 10:02:00"), "C3", "books", 5.0, "pending", None))
+      q.processAllAvailable()
+      val snap2 = StreamingDashboard.readLatest(spark, out)
+      // complete-mode: snapshot reflects ALL data, not just the new batch
+      assert(snap2.agg(sum("txn_count")).head().getLong(0) > total1)
+      assert(snap2.filter(col("category") === "books").count() > 0)
+      assert(snap2.filter(col("fraud_alerts") > 0).count() > 0)
+    } finally q.stop()
+  }
+
+  test("watermark: late events beyond horizon are dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TxLite]
+    val agg = mem.toDF()
+      .withWatermark("event_timestamp", "10 minutes")
+      .groupBy(window(col("event_timestamp"), "5 minutes"), col("category"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wmtest")
+      .outputMode("append").start()
+    try {
+      mem.addData(TxLite("t1", ts("2026-01-05 10:01:00"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData(TxLite("t2", ts("2026-01-05 11:00:00"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      // late arrival for the long-closed 10:00 window: must be discarded
+      mem.addData(TxLite("t3", ts("2026-01-05 10:01:30"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      mem.addData(TxLite("t4", ts("2026-01-05 12:00:00"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      val rows = spark.table("wmtest")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2026-01-05 10:00:00") == 1L, s"late event must not resurrect the window: $rows")
+    } finally q.stop()
+  }
+
+  test("stream dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TxLite]
+    val deduped = StreamOps.dedupWithinWatermark(
+      mem.toDF(), "event_timestamp", "10 minutes", Seq("transaction_id"))
+    val q = deduped.writeStream.format("memory").queryName("deduptest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        TxLite("dup", ts("2026-01-05 10:00:00"), "C1", "a", 1.0, "completed", None),
+        TxLite("dup", ts("2026-01-05 10:00:05"), "C1", "a", 1.0, "completed", None),
+        TxLite("uniq", ts("2026-01-05 10:00:10"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      mem.addData( // same key again, still within the horizon
+        TxLite("dup", ts("2026-01-05 10:01:00"), "C1", "a", 1.0, "completed", None))
+      q.processAllAvailable()
+      val ids = spark.table("deduptest").select("transaction_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted == Seq("dup", "uniq"))
+    } finally q.stop()
+  }
+
+  test("sessionize: flatMapGroupsWithState closes sessions on gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val sessions = StreamOps.sessionize(mem.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sesstest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamOps.SessionEvent(1L, ts("2026-01-05 10:00:00"), 1.0),
+        StreamOps.SessionEvent(1L, ts("2026-01-05 10:02:00"), 2.0))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes session timeout
+      mem.addData(StreamOps.SessionEvent(2L, ts("2026-01-05 11:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionEvent(2L, ts("2026-01-05 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sesstest")
+        .select("user_id", "n_events", "value_sum", "start", "end").collect()
+      val u1 = rows.find(_.getLong(0) == 1L)
+      assert(u1.isDefined, s"user1 session must have closed: ${rows.mkString(";")}")
+      assert(u1.get.getLong(1) == 2L && u1.get.getDouble(2) == 3.0)
+      assert(u1.get.getTimestamp(4).getTime - ts("2026-01-05 10:02:00").getTime == 5 * 60 * 1000L)
+    } finally q.stop()
+  }
+
+  test("lifecycle: single-flight guard and stop-all") {
+    val lc = new QueryLifecycle
+    val mk = () => spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream.format("noop").queryName("lc").start()
+    val first = lc.start(Seq(mk()))
+    assert(first.isRight && lc.isRunning)
+    val second = lc.start(Seq(mk()))
+    assert(second.isLeft, "second start must be refused while running")
+    val stopped = lc.stopAll()
+    assert(stopped.nonEmpty && !lc.isRunning)
+    assert(lc.start(Seq(mk())).isRight) // restart allowed after stop
+    lc.stopAll()
+  }
+}
