@@ -1,0 +1,148 @@
+package graft.batch
+
+import java.util.UUID
+import java.util.concurrent.Executors
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Batch analytics job service: submit → (PENDING → RUNNING →
+  * COMPLETED/FAILED) → retrieve, over a date-partitioned transactions table.
+  *
+  * Parity: jobs/BatchJob.scala + routes/BatchRoutes.scala, with the
+  * reference's physical anti-patterns fixed (SURVEY.md §4):
+  *
+  *   - ONE source scan: the filtered source is written once (snapshot); the
+  *     row count comes from `observe()` metrics on that same write, not a
+  *     second `count()` job (ref re-scans 3×: BatchJob.scala:65-76);
+  *   - aggregations read the (small, pruned) snapshot, not the full source;
+  *   - retrieval is stable-key `row_number` pagination executed on
+  *     executors, never `toJSON.collect()` on the driver
+  *     (ref: BatchRoutes.scala:149,221 collects the full table);
+  *   - user-supplied filter columns are validated against the schema up
+  *     front → clean FAILED, not a mid-job analysis exception.
+  *
+  * Concurrency: jobs run on a fixed pool (default 8, as the reference's
+  * `batch.thread-pool-size`) with each job thread tagged into the `batch`
+  * FAIR scheduler pool so streaming queries keep their share
+  * (SparkManager.scala:22-25, fairscheduler.xml).
+  */
+final class BatchService(
+    spark: SparkSession,
+    registry: BatchRegistry,
+    outputRoot: String,
+    poolSize: Int = 8) {
+
+  // Daemon threads: job workers must not keep the JVM alive after the
+  // owning application exits (a non-daemon pool hangs standalone drivers).
+  private val executor = Executors.newFixedThreadPool(poolSize, r => {
+    val t = new Thread(r, "batch-job-worker")
+    t.setDaemon(true)
+    t
+  })
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(executor)
+
+  /** Stop accepting work and release the pool (in-flight jobs finish). */
+  def shutdown(): Unit = executor.shutdown()
+
+  def submit(sourcePath: String, req: BatchRequest): Either[String, String] = {
+    if (!Analytics.validAnalysisTypes.contains(req.analysisType))
+      return Left(s"Unknown analysisType: ${req.analysisType}; valid: " +
+        Analytics.validAnalysisTypes.toSeq.sorted.mkString(", "))
+    val batchId = s"batch-${java.time.LocalDate.now()}-${UUID.randomUUID().toString.take(8)}"
+    registry.put(BatchJobRecord(batchId, req, BatchStatus.Pending, System.currentTimeMillis()))
+    Future(run(batchId, sourcePath, req))
+    Right(batchId)
+  }
+
+  private[batch] def run(batchId: String, sourcePath: String, req: BatchRequest): Unit = {
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("spark.scheduler.pool", "batch")
+      registry.update(batchId)(_.copy(
+        status = BatchStatus.Running, startedAt = Some(System.currentTimeMillis())))
+
+      val source = spark.read.parquet(sourcePath)
+      val cols = source.columns.toSet
+      val badFilters = req.filters.keys.filterNot(cols.contains)
+      require(badFilters.isEmpty,
+        s"Unknown filter column(s): ${badFilters.mkString(", ")}")
+
+      // P4 partition-pruned date range + P5 dynamic equality filters + P6 stamps
+      val filtered = req.filters.foldLeft(
+        source.filter(col("event_date").between(req.startDate, req.endDate))) {
+        case (df, (k, v)) => df.filter(col(k) === v)
+      }
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("processing_timestamp", current_timestamp())
+
+      val rawPath = s"$outputRoot/$batchId/raw"
+      val aggPath = s"$outputRoot/$batchId/aggregated"
+
+      // Observation: row count rides along with the snapshot write — no 2nd scan
+      val obs = org.apache.spark.sql.Observation(s"batch_metrics_$batchId")
+      filtered.observe(obs, count(lit(1)).as("rows"))
+        .write.partitionBy("category").mode("overwrite").parquet(rawPath)
+      val rowCount = obs.get("rows").asInstanceOf[Long]
+
+      // aggregations read the pruned snapshot, not the source
+      val snapshot = spark.read.parquet(rawPath)
+      Analytics.runAnalysis(snapshot, req.analysisType).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$aggPath/$name")
+      }
+
+      registry.update(batchId)(_.copy(
+        status = BatchStatus.Completed, completedAt = Some(System.currentTimeMillis()),
+        rowCount = Some(rowCount), rawPath = Some(rawPath), aggregatedPath = Some(aggPath)))
+    } catch {
+      case e: Throwable =>
+        registry.update(batchId)(_.copy(
+          status = BatchStatus.Failed, completedAt = Some(System.currentTimeMillis()),
+          error = Some(Option(e.getMessage).getOrElse(e.toString).take(500))))
+    } finally {
+      sc.setLocalProperty("spark.scheduler.pool", null)
+    }
+  }
+
+  def status(batchId: String): Option[BatchJobRecord] = registry.get(batchId)
+
+  def list(limit: Int = 100): Seq[BatchJobRecord] = registry.listAll(limit)
+
+  /** Stable-key paginated read of a batch's raw snapshot (W2): executed
+    * distributed, deterministic for any offset/limit. */
+  def readData(
+      batchId: String, offset: Int, limit: Int,
+      maxPageSize: Int = 10000): Either[String, DataFrame] =
+    withCompleted(batchId) { r =>
+      val eff = math.min(limit, maxPageSize)
+      val w = Window.orderBy(col("transaction_id"))
+      Right(spark.read.parquet(r.rawPath.get)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > offset && col("rn") <= offset + eff)
+        .drop("rn"))
+    }
+
+  /** Aggregated result for one analysis of a completed batch. */
+  def readAggregated(batchId: String, analysis: String): Either[String, DataFrame] =
+    withCompleted(batchId) { r =>
+      val dir = new java.io.File(s"${r.aggregatedPath.get}/$analysis")
+      if (!dir.isDirectory)
+        Left(s"no analysis '$analysis' in batch $batchId; available: " +
+          Option(new java.io.File(r.aggregatedPath.get).list()).map(_.sorted.mkString(", ")).getOrElse(""))
+      else Right(spark.read.parquet(dir.toString))
+    }
+
+  private def withCompleted(batchId: String)(
+      f: BatchJobRecord => Either[String, DataFrame]): Either[String, DataFrame] =
+    registry.get(batchId) match {
+      case None => Left(s"unknown batchId: $batchId")
+      case Some(r) if r.status != BatchStatus.Completed =>
+        Left(s"batch $batchId not completed (status=${r.status})")
+      case Some(r) => f(r)
+    }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.batch._
+import graft.TxFixture._
+
+/** Batch service lifecycle e2e (SURVEY.md §3.1 + §5.4): submit → status
+  * transitions → results; FAILED isolation; validation; pagination;
+  * concurrency; registry recovery. */
+class BatchSpec extends SparkSpec {
+
+  private def await(cond: => Boolean, timeout: Duration = 60.seconds): Unit = {
+    val deadline = System.currentTimeMillis() + timeout.toMillis
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(cond, "condition not met within timeout")
+  }
+
+  private lazy val sourcePath: String = {
+    val p = Files.createTempDirectory("txsource").toString
+    val rows = (1 to 200).map { i =>
+      row(id = s"t$i", customerId = s"C${i % 20}",
+        category = Seq("electronics", "books", "grocery")(i % 3),
+        totalAmount = 10.0 * (i % 7 + 1),
+        eventTs = ts(f"2026-01-${i % 10 + 1}%02d 10:00:00"))
+    }
+    df(spark, rows: _*)
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(p)
+    p
+  }
+
+  private def newService(persist: Option[String] = None): (BatchService, BatchRegistry) = {
+    val reg = new BatchRegistry(persist)
+    (new BatchService(spark, reg, Files.createTempDirectory("batches").toString), reg)
+  }
+
+  test("lifecycle: submit -> COMPLETED with correct count, snapshot and aggregates") {
+    val (svc, _) = newService()
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-05", "revenue_by_category"))
+    assert(svc.status(id).get.status != null) // record exists immediately
+    await(svc.status(id).get.status == BatchStatus.Completed)
+    val rec = svc.status(id).get
+    val expected = spark.read.parquet(sourcePath)
+      .filter(col("event_date").between("2026-01-01", "2026-01-05")).count()
+    assert(rec.rowCount.contains(expected))
+    // snapshot is category-partitioned and stamped with batch_id
+    val raw = spark.read.parquet(rec.rawPath.get)
+    assert(raw.count() == expected)
+    assert(raw.select("batch_id").distinct().head().getString(0) == id)
+    assert(new java.io.File(rec.rawPath.get).list().exists(_.startsWith("category=")))
+    val agg = svc.readAggregated(id, "revenue_by_category")
+    assert(agg.isRight && agg.toOption.get.count() == 3)
+  }
+
+  test("dynamic filters narrow the snapshot; full_report fans out") {
+    val (svc, _) = newService()
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "full_report",
+        filters = Map("category" -> "books")))
+    await(svc.status(id).get.status == BatchStatus.Completed)
+    val rec = svc.status(id).get
+    val raw = spark.read.parquet(rec.rawPath.get)
+    assert(raw.select("category").distinct().collect().map(_.getString(0)).toSeq == Seq("books"))
+    val dir = new java.io.File(rec.aggregatedPath.get)
+    assert(dir.list().toSet.intersect(Set("revenue_by_category", "hourly_trends",
+      "inventory_velocity")).size == 3)
+  }
+
+  test("invalid filter column -> FAILED with clear error; other jobs unaffected") {
+    val (svc, _) = newService()
+    val Right(bad) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category",
+        filters = Map("no_such_column" -> "x")))
+    val Right(good) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
+    await(svc.status(bad).get.status == BatchStatus.Failed)
+    await(svc.status(good).get.status == BatchStatus.Completed)
+    assert(svc.status(bad).get.error.get.contains("no_such_column"))
+  }
+
+  test("unknown analysisType rejected at submit") {
+    val (svc, _) = newService()
+    val res = svc.submit(sourcePath, BatchRequest("2026-01-01", "2026-01-10", "bogus"))
+    assert(res.isLeft && res.swap.toOption.get.contains("bogus"))
+  }
+
+  test("three concurrent batches all complete") {
+    val (svc, _) = newService()
+    val ids = (1 to 3).map { i =>
+      svc.submit(sourcePath, BatchRequest("2026-01-01", "2026-01-10",
+        Seq("revenue_by_category", "channel_performance", "hourly_trends")(i - 1)))
+        .toOption.get
+    }
+    await(ids.forall(id => svc.status(id).get.status == BatchStatus.Completed))
+    assert(svc.list().size == 3)
+  }
+
+  test("pagination: stable, non-overlapping, exhaustive pages") {
+    val (svc, _) = newService()
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
+    await(svc.status(id).get.status == BatchStatus.Completed)
+    val total = svc.status(id).get.rowCount.get
+    val pages = (0L until total by 70).map { off =>
+      svc.readData(id, off.toInt, 70).toOption.get
+        .select("transaction_id").collect().map(_.getString(0)).toSeq
+    }
+    val all = pages.flatten
+    assert(all.size == total && all.distinct.size == total)
+    // unknown/incomplete ids are refused
+    assert(svc.readData("nope", 0, 10).isLeft)
+  }
+
+  test("registry persists terminal records and recovers after restart") {
+    val persist = Files.createTempDirectory("reg").toString
+    val (svc, _) = newService(Some(persist))
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
+    await(svc.status(id).get.status == BatchStatus.Completed)
+    val reg2 = new BatchRegistry(Some(persist))
+    assert(reg2.recover() >= 1)
+    val rec = reg2.get(id).get
+    assert(rec.status == BatchStatus.Completed &&
+      rec.rawPath.isDefined && rec.request.analysisType == "revenue_by_category")
+  }
+}
