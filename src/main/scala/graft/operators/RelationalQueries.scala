@@ -313,6 +313,52 @@ object RelationalQueries extends QueryModule {
         sum(dec2(col("o_totalprice"))).cast("double").as("total"))
   }
 
+  /** Exact percentiles (median/p90) per group — `percentile` (exact linear
+    * interpolation, matching DuckDB quantile_cont), not the sketch-based
+    * approx_percentile (engine-specific, bench-only). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+
+  /** Pivot: order status columns per priority (fixed pivot values keep the
+    * output schema static — required at scale anyway: dynamic pivot does a
+    * driver-side distinct scan first). */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+
+  /** Bag-semantics set ops: UNION ALL / EXCEPT ALL / INTERSECT ALL row
+    * counts over order-status key multisets. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val f = ord(s, d).filter(col("o_orderstatus") =!= "O").select("o_custkey")
+    val p = ord(s, d).filter(col("o_totalprice") > 100000.0).select("o_custkey")
+    val ua = f.unionAll(p).agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+    val ea = f.exceptAll(p).agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val ia = f.intersectAll(p).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ua.unionByName(ea).unionByName(ia).select("op", "n")
+  }
+
+  /** Null-handling operators: null-safe equality (<=>), coalesce, nullif —
+    * over the nullable card_network-style derived column. */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .withColumn("maybe_status",
+        when(col("l_linenumber") % 3 === 0, col("l_linestatus")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("maybe_status") <=> lit(null), 1).otherwise(0)).as("n_null_safe_eq_null"),
+        sum(when(col("maybe_status") <=> col("l_linestatus"), 1).otherwise(0)).as("n_null_safe_eq_status"),
+        count(coalesce(col("maybe_status"), lit("missing"))).as("n_coalesced"),
+        count(nullif(col("l_linestatus"), lit("F"))).as("n_not_f"))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -341,6 +387,10 @@ object RelationalQueries extends QueryModule {
     "rel_global_agg" -> (globalAgg _),
     "rel_offset_limit" -> (offsetLimit _),
     "rel_above_avg_orders" -> (aboveAvgOrders _),
+    "rel_percentiles" -> (percentiles _),
+    "rel_pivot" -> (pivotStatus _),
+    "rel_set_ops_all" -> (setOpsAll _),
+    "rel_null_handling" -> (nullHandling _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -492,5 +542,36 @@ object RelationalQueries extends QueryModule {
          FROM orders
          WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(o_totalprice) AS DOUBLE) FROM orders) * 1.8
          GROUP BY 1""",
+    "rel_percentiles" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         quantile_cont(o_totalprice, 0.9) AS p90_price,
+         COUNT(*) AS n
+         FROM orders GROUP BY 1""",
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+         FROM orders GROUP BY 1""",
+    "rel_set_ops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'O'),
+            p AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+         SELECT 'union_all' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f UNION ALL SELECT * FROM p)) AS n
+         UNION ALL
+         SELECT 'except_all' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM p)) AS n
+         UNION ALL
+         SELECT 'intersect_all' AS op, (SELECT COUNT(*) FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM p)) AS n""",
+    "rel_null_handling" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_linenumber % 3 = 0 THEN l_linestatus END AS maybe_status
+           FROM lineitem)
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq_null,
+           CAST(SUM(CASE WHEN maybe_status IS NOT DISTINCT FROM l_linestatus THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq_status,
+           COUNT(COALESCE(maybe_status, 'missing')) AS n_coalesced,
+           COUNT(NULLIF(l_linestatus, 'F')) AS n_not_f
+         FROM t GROUP BY 1""",
   )
 }
