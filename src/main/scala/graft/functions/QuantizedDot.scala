@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `graft_dot(array<bigint>, array<bigint>) -> bigint`: exact integer dot
+  * product as a native Catalyst expression with whole-stage codegen.
+  *
+  * This is the engine's one custom expression (SURVEY.md §7.2): the
+  * built-in higher-order alternative
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` is
+  * semantically identical but allocates an intermediate array per row and
+  * evaluates two lambda closures per element; at ANN scale (rows × dims)
+  * the generated tight loop below wins (~3-6× measured, see
+  * SimilarityQueries scaladoc). Used only where profiling justified it —
+  * everything else in the engine stays on built-ins.
+  *
+  * Exactness contract matches the quantized-cosine scheme: inputs are
+  * integer-quantized vectors, products/sums stay in Long (overflow-safe for
+  * |q| ≤ 10^6, dims ≤ 10^4), so results are bit-identical to the oracle's
+  * `list_sum(list_transform(...))`.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<bigint> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += x.getLong(i) * y.getLong(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Idempotent function registration so any session (Verify, Bench, tests —
+  * which build their own SparkSessions) can call `graft_dot` via SQL/expr. */
+object GraftFunctions {
+  private val ident = FunctionIdentifier("graft_dot")
+  private val info = new ExpressionInfo(
+    classOf[QuantizedDot].getName, null, "graft_dot",
+    "graft_dot(a, b) - exact integer dot product of two bigint arrays.", "")
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(ident, info, { exprs =>
+        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+        QuantizedDot(exprs.head, exprs(1))
+      })
+    }
+  }
+}
+
+/** Session-extension wiring (the `SparkSessionExtensions` path): attach via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` so every session
+  * in a cluster gets the function without code changes. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, null, "graft_dot",
+        "graft_dot(a, b) - exact integer dot product of two bigint arrays.", ""),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+        QuantizedDot(exprs.head, exprs(1))
+      }))
+}

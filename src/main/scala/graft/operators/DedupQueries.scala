@@ -132,13 +132,14 @@ object DedupQueries extends QueryModule {
   /** Embedding near-dup pairs: probe batch (vec_id < 200) vs corpus, exact
     * quantized cosine ≥ 0.4. */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val q = Tables.embeddings(s, d)
       .withColumn("qv", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
-      .withColumn("nrm", expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nrm", expr("graft_dot(qv, qv)"))
       .select("vec_id", "qv", "nrm")
     val probes = q.filter(col("vec_id") < 200)
     probes.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("graft_dot(a.qv, b.qv)"))
       .withColumn("cosine",
         col("dot").cast("double") /
           (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
