@@ -157,10 +157,13 @@ object RelationalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_customers"),
         sum(dec2(col("c_acctbal"))).cast("double").as("acctbal_sum"))
 
-  /** Left-anti join: customers with no orders at all. */
+  /** Left-anti join: customers with no 'P'-status order (every customer has
+    * SOME order at this corpus density, so the anti-set must be non-empty —
+    * a 0-row anti join would be a vacuous check). */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(ord(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
 
@@ -359,6 +362,24 @@ object RelationalQueries extends QueryModule {
         count(coalesce(col("maybe_status"), lit("missing"))).as("n_coalesced"),
         count(nullif(col("l_linestatus"), lit("F"))).as("n_not_f"))
 
+  /** Skew-resistant two-phase aggregation (salting): pre-aggregate on
+    * (key, salt), then merge per key. Algebraically identical to a direct
+    * groupBy — the oracle proves it — and the pattern that breaks hot-key
+    * shuffle skew at 100 TB (AQE's skew handling covers joins; salting
+    * covers aggregation fan-in). Salt derives from a stable row attribute
+    * so the plan stays deterministic. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .withColumn("salt", col("l_orderkey") % 16)
+      .groupBy("l_returnflag", "salt")
+      .agg(
+        sum(dec2(col("l_quantity"))).as("qty_dec"),
+        count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("qty_dec")).cast("double").as("total_qty"),
+        sum(col("cnt")).as("n"))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -391,6 +412,7 @@ object RelationalQueries extends QueryModule {
     "rel_pivot" -> (pivotStatus _),
     "rel_set_ops_all" -> (setOpsAll _),
     "rel_null_handling" -> (nullHandling _),
+    "rel_salted_agg" -> (saltedAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -458,7 +480,8 @@ object RelationalQueries extends QueryModule {
          GROUP BY 1""",
     "rel_join_anti" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers
-         FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         FROM customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
          GROUP BY 1""",
     "rel_top_revenue_orders" ->
       """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
@@ -573,5 +596,10 @@ object RelationalQueries extends QueryModule {
            COUNT(COALESCE(maybe_status, 'missing')) AS n_coalesced,
            COUNT(NULLIF(l_linestatus, 'F')) AS n_not_f
          FROM t GROUP BY 1""",
+    "rel_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY 1""",
   )
 }
