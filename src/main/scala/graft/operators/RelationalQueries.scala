@@ -380,6 +380,35 @@ object RelationalQueries extends QueryModule {
         sum(col("qty_dec")).cast("double").as("total_qty"),
         sum(col("cnt")).as("n"))
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist over a
+    * per-status price ordering with a unique tiebreak (o_orderkey) so every
+    * rank — and therefore every derived double — is deterministic. Windows
+    * are computed over the FULL table, then sampled for output size. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ord(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "quartile", "pct_rank", "cume")
+  }
+
+  /** Explicit GROUPING SETS (beyond cube/rollup): chosen combinations only —
+    * (status, priority), (status), and grand total. */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -413,6 +442,8 @@ object RelationalQueries extends QueryModule {
     "rel_set_ops_all" -> (setOpsAll _),
     "rel_null_handling" -> (nullHandling _),
     "rel_salted_agg" -> (saltedAgg _),
+    "rel_window_distribution" -> (windowDistribution _),
+    "rel_grouping_sets" -> (groupingSetsAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -601,5 +632,24 @@ object RelationalQueries extends QueryModule {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
          COUNT(*) AS n
          FROM lineitem GROUP BY 1""",
+    "rel_window_distribution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, quartile, pct_rank, cume
+         FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey))
+         WHERE o_orderkey % 100 = 0""",
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())""",
   )
 }

@@ -117,9 +117,49 @@ object SimilarityQueries extends QueryModule {
         max(col("cosine")).as("best_cosine"))
   }
 
+  /** IVF (inverted-file) top-5: the other standard ANN scale path next to
+    * LSH. Coarse quantizer = a deterministic centroid subset
+    * (vec_id % 200 == 3, ≈0.5% of the corpus); every vector is assigned to
+    * its best centroid (argmax cosine, centroid-id tiebreak); probes search
+    * only their nprobe=2 nearest cells. Build cost is one broadcast
+    * corpus × centroids pass (O(n·√n̄)-ish, embarrassingly parallel); query
+    * cost drops from O(n) to O(n·nprobe/C). At 100 TB the assignment table
+    * would be written bucketed by cell so probe lookups prune to the cells'
+    * buckets. Deterministic centroids keep this oracle-checkable; swapping
+    * in k-means centroids changes only the `cent` frame. */
+  def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val cent = broadcast(q.filter(col("vec_id") % 200 === 3)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm")))
+    val scored = q.as("a").join(cent)
+      .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))
+      .withColumn("ccos", col("cdot").cast("double") /
+        (sqrt(col("a.nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+    val wAssign = Window.partitionBy(col("a.vec_id")).orderBy(desc("ccos"), col("cid"))
+    val ranked = scored.withColumn("crk", row_number().over(wAssign))
+    val assign = ranked.filter(col("crk") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("cid").as("cell"),
+        col("a.qv").as("qv"), col("a.nrm").as("nrm"))
+    val probeCells = ranked.filter(col("a.vec_id") < 20 && col("crk") <= 2)
+      .select(col("a.vec_id").as("query_id"), col("cid").as("cell"),
+        col("a.qv").as("pqv"), col("a.nrm").as("pnrm"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    probeCells.join(assign, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(pqv, qv)"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("pnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("cosine"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_lsh" -> (topkLsh _),
+    "sim_topk_ivf" -> (topkIvf _),
     "sim_range_count" -> (rangeCount _),
   )
 
@@ -171,6 +211,36 @@ object SimilarityQueries extends QueryModule {
                      ORDER BY cosine DESC, neighbor_id) AS rank
          FROM scored)
        SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""",
+    "sim_topk_ivf" -> s"""WITH $qCte,
+       cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
+                WHERE vec_id % 200 = 3),
+       scored AS (
+         SELECT a.vec_id, cid,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * cqv[i])) AS DOUBLE) /
+             (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(cnrm AS DOUBLE))) AS ccos
+         FROM n a CROSS JOIN cent),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS crk
+         FROM scored),
+       assign AS (
+         SELECT r.vec_id, r.cid AS cell, n.qv, n.nrm
+         FROM ranked r JOIN n USING (vec_id) WHERE crk = 1),
+       probecells AS (
+         SELECT r.vec_id AS query_id, r.cid AS cell, n.qv AS pqv, n.nrm AS pnrm
+         FROM ranked r JOIN n USING (vec_id)
+         WHERE r.vec_id < 20 AND crk <= 2),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id, p.cell,
+           CAST(list_sum(list_transform(range(1, len(p.pqv) + 1), i -> p.pqv[i] * a.qv[i])) AS DOUBLE) /
+             (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE))) AS cosine
+         FROM probecells p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       topk AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM cand)
+       SELECT query_id, neighbor_id, cell, cosine, rank FROM topk WHERE rank <= 5""",
     "sim_range_count" -> s"""WITH $qCte
        SELECT a.vec_id AS query_id,
          CAST(SUM(CASE WHEN $cosSql >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
