@@ -25,6 +25,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+    // Parquet footer/metadata warm-up so the alphabetically-first query isn't
+    // charged the one-time corpus discovery cost (count() reads row-group
+    // stats only, no data pages — steady-state throughput is the metric).
+    graft.core.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
