@@ -160,6 +160,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Imp(ad_id: Long, imp_time: Timestamp)
+  case class Clk(ad_id: Long, click_time: Timestamp)
+
+  test("stream-stream join: watermarked interval join attributes clicks to impressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    // Both sides watermarked + a time-range condition bounds the join state
+    // Spark must keep (the canonical scalable stream-stream join shape).
+    val q = imps.toDF().as("i").withWatermark("imp_time", "10 minutes")
+      .join(clks.toDF().as("c").withWatermark("click_time", "10 minutes"),
+        col("i.ad_id") === col("c.ad_id") &&
+          col("click_time") >= col("imp_time") &&
+          col("click_time") <= col("imp_time") + expr("interval 5 minutes"))
+      .select(col("i.ad_id"), col("imp_time"), col("click_time"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      imps.addData(Imp(1L, ts("2026-01-05 10:00:00")), Imp(2L, ts("2026-01-05 10:00:00")))
+      clks.addData(
+        Clk(1L, ts("2026-01-05 10:03:00")),  // within 5 min → attributed
+        Clk(2L, ts("2026-01-05 10:09:00")))  // beyond 5 min → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").select("ad_id").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L), s"only the in-window click joins: $rows")
+    } finally q.stop()
+  }
+
   test("lifecycle: single-flight guard and stop-all") {
     val lc = new QueryLifecycle
     val mk = () => spark.readStream.format("rate").option("rowsPerSecond", "1").load()
