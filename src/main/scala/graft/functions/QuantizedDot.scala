@@ -89,10 +89,13 @@ object GraftFunctions {
 }
 
 /** Session-extension wiring (the `SparkSessionExtensions` path): attach via
-  * `spark.sql.extensions=graft.functions.GraftExtensions` so every session
-  * in a cluster gets the function without code changes. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) so every session in a
+  * cluster gets the engine's function AND optimizer extensions without code
+  * changes: `graft_dot` plus the interval-range join rewrite
+  * ([[graft.plans.IntervalBinJoinRule]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, null, "graft_dot",
@@ -101,4 +104,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         QuantizedDot(exprs.head, exprs(1))
       }))
+    ext.injectOptimizerRule(_ => graft.plans.IntervalBinJoinRule)
+  }
 }

@@ -99,9 +99,30 @@ object TemporalJoinQueries extends QueryModule {
         countDistinct(col("l_suppkey")).as("n_suppliers"))
   }
 
+  /** The same interval join written the NATURAL way — a raw range theta
+    * join, no manual binning. Under a session with
+    * [[graft.functions.GraftExtensions]] (Verify/Bench/production), the
+    * [[graft.plans.IntervalBinJoinRule]] optimizer rule rewrites it to the
+    * binned equi-join automatically; without the extension it still runs
+    * (broadcast-nested-loop) and returns identical rows. 30-day window to
+    * exercise multi-day binning. */
+  def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    val intervals = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 499 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .join(intervals,
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("qty_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "rel_asof_join" -> (asofJoin _),
     "rel_range_join" -> (rangeJoin _),
+    "rel_range_join_auto" -> (rangeJoinAuto _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -128,6 +149,14 @@ object TemporalJoinQueries extends QueryModule {
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
          WHERE o.o_orderkey % 997 = 0
+         GROUP BY 1""",
+    "rel_range_join_auto" ->
+      """SELECT o.o_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+         WHERE o.o_orderkey % 499 = 0
          GROUP BY 1""",
   )
 }
