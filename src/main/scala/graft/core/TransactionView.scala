@@ -90,6 +90,14 @@ object TransactionView {
       lit(null).cast("string").as("batch_id"))
   }
 
+  // Measured and rejected: persisting this view once per session
+  // (MEMORY_AND_DISK) and sharing it across the 9 analyses made the suite
+  // SLOWER at sf0.1 (build 10.6 s + 8×0.2 s vs ~1 s/analysis uncached).
+  // Caching materializes all 31 derived columns; left lazy, Catalyst prunes
+  // the 6-table join down to each analysis's needed columns — pruned joins
+  // beat a full-width cache for single-pass workloads. (BatchService's
+  // written snapshot serves the repeated-read case, as the reference does.)
+
   /** DuckDB CTE producing exactly the rows [[apply]] produces (same column
     * names, same exact values). Oracle queries prepend this. */
   val duckCte: String =
