@@ -7,6 +7,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
     operators.TemporalJoinQueries,
+    operators.SqlQueries,
     operators.AnalyticsQueries,
     operators.EventQueries,
     operators.TextQueries,

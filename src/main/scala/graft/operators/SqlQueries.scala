@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryModule
+import graft.core.Tables
+
+/** The `spark.sql(...)` API surface: the same engine capabilities driven
+  * through ANSI SQL text instead of the DataFrame DSL — multi-way join
+  * graphs, correlated EXISTS subqueries, scalar subqueries. The SQL here is
+  * written in the dialect intersection of Spark and DuckDB, so the ORACLE
+  * RUNS THE IDENTICAL TEXT — parser-level parity, not just plan-level.
+  *
+  * Catalyst compiles these to the same optimized plans as the DSL forms
+  * (broadcastable dimension joins, semi-join for EXISTS, partial+final
+  * aggregation), so everything in the scale notes of
+  * [[RelationalQueries]] applies unchanged.
+  */
+object SqlQueries extends QueryModule {
+
+  /** Temp views over the tables the SQL needs (idempotent per session+dir).
+    * Deliberately NOT all of Tables.all: `spark.read.parquet` infers schema
+    * eagerly, and `events.parquet` (TIMESTAMP_NANOS) needs the nanosAsLong
+    * normalization in [[Tables.events]] — registering it raw here would
+    * throw before any SQL even runs. */
+  private val needed = Seq(
+    "customer", "orders", "lineitem", "supplier", "nation", "region", "part")
+  private def views(s: SparkSession, d: String): Unit =
+    needed.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q5 shape: 6-table join, region filter, date window, grouped
+    * revenue. `c_nationkey = s_nationkey` makes supplier locality matter. */
+  private val q5 =
+    """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= CAST('1996-01-01' AS DATE)
+         AND o_orderdate < CAST('1997-01-01' AS DATE)
+       GROUP BY n_name"""
+
+  /** TPC-H Q4 shape: correlated EXISTS subquery (planned as a semi-join). */
+  private val q4 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= CAST('1996-01-01' AS DATE)
+         AND o_orderdate < CAST('1996-07-01' AS DATE)
+         AND EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+       GROUP BY o_orderpriority"""
+
+  /** Scalar subquery: parts priced above the global average retail price. */
+  private val qScalar =
+    """SELECT p_brand, COUNT(*) AS n_premium,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS premium_value
+       FROM part
+       WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(18,2)))
+                              FROM part) * 1.02
+       GROUP BY p_brand"""
+
+  private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sql_join_graph" -> (run(q5) _),
+    "sql_exists_subquery" -> (run(q4) _),
+    "sql_scalar_subquery" -> (run(qScalar) _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_join_graph" -> q5,
+    "sql_exists_subquery" -> q4,
+    "sql_scalar_subquery" -> qScalar,
+  )
+}
