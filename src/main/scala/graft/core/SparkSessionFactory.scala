@@ -30,6 +30,8 @@ object SparkSessionFactory {
       .config("spark.ui.enabled", "false")
     fairSchedulerXml.foreach(b.config("spark.scheduler.allocation.file", _))
     checkpointRoot.foreach(b.config("spark.sql.streaming.checkpointLocation", _))
+    // Engine extensions: graft_dot + the interval-range join rewrite rule.
+    b.withExtensions(new graft.functions.GraftExtensions)
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
