@@ -409,6 +409,42 @@ object RelationalQueries extends QueryModule {
         grouping(col("o_orderstatus")).cast("long").as("g_status"),
         grouping(col("o_orderpriority")).cast("long").as("g_priority"))
 
+  /** String-function surface: case mapping, substring, concat, pad, trim,
+    * length, LIKE, regexp extraction — grouped so the output is compact. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("adj", regexp_extract(col("p_name"), "^(\\w+)", 1))
+      .groupBy(col("p_type").as("p_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper(col("p_name"))).as("first_name_up"),
+        max(concat(col("p_brand"), lit(":"), lower(col("p_type")))).as("max_brand_type"),
+        sum(length(col("p_name"))).as("name_chars"),
+        count(when(col("p_name").like("%widget%"), 1)).as("n_widget"),
+        min(lpad(col("p_brand"), 10, "_")).as("brand_padded"),
+        max(trim(lit("  x  "))).as("trimmed"),
+        countDistinct(col("adj")).as("n_adjectives"))
+
+  /** Datetime-function surface: component extraction, truncation,
+    * calendar arithmetic — row-level on a sampled key so each function's
+    * raw output is oracle-visible. */
+  def datetimeFuncs(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("order_date"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus_2m"))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -444,6 +480,8 @@ object RelationalQueries extends QueryModule {
     "rel_salted_agg" -> (saltedAgg _),
     "rel_window_distribution" -> (windowDistribution _),
     "rel_grouping_sets" -> (groupingSetsAgg _),
+    "rel_string_funcs" -> (stringFuncs _),
+    "rel_datetime_funcs" -> (datetimeFuncs _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -651,5 +689,31 @@ object RelationalQueries extends QueryModule {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                  (o_orderstatus), ())""",
+    "rel_string_funcs" ->
+      """WITH t AS (
+           SELECT *, regexp_extract(p_name, '^(\w+)', 1) AS adj FROM part)
+         SELECT p_type, COUNT(*) AS n,
+           MIN(UPPER(p_name)) AS first_name_up,
+           MAX(CONCAT(p_brand, ':', LOWER(p_type))) AS max_brand_type,
+           CAST(SUM(LENGTH(p_name)) AS BIGINT) AS name_chars,
+           COUNT(CASE WHEN p_name LIKE '%widget%' THEN 1 END) AS n_widget,
+           MIN(LPAD(p_brand, 10, '_')) AS brand_padded,
+           MAX(TRIM('  x  ')) AS trimmed,
+           COUNT(DISTINCT adj) AS n_adjectives
+         FROM t GROUP BY 1""",
+    "rel_datetime_funcs" ->
+      """SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+           CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS dom,
+           CAST(DATE_PART('dow', o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(LAST_DAY(o_orderdate) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+           CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m
+         FROM orders WHERE o_orderkey % 200 = 0""",
   )
 }
