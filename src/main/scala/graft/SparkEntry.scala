@@ -13,6 +13,7 @@ object SparkEntry {
     operators.TextQueries,
     operators.DedupQueries,
     operators.SimilarityQueries,
+    operators.MediaQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
