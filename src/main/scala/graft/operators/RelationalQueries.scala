@@ -445,6 +445,30 @@ object RelationalQueries extends QueryModule {
         date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus_30d"),
         add_months(col("o_orderdate").cast("date"), 2).cast("string").as("plus_2m"))
 
+  /** Array-function surface: collect_list (sorted for determinism), size,
+    * element access, containment, slicing — per sampled order. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_orderkey") % 499 === 0)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        col("lines").cast("array<long>").as("lines"),
+        size(col("lines")).cast("long").as("n_lines"),
+        element_at(col("lines"), 1).cast("long").as("first_line"),
+        array_contains(col("lines"), 1).as("has_line_1"),
+        slice(col("lines"), 1, 2).cast("array<long>").as("first_two"),
+        expr("aggregate(lines, 0L, (a, x) -> a + x)").as("line_sum"))
+
+  /** Generator surface: posexplode over tokenized part names →
+    * (position, token) frequency table. */
+  def posexplodeTokens(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .groupBy(col("pos").cast("long").as("pos"), col("col").as("token"))
+      .agg(count(lit(1)).as("n"))
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -482,6 +506,8 @@ object RelationalQueries extends QueryModule {
     "rel_grouping_sets" -> (groupingSetsAgg _),
     "rel_string_funcs" -> (stringFuncs _),
     "rel_datetime_funcs" -> (datetimeFuncs _),
+    "rel_array_funcs" -> (arrayFuncs _),
+    "rel_posexplode" -> (posexplodeTokens _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -715,5 +741,24 @@ object RelationalQueries extends QueryModule {
            CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
            CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m
          FROM orders WHERE o_orderkey % 200 = 0""",
+    "rel_array_funcs" ->
+      """WITH g AS (
+           SELECT l_orderkey,
+                  list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
+           FROM lineitem WHERE l_orderkey % 499 = 0 GROUP BY 1)
+         SELECT l_orderkey, lines,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           lines[1] AS first_line,
+           list_contains(lines, 1) AS has_line_1,
+           lines[1:2] AS first_two,
+           CAST(list_sum(lines) AS BIGINT) AS line_sum
+         FROM g""",
+    "rel_posexplode" ->
+      """SELECT CAST(u.pos AS BIGINT) AS pos, u.token, COUNT(*) AS n
+         FROM (
+           SELECT UNNEST(list_transform(string_split(p_name, ' '),
+                         (t, i) -> struct_pack(pos := i - 1, token := t))) AS u
+           FROM part)
+         GROUP BY 1, 2""",
   )
 }
