@@ -29,9 +29,13 @@ object Bench {
     // Parquet footer/metadata warm-up so the alphabetically-first query isn't
     // charged the one-time corpus discovery cost (count() reads row-group
     // stats only, no data pages — steady-state throughput is the metric).
+    // events.parquet is TIMESTAMP(NANOS): schema inference needs this flag
+    // (otherwise its warm-up silently fails and the first events query pays
+    // the discovery cost the warm-up exists to remove).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.core.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

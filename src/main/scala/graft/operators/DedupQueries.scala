@@ -35,8 +35,9 @@ import graft.core.Tables
   */
 object DedupQueries extends QueryModule {
 
-  private val K = 16 // minhash signatures
+  private val K = 16 // minhash signatures; must be a multiple of 4 (digest slicing)
   private val B = 8  // bands of 2 signatures each
+  require(K % 4 == 0, s"K=$K: digest slicing derives 4 signatures per md5")
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

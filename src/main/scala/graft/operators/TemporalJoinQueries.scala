@@ -46,7 +46,9 @@ object TemporalJoinQueries extends QueryModule {
     val quotes = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts_ts"))
       .agg(max(col("event_id")).as("purchase_id"),
-        max(col("value")).as("purchase_value"))
+        // value travels WITH the winning row (max_by on the unique id), so
+        // the (id, value) pair always comes from one source purchase
+        expr("max_by(value, event_id)").as("purchase_value"))
       .select(col("user_id"), col("ts_ts"), lit(0).as("is_probe"),
         lit(null).cast("long").as("event_id"),
         lit(null).cast("string").as("event_type"),
@@ -85,9 +87,12 @@ object TemporalJoinQueries extends QueryModule {
     val intervals = Tables.orders(s, d)
       .filter(col("o_orderkey") % 997 === 0)
       .select(col("o_orderkey"), col("o_orderdate"))
+    // 0..7 days: the +7th bin covers a lower bound with a time-of-day
+    // component (date(lo)+7 can still satisfy t < lo+7d); the exact refine
+    // below discards any false positives.
     val binned = intervals.withColumn("ship_day",
       explode(sequence(to_date(col("o_orderdate")),
-        date_add(to_date(col("o_orderdate")), 6))))
+        date_add(to_date(col("o_orderdate")), 7))))
     Tables.lineitem(s, d)
       .withColumn("ship_day", to_date(col("l_shipdate")))
       .join(broadcast(binned), "ship_day")
@@ -129,7 +134,7 @@ object TemporalJoinQueries extends QueryModule {
     "rel_asof_join" ->
       """WITH quotes AS (
            SELECT user_id, ts, MAX(event_id) AS purchase_id,
-                  MAX(value) AS purchase_value
+                  ARG_MAX(value, event_id) AS purchase_value
            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
          probes AS (
            SELECT event_id, user_id, ts, event_type, value

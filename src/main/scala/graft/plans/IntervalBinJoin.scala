@@ -71,12 +71,21 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Above this, the per-interval bin explosion outweighs the nested-loop
+    * it replaces; the rule declines and leaves the plan alone. */
+  private val MaxBinsPerInterval = 366
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
+    // Batch-only: streaming joins derive state-cleanup bounds from the join
+    // condition itself — moving the range predicate into a post-join Filter
+    // would make it invisible to watermark/state management.
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if !left.isStreaming && !right.isStreaming =>
       split(cond) match {
         case Some((t, lo, durUs))
             if t.deterministic && lo.deterministic && isTs(t) && isTs(lo) &&
-              t.references.nonEmpty && lo.references.nonEmpty =>
+              t.references.nonEmpty && lo.references.nonEmpty &&
+              Math.floorDiv(durUs - 1, DayUs) + 2 <= MaxBinsPerInterval =>
           if (t.references.subsetOf(left.outputSet) &&
               lo.references.subsetOf(right.outputSet)) {
             rewrite(j, left, right, t, lo, durUs, probeIsLeft = true)
