@@ -76,6 +76,39 @@ object SqlQueries extends QueryModule {
                  / COUNT(*) FROM part) * 1.02
        GROUP BY p_brand"""
 
+  /** TPC-H Q7 shape: self-joined dimension (nation × 2 roles), non-equi
+    * cross-nation predicate, per-year revenue. */
+  private val q7 =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       FROM supplier
+       JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE n1.n_name <> n2.n_name
+         AND l_shipdate >= CAST('1995-01-01' AS DATE)
+         AND l_shipdate < CAST('1997-01-01' AS DATE)
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q10 shape: returned-item revenue per customer. */
+  private val q10 =
+    """SELECT c_custkey, c_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= CAST('1996-01-01' AS DATE)
+         AND o_orderdate < CAST('1996-07-01' AS DATE)
+       GROUP BY 1, 2, 3"""
+
   private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
     views(s, d)
     s.sql(sql)
@@ -85,11 +118,15 @@ object SqlQueries extends QueryModule {
     "sql_join_graph" -> (run(q5) _),
     "sql_exists_subquery" -> (run(q4) _),
     "sql_scalar_subquery" -> (run(qScalar) _),
+    "sql_cross_nation" -> (run(q7) _),
+    "sql_returned_items" -> (run(q10) _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "sql_join_graph" -> q5,
     "sql_exists_subquery" -> q4,
     "sql_scalar_subquery" -> qScalar,
+    "sql_cross_nation" -> q7,
+    "sql_returned_items" -> q10,
   )
 }
