@@ -469,6 +469,41 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("pos").cast("long").as("pos"), col("col").as("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Full-outer join between two overlapping derived sides (customers with
+    * F-status orders vs customers with P-status orders) — both null
+    * extensions are non-vacuous by construction. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val f = ord(s, d).filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k_f")).agg(count(lit(1)).as("n_f"))
+    val p = ord(s, d).filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("k_p")).agg(count(lit(1)).as("n_p"))
+    f.join(p, col("k_f") === col("k_p"), "full_outer")
+      .agg(
+        sum(when(col("k_p").isNull, 1).otherwise(0)).as("f_only"),
+        sum(when(col("k_f").isNull, 1).otherwise(0)).as("p_only"),
+        sum(when(col("k_f").isNotNull && col("k_p").isNotNull, 1).otherwise(0)).as("both"),
+        sum(coalesce(col("n_f"), lit(0))).as("total_f_orders"),
+        sum(coalesce(col("n_p"), lit(0))).as("total_p_orders"))
+  }
+
+  /** first/last/nth value window functions over an explicit ROWS frame with
+    * a unique ordering (month series) — running first, running last
+    * (= current), and the 2nd month's value once visible. */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val monthly = ord(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("y"), col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .withColumn("first_rev", first(col("rev_dec")).over(w).cast("double"))
+      .withColumn("running_last", last(col("rev_dec")).over(w).cast("double"))
+      .withColumn("second_rev", nth_value(col("rev_dec"), 2).over(w).cast("double"))
+      .select("y", "m", "revenue", "first_rev", "running_last", "second_rev")
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -508,6 +543,8 @@ object RelationalQueries extends QueryModule {
     "rel_datetime_funcs" -> (datetimeFuncs _),
     "rel_array_funcs" -> (arrayFuncs _),
     "rel_posexplode" -> (posexplodeTokens _),
+    "rel_join_full_outer" -> (joinFullOuter _),
+    "rel_window_first_last" -> (windowFirstLast _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -760,5 +797,30 @@ object RelationalQueries extends QueryModule {
                          (t, i) -> struct_pack(pos := i - 1, token := t))) AS u
            FROM part)
          GROUP BY 1, 2""",
+    "rel_join_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS k_f, COUNT(*) AS n_f FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY 1),
+            p AS (SELECT o_custkey AS k_p, COUNT(*) AS n_p FROM orders
+                    WHERE o_orderstatus = 'P' GROUP BY 1)
+         SELECT
+           CAST(SUM(CASE WHEN k_p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_only,
+           CAST(SUM(CASE WHEN k_f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_only,
+           CAST(SUM(CASE WHEN k_f IS NOT NULL AND k_p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both,
+           CAST(SUM(COALESCE(n_f, 0)) AS BIGINT) AS total_f_orders,
+           CAST(SUM(COALESCE(n_p, 0)) AS BIGINT) AS total_p_orders
+         FROM f FULL OUTER JOIN p ON k_f = k_p""",
+    "rel_window_first_last" ->
+      """WITH monthly AS (
+           SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+                  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           FROM orders GROUP BY 1, 2)
+         SELECT y, m, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(FIRST_VALUE(rev_dec) OVER w AS DOUBLE) AS first_rev,
+           CAST(LAST_VALUE(rev_dec) OVER w AS DOUBLE) AS running_last,
+           CAST(NTH_VALUE(rev_dec, 2) OVER w AS DOUBLE) AS second_rev
+         FROM monthly
+         WINDOW w AS (ORDER BY y, m
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
   )
 }
