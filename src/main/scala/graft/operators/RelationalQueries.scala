@@ -504,6 +504,35 @@ object RelationalQueries extends QueryModule {
       .select("y", "m", "revenue", "first_rev", "running_last", "second_rev")
   }
 
+  /** Map-type surface: construction from arrays, keyed access, cardinality
+    * (per sampled order; DuckDB mirrors with MAP(...)[k][1] scalarization). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(col("o_orderkey") % 499 === 0)
+      .withColumn("m", map_from_arrays(
+        array(lit("status"), lit("priority")),
+        array(col("o_orderstatus"), col("o_orderpriority"))))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "priority").as("priority"),
+        size(col("m")).cast("long").as("n_keys"))
+
+  /** unionByName with missing columns (schema evolution union): the two
+    * sides carry different column sets; absent columns null-extend. */
+  def unionByNameMissing(s: SparkSession, d: String): DataFrame = {
+    val a = ord(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"))
+    val b = ord(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("status")).as("n_with_status"),
+        count(col("priority")).as("n_with_priority"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -545,6 +574,8 @@ object RelationalQueries extends QueryModule {
     "rel_posexplode" -> (posexplodeTokens _),
     "rel_join_full_outer" -> (joinFullOuter _),
     "rel_window_first_last" -> (windowFirstLast _),
+    "rel_map_funcs" -> (mapFuncs _),
+    "rel_union_by_name" -> (unionByNameMissing _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -822,5 +853,27 @@ object RelationalQueries extends QueryModule {
          FROM monthly
          WINDOW w AS (ORDER BY y, m
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "rel_map_funcs" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+                  MAP(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+           FROM orders WHERE o_orderkey % 499 = 0)
+         SELECT o_orderkey,
+           m['status'][1] AS status,
+           m['priority'][1] AS priority,
+           CAST(cardinality(m) AS BIGINT) AS n_keys
+         FROM t""",
+    "rel_union_by_name" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_orderstatus AS status FROM orders
+           WHERE o_orderstatus = 'P'
+           UNION ALL BY NAME
+           SELECT o_orderkey, o_orderpriority AS priority FROM orders
+           WHERE o_totalprice > 400000.0)
+         SELECT COUNT(*) AS n_rows,
+           COUNT(status) AS n_with_status,
+           COUNT(priority) AS n_with_priority,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM u""",
   )
 }
