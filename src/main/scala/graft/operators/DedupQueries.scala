@@ -67,8 +67,12 @@ object DedupQueries extends QueryModule {
   }
 
   private def bandsOf(df: DataFrame): DataFrame = {
+    // Band b pairs sig(b) and sig(b+B): with 4 signatures sliced per digest,
+    // the two live in DIFFERENT md5 digests (seeds b/4 and b/4+2) — pairing
+    // adjacent slices (sig 2b, 2b+1) would correlate the two hashes within a
+    // band and weaken the minhash independence assumption.
     val bandCols = (0 until B).map(b =>
-      expr(s"md5(concat('$b|', sig${2 * b}, sig${2 * b + 1}))"))
+      expr(s"md5(concat('$b|', sig$b, sig${b + B}))"))
     df.withColumn("band", explode(array(bandCols: _*)))
       .select("doc_id", "band")
   }
@@ -186,7 +190,7 @@ object DedupQueries extends QueryModule {
   }.mkString(", ")
 
   private val bandList = (0 until B).map(b =>
-    s"md5('$b|' || sig${2 * b} || sig${2 * b + 1})").mkString("[", ", ", "]")
+    s"md5('$b|' || sig$b || sig${b + B})").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->

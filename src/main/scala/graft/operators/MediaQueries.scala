@@ -21,11 +21,21 @@ object MediaQueries extends QueryModule {
     * The sizing count() is memoized per (session, dir) so only the first
     * media query pays it; Long math + clamp before toInt (a count beyond
     * Int range must saturate, not overflow). */
+  // Weak session keys: no strong SparkSession reference held across session
+  // restarts in a long-lived JVM. Inner map is per-dir.
   private val sizes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Map[String, Int]]())
   private def corpus(s: SparkSession, d: String) = {
-    val n = sizes.computeIfAbsent((s, d), _ =>
-      (graft.core.Tables.documents(s, d).count() / 2).max(300L).min(100000L).toInt)
+    val n = sizes.synchronized {
+      val m = Option(sizes.get(s)).getOrElse(Map.empty)
+      m.getOrElse(d, {
+        val v = (graft.core.Tables.documents(s, d).count() / 2)
+          .max(300L).min(100000L).toInt
+        sizes.put(s, m.updated(d, v))
+        v
+      })
+    }
     MediaOps.syntheticCorpus(s, n)
   }
 

@@ -454,11 +454,13 @@ object RelationalQueries extends QueryModule {
       .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
       .select(
         col("l_orderkey"),
-        col("lines").cast("array<long>").as("lines"),
+        // Arrays are rendered as joined strings at the output boundary: the
+        // driver's pandas-based compare cannot sort rows on raw array cells.
+        array_join(col("lines").cast("array<string>"), ",").as("lines"),
         size(col("lines")).cast("long").as("n_lines"),
         element_at(col("lines"), 1).cast("long").as("first_line"),
         array_contains(col("lines"), 1).as("has_line_1"),
-        slice(col("lines"), 1, 2).cast("array<long>").as("first_two"),
+        array_join(slice(col("lines"), 1, 2).cast("array<string>"), ",").as("first_two"),
         expr("aggregate(lines, 0L, (a, x) -> a + x)").as("line_sum"))
 
   /** Generator surface: posexplode over tokenized part names →
@@ -814,11 +816,12 @@ object RelationalQueries extends QueryModule {
            SELECT l_orderkey,
                   list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
            FROM lineitem WHERE l_orderkey % 499 = 0 GROUP BY 1)
-         SELECT l_orderkey, lines,
+         SELECT l_orderkey,
+           array_to_string(lines, ',') AS lines,
            CAST(len(lines) AS BIGINT) AS n_lines,
            lines[1] AS first_line,
            list_contains(lines, 1) AS has_line_1,
-           lines[1:2] AS first_two,
+           array_to_string(lines[1:2], ',') AS first_two,
            CAST(list_sum(lines) AS BIGINT) AS line_sum
          FROM g""",
     "rel_posexplode" ->

@@ -25,13 +25,23 @@ object SqlQueries extends QueryModule {
     * throw before any SQL even runs. */
   private val needed = Seq(
     "customer", "orders", "lineitem", "supplier", "nation", "region", "part")
-  private val registered =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+  // Temp-view names are session-global, so the memo tracks the ONE dir whose
+  // views are currently registered per session and re-registers whenever a
+  // query targets a different dir. A (session, dir)-keyed "already done" set
+  // would silently serve dir A's queries from dir B's views after an
+  // A → B → A sequence. Weak keys: no strong SparkSession reference retained
+  // across session restarts in a long-lived JVM.
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   private def views(s: SparkSession, d: String): Unit =
-    registered.computeIfAbsent((s, d), _ => { // memoized: 7 eager schema
-      needed.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
-      true // inferences once per session+dir, not once per query
-    })
+    registeredDir.synchronized { // atomic check+register per session
+      if (registeredDir.get(s) != d) {
+        // 7 eager schema inferences, once per session+dir switch
+        needed.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+        registeredDir.put(s, d)
+      }
+    }
 
   /** TPC-H Q5 shape: 6-table join, region filter, date window, grouped
     * revenue. `c_nationkey = s_nationkey` makes supplier locality matter. */

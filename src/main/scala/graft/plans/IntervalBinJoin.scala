@@ -104,6 +104,17 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] {
     val tz = Some(conf.sessionLocalTimeZone)
     // Interval [lo, lo+d) can touch dates date(lo) .. date(lo)+nDays.
     val nDays = (Math.floorDiv(durUs - 1, DayUs) + 1).toInt
+    // Size guard: when the probe side is small enough to broadcast, Catalyst
+    // plans the naive theta join as a broadcast-nested-loop — linear in the
+    // interval side with no shuffle. Exploding a vastly larger interval side
+    // by nDays+1 and shuffling it would replace that cheap plan with a
+    // strictly worse one, so decline. When neither side is broadcastable the
+    // naive plan degenerates to a cartesian product and the rewrite always
+    // wins, whatever the size ratio.
+    val bcast = conf.autoBroadcastJoinThreshold
+    if (bcast > 0 && probe.stats.sizeInBytes <= bcast &&
+        intervals.stats.sizeInBytes > probe.stats.sizeInBytes * (nDays + 1))
+      return j
     val probeBin = Alias(Cast(t, DateType, tz), "graft_bin_t")()
     val probeProj = Project(probe.output :+ probeBin, probe)
     val loDate = Cast(lo, DateType, tz)
