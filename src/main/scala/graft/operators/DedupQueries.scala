@@ -39,31 +39,53 @@ object DedupQueries extends QueryModule {
   private val B = 8  // bands of 2 signatures each
   require(K % 4 == 0, s"K=$K: digest slicing derives 4 signatures per md5")
 
-  private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+    // A small corpus arrives as a single-row-group parquet file → ONE scan
+    // partition, serializing the shingle+md5 pipeline on one core. Widen to
+    // the cluster's parallelism first (the raw-text shuffle is trivial next
+    // to the per-shingle hashing it parallelizes). At real scale the scan
+    // already has ≥ parallelism partitions and this is a no-op.
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    wide
       .withColumn("toks", TextQueries.toks(col("text")))
       .withColumn("sh", expr(
         """CASE WHEN size(toks) >= 3
              THEN array_distinct(transform(sequence(0, size(toks)-3),
                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
              ELSE array() END"""))
+  }
 
   /** doc_id + 3-gram shingle set + the K lexicographic-min signatures.
     * Hashing cost is K/4 md5 calls per shingle, not K: each 128-bit digest
     * is sliced into four independent 32-bit (8-hex-char) chunks and the min
     * is taken per chunk — identical uniform order statistics (min of fixed-
-    * width lowercase hex = numeric min), 4× less hashing on the hot path. */
+    * width lowercase hex = numeric min), 4× less hashing on the hot path.
+    * The four chunk minima per digest fold in ONE `aggregate` pass (struct
+    * accumulator) instead of 4 transform+array_min passes — fewer
+    * intermediate arrays, measurably faster on the signature hot path.
+    * `'{'` (0x7b) sorts above every hex char, so it is the fold's top
+    * sentinel; shingle-less docs get NULL sigs (array_min-on-empty
+    * semantics, matching the oracle's list_aggregate 'min'). */
   private def signed(s: SparkSession, d: String): DataFrame = {
     val seeds = K / 4
     val base = docs(s, d)
-    val digested = (0 until seeds).foldLeft(base) { (df, sd) =>
-      df.withColumn(s"dig$sd", expr(s"transform(sh, x -> md5(concat('$sd|', x)))"))
+    val withMins = (0 until seeds).foldLeft(base) { (df, sd) =>
+      df.withColumn(s"mn$sd", expr(
+        s"""IF(size(sh) = 0, NULL,
+              aggregate(transform(sh, x -> md5(concat('$sd|', x))),
+                named_struct('m0', '{', 'm1', '{', 'm2', '{', 'm3', '{'),
+                (a, h) -> named_struct(
+                  'm0', least(a.m0, substring(h, 1, 8)),
+                  'm1', least(a.m1, substring(h, 9, 8)),
+                  'm2', least(a.m2, substring(h, 17, 8)),
+                  'm3', least(a.m3, substring(h, 25, 8)))))"""))
     }
-    (0 until K).foldLeft(digested) { (df, k) =>
+    (0 until K).foldLeft(withMins) { (df, k) =>
       val (sd, c) = (k / 4, k % 4)
-      df.withColumn(s"sig$k", expr(
-        s"array_min(transform(dig$sd, h -> substring(h, ${c * 8 + 1}, 8)))"))
-    }.drop((0 until seeds).map(sd => s"dig$sd"): _*)
+      df.withColumn(s"sig$k", col(s"mn$sd").getField(s"m$c"))
+    }.drop((0 until seeds).map(sd => s"mn$sd"): _*)
   }
 
   private def bandsOf(df: DataFrame): DataFrame = {
@@ -91,7 +113,11 @@ object DedupQueries extends QueryModule {
 
   /** MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.8. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signed(s, d).cache()
+    // Cache only what downstream stages read (doc_id, shingles, sigs) —
+    // carrying text/toks through the cache roughly doubles materialization.
+    val sig = signed(s, d)
+      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .cache()
     val bands = bandsOf(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
