@@ -6,6 +6,7 @@ object SparkEntry {
     * (SURVEY.md §2). Key collisions are a bug: fail fast at class-init. */
   private val modules: Seq[QueryModule] = Seq(
     operators.RelationalQueries,
+    operators.ExtendedQueries,
     operators.TemporalJoinQueries,
     operators.SqlQueries,
     operators.AnalyticsQueries,

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+import graft.core.{Ora, Tables}
+
+/** Extension surface beyond SURVEY.md §2's reference parity rows: statistical
+  * aggregates, ordered string aggregation, unpivot, range-interval window
+  * frames, deterministic hash sampling, and calendar gap-filling — operators
+  * a production analytics engine needs that the reference never exercises.
+  *
+  * Oracle determinism (see [[graft.core.Ora]]): the moment-based statistics
+  * are computed from EXACT integer/decimal sums, with the final double
+  * formula written as the identical expression tree in Spark and DuckDB —
+  * built-in `stddev`/`corr` stream partial aggregates in engine-specific
+  * order and differ in the last ulp, so they are deliberately avoided.
+  *
+  * Scale notes (100 TB):
+  *   - moment sums are algebraic partial+final hash aggregates (map-side
+  *     combine; one shuffle of tiny per-group moment tuples);
+  *   - `collect_list` in the string-agg query is holistic — kept to
+  *     bounded-cardinality groups by construction, the only safe shape;
+  *   - the range-frame window shuffles once on the partition key, then
+  *     sorts within partitions — no global sort;
+  *   - hash sampling is a stateless per-row predicate at the scan (no
+  *     shuffle, no sort, fully parallel, deterministic across runs/engines
+  *     — unlike TABLESAMPLE);
+  *   - gap-fill joins a constant-size generated calendar (broadcast) against
+  *     pre-aggregated daily counts.
+  */
+object ExtendedQueries extends QueryModule {
+
+  import Ora.dec2
+
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** Variance / stddev / covariance / correlation per group, from exact
+    * moment sums (sum x, sum x², sum xy as bigint/decimal), final double
+    * arithmetic only at the boundary. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("bigint").as("q"),
+        dec2(col("l_extendedprice")).as("p"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(col("p")).as("sum_p"),
+        sum(col("p") * col("p")).as("sum_p2"),
+        sum(col("q") * col("p")).as("sum_qp"))
+      .selectExpr(
+        "l_returnflag",
+        "n",
+        "(CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty",
+        "SQRT((CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty",
+        "SQRT((CAST(sum_p2 AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_price",
+        "(CAST(sum_qp AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qp",
+        "((CAST(sum_qp AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) / (SQRT((CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * SQRT((CAST(sum_p2 AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qp")
+
+  /** Ordered string aggregation (listagg/string_agg equivalent): sorted
+    * '|'-joined member list per group. Deterministic because the collected
+    * list is sorted before joining. */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 40)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("c_name"))), "|").as("names"))
+
+  /** Unpivot (wide → long): per-flag metric columns melted to
+    * (metric, value) rows via the Dataset.unpivot API. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+
+  /** RANGE-interval window frame: per customer, trailing-31-day order total
+    * (value-based frame over a day-number order key, not a row count —
+    * peers at the same day share the frame). */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+      .filter(col("o_custkey") <= 200)
+      .select(
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+          .cast("bigint").as("day"),
+        dec2(col("o_totalprice")).as("tp"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    o.select(
+      col("o_custkey"), col("day"),
+      sum(col("tp")).over(w).cast("double").as("trailing_31d"))
+  }
+
+  /** Deterministic ~1/16 Bernoulli sample: rows whose md5(key) starts with
+    * '0'. Unlike TABLESAMPLE this is reproducible across engines, runs, and
+    * partitionings — the shape used to carve stable dev subsets from a
+    * 100 TB corpus. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sampled_total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
+  /** Calendar gap-fill: generated Q1-1996 date spine left-joined to daily
+    * order counts, missing days filled with 0 — the standard time-series
+    * densification pattern (spine is constant-size → broadcast). */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val cal = s.sql(
+      "SELECT explode(sequence(DATE'1996-01-01', DATE'1996-03-31')) AS od")
+    val daily = ord(s, d)
+      .filter(col("o_orderdate").cast("date").between(
+        lit("1996-01-01").cast("date"), lit("1996-03-31").cast("date")))
+      .groupBy(col("o_orderdate").cast("date").as("od"))
+      .agg(count(lit(1)).as("n_orders"))
+    cal.join(daily, Seq("od"), "left")
+      .select(
+        col("od").cast("string").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "rel_stats_agg" -> (statsAgg _),
+    "rel_string_agg" -> (stringAgg _),
+    "rel_unpivot" -> (unpivotMetrics _),
+    "rel_range_frame" -> (rangeFrame _),
+    "rel_hash_sample" -> (hashSample _),
+    "rel_gap_fill" -> (gapFill _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_stats_agg" ->
+      """WITH g AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+                  SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sum_q2,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_p,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_p2,
+                  SUM(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_qp
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           (CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+           SQRT((CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
+           SQRT((CAST(sum_p2 AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_price,
+           (CAST(sum_qp AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qp,
+           ((CAST(sum_qp AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) / (SQRT((CAST(sum_q2 AS DOUBLE) - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * SQRT((CAST(sum_p2 AS DOUBLE) - CAST(sum_p AS DOUBLE) * CAST(sum_p AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qp
+         FROM g""",
+    "rel_string_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+                string_agg(c_name, '|' ORDER BY c_name) AS names
+         FROM customer WHERE c_custkey <= 40 GROUP BY 1""",
+    "rel_unpivot" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+         UNION ALL
+         SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM g""",
+    "rel_range_frame" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+           FROM orders WHERE o_custkey <= 200)
+         SELECT o_custkey, day,
+           CAST(SUM(tp) OVER (PARTITION BY o_custkey ORDER BY day
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_31d
+         FROM o""",
+    "rel_hash_sample" ->
+      """SELECT COUNT(*) AS n_sampled,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total,
+                MIN(o_orderkey) AS min_key,
+                MAX(o_orderkey) AS max_key
+         FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""",
+    "rel_gap_fill" ->
+      """WITH cal AS (
+           SELECT CAST(d AS DATE) AS od
+           FROM generate_series(DATE '1996-01-01', DATE '1996-03-31', INTERVAL 1 DAY) AS t(d)),
+         daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n_orders
+           FROM orders
+           WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+           GROUP BY 1)
+         SELECT CAST(cal.od AS VARCHAR) AS day,
+                COALESCE(n_orders, 0) AS n_orders
+         FROM cal LEFT JOIN daily ON cal.od = daily.od""",
+  )
+}
