@@ -135,7 +135,21 @@ object ExtendedQueries extends QueryModule {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"))
   }
 
+  /** Stratified sample: the k=5 members with smallest md5(key) per stratum
+    * (segment) — deterministic per-group sampling via a ranked window, the
+    * reproducible alternative to per-stratum TABLESAMPLE. One shuffle on the
+    * stratum key; row_number short-circuits per partition. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(md5(col("c_custkey").cast("string")))
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), col("rk").cast("long").as("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_stratified_sample" -> (stratifiedSample _),
     "rel_stats_agg" -> (statsAgg _),
     "rel_string_agg" -> (stringAgg _),
     "rel_unpivot" -> (unpivotMetrics _),
@@ -145,6 +159,12 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_stratified_sample" ->
+      """SELECT c_mktsegment, c_custkey, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT c_mktsegment, c_custkey,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY md5(CAST(c_custkey AS VARCHAR))) AS rk
+           FROM customer) WHERE rk <= 5""",
     "rel_stats_agg" ->
       """WITH g AS (
            SELECT l_returnflag, COUNT(*) AS n,

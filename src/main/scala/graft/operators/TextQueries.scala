@@ -136,7 +136,35 @@ object TextQueries extends QueryModule {
         sum(regexp_count(col("text"), lit("[^a-z0-9\\s]")).cast("long")).as("symbol_chars"),
         count(lit(1)).as("n_docs"))
 
+  /** TF-IDF-style top terms: term frequency per doc × corpus rarity weight
+    * (tf · N/df), top 3 terms per probe doc. The damping log() of classic
+    * tf-idf is swapped for the exact rational weight N/df so the score is a
+    * deterministic function of integer counts in both engines (libm log
+    * could differ in the last ulp and flip near-tie rankings). Corpus stats
+    * (df, N) come from the FULL corpus; only the ranked output is bounded
+    * to the probe set — the incremental-scoring shape at 100 TB. Ties break
+    * on the term itself, so the ranking is total and reproducible. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.filter(col("doc_id") < 30)
+      .join(dfreq, "term")
+      .crossJoin(total)
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_tfidf" -> (tfidfTop _),
     "txt_token_stats" -> (tokenStats _),
     "txt_lang_confusion" -> (langConfusion _),
     "txt_quality" -> (quality _),
@@ -155,6 +183,22 @@ object TextQueries extends QueryModule {
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "txt_tfidf" -> s"""$cte,
+      tok AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      total AS (SELECT COUNT(*) AS n_docs FROM docs),
+      scored AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN total
+        WHERE doc_id < 30),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      FROM ranked WHERE rk <= 3""",
     "txt_token_stats" -> s"""$cte
       SELECT lang, COUNT(*) AS n_docs,
         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
