@@ -148,7 +148,27 @@ object ExtendedQueries extends QueryModule {
       .select(col("c_mktsegment"), col("c_custkey"), col("rk").cast("long").as("rk"))
   }
 
+  /** HLL sketch surface, made oracle-checkable: each engine computes its OWN
+    * approx_count_distinct next to the exact count and emits whether the
+    * sketch landed within 10% (Spark HLL++ default rsd = 5%). The sketches
+    * differ across engines by design; the (exact, within-tolerance) pair is
+    * deterministic in both — so the comparison verifies the sketch machinery
+    * without demanding bit-equal estimates. At 100 TB the sketch is the
+    * point: mergeable fixed-size state instead of an exact distinct shuffle. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .select(
+        col("o_orderstatus"),
+        col("exact_customers"),
+        (abs(col("approx_customers") - col("exact_customers")).cast("double") <=
+          col("exact_customers").cast("double") * 0.10).as("sketch_within_10pct"))
+
   val queries: Map[String, Q] = Map(
+    "rel_approx_distinct" -> (approxDistinct _),
     "rel_stratified_sample" -> (stratifiedSample _),
     "rel_stats_agg" -> (statsAgg _),
     "rel_string_agg" -> (stringAgg _),
@@ -159,6 +179,12 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_approx_distinct" ->
+      """SELECT o_orderstatus,
+                COUNT(DISTINCT o_custkey) AS exact_customers,
+                CAST(ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) AS DOUBLE)
+                  <= CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) * 0.10 AS sketch_within_10pct
+         FROM orders GROUP BY 1""",
     "rel_stratified_sample" ->
       """SELECT c_mktsegment, c_custkey, CAST(rk AS BIGINT) AS rk FROM (
            SELECT c_mktsegment, c_custkey,
