@@ -28,8 +28,16 @@ object TextQueries extends QueryModule {
   /** Whitespace tokens of the trimmed text. */
   def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).withColumn("toks", toks(col("text")))
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+    // A small corpus arrives as a single-row-group parquet file → ONE scan
+    // partition, serializing tokenize/explode/regex work on one core (same
+    // fix as DedupQueries.docs). No-op at real scale where the scan already
+    // has ≥ parallelism partitions.
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    wide.withColumn("toks", toks(col("text")))
+  }
 
   private def inSet(lambdaVar: String, words: Seq[String]): String =
     words.map(w => s"$lambdaVar = '$w'").mkString(" OR ")
