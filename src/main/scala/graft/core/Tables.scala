@@ -18,6 +18,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // NOTE on single-row-group corpus files: each table scans as ONE partition
+  // no matter the split settings. Measured at sf0.1: widening fact scans
+  // (lineitem/orders/events) with a guarded repartition made join/agg
+  // queries SLOWER (the added shuffle costs more than the single-core
+  // broadcast-probe it parallelizes), so loaders stay un-widened here.
+  // Pipelines with heavy per-row compute (tokenize/shingle/md5 over
+  // documents) DO widen at their own entry points — DedupQueries.docs,
+  // TextQueries.docs — where the same guard was measured 2-5x faster.
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
     * `nanosAsLong` reads it as epoch-nanos LongType. All corpus values are
     * µs-aligned (ns%1000==0, verified), so `timestamp_micros(ts div 1000)` is
