@@ -167,7 +167,45 @@ object ExtendedQueries extends QueryModule {
         (abs(col("approx_customers") - col("exact_customers")).cast("double") <=
           col("exact_customers").cast("double") * 0.10).as("sketch_within_10pct"))
 
+  /** t-digest/KLL sketch surface, tolerance-checked like
+    * [[approxDistinct]]: exact interpolated median next to each engine's own
+    * approx-quantile sketch, emitting whether the sketch landed within 5%.
+    * At scale the sketch replaces a full sort with mergeable fixed-size
+    * state. */
+  def approxPercentile(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5D)").as("exact_median"),
+        expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("approx_median"))
+      .select(
+        col("l_returnflag"),
+        col("exact_median"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          col("exact_median") * 0.05).as("sketch_within_5pct"))
+
+  /** LOCF forward-fill (last observation carried forward): nulls replaced by
+    * the latest preceding non-null via last(ignoreNulls) over a running
+    * row frame — the standard time-series repair operator. One shuffle on
+    * the entity key; the frame never materializes more than the running
+    * last value. */
+  def locfFill(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit(null).cast("decimal(18,2)"))
+          .otherwise(dec2(col("o_totalprice"))).as("v"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      last(col("v"), ignoreNulls = true).over(w).cast("double").as("filled"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_approx_percentile" -> (approxPercentile _),
+    "rel_locf" -> (locfFill _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_stratified_sample" -> (stratifiedSample _),
     "rel_stats_agg" -> (statsAgg _),
@@ -179,6 +217,22 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_approx_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS exact_median,
+                ABS(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+                  <= quantile_cont(l_extendedprice, 0.5) * 0.05 AS sketch_within_5pct
+         FROM lineitem GROUP BY 1""",
+    "rel_locf" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+           FROM orders WHERE o_custkey <= 100)
+         SELECT o_custkey, o_orderkey,
+           CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+         FROM o""",
     "rel_approx_distinct" ->
       """SELECT o_orderstatus,
                 COUNT(DISTINCT o_custkey) AS exact_customers,

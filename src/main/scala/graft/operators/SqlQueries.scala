@@ -119,6 +119,17 @@ object SqlQueries extends QueryModule {
          AND o_orderdate < CAST('1996-07-01' AS DATE)
        GROUP BY 1, 2, 3"""
 
+  /** Correlated LATERAL subquery: per-nation top-2 customers by balance —
+    * the SQL-text form of ranked-per-group retrieval (both engines plan the
+    * correlated limit as a per-group top-k, not a full sort). Tie-broken on
+    * name so the result is total-ordered and deterministic. */
+  private val qLateral =
+    """SELECT n_name, t.c_name, t.c_acctbal
+       FROM nation, LATERAL (
+         SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) AS t"""
+
   private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
     views(s, d)
     s.sql(sql)
@@ -130,6 +141,7 @@ object SqlQueries extends QueryModule {
     "sql_scalar_subquery" -> (run(qScalar) _),
     "sql_cross_nation" -> (run(q7) _),
     "sql_returned_items" -> (run(q10) _),
+    "sql_lateral_topn" -> (run(qLateral) _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -138,5 +150,6 @@ object SqlQueries extends QueryModule {
     "sql_scalar_subquery" -> qScalar,
     "sql_cross_nation" -> q7,
     "sql_returned_items" -> q10,
+    "sql_lateral_topn" -> qLateral,
   )
 }
