@@ -73,7 +73,7 @@ object Bench {
       "ana_fraud_analysis", "evt_sliding_window", "evt_session_window",
       "sql_join_graph", "dedup_exact", "dedup_minhash_pairs",
       "sim_topk_brute", "sim_topk_ivf", "txt_quality", "txt_ngram_top",
-      "media_feature_sim")
+      "media_feature_sim", "txt_tfidf", "rel_stats_agg", "rel_locf")
     val byName = results.toMap
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + f"""":$v%.2f"""))
       .mkString("{", ",", "}")
