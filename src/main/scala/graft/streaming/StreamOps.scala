@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming-specific operators beyond the reference's surface:
   * watermark-bounded stream dedup and custom sessionization state.
@@ -77,5 +78,47 @@ object StreamOps {
             closed.reverseIterator
           }
       }
+  }
+
+  final case class RunningTotal(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Spark 4's arbitrary-state API (`transformWithState` — the successor to
+    * flatMapGroupsWithState): per-user running event count + value total in
+    * a typed `ValueState`, one updated row emitted per key per micro-batch.
+    * Requires the RocksDB state store provider; `ttl` bounds state lifetime
+    * (processing-time TTL) so abandoned keys age out — the property that
+    * keeps state size O(active keys), not O(all keys ever), on an unbounded
+    * stream. */
+  private class RunningTotalProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, SessionEvent, RunningTotal] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), ttl)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[RunningTotal] = {
+      val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var s = s0
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update((n, s))
+      Iterator.single(RunningTotal(key, n, s))
+    }
+  }
+
+  /** Per-user running totals over an unbounded stream via transformWithState
+    * (update mode, processing-time TTL on idle keys). */
+  def runningTotals(
+      events: Dataset[SessionEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
+    implicit val outEnc: Encoder[RunningTotal] = Encoders.product[RunningTotal]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new RunningTotalProcessor(ttl), TimeMode.None(), OutputMode.Update())
   }
 }

@@ -134,6 +134,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: per-user running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Spark 4's transformWithState requires the RocksDB state store.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.SessionEvent]
+      val totals = StreamOps.runningTotals(mem.toDS())
+      val q = totals.writeStream.format("memory").queryName("twstest")
+        .outputMode("update").start()
+      try {
+        mem.addData(
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:00:00"), 1.5),
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:01:00"), 2.5),
+          StreamOps.SessionEvent(2L, ts("2026-01-05 10:00:30"), 10.0))
+        q.processAllAvailable()
+        mem.addData( // state must carry across micro-batches
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:05:00"), 6.0))
+        q.processAllAvailable()
+        val last = spark.table("twstest")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n"), max("value_sum").as("s"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(last(1L) == ((3L, 10.0)), s"user 1 totals: $last")
+        assert(last(2L) == ((1L, 10.0)), s"user 2 totals: $last")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
