@@ -76,6 +76,34 @@ class IntervalBinJoinSpec extends SparkSpec {
     }
   }
 
+  test("size guard: broadcastable probe vs much larger interval side declines") {
+    withExtSession { s =>
+      // probe = 5 timestamp rows (easily broadcastable), intervals = full
+      // lineitem-sized side: exploding the big side by nDays+1 would replace
+      // a cheap broadcast-nested-loop, so the rule must leave the join alone.
+      val probe = s.sql(
+        """SELECT explode(sequence(TIMESTAMP'1996-01-01 00:00:00',
+                                   TIMESTAMP'1996-01-05 00:00:00',
+                                   INTERVAL 1 DAY)) AS t""")
+      val iv = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate").as("lo"))
+      val j = probe.join(iv,
+        col("t") >= col("lo") && col("t") < col("lo") + expr("INTERVAL 30 DAYS"))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("graft_bin"),
+        "rule must decline when the probe side is broadcastable and the " +
+          "interval side is vastly larger")
+      // sanity: the flipped shape (big probe, small intervals) still rewrites
+      val smallIv = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 499 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val big = s.read.parquet(s"$dir/lineitem.parquet")
+      val k = big.join(smallIv,
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      assert(k.queryExecution.optimizedPlan.toString.contains("graft_bin"))
+    }
+  }
+
   test("extension session also serves graft_dot via SQL") {
     withExtSession { s =>
       val r = s.sql("SELECT graft_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
