@@ -133,6 +133,46 @@ object DedupQueries extends QueryModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup cluster formation — the step after pair generation in a real
+    * dedup pipeline: connected components over the verified MinHash pair
+    * graph, labeled by each component's minimum doc_id. Implemented as
+    * distributed min-label propagation iterated to fixpoint (every step is
+    * a tiny equi-join + min-aggregate on the PAIR graph, whose size is the
+    * LSH candidate output — orders of magnitude below the corpus);
+    * `localCheckpoint` truncates lineage so the loop cannot grow the plan.
+    * The label (= component minimum) is iteration-order independent, which
+    * is what makes the result oracle-checkable against a recursive-CTE
+    * transitive closure. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("doc_b") === col("id"))
+        .groupBy(col("doc_a").as("pid")).agg(min("label").as("nlabel"))
+      val next = labels.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .join(sizes, "cluster")
+      .select("doc_id", "cluster", "n_members")
+  }
+
   /** 16-bit SimHash per document (frequency-weighted token hyperplanes). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val bitSums = (0 until 16).map { b =>
@@ -188,6 +228,7 @@ object DedupQueries extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
@@ -219,6 +260,28 @@ object DedupQueries extends QueryModule {
     s"md5('$b|' || sig$b || sig${b + B})").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" -> s"""WITH RECURSIVE $docsCte,
+         sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
+         bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.doc_id < y.doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           JOIN sig a ON a.doc_id = doc_a
+           JOIN sig b ON b.doc_id = doc_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY 1),
+         sizes AS (SELECT cluster, COUNT(*) AS n_members FROM labels GROUP BY 1)
+       SELECT l.doc_id, l.cluster, s.n_members
+       FROM labels l JOIN sizes s USING (cluster)""",
     "dedup_exact" ->
       """WITH u AS (
            SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
