@@ -144,10 +144,18 @@ object DedupQueries extends QueryModule {
     * is what makes the result oracle-checkable against a recursive-CTE
     * transitive closure. */
   def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select("doc_a", "doc_b")
+    // Materialize the pair graph once, partitioned to ITS size (one
+    // partition per ~1M pairs), not the corpus scan's: every propagation
+    // step below is a join on this frame, and 32-way exchanges over a
+    // few-hundred-row graph would pay ~32 task launches per tiny stage.
+    val rawPairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint(true)
+    val nPairs = rawPairs.count()
+    val parts = math.max(1L, math.min(nPairs / 1000000L,
+      s.sparkContext.defaultParallelism.toLong)).toInt
+    val pairs = rawPairs.repartition(parts)
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
