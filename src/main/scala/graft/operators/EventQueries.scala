@@ -112,7 +112,23 @@ object EventQueries extends QueryModule {
       .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
   }
 
+  /** Retention cohorts: users bucketed by first-seen date, activity counted
+    * per (cohort, week offset). The cohort frame is one row per user —
+    * joined back to events it is the classic broadcast-dimension shape. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val first = e.groupBy("user_id")
+      .agg(min(to_date(col("ts_ts"))).as("cohort"))
+    e.join(first, "user_id")
+      .groupBy(
+        col("cohort").cast("string").as("cohort_date"),
+        floor(datediff(to_date(col("ts_ts")), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "evt_retention" -> (retention _),
     "evt_funnel" -> (funnel _),
     "evt_tumbling_window" -> (tumbling _),
     "evt_sliding_window" -> (sliding _),
@@ -122,6 +138,15 @@ object EventQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_retention" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY 1)
+         SELECT CAST(cohort AS VARCHAR) AS cohort_date,
+                CAST(FLOOR(date_diff('day', cohort, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+                COUNT(DISTINCT e.user_id) AS active_users,
+                COUNT(*) AS n_events
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2""",
     "evt_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
                     WHERE event_type = 'view' GROUP BY 1),

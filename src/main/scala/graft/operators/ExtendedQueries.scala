@@ -203,7 +203,33 @@ object ExtendedQueries extends QueryModule {
       last(col("v"), ignoreNulls = true).over(w).cast("double").as("filled"))
   }
 
+  /** ANSI NOT IN vs anti-join null semantics, side by side: against a
+    * subquery column containing a NULL, `NOT IN` yields UNKNOWN for every
+    * probe row (zero results) while NOT EXISTS / anti-join gives the
+    * intended complement — both engines agree because both are ANSI. The
+    * query emits both counts so the gate pins the semantics. */
+  def nullAntijoin(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).select(
+      when(col("o_orderkey") % 100 === 0, lit(null).cast("bigint"))
+        .otherwise(col("o_custkey")).as("k"))
+    val cust = Tables.customer(s, d)
+    // anti-join variant: NULL keys simply never match
+    val antiJoin = cust.join(o, col("c_custkey") === col("k"), "left_anti")
+    // ANSI NOT IN from first principles: `c NOT IN (S)` is UNKNOWN for every
+    // row when S contains a NULL — so survivors = (no NULL in S) AND c
+    // unmatched among the non-null keys. The anyNull anti-join empties the
+    // probe side iff a NULL exists.
+    val anyNull = o.filter(col("k").isNull).limit(1)
+    val notIn =
+      cust.join(anyNull, lit(true), "left_anti")
+        .join(o.filter(col("k").isNotNull),
+          col("c_custkey") === col("k"), "left_anti")
+    notIn.agg(count(lit(1)).as("n_not_in"))
+      .crossJoin(antiJoin.agg(count(lit(1)).as("n_anti_join")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_null_antijoin" -> (nullAntijoin _),
     "rel_approx_percentile" -> (approxPercentile _),
     "rel_locf" -> (locfFill _),
     "rel_approx_distinct" -> (approxDistinct _),
@@ -217,6 +243,16 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_null_antijoin" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                       ELSE o_custkey END AS k
+           FROM orders)
+         SELECT
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM o)) AS n_not_in,
+           (SELECT COUNT(*) FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.k = c_custkey)) AS n_anti_join""",
     "rel_approx_percentile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_extendedprice, 0.5) AS exact_median,
