@@ -228,7 +228,22 @@ object ExtendedQueries extends QueryModule {
       .crossJoin(antiJoin.agg(count(lit(1)).as("n_anti_join")))
   }
 
+  /** Equi-width histogram, 20k-wide buckets — bucketing happens in exact
+    * integer cents (decimal cents → bigint → integer division), never via
+    * decimal/double division whose engine-specific rounding scale could
+    * flip a boundary value into the next bucket. One partial+final
+    * aggregate over ~30 keys; the shape stays O(buckets) however large the
+    * input. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select((dec2(col("o_totalprice")) * 100).cast("bigint").as("cents"))
+      .withColumn("bucket", expr("cents div 2000000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", (col("bucket") * 20000).cast("double"))
+
   val queries: Map[String, Q] = Map(
+    "rel_histogram" -> (histogram _),
     "rel_null_antijoin" -> (nullAntijoin _),
     "rel_approx_percentile" -> (approxPercentile _),
     "rel_locf" -> (locfFill _),
@@ -243,6 +258,12 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_histogram" ->
+      """SELECT bucket, COUNT(*) AS n,
+                CAST(bucket * 20000 AS DOUBLE) AS bucket_lo
+         FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2000000 AS bucket
+               FROM orders)
+         GROUP BY 1""",
     "rel_null_antijoin" ->
       """WITH o AS (
            SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
