@@ -90,22 +90,26 @@ object EventQueries extends QueryModule {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
-  /** Staged funnel: users who viewed → first click at-or-after that view →
-    * first purchase at-or-after that click. Each stage is an equi-join on
-    * user_id plus a min-aggregation — shuffles are bounded by distinct
-    * users, never a timeline sort of the whole event log; the final stage
-    * counts are three scalar aggregates cross-joined into one row. */
+  /** Staged conversion funnel: users who viewed → first click within 24h of
+    * that view → first purchase within 24h of that click (the window is
+    * what makes stages attrite: 150 → 60 → 25 at sf0.01). Each stage is an
+    * equi-join on user_id plus a min-aggregation — shuffles are bounded by
+    * distinct users, never a timeline sort of the whole event log; the
+    * final stage counts are three scalar aggregates cross-joined into one
+    * row. */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts_ts")).as("t_view"))
     val c = e.filter(col("event_type") === "click")
       .join(v, "user_id")
-      .filter(col("ts_ts") >= col("t_view"))
+      .filter(col("ts_ts") >= col("t_view") &&
+        col("ts_ts") < col("t_view") + expr("INTERVAL 24 HOURS"))
       .groupBy("user_id").agg(min(col("ts_ts")).as("t_click"))
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id")
-      .filter(col("ts_ts") >= col("t_click"))
+      .filter(col("ts_ts") >= col("t_click") &&
+        col("ts_ts") < col("t_click") + expr("INTERVAL 24 HOURS"))
       .groupBy("user_id").agg(min(col("ts_ts")).as("t_purchase"))
     v.agg(count(lit(1)).as("n_view"))
       .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
@@ -152,10 +156,12 @@ object EventQueries extends QueryModule {
                     WHERE event_type = 'view' GROUP BY 1),
             c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
                     JOIN v ON e.user_id = v.user_id
-                    WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+                    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+                      AND e.ts < v.t_view + INTERVAL 24 HOUR GROUP BY 1),
             p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
                     JOIN c ON e.user_id = c.user_id
-                    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+                    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                      AND e.ts < c.t_click + INTERVAL 24 HOUR GROUP BY 1)
          SELECT (SELECT COUNT(*) FROM v) AS n_view,
                 (SELECT COUNT(*) FROM c) AS n_view_click,
                 (SELECT COUNT(*) FROM p) AS n_view_click_purchase""",

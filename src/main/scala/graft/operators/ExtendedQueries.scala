@@ -209,9 +209,14 @@ object ExtendedQueries extends QueryModule {
     * intended complement — both engines agree because both are ANSI. The
     * query emits both counts so the gate pins the semantics. */
   def nullAntijoin(s: SparkSession, d: String): DataFrame = {
-    val o = ord(s, d).select(
-      when(col("o_orderkey") % 100 === 0, lit(null).cast("bigint"))
-        .otherwise(col("o_custkey")).as("k"))
+    // keep the key list sparse (1/37 of orders) so the anti-join complement
+    // is non-empty — with every order included, all customers match and
+    // both counts degenerate to 0
+    val o = ord(s, d)
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(
+        when(col("o_orderkey") % 100 === 0, lit(null).cast("bigint"))
+          .otherwise(col("o_custkey")).as("k"))
     val cust = Tables.customer(s, d)
     // anti-join variant: NULL keys simply never match
     val antiJoin = cust.join(o, col("c_custkey") === col("k"), "left_anti")
@@ -268,7 +273,7 @@ object ExtendedQueries extends QueryModule {
       """WITH o AS (
            SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
                        ELSE o_custkey END AS k
-           FROM orders)
+           FROM orders WHERE o_orderkey % 37 = 0)
          SELECT
            (SELECT COUNT(*) FROM customer
             WHERE c_custkey NOT IN (SELECT k FROM o)) AS n_not_in,
