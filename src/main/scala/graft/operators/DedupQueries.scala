@@ -143,12 +143,22 @@ object DedupQueries extends QueryModule {
     * The label (= component minimum) is iteration-order independent, which
     * is what makes the result oracle-checkable against a recursive-CTE
     * transitive closure. */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    // Materialize the pair graph once, partitioned to ITS size (one
-    // partition per ~1M pairs), not the corpus scan's: every propagation
-    // step below is a join on this frame, and 32-way exchanges over a
-    // few-hundred-row graph would pay ~32 task launches per tiny stage.
-    val rawPairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint(true)
+  def clusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(s, minhashPairs(s, d).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("cluster"), col("n_members"))
+
+  /** Distributed connected components over an undirected pair list
+    * (`doc_a`, `doc_b`): min-label propagation to fixpoint, labels =
+    * component minimum (iteration-order independent). Returns
+    * (id, cluster, n_members) for every node appearing in a pair.
+    *
+    * The pair graph is materialized once and partitioned to ITS size (one
+    * partition per ~1M pairs), not the upstream scan's: every propagation
+    * step is a join on this frame, and wide exchanges over a few-hundred-row
+    * graph would pay ~32 task launches per tiny stage. `localCheckpoint`
+    * truncates lineage so the loop cannot grow the plan. */
+  def connectedComponents(s: SparkSession, pairList: DataFrame): DataFrame = {
+    val rawPairs = pairList.localCheckpoint(true)
     val nPairs = rawPairs.count()
     val parts = math.max(1L, math.min(nPairs / 1000000L,
       s.sparkContext.defaultParallelism.toLong)).toInt
@@ -176,9 +186,9 @@ object DedupQueries extends QueryModule {
     edges.unpersist()
     val sizes = labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    labels.select(col("id"), col("label").as("cluster"))
       .join(sizes, "cluster")
-      .select("doc_id", "cluster", "n_members")
+      .select("id", "cluster", "n_members")
   }
 
   /** 16-bit SimHash per document (frequency-weighted token hyperplanes). */

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupQueries
+
+/** Unit coverage for the dedup building blocks that the DuckDB oracle can
+  * only check end-to-end: connected components on hand-built graphs. */
+class DedupSpec extends SparkSpec {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val df = pairs.toDF("doc_a", "doc_b")
+    DedupQueries.connectedComponents(spark, df)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("two components get min labels and sizes") {
+    // component {1,2,3} (path) and {10,11}
+    val labels = cc(Seq((2L, 3L), (1L, 2L), (10L, 11L)))
+    assert(labels == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
+  test("a long chain converges to one component (propagation reaches fixpoint)") {
+    // path 1-2-3-...-9: diameter 8 forces several propagation rounds
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels.keySet == (1L to 9L).toSet)
+    assert(labels.values.forall(_ == ((1L, 9L))), s"all nodes label 1: $labels")
+  }
+
+  test("cycle plus bridge is one component") {
+    val labels = cc(Seq((5L, 6L), (6L, 7L), (7L, 5L), (7L, 20L)))
+    assert(labels.values.map(_._1).toSet == Set(5L))
+    assert(labels(20L) == ((5L, 4L)))
+  }
+}
