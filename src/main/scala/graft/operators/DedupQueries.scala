@@ -245,8 +245,16 @@ object DedupQueries extends QueryModule {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** Same cluster formation reused over the embedding-cosine pair graph —
+    * the operator is pair-source agnostic. */
+  def embeddingClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(s, embeddingPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("id").as("vec_id"), col("cluster"), col("n_members"))
+
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> (clusters _),
+    "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
@@ -299,6 +307,31 @@ object DedupQueries extends QueryModule {
          labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY 1),
          sizes AS (SELECT cluster, COUNT(*) AS n_members FROM labels GROUP BY 1)
        SELECT l.doc_id, l.cluster, s.n_members
+       FROM labels l JOIN sizes s USING (cluster)""",
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS nrm
+           FROM q),
+         pairs AS (
+           SELECT a.vec_id AS src0, b.vec_id AS dst0
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 200
+             AND CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+                 (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= 0.4),
+         edges AS (SELECT src0 AS src, dst0 AS dst FROM pairs
+                   UNION ALL SELECT dst0, src0 FROM pairs),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         labels AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY 1),
+         sizes AS (SELECT cluster, COUNT(*) AS n_members FROM labels GROUP BY 1)
+       SELECT l.vec_id, l.cluster, s.n_members
        FROM labels l JOIN sizes s USING (cluster)""",
     "dedup_exact" ->
       """WITH u AS (
