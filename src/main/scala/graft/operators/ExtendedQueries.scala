@@ -247,7 +247,26 @@ object ExtendedQueries extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_lo", (col("bucket") * 20000).cast("double"))
 
+  /** Top-k inside groupBy.agg via the typed [[graft.functions.TopKAgg]]
+    * Aggregator: partial top-k map-side, at most k rows per group per
+    * partition cross the shuffle — versus the window form
+    * (`row_number <= k`) that shuffles and sorts every row of each group.
+    * Oracle-checked against exactly that window form. */
+  def topkAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    ord(s, d)
+      .groupBy("o_orderstatus")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")))
+      .select(
+        col("o_orderstatus"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.score").as("total_price"),
+        col("col.key").as("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_topk_agg" -> (topkAgg _),
     "rel_histogram" -> (histogram _),
     "rel_null_antijoin" -> (nullAntijoin _),
     "rel_approx_percentile" -> (approxPercentile _),
@@ -263,6 +282,13 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_topk_agg" ->
+      """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, total_price, o_orderkey
+         FROM (
+           SELECT o_orderstatus, o_totalprice AS total_price, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+           FROM orders) WHERE rk <= 3""",
     "rel_histogram" ->
       """SELECT bucket, COUNT(*) AS n,
                 CAST(bucket * 20000 AS DOUBLE) AS bucket_lo
