@@ -265,7 +265,33 @@ object ExtendedQueries extends QueryModule {
         col("col.key").as("o_orderkey"))
   }
 
+  /** Pareto / cumulative-share analysis: revenue per nation, ranked desc,
+    * with running share of the grand total. The window runs over the
+    * 25-row AGGREGATE, not the fact table — aggregate-then-window is the
+    * scale-correct shape for concentration statistics (the single-partition
+    * window touches O(groups) rows, never O(input)). */
+  def pareto(s: SparkSession, d: String): DataFrame = {
+    val rev = li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec2(col("l_extendedprice"))).as("r"))
+    val w = Window.orderBy(col("r").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = rev.agg(sum(col("r")).as("grand"))
+    rev.crossJoin(total)
+      .select(
+        col("n_name"),
+        row_number().over(Window.orderBy(col("r").desc, col("n_name")))
+          .cast("long").as("rk"),
+        col("r").cast("double").as("revenue"),
+        (sum(col("r")).over(w).cast("double") / col("grand").cast("double"))
+          .as("cum_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_pareto" -> (pareto _),
     "rel_topk_agg" -> (topkAgg _),
     "rel_histogram" -> (histogram _),
     "rel_null_antijoin" -> (nullAntijoin _),
@@ -282,6 +308,21 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_pareto" ->
+      """WITH rev AS (
+           SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           GROUP BY 1)
+         SELECT n_name,
+           CAST(row_number() OVER (ORDER BY r DESC, n_name) AS BIGINT) AS rk,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(SUM(r) OVER (ORDER BY r DESC, n_name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST((SELECT SUM(r) FROM rev) AS DOUBLE) AS cum_share
+         FROM rev""",
     "rel_topk_agg" ->
       """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, total_price, o_orderkey
          FROM (
