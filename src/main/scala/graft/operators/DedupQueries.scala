@@ -174,13 +174,15 @@ object DedupQueries extends QueryModule {
     while (changed > 0 && iter < 20) {
       val prop = edges.join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a").as("pid")).agg(min("label").as("nlabel"))
+      // carry the previous label in the checkpointed frame: the convergence
+      // count then reads it directly instead of paying a join per iteration
       val next = labels.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.drop("prev")
       iter += 1
     }
     edges.unpersist()
