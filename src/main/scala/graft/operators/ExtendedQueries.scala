@@ -290,7 +290,23 @@ object ExtendedQueries extends QueryModule {
           .as("cum_share"))
   }
 
+  /** Median absolute deviation per group — the robust-statistics companion
+    * to [[statsAgg]]: exact interpolated median, then the median of
+    * absolute deviations from it (two grouped percentile passes joined on
+    * the bounded group key; both engines use the same exact interpolation,
+    * proven by rel_percentiles). */
+  def madAgg(s: SparkSession, d: String): DataFrame = {
+    val med = li(s, d).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+    li(s, d).join(med, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max(col("med")).as("median_price"),
+        expr("percentile(abs(l_extendedprice - med), 0.5D)").as("mad_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_mad" -> (madAgg _),
     "rel_pareto" -> (pareto _),
     "rel_topk_agg" -> (topkAgg _),
     "rel_histogram" -> (histogram _),
@@ -308,6 +324,15 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_mad" ->
+      """WITH med AS (
+           SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+                MAX(med) AS median_price,
+                quantile_cont(ABS(l_extendedprice - med), 0.5) AS mad_price
+         FROM lineitem l JOIN med USING (l_returnflag)
+         GROUP BY 1""",
     "rel_pareto" ->
       """WITH rev AS (
            SELECT n_name, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
