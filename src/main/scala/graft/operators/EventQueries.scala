@@ -131,7 +131,25 @@ object EventQueries extends QueryModule {
         count(lit(1)).as("n_events"))
   }
 
+  /** Volume-anomaly detection: daily event counts flagged beyond 1.5σ of
+    * the period mean. Mean/σ come from exact integer moment sums over the
+    * (bounded) daily aggregate, so the flags are bit-deterministic — no
+    * engine-ordered float accumulation anywhere. */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(to_date(col("ts_ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(
+      count(lit(1)).as("m"), sum(col("n")).as("sn"),
+      sum(col("n") * col("n")).as("sn2"))
+    daily.crossJoin(stats)
+      .selectExpr("day", "n",
+        """ABS(CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) >
+           1.5 * SQRT((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1)) AS is_anomaly""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "evt_anomaly_days" -> (anomalyDays _),
     "evt_retention" -> (retention _),
     "evt_funnel" -> (funnel _),
     "evt_tumbling_window" -> (tumbling _),
@@ -142,6 +160,15 @@ object EventQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_anomaly_days" ->
+      """WITH daily AS (
+           SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1),
+         s AS (SELECT COUNT(*) AS m, SUM(n) AS sn, SUM(n*n) AS sn2 FROM daily)
+         SELECT day, n,
+           ABS(CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) >
+           1.5 * SQRT((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1)) AS is_anomaly
+         FROM daily CROSS JOIN s""",
     "evt_retention" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
                     FROM events GROUP BY 1)

@@ -156,11 +156,31 @@ object SimilarityQueries extends QueryModule {
         col("cosine"), col("rank"))
   }
 
+  /** Label-affinity matrix: for a bounded probe set, how often do pairs
+    * within/across embedding labels exceed cosine 0.5? Counts, not cosine
+    * means — summing float cosines is accumulation-order dependent, while
+    * threshold counts are exact, so the ratio is a deterministic double of
+    * two integers. The shape behind "are my class clusters separable". */
+  def labelAffinity(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val probes = q.filter(col("vec_id") < 200)
+    probes.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr("graft_dot(a.qv, b.qv)"))
+      .withColumn("cos", cosine)
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_similar"))
+      .withColumn("sim_ratio",
+        col("n_similar").cast("double") / col("n_pairs").cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
     "sim_range_count" -> (rangeCount _),
+    "sim_label_affinity" -> (labelAffinity _),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -190,6 +210,15 @@ object SimilarityQueries extends QueryModule {
     s"CAST($dotSql AS DOUBLE) / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
 
   val oracleSql: Map[String, String] = Map(
+    "sim_label_affinity" -> s"""WITH $qCte
+       SELECT a.label AS label_a, b.label AS label_b,
+         COUNT(*) AS n_pairs,
+         CAST(SUM(CASE WHEN $cosSql >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
+         CAST(SUM(CASE WHEN $cosSql >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS sim_ratio
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE a.vec_id < 200
+       GROUP BY 1, 2""",
     "sim_topk_brute" -> s"""WITH $qCte,
        scored AS (
          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
