@@ -463,6 +463,23 @@ object RelationalQueries extends QueryModule {
         array_join(slice(col("lines"), 1, 2).cast("array<string>"), ",").as("first_two"),
         expr("aggregate(lines, 0L, (a, x) -> a + x)").as("line_sum"))
 
+  /** Right-outer join: recent orders against ALL customers — customers with
+    * no recent orders survive with null order columns, visible as the
+    * zero-order segment counts. Completes the outer-join family
+    * (left/right/full). */
+  def joinRightOuter(s: SparkSession, d: String): DataFrame = {
+    val recent = ord(s, d)
+      .filter(col("o_orderdate").cast("date") >= lit("1997-06-01").cast("date"))
+    recent.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_recent_orders"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("n_customers_without_recent_orders"))
+  }
+
   /** Generator surface: posexplode over tokenized part names →
     * (position, token) frequency table. */
   def posexplodeTokens(s: SparkSession, d: String): DataFrame =
@@ -575,6 +592,7 @@ object RelationalQueries extends QueryModule {
     "rel_array_funcs" -> (arrayFuncs _),
     "rel_posexplode" -> (posexplodeTokens _),
     "rel_join_full_outer" -> (joinFullOuter _),
+    "rel_join_right_outer" -> (joinRightOuter _),
     "rel_window_first_last" -> (windowFirstLast _),
     "rel_map_funcs" -> (mapFuncs _),
     "rel_union_by_name" -> (unionByNameMissing _),
@@ -843,6 +861,16 @@ object RelationalQueries extends QueryModule {
            CAST(SUM(COALESCE(n_f, 0)) AS BIGINT) AS total_f_orders,
            CAST(SUM(COALESCE(n_p, 0)) AS BIGINT) AS total_p_orders
          FROM f FULL OUTER JOIN p ON k_f = k_p""",
+    "rel_join_right_outer" ->
+      """SELECT c_mktsegment,
+                COUNT(o_orderkey) AS n_recent_orders,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_customers_without_recent_orders
+         FROM (SELECT * FROM orders
+               WHERE CAST(o_orderdate AS DATE) >= DATE '1997-06-01') o
+         RIGHT OUTER JOIN customer ON o.o_custkey = c_custkey
+         GROUP BY 1""",
     "rel_window_first_last" ->
       """WITH monthly AS (
            SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
