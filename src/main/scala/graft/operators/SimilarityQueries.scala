@@ -175,7 +175,28 @@ object SimilarityQueries extends QueryModule {
         col("n_similar").cast("double") / col("n_pairs").cast("double"))
   }
 
+  /** Measured recall@5 of the LSH index against brute-force ground truth,
+    * per probe — the self-evaluation every ANN deployment needs before
+    * trusting the approximate path. Hit counts are integers, so the recall
+    * ratio is a deterministic double (no float accumulation). */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val lsh = topkLsh(s, d)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    val hits = brute.join(lsh,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("k").cast("double"))
+          .as("recall_at_5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_lsh_recall" -> (lshRecall _),
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
@@ -219,6 +240,37 @@ object SimilarityQueries extends QueryModule {
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE a.vec_id < 200
        GROUP BY 1, 2""",
+    "sim_lsh_recall" -> s"""WITH $qCte,
+       bucketed AS (SELECT vec_id, qv, nrm, $sqlBucket AS bucket FROM n),
+       bscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       btop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM bscored) WHERE rank <= 5),
+       lscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM bucketed a JOIN bucketed b
+           ON a.bucket = b.bucket AND a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       ltop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM lscored) WHERE rank <= 5),
+       hits AS (
+         SELECT b.query_id, COUNT(*) AS n_hits
+         FROM btop b JOIN ltop l
+           ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         GROUP BY 1),
+       base AS (SELECT query_id, COUNT(*) AS k FROM btop GROUP BY 1)
+       SELECT base.query_id,
+              CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
+       FROM base LEFT JOIN hits ON base.query_id = hits.query_id""",
     "sim_topk_brute" -> s"""WITH $qCte,
        scored AS (
          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
