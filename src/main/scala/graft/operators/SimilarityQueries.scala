@@ -241,8 +241,27 @@ object SimilarityQueries extends QueryModule {
           .as("recall_multi"))
   }
 
+  /** IVF recall@5 against brute ground truth — completes the per-method
+    * ANN evaluation (cell pruning trades recall differently than hashing:
+    * it misses neighbors assigned to un-probed cells). */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(topkIvf(s, d)
+          .select(col("query_id").as("q2"), col("neighbor_id").as("n2")),
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("k").cast("double"))
+          .as("recall_at_5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_lsh_recall" -> (lshRecall _),
+    "sim_ivf_recall" -> (ivfRecall _),
     "sim_topk_lsh_multi" -> (topkLshMulti _),
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_lsh" -> (topkLsh _),
@@ -352,6 +371,56 @@ object SimilarityQueries extends QueryModule {
        FROM base
        LEFT JOIN h1 ON base.query_id = h1.query_id
        LEFT JOIN hm ON base.query_id = hm.query_id""",
+    "sim_ivf_recall" -> s"""WITH $qCte,
+       bscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       btop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM bscored) WHERE rank <= 5),
+       cent AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM n
+                WHERE vec_id % 200 = 3),
+       cscored AS (
+         SELECT a.vec_id, cid,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * cqv[i])) AS DOUBLE) /
+             (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(cnrm AS DOUBLE))) AS ccos
+         FROM n a CROSS JOIN cent),
+       cranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS crk
+         FROM cscored),
+       assign AS (
+         SELECT r.vec_id, r.cid AS cell, n.qv, n.nrm
+         FROM cranked r JOIN n USING (vec_id) WHERE crk = 1),
+       probecells AS (
+         SELECT r.vec_id AS query_id, r.cid AS cell, n.qv AS pqv, n.nrm AS pnrm
+         FROM cranked r JOIN n USING (vec_id)
+         WHERE r.vec_id < 20 AND crk <= 2),
+       icand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(p.pqv) + 1), i -> p.pqv[i] * a.qv[i])) AS DOUBLE) /
+             (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE))) AS cosine
+         FROM probecells p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       itop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM icand) WHERE rank <= 5),
+       hits AS (
+         SELECT b.query_id, COUNT(*) AS n_hits
+         FROM btop b JOIN itop i
+           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         GROUP BY 1),
+       base AS (SELECT query_id, COUNT(*) AS k FROM btop GROUP BY 1)
+       SELECT base.query_id,
+              CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
+       FROM base LEFT JOIN hits ON base.query_id = hits.query_id""",
     "sim_topk_lsh_multi" -> s"""WITH $qCte,
        mtb AS ($sqlMultiTb),
        cand AS (
