@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
@@ -148,7 +149,22 @@ object EventQueries extends QueryModule {
            1.5 * SQRT((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1)) AS is_anomaly""")
   }
 
+  /** Event-sequence transition matrix: per user, each event paired with the
+    * NEXT event type (lag/lead over the user timeline, event_id tiebreak
+    * for a total order), counted into a from→to matrix — the Markov-chain
+    * view of user behavior. One shuffle on user_id; the matrix itself is
+    * O(event_types²). */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "evt_transitions" -> (transitions _),
     "evt_anomaly_days" -> (anomalyDays _),
     "evt_retention" -> (retention _),
     "evt_funnel" -> (funnel _),
@@ -160,6 +176,15 @@ object EventQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  LEAD(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+         FROM seq WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""",
     "evt_anomaly_days" ->
       """WITH daily AS (
            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
