@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Streaming-specific operators beyond the reference's surface:
   * watermark-bounded stream dedup and custom sessionization state.
@@ -108,6 +109,76 @@ object StreamOps {
       totals.update((n, s))
       Iterator.single(RunningTotal(key, n, s))
     }
+  }
+
+  /** Event-time-timer sessionization on the transformWithState API — the
+    * timer-driven equivalent of [[sessionize]]: state holds the open
+    * session, a timer registered at (last event + gap) fires when the
+    * WATERMARK passes it, emitting the closed session deterministically.
+    * Demonstrates the full arbitrary-state surface (typed state + timers)
+    * Spark 4 added over flatMapGroupsWithState. */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, SessionSummary] {
+    @transient private var st: ValueState[(Long, Long, Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionSummary]
+      var cur = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some((start, last, n, total)) if t - last <= gapMs =>
+            cur = Some((start, t, n + 1, total + e.value))
+          case Some((start, last, n, total)) =>
+            closed ::= SessionSummary(
+              key, new Timestamp(start), new Timestamp(last + gapMs), n, total)
+            cur = Some((t, t, 1L, e.value))
+          case None =>
+            cur = Some((t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        st.update(s)
+        getHandle.registerTimer(s._2 + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (st.exists()) {
+        val (start, last, n, total) = st.get()
+        st.clear()
+        Iterator.single(SessionSummary(
+          key, new Timestamp(start), new Timestamp(last + gapMs), n, total))
+      } else Iterator.empty
+  }
+
+  /** Timer-driven sessionization via transformWithState (event-time mode,
+    * RocksDB state store required). */
+  def sessionizeTws(
+      events: Dataset[SessionEvent],
+      watermark: String = "10 minutes",
+      gapMs: Long = 5 * 60 * 1000L): Dataset[SessionSummary] = {
+    implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-user running totals over an unbounded stream via transformWithState

@@ -165,6 +165,38 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState timers: event-time timer closes the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.SessionEvent]
+      val sessions = StreamOps.sessionizeTws(mem.toDS())
+      val q = sessions.writeStream.format("memory").queryName("twssess")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:00:00"), 1.0),
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:02:00"), 2.0))
+        q.processAllAvailable()
+        assert(spark.table("twssess").isEmpty, "session still open, no emission")
+        // event time jumps 1h ahead: watermark passes the registered timer
+        mem.addData(StreamOps.SessionEvent(2L, ts("2026-01-05 11:00:00"), 9.0))
+        q.processAllAvailable()
+        mem.addData(StreamOps.SessionEvent(2L, ts("2026-01-05 11:00:01"), 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("twssess")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+        assert(rows.toSeq == Seq(
+          (1L, "2026-01-05 10:00:00.0", "2026-01-05 10:07:00.0", 2L, 3.0)),
+          s"timer must close user 1's session exactly once: ${rows.toSeq}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize: flatMapGroupsWithState closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
