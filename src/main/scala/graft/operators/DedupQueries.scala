@@ -148,44 +148,88 @@ object DedupQueries extends QueryModule {
       .select(col("id").as("doc_id"), col("cluster"), col("n_members"))
 
   /** Distributed connected components over an undirected pair list
-    * (`doc_a`, `doc_b`): min-label propagation to fixpoint, labels =
-    * component minimum (iteration-order independent). Returns
-    * (id, cluster, n_members) for every node appearing in a pair.
+    * (`doc_a`, `doc_b`): min-label propagation ACCELERATED by pointer
+    * doubling, to fixpoint. Labels = component minimum (iteration-order
+    * independent). Returns (id, cluster, n_members) for every node
+    * appearing in a pair.
+    *
+    * Convergence: plain propagation needs ~diameter rounds — a 1000-doc
+    * near-dup chain (routine in a crawled corpus: A≈B≈C≈…) would need 1000
+    * shuffles. Each round here additionally shortcuts `label(x) ←
+    * label(label(x))` (path halving, the Shiloach–Vishkin / large-star
+    * idea), so the distance a label travels doubles per round and the loop
+    * converges in O(log diameter) rounds (≤ 64 covers any 64-bit-id graph).
+    * Exiting unconverged is a SILENT wrong answer for a dedup pipeline, so
+    * it throws instead.
     *
     * The pair graph is materialized once and partitioned to ITS size (one
     * partition per ~1M pairs), not the upstream scan's: every propagation
     * step is a join on this frame, and wide exchanges over a few-hundred-row
     * graph would pay ~32 task launches per tiny stage. `localCheckpoint`
-    * truncates lineage so the loop cannot grow the plan. */
+    * truncates lineage so the loop cannot grow the plan; each round's blocks
+    * are unpersisted as soon as the next round's frame is materialized, so
+    * block-manager usage is O(graph), not O(graph × rounds). */
+  /** Eager localCheckpoint plus a thunk that frees its blocks.
+    * `Dataset.unpersist` clears only cache-manager caches, never
+    * localCheckpoint RDD persists, so an iterative loop that checkpoints per
+    * round would otherwise hold every round's blocks until the
+    * ContextCleaner happens to GC them. The freshly-registered RDDs are
+    * diffed on `SparkContext.getPersistentRDDs`; callers run rounds
+    * sequentially, so the diff is precise. */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    val fresh = sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+      .values.toSeq
+    (cp, () => fresh.foreach(_.unpersist(blocking = false)))
+  }
+
   def connectedComponents(s: SparkSession, pairList: DataFrame): DataFrame = {
-    val rawPairs = pairList.localCheckpoint(true)
+    val (rawPairs, freeRaw) = checkpointed(pairList)
     val nPairs = rawPairs.count()
     val parts = math.max(1L, math.min(nPairs / 1000000L,
       s.sparkContext.defaultParallelism.toLong)).toInt
     val pairs = rawPairs.repartition(parts)
-    val edges = pairs.unionByName(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val (edges, freeEdges) = checkpointed(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    freeRaw()
+    var (labels, freeLabels) = checkpointed(
+      edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 64
+    while (changed > 0 && iter < maxIter) {
+      // 1-hop: min label over graph neighbors
       val prop = edges.join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a").as("pid")).agg(min("label").as("nlabel"))
+      // pointer doubling: the label of one's label (labels only ever take
+      // node-id values, so this self-join always matches)
+      val hop = labels.as("l1")
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          col("l1.label") === col("lid"))
+        .select(col("l1.id").as("hid"), col("llabel").as("hlabel"))
       // carry the previous label in the checkpointed frame: the convergence
       // count then reads it directly instead of paying a join per iteration
-      val next = labels.join(prop, col("id") === col("pid"), "left")
+      val (next, freeNext) = checkpointed(labels
+        .join(prop, col("id") === col("pid"), "left")
+        .join(hop, col("id") === col("hid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint(true)
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("hlabel"), col("label"))).as("label"),
+          col("label").as("prev")))
       changed = next.filter(col("label") =!= col("prev")).count()
+      freeLabels() // previous round's checkpoint blocks
       labels = next.drop("prev")
+      freeLabels = freeNext
       iter += 1
     }
-    edges.unpersist()
+    freeEdges()
+    require(changed == 0,
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($changed labels still changing) — result would be silently wrong")
     val sizes = labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
     labels.select(col("id"), col("label").as("cluster"))

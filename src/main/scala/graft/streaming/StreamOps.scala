@@ -182,14 +182,17 @@ object StreamOps {
   }
 
   /** Per-user running totals over an unbounded stream via transformWithState
-    * (update mode, processing-time TTL on idle keys). */
+    * (update mode, processing-time TTL on idle keys). A non-NONE TTL needs
+    * `TimeMode.ProcessingTime` — Spark's state handle refuses TTL config in
+    * any other mode (StatefulProcessorCannotAssignTTLInTimeMode). */
   def runningTotals(
       events: Dataset[SessionEvent],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
     implicit val outEnc: Encoder[RunningTotal] = Encoders.product[RunningTotal]
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(
-        new RunningTotalProcessor(ttl), TimeMode.None(), OutputMode.Update())
+        new RunningTotalProcessor(ttl), mode, OutputMode.Update())
   }
 }

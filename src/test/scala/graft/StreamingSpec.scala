@@ -165,6 +165,39 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState: a real processing-time TTL starts and totals correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.SessionEvent]
+      // A non-NONE TTL requires TimeMode.ProcessingTime — with TimeMode.None
+      // Spark throws StatefulProcessorCannotAssignTTLInTimeMode at start.
+      // The TTL is long enough that no state expires during the test, so the
+      // totals still accumulate across micro-batches.
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofHours(1))
+      val totals = StreamOps.runningTotals(mem.toDS(), ttl)
+      val q = totals.writeStream.format("memory").queryName("twsttl")
+        .outputMode("update").start()
+      try {
+        mem.addData(
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:00:00"), 1.5),
+          StreamOps.SessionEvent(1L, ts("2026-01-05 10:01:00"), 2.5))
+        q.processAllAvailable()
+        mem.addData(StreamOps.SessionEvent(1L, ts("2026-01-05 10:05:00"), 6.0))
+        q.processAllAvailable()
+        val last = spark.table("twsttl")
+          .groupBy("user_id")
+          .agg(max("n_events").as("n"), max("value_sum").as("s"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(last(1L) == ((3L, 10.0)), s"user 1 totals with TTL: $last")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState timers: event-time timer closes the session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
