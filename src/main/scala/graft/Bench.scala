@@ -42,17 +42,39 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // True median: average of the two middle elements for even sizes.
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+
+    // SPARK_GRAFT_REPEAT=k runs the whole suite k times and reports the
+    // per-query MEDIAN across rounds — the host's ±50% run-to-run CPU
+    // variance (BASELINE.md) makes single-run timings unadjudicable.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1).max(1)
+    val rounds: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val byRound = rounds.map(_.toMap)
+    val results: Seq[(String, Double)] =
+      selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val roundTotals = rounds.map(_.map(_._2).sum)
+    val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$repeat,"round_totals":$roundsJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail: one stdout line (for humans/BASELINE.md) plus a
     // file. It is ~2.5 KB for 80+ queries.
     println(detail)
@@ -77,11 +99,8 @@ object Bench {
     val byName = results.toMap
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + f"""":$v%.2f"""))
       .mkString("{", ",", "}")
-    val median = {
-      val s = results.map(_._2).sorted
-      if (s.isEmpty) 0.0 else s(s.size / 2)
-    }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    val median = med(results.map(_._2))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$repeat,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

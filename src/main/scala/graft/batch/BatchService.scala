@@ -6,7 +6,6 @@ import java.util.concurrent.Executors
 import scala.concurrent.{ExecutionContext, Future}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Analytics
@@ -113,18 +112,40 @@ final class BatchService(
 
   def list(limit: Int = 100): Seq[BatchJobRecord] = registry.listAll(limit)
 
-  /** Stable-key paginated read of a batch's raw snapshot (W2): executed
-    * distributed, deterministic for any offset/limit. */
+  /** Stable-key paginated read of a batch's raw snapshot (W2), offset form.
+    *
+    * Plans as a single distributed `TakeOrderedAndProject(limit=offset+eff,
+    * offset=offset)`: every partition computes its local top-(offset+eff) by
+    * `transaction_id`, the driver merges only those — no global Window, no
+    * single-partition Exchange (the previous `row_number` implementation
+    * funnelled the whole snapshot through one task per page). Deep offsets
+    * still cost O(offset+limit) per call — inherent to offset pagination;
+    * [[readDataAfter]] is the constant-cost scale path. */
   def readData(
       batchId: String, offset: Int, limit: Int,
       maxPageSize: Int = 10000): Either[String, DataFrame] =
     withCompleted(batchId) { r =>
       val eff = math.min(limit, maxPageSize)
-      val w = Window.orderBy(col("transaction_id"))
       Right(spark.read.parquet(r.rawPath.get)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > offset && col("rn") <= offset + eff)
-        .drop("rn"))
+        .orderBy(col("transaction_id"))
+        .offset(offset).limit(eff))
+    }
+
+  /** Keyset ("seek") pagination: the page after `afterKey` in
+    * `transaction_id` order. The predicate pushes to the parquet scan
+    * (row-group min/max pruning) and the sort+limit plans as a
+    * `TakeOrderedAndProject` of just `limit` rows per partition — page cost
+    * is independent of how deep the walk is, the shape that survives a
+    * 100 TB snapshot. `afterKey = None` returns the first page; the caller
+    * chains pages with the last `transaction_id` of the previous one. */
+  def readDataAfter(
+      batchId: String, afterKey: Option[String], limit: Int,
+      maxPageSize: Int = 10000): Either[String, DataFrame] =
+    withCompleted(batchId) { r =>
+      val eff = math.min(limit, maxPageSize)
+      val base = spark.read.parquet(r.rawPath.get)
+      val page = afterKey.fold(base)(k => base.filter(col("transaction_id") > k))
+      Right(page.orderBy(col("transaction_id")).limit(eff))
     }
 
   /** Aggregated result for one analysis of a completed batch. */

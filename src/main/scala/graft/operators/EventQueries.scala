@@ -81,15 +81,25 @@ object EventQueries extends QueryModule {
         sum(dec2(col("value"))).cast("double").as("value_sum"),
         countDistinct(col("user_id")).as("unique_users"))
 
-  /** S2 analog: JSON payload extraction from the `props` column. */
-  def jsonExtract(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
+  /** S2 analog: JSON payload extraction from the `props` column.
+    *
+    * `get_json_object` is CPU-heavy per row, and the test fixture arrives as
+    * a single-row-group parquet file → ONE scan partition would serialize
+    * the whole parse on one core. Guarded widening (same idiom as
+    * `TextQueries.docs`) spreads the parse across the default parallelism;
+    * no-op at real scale where the scan is already wide. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val raw = ev(s, d).select("props") // prune before the exchange: ship 1 col, not 7
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    wide
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(
         count(lit(1)).as("n"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+  }
 
   /** Staged conversion funnel: users who viewed → first click within 24h of
     * that view → first purchase within 24h of that click (the window is

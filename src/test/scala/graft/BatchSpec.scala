@@ -113,6 +113,34 @@ class BatchSpec extends SparkSpec {
     }
     val all = pages.flatten
     assert(all.size == total && all.distinct.size == total)
+    // offset pages are served in global key order
+    assert(all == all.sorted, "offset pages must walk transaction_id order")
+
+    // keyset walk yields exactly the same sequence, page-by-page
+    var after: Option[String] = None
+    val keysetAll = Iterator.continually {
+      val page = svc.readDataAfter(id, after, 70).toOption.get
+        .select("transaction_id").collect().map(_.getString(0)).toSeq
+      after = page.lastOption
+      page
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+    assert(keysetAll == all, "keyset walk must equal the offset walk")
+
+    // plan hygiene: both forms must be distributed top-k
+    // (TakeOrderedAndProject), never a global Window / single-partition sort
+    for (df <- Seq(svc.readData(id, 70, 70).toOption.get,
+                   svc.readDataAfter(id, Some(all(69)), 70).toOption.get)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+      assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
+      assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
+    }
+    // keyset predicate reaches the parquet scan
+    val kplan = svc.readDataAfter(id, Some(all(69)), 70).toOption.get
+      .queryExecution.executedPlan.toString
+    assert(kplan.contains("PushedFilters: [IsNotNull(transaction_id), GreaterThan(transaction_id"),
+      s"keyset filter must push down:\n$kplan")
+
     // unknown/incomplete ids are refused
     assert(svc.readData("nope", 0, 10).isLeft)
   }

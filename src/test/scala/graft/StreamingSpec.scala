@@ -181,13 +181,27 @@ class StreamingSpec extends SparkSpec {
       val totals = StreamOps.runningTotals(mem.toDS(), ttl)
       val q = totals.writeStream.format("memory").queryName("twsttl")
         .outputMode("update").start()
+      // Under TimeMode.ProcessingTime the engine schedules state-maintenance
+      // micro-batches indefinitely, so processAllAvailable() never quiesces
+      // (it livelocked a 30-minute run). Poll the sink with a deadline
+      // instead, failing fast if the query itself dies.
+      def awaitSink(pred: () => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (!pred() && System.currentTimeMillis() < deadline) {
+          q.exception.foreach(e => fail(s"query died waiting for $what", e))
+          Thread.sleep(100)
+        }
+        assert(pred(), s"timed out waiting for $what")
+      }
+      def maxN(): Long = spark.table("twsttl")
+        .agg(coalesce(max("n_events"), lit(0L))).head().getLong(0)
       try {
         mem.addData(
           StreamOps.SessionEvent(1L, ts("2026-01-05 10:00:00"), 1.5),
           StreamOps.SessionEvent(1L, ts("2026-01-05 10:01:00"), 2.5))
-        q.processAllAvailable()
+        awaitSink(() => maxN() >= 2L, "first micro-batch totals")
         mem.addData(StreamOps.SessionEvent(1L, ts("2026-01-05 10:05:00"), 6.0))
-        q.processAllAvailable()
+        awaitSink(() => maxN() >= 3L, "second micro-batch totals")
         val last = spark.table("twsttl")
           .groupBy("user_id")
           .agg(max("n_events").as("n"), max("value_sum").as("s"))
