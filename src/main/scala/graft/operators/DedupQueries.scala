@@ -291,10 +291,40 @@ object DedupQueries extends QueryModule {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** LSH-sourced candidate pairs for embedding cluster formation: the
+    * multi-table SRP bucket equi-join from [[SimilarityQueries]]
+    * (OR-amplified over 4 tables) generates candidates, then exact
+    * quantized cosine ≥ 0.4 verifies them — the production near-dup shape
+    * (hash-join on (table, bucket), never a probe × corpus theta join).
+    * Pruning is ~(2^planes)/L ≈ 4× fewer exact cosines here, and the join
+    * is a hash join instead of a nested loop; LSH misses are inherent to
+    * the method and the DuckDB oracle reproduces the identical bucket
+    * arithmetic, so the pruned graph is still hash-checked. */
+  private def embeddingCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val q = SimilarityQueries.quantized(s, d)
+    val tb = SimilarityQueries.multiBuckets(q)
+    val cand = tb.filter(col("vec_id") < 200).as("x")
+      .join(tb.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cosine",
+        expr("graft_dot(qa, qb)").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b")
+  }
+
   /** Same cluster formation reused over the embedding-cosine pair graph —
-    * the operator is pair-source agnostic. */
+    * the operator is pair-source agnostic. Pairs come from the LSH bucket
+    * join, not the exact all-pairs probe join ([[embeddingPairs]] remains
+    * the exactness baseline). */
   def embeddingClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(s, embeddingPairs(s, d)
+    connectedComponents(s, embeddingCandidatePairs(s, d)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("id").as("vec_id"), col("cluster"), col("n_members"))
 
@@ -355,7 +385,7 @@ object DedupQueries extends QueryModule {
        SELECT l.doc_id, l.cluster, s.n_members
        FROM labels l JOIN sizes s USING (cluster)""",
     "dedup_embedding_clusters" ->
-      """WITH RECURSIVE q AS (
+      s"""WITH RECURSIVE q AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
@@ -363,11 +393,18 @@ object DedupQueries extends QueryModule {
            SELECT vec_id, qv,
              list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS nrm
            FROM q),
+         mtb AS (${SimilarityQueries.sqlMultiTb}),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+           FROM mtb x JOIN mtb y
+             ON x.t = y.t AND x.b = y.b
+            AND x.vec_id < 200 AND x.vec_id < y.vec_id),
          pairs AS (
-           SELECT a.vec_id AS src0, b.vec_id AS dst0
-           FROM n a JOIN n b ON a.vec_id < b.vec_id
-           WHERE a.vec_id < 200
-             AND CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+           SELECT va AS src0, vb AS dst0
+           FROM cand
+           JOIN n a ON a.vec_id = va
+           JOIN n b ON b.vec_id = vb
+           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
                  (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= 0.4),
          edges AS (SELECT src0 AS src, dst0 AS dst FROM pairs
                    UNION ALL SELECT dst0, src0 FROM pairs),

@@ -48,7 +48,7 @@ object SimilarityQueries extends QueryModule {
     * codegen'd [[graft.functions.QuantizedDot]] — measured 15-20x faster
     * than the equivalent `aggregate(zip_with(...))` higher-order plan on
     * 2.5M pair x 64-dim workloads (same exact values). */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .withColumn("qv", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
@@ -79,7 +79,7 @@ object SimilarityQueries extends QueryModule {
   private def bucketExpr: String = bucketExprFor(0)
 
   /** (vec_id, table, bucket) — one row per vector per table. */
-  private def multiBuckets(q: DataFrame): DataFrame =
+  private[operators] def multiBuckets(q: DataFrame): DataFrame =
     q.withColumn("tb", explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("t"), expr(bucketExprFor(t)).as("b"))): _*)))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -294,8 +294,11 @@ object SimilarityQueries extends QueryModule {
 
   private def sqlBucket: String = sqlBucketFor(0)
 
-  /** One (vec_id, t, b) row per vector per table, as a UNION ALL chain. */
-  private val sqlMultiTb: String =
+  /** One (vec_id, t, b) row per vector per table, as a UNION ALL chain
+    * (reads a CTE `n(vec_id, qv, …)`; shared with the DedupQueries
+    * embedding-cluster oracle, which prunes candidates with the same
+    * multi-table buckets). */
+  private[operators] val sqlMultiTb: String =
     (0 until LshTables).map(t =>
       s"SELECT vec_id, $t AS t, ${sqlBucketFor(t)} AS b FROM n")
       .mkString("\n UNION ALL ")
