@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.QueryModule
 
 /** Driver-visible media pipeline queries. The byte-level decode is the
-  * deterministic [[MediaOps.StubCodec]] (no codecs in the container), so
-  * these have NO DuckDB oracle — the driver records its weaker rows-only
-  * check, and the full semantics are asserted in MediaSpec. What the
-  * queries prove end-to-end: the binary-column schema contract, the
-  * mapPartitions decode/feature batch shape, the frame-sample explode
-  * fan-out, and that only small derived columns (never payload bytes)
-  * reach the aggregation shuffle. Corpus size scales with the sf dir so
-  * the bench tracks media throughput too.
+  * deterministic [[MediaOps.StubCodec]] (no codecs in the container), and
+  * because the synthetic corpus is pure LCG arithmetic the whole pipeline
+  * IS expressible in DuckDB SQL: the oracles below re-derive the payload
+  * bytes with HUGEINT mod-2^64 recursion (wrapping 64-bit multiply fits
+  * signed 128-bit: s < 2^64, A < 2^63 ⇒ s·A < 2^127) and reproduce
+  * luma/checksum/stripe-feature semantics exactly, so all three queries
+  * are hash-checked, not rows-only. What the queries prove end-to-end:
+  * the binary-column schema contract, the mapPartitions decode/feature
+  * batch shape, the frame-sample explode fan-out, and that only small
+  * derived columns (never payload bytes) reach the aggregation shuffle.
+  * Corpus size scales with the sf dir so the bench tracks media
+  * throughput too.
+  *
+  * Signedness note: Java's `(s >>> 56).toByte` then `b & 0xff` round-trips
+  * to the unsigned top byte, so the SQL uses `s // 2^56` directly; the
+  * checksum folds stay as unsigned HUGEINT residues because they only ever
+  * feed COUNT(DISTINCT …) — signed↔unsigned is a bijection.
   */
 object MediaQueries extends QueryModule {
 
@@ -82,6 +91,90 @@ object MediaQueries extends QueryModule {
     "media_feature_sim" -> (mediaFeatureSim _),
   )
 
-  /** Stub-codec outputs are not expressible in DuckDB SQL → rows-only. */
-  val oracleSql: Map[String, String] = Map.empty
+  // ----------------------------------------------------------------- oracle
+
+  /** One wrapping-64-bit LCG step (`s` must already be a HUGEINT residue
+    * in [0, 2^64)). */
+  private def lcgNext(s: String): String =
+    s"($s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616"
+
+  /** `id → corpus` params CTE: ids below the documents-derived clamp, with
+    * the per-kind payload size and the seed state. `range()` only takes
+    * constants, so it generates the clamp maximum and filters. */
+  private def paramsCte(kindFilter: String): String =
+    s"""params AS (
+         SELECT id,
+           CASE WHEN id % 3 = 0 THEN ((64 + (id % 4) * 16) * 48) // 16
+                WHEN id % 3 = 1 THEN (16000 * (500 + (id % 7) * 100)) // 8000
+                ELSE 6144 END AS size,
+           ${lcgNext("CAST(id AS HUGEINT)")} AS s0
+         FROM range(100000) t(id),
+              (SELECT GREATEST(300, LEAST(100000, COUNT(*)//2)) AS n FROM documents) c
+         WHERE id < c.n$kindFilter)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "media_decode_stats" ->
+      s"""WITH RECURSIVE ${paramsCte(" AND id % 3 = 0")},
+         gen(id, k, s, h_acc, luma_sum, size) AS (
+           SELECT id, -1, s0, CAST(1125899906842597 AS HUGEINT), CAST(0 AS HUGEINT), size FROM params
+           UNION ALL
+           SELECT id, k + 1, ${lcgNext("s")},
+                  (31 * h_acc + ${lcgNext("s")} // 72057594037927936) % 18446744073709551616,
+                  luma_sum + ${lcgNext("s")} // 72057594037927936,
+                  size
+           FROM gen WHERE k < size - 1),
+         fin AS (
+           SELECT g.id, g.h_acc,
+                  CAST(g.luma_sum AS DOUBLE) / CAST(g.size AS DOUBLE) AS mean_luma,
+                  (64 + (g.id % 4) * 16) * 48 AS n_pixels
+           FROM gen g WHERE g.k = g.size - 1)
+         SELECT 'image' AS kind, COUNT(*) AS n,
+                CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+                MIN(mean_luma) AS min_luma, MAX(mean_luma) AS max_luma,
+                COUNT(DISTINCT h_acc) AS distinct_payloads
+         FROM fin""",
+    "media_frame_sample" ->
+      s"""WITH RECURSIVE ${paramsCte(" AND id % 3 = 2")},
+         gen(id, k, s, fh) AS (
+           SELECT id, -1, s0, CAST(0 AS HUGEINT) FROM params
+           UNION ALL
+           SELECT id, k + 1, ${lcgNext("s")},
+                  (31 * (CASE WHEN (k + 1) % 768 = 0
+                              THEN CAST(1125899906842597 AS HUGEINT) ELSE fh END)
+                     + ${lcgNext("s")} // 72057594037927936) % 18446744073709551616
+           FROM gen WHERE k < 6143),
+         frames AS (
+           SELECT id AS media_id, k // 768 AS frame_idx, fh AS checksum
+           FROM gen WHERE k % 768 = 767 AND (k // 768) % 2 = 0)
+         SELECT media_id, COUNT(*) AS n_frames,
+                COUNT(DISTINCT checksum) AS distinct_frames
+         FROM frames GROUP BY 1""",
+    "media_feature_sim" ->
+      s"""WITH RECURSIVE ${paramsCte("")},
+         gen(id, k, s, size) AS (
+           SELECT id, -1, s0, size FROM params
+           UNION ALL
+           SELECT id, k + 1, ${lcgNext("s")}, size FROM gen WHERE k < size - 1),
+         bytes AS (
+           SELECT id, k, s // 72057594037927936 AS b, size // 16 AS stripe
+           FROM gen WHERE k >= 0),
+         feat AS (
+           SELECT id, k // stripe AS i,
+                  CAST(CAST((CAST(SUM(b) AS DOUBLE) / CAST(stripe AS DOUBLE)) / 255.0 AS FLOAT) AS DOUBLE) AS f
+           FROM bytes WHERE k < 16 * stripe
+           GROUP BY id, k // stripe, stripe),
+         q AS (SELECT id, i, CAST(FLOOR(f * 1000) AS BIGINT) AS qv FROM feat),
+         nrm AS (SELECT id, SUM(qv * qv) AS nrm FROM q GROUP BY id),
+         dots AS (
+           SELECT a.id AS pa, b.id AS pb, SUM(a.qv * b.qv) AS dot
+           FROM q a JOIN q b ON a.i = b.i AND a.id < b.id
+           WHERE a.id < 20 GROUP BY 1, 2),
+         cs AS (
+           SELECT pa, pb,
+                  CAST(dot AS DOUBLE) /
+                    (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))) AS cosine
+           FROM dots JOIN nrm na ON na.id = pa JOIN nrm nb ON nb.id = pb)
+         SELECT pa AS probe_id, COUNT(*) AS n_similar, MAX(cosine) AS best_cosine
+         FROM cs WHERE cosine >= 0.5 GROUP BY 1""",
+  )
 }
