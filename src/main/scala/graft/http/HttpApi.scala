@@ -1,0 +1,314 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.{Duration, Instant}
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.batch.{BatchRegistry, BatchRequest, BatchService, BatchStatus}
+import graft.streaming.QueryLifecycle
+
+/** HTTP facade over the engine — the reference's primary interface,
+  * re-served on JDK 17's built-in `com.sun.net.httpserver` (zero new
+  * dependencies). Route surface and envelope contract:
+  *
+  *   - `POST /batch/run`          → 202 {batchId, status:PENDING} | 400
+  *     (routes/BatchRoutes.scala:37-111)
+  *   - `GET /batch/status/:id`    → 200 record | 404 (BatchRoutes.scala:115-132)
+  *   - `GET /batch/data/:id`      → 200 page envelope | 409 not-ready | 404
+  *     (BatchRoutes.scala:207-274)
+  *   - `GET /batch/data/:id/aggregated` → 200 | 409 | 404
+  *     (BatchRoutes.scala:135-204)
+  *   - `GET /batch/list`          → 200 {total, returned, batches}
+  *     (BatchRoutes.scala:277-297)
+  *   - `POST /stream/start|stop`, `GET /stream/status`
+  *     (routes/StreamRoutes.scala:26-124; 409 single-flight guard)
+  *   - `GET /health`, `POST /stop` (routes/ControlRoutes.scala:22-76)
+  *
+  * Physical divergence from the reference, on purpose: data pages execute
+  * `BatchService.readData` (distributed TakeOrderedAndProject of ONE page)
+  * and only that page is collected — the reference materializes the whole
+  * snapshot on the driver per request (`toJSON.collect()`,
+  * BatchRoutes.scala:149,221), which dies at 100 TB. `rowCount` comes from
+  * the job record (captured by `observe()` at write time), never a
+  * re-count. Aggregated pages do collect the (small, bounded-cardinality)
+  * aggregate frame — same bound the reference relies on.
+  */
+final class HttpApi(
+    spark: SparkSession,
+    service: BatchService,
+    registry: BatchRegistry,
+    sourcePath: String,
+    mkStreams: () => Seq[StreamingQuery] = () => Nil,
+    onStop: () => Unit = () => (),
+    defaultPageSize: Int = 100,
+    maxPageSize: Int = 10000) {
+
+  private val lifecycle = new QueryLifecycle
+  private val startTime = Instant.now()
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "http-api"); t.setDaemon(true); t
+  }))
+
+  /** Ephemeral bound port (the facade is constructed on port 0). */
+  def port: Int = server.getAddress.getPort
+
+  def start(): HttpApi = { server.start(); this }
+  def stop(): Unit = { lifecycle.stopAll(); server.stop(0) }
+
+  // ------------------------------------------------------------- dispatch
+
+  server.createContext("/", (ex: HttpExchange) => {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val segs = path.split("/").filter(_.nonEmpty).toList
+    try {
+      (method, segs) match {
+        case ("POST", "batch" :: "run" :: Nil)                => batchRun(ex)
+        case ("GET", "batch" :: "status" :: id :: Nil)        => batchStatus(ex, id)
+        case ("GET", "batch" :: "data" :: id :: Nil)          => batchData(ex, id)
+        case ("GET", "batch" :: "data" :: id :: "aggregated" :: Nil) =>
+          batchAggregated(ex, id)
+        case ("GET", "batch" :: "list" :: Nil)                => batchList(ex)
+        case ("POST", "stream" :: "start" :: Nil)             => streamStart(ex)
+        case ("POST", "stream" :: "stop" :: Nil)              => streamStop(ex)
+        case ("GET", "stream" :: "status" :: Nil)             => streamStatus(ex)
+        case ("GET", "health" :: Nil)                         => health(ex)
+        case ("POST", "stop" :: Nil)                          => stopAll(ex)
+        case _ =>
+          reply(ex, 404, err("NOT_FOUND", s"No route for $method $path"))
+      }
+    } catch {
+      case e: Throwable =>
+        reply(ex, 500, err("INTERNAL_ERROR", Option(e.getMessage).getOrElse(e.toString)))
+    }
+  })
+
+  // --------------------------------------------------------------- batch
+
+  private def batchRun(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val fields =
+      try Json.parse(if (body.trim.isEmpty) "{}" else body).asObj
+      catch {
+        case e: Exception =>
+          reply(ex, 400, err("INVALID_REQUEST", s"Malformed JSON body: ${e.getMessage}"))
+          return
+      }
+    (fields.get("startDate"), fields.get("endDate"), fields.get("analysisType")) match {
+      case (Some(JStr(sd)), Some(JStr(ed)), Some(JStr(at))) =>
+        val filters = fields.get("filters").map(_.asObj.map { case (k, v) => k -> v.str })
+          .getOrElse(Map.empty[String, String])
+        service.submit(sourcePath, BatchRequest(sd, ed, at, filters)) match {
+          case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+          case Right(batchId) =>
+            reply(ex, 202, JObj.of("batchId" -> JStr(batchId), "status" -> JStr("PENDING")))
+        }
+      case _ =>
+        reply(ex, 400,
+          err("INVALID_REQUEST", "Missing required fields: startDate, endDate, analysisType"))
+    }
+  }
+
+  private def batchStatus(ex: HttpExchange, id: String): Unit =
+    registry.get(id) match {
+      case Some(rec) => reply(ex, 200, recordJson(rec))
+      case None      => reply(ex, 404, err("BATCH_NOT_FOUND", s"No batch job found with ID: $id"))
+    }
+
+  private def batchData(ex: HttpExchange, id: String): Unit =
+    withCompleted(ex, id) { rec =>
+      val (limit, offset) = pageParams(ex)
+      val page = service.readData(id, offset, limit, maxPageSize)
+        .fold(m => throw new IllegalStateException(m), identity)
+      val rows = page.toJSON.collect().toVector.map(Json.parse)
+      val total = rec.rowCount.getOrElse(0L)
+      reply(ex, 200, JObj.of(
+        "batchId" -> JStr(id),
+        "status" -> JStr("COMPLETED"),
+        "rowCount" -> JNum(BigDecimal(total)),
+        "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < total),
+        "data" -> JArr(rows)))
+    }
+
+  private def batchAggregated(ex: HttpExchange, id: String): Unit =
+    withCompleted(ex, id) { rec =>
+      val (limit, offset) = pageParams(ex)
+      val analysis = query(ex).getOrElse("analysis", rec.request.analysisType)
+      service.readAggregated(id, analysis) match {
+        case Left(msg) => reply(ex, 404, err("ANALYSIS_NOT_FOUND", msg))
+        case Right(df) =>
+          // Aggregates have bounded cardinality (grouped rollups), so a
+          // driver-side page slice is safe — unlike raw data pages.
+          val all = df.toJSON.collect().toVector
+          val rows = all.slice(offset, offset + limit).map(Json.parse)
+          reply(ex, 200, JObj.of(
+            "batchId" -> JStr(id),
+            "analysisType" -> JStr(analysis),
+            "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < all.length),
+            "data" -> JArr(rows)))
+      }
+    }
+
+  private def batchList(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20)
+    val all = registry.listAll(Int.MaxValue)
+    val filtered = q.get("status") match {
+      case Some(s) => all.filter(_.status.toString.toUpperCase == s.toUpperCase)
+      case None    => all
+    }
+    val limited = filtered.take(limit)
+    reply(ex, 200, JObj.of(
+      "total" -> JNum(BigDecimal(filtered.size)),
+      "returned" -> JNum(BigDecimal(limited.size)),
+      "batches" -> JArr(limited.toVector.map(recordJson))))
+  }
+
+  // -------------------------------------------------------------- stream
+
+  private def streamStart(ex: HttpExchange): Unit =
+    try {
+      lifecycle.start(mkStreams()) match {
+        case Left(_) =>
+          reply(ex, 409, err("STREAM_ALREADY_RUNNING",
+            "Streaming queries are already active. Stop them first."))
+        case Right(statuses) =>
+          reply(ex, 200, JObj.of(
+            "status" -> JStr("started"),
+            "queryIds" -> JArr(statuses.toVector.map(s => JStr(s.id)))))
+      }
+    } catch {
+      case e: Exception =>
+        reply(ex, 500, err("INTERNAL_ERROR", Option(e.getMessage).getOrElse(e.toString)))
+    }
+
+  private def streamStop(ex: HttpExchange): Unit = {
+    val active = lifecycle.status().count(_.isActive)
+    lifecycle.stopAll()
+    val base = Vector[(String, JVal)](
+      "status" -> JStr("stopped"),
+      "queriesStopped" -> JNum(BigDecimal(active)))
+    val fields =
+      if (active == 0) base :+ (("message", JStr("No active streaming queries."): JVal))
+      else base
+    reply(ex, 200, JObj(fields))
+  }
+
+  private def streamStatus(ex: HttpExchange): Unit = {
+    val statuses = lifecycle.status()
+    reply(ex, 200, JObj.of(
+      "active" -> JBool(statuses.exists(_.isActive)),
+      "queries" -> JArr(statuses.toVector.map(s => JObj.of(
+        "id" -> JStr(s.id),
+        "name" -> JStr(if (s.name.isEmpty) "unnamed" else s.name),
+        "isActive" -> JBool(s.isActive))))))
+  }
+
+  // ------------------------------------------------------------- control
+
+  private def health(ex: HttpExchange): Unit = {
+    val healthy = !spark.sparkContext.isStopped
+    val up = Duration.between(startTime, Instant.now())
+    val uptime = s"${up.toHours}h ${up.toMinutesPart}m ${up.toSecondsPart}s"
+    val body = JObj.of(
+      "status" -> JStr(if (healthy) "healthy" else "unhealthy"),
+      "spark" -> JBool(healthy),
+      "uptime" -> JStr(uptime))
+    reply(ex, if (healthy) 200 else 503, body)
+  }
+
+  private def stopAll(ex: HttpExchange): Unit = {
+    val stopped = lifecycle.status().count(_.isActive)
+    lifecycle.stopAll()
+    reply(ex, 200, JObj.of(
+      "status" -> JStr("shutting_down"),
+      "queriesStopped" -> JNum(BigDecimal(stopped))))
+    // graceful drain off-thread so the response flushes first
+    new Thread(() => { Thread.sleep(200); service.shutdown(); onStop() },
+      "http-shutdown").start()
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def withCompleted(ex: HttpExchange, id: String)(
+      f: graft.batch.BatchJobRecord => Unit): Unit =
+    registry.get(id) match {
+      case Some(rec) if rec.status == BatchStatus.Completed => f(rec)
+      case Some(rec) =>
+        reply(ex, 409, JObj.of(
+          "error" -> JStr("BATCH_NOT_READY"),
+          "message" -> JStr(s"Batch not completed. Current status: ${statusName(rec)}"),
+          "status" -> JStr(statusName(rec))))
+      case None =>
+        reply(ex, 404, err("BATCH_NOT_FOUND", s"No batch job found with ID: $id"))
+    }
+
+  private def statusName(rec: graft.batch.BatchJobRecord): String =
+    rec.status.toString.toUpperCase
+
+  private def recordJson(rec: graft.batch.BatchJobRecord): JObj = {
+    val base = Vector[(String, JVal)](
+      "batchId" -> JStr(rec.batchId),
+      "status" -> JStr(statusName(rec)),
+      "analysisType" -> JStr(rec.request.analysisType),
+      "sourcePath" -> JStr(sourcePath),
+      "startDate" -> JStr(rec.request.startDate),
+      "endDate" -> JStr(rec.request.endDate),
+      "submitTime" -> JStr(Instant.ofEpochMilli(rec.submittedAt).toString))
+    val opt = Vector(
+      (if (rec.request.filters.nonEmpty)
+        Some("filters" -> JObj(rec.request.filters.toVector.map { case (k, v) => k -> (JStr(v): JVal) }))
+      else None),
+      rec.startedAt.map(t => "startTime" -> (JStr(Instant.ofEpochMilli(t).toString): JVal)),
+      rec.completedAt.map(t => "endTime" -> (JStr(Instant.ofEpochMilli(t).toString): JVal)),
+      rec.rowCount.map(c => "rowCount" -> (JNum(BigDecimal(c)): JVal)),
+      rec.rawPath.map(p => "rawPath" -> (JStr(p): JVal)),
+      rec.aggregatedPath.map(p => "aggregatedPath" -> (JStr(p): JVal)),
+      rec.error.map(m => "errorMessage" -> (JStr(m): JVal))).flatten
+    JObj(base ++ opt)
+  }
+
+  private def pageEnvelope(limit: Int, offset: Int, returned: Int, hasMore: Boolean): JObj =
+    JObj.of(
+      "limit" -> JNum(BigDecimal(limit)),
+      "offset" -> JNum(BigDecimal(offset)),
+      "returned" -> JNum(BigDecimal(returned)),
+      "hasMore" -> JBool(hasMore))
+
+  private def pageParams(ex: HttpExchange): (Int, Int) = {
+    val q = query(ex)
+    val limit = math.min(
+      q.get("limit").flatMap(_.toIntOption).getOrElse(defaultPageSize), maxPageSize)
+    val offset = q.get("offset").flatMap(_.toIntOption).getOrElse(0)
+    (limit, offset)
+  }
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def err(code: String, message: String): JObj =
+    JObj.of(
+      "error" -> JStr(code),
+      "message" -> JStr(message),
+      "timestamp" -> JStr(Instant.now().toString))
+
+  private def reply(ex: HttpExchange, status: Int, body: JObj): Unit = {
+    val bytes = body.render.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

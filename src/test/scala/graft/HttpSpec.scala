@@ -1,0 +1,190 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.batch._
+import graft.http._
+import graft.TxFixture._
+
+/** End-to-end drive of the HTTP facade over localhost: submit → poll →
+  * page, envelope shapes and status codes per the reference's route
+  * contract (BatchRoutes 202/400/404/409, StreamRoutes 409 single-flight,
+  * ControlRoutes health/stop). */
+class HttpSpec extends SparkSpec {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): (Int, JVal) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def post(port: Int, path: String, body: String = ""): (Int, JVal) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), Json.parse(r.body()))
+  }
+
+  private def await(cond: => Boolean, timeout: Duration = 60.seconds): Unit = {
+    val deadline = System.currentTimeMillis() + timeout.toMillis
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(cond, "condition not met within timeout")
+  }
+
+  private lazy val sourcePath: String = {
+    val p = Files.createTempDirectory("httpsource").toString
+    val rows = (1 to 150).map { i =>
+      row(id = f"t$i%03d", customerId = s"C${i % 10}",
+        category = Seq("electronics", "books", "grocery")(i % 3),
+        totalAmount = 5.0 * (i % 5 + 1),
+        eventTs = ts(f"2026-02-${i % 9 + 1}%02d 09:00:00"))
+    }
+    df(spark, rows: _*)
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(p)
+    p
+  }
+
+  private def newApi(): HttpApi = {
+    val reg = new BatchRegistry(None)
+    val svc = new BatchService(spark, reg, Files.createTempDirectory("httpbatches").toString)
+    new HttpApi(spark, svc, reg, sourcePath,
+      mkStreams = () => Seq(
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+          .writeStream.format("noop").queryName("http-stream").start())).start()
+  }
+
+  test("health reports healthy with uptime") {
+    val api = newApi()
+    try {
+      val (code, body) = get(api.port, "/health")
+      assert(code == 200)
+      assert(body.asObj("status").str == "healthy")
+      assert(body.asObj("spark") == JBool(true))
+      assert(body.asObj("uptime").str.nonEmpty)
+    } finally api.stop()
+  }
+
+  test("batch: submit -> poll -> page walk with reference envelopes") {
+    val api = newApi()
+    try {
+      // 400: missing fields
+      val (badCode, badBody) = post(api.port, "/batch/run", """{"startDate":"2026-02-01"}""")
+      assert(badCode == 400 && badBody.asObj("error").str == "INVALID_REQUEST")
+      // 400: unknown analysis type
+      val (bogusCode, bogusBody) = post(api.port, "/batch/run",
+        """{"startDate":"2026-02-01","endDate":"2026-02-09","analysisType":"bogus"}""")
+      assert(bogusCode == 400 && bogusBody.asObj("message").str.contains("bogus"))
+      // 404: unknown id
+      assert(get(api.port, "/batch/status/nope")._1 == 404)
+      assert(get(api.port, "/batch/data/nope")._1 == 404)
+
+      // 202 submit
+      val (code, body) = post(api.port, "/batch/run",
+        """{"startDate":"2026-02-01","endDate":"2026-02-09",
+           "analysisType":"revenue_by_category"}""")
+      assert(code == 202, s"submit: $code $body")
+      assert(body.asObj("status").str == "PENDING")
+      val id = body.asObj("batchId").str
+
+      await {
+        val (c, b) = get(api.port, s"/batch/status/$id")
+        c == 200 && b.asObj("status").str == "COMPLETED"
+      }
+      val (_, rec) = get(api.port, s"/batch/status/$id")
+      val total = rec.asObj("rowCount") match { case JNum(n) => n.toLong; case _ => fail() }
+      assert(total == 150L)
+
+      // page walk: 60-row pages, ids unique and exhaustive, hasMore correct
+      var offset = 0
+      var ids = Vector.empty[String]
+      var hasMore = true
+      while (hasMore) {
+        val (c, b) = get(api.port, s"/batch/data/$id?limit=60&offset=$offset")
+        assert(c == 200)
+        val o = b.asObj
+        assert(o("batchId").str == id && o("status").str == "COMPLETED")
+        val page = o("page").asObj
+        val data = o("data") match { case JArr(items) => items; case _ => fail() }
+        assert(page("returned") == JNum(BigDecimal(data.length)))
+        ids ++= data.map(_.asObj("transaction_id").str)
+        hasMore = page("hasMore") == JBool(true)
+        offset += 60
+      }
+      assert(ids.length == 150 && ids.distinct.length == 150)
+      assert(ids == ids.sorted, "pages must walk key order")
+
+      // aggregated envelope
+      val (ac, ab) = get(api.port, s"/batch/data/$id/aggregated")
+      assert(ac == 200)
+      assert(ab.asObj("analysisType").str == "revenue_by_category")
+      val aggRows = ab.asObj("data") match { case JArr(items) => items; case _ => fail() }
+      assert(aggRows.length == 3) // three categories in the fixture
+
+      // list envelope
+      val (lc, lb) = get(api.port, "/batch/list?status=COMPLETED")
+      assert(lc == 200)
+      assert((lb.asObj("total") match { case JNum(n) => n.toInt; case _ => fail() }) >= 1)
+
+      // 409 BATCH_NOT_READY for a FAILED job
+      val (_, fbody) = post(api.port, "/batch/run",
+        """{"startDate":"2026-02-01","endDate":"2026-02-09",
+           "analysisType":"revenue_by_category","filters":{"no_such_col":"x"}}""")
+      val fid = fbody.asObj("batchId").str
+      await(get(api.port, s"/batch/status/$fid")._2.asObj("status").str == "FAILED")
+      val (nc, nb) = get(api.port, s"/batch/data/$fid")
+      assert(nc == 409 && nb.asObj("error").str == "BATCH_NOT_READY")
+      assert(nb.asObj("status").str == "FAILED")
+    } finally api.stop()
+  }
+
+  test("stream lifecycle: start, 409 on double-start, status, stop") {
+    val api = newApi()
+    try {
+      val (c1, b1) = post(api.port, "/stream/start")
+      assert(c1 == 200 && b1.asObj("status").str == "started")
+      val qids = b1.asObj("queryIds") match { case JArr(items) => items; case _ => fail() }
+      assert(qids.nonEmpty)
+
+      val (c2, b2) = post(api.port, "/stream/start")
+      assert(c2 == 409 && b2.asObj("error").str == "STREAM_ALREADY_RUNNING")
+
+      val (sc, sb) = get(api.port, "/stream/status")
+      assert(sc == 200 && sb.asObj("active") == JBool(true))
+
+      val (tc, tb) = post(api.port, "/stream/stop")
+      assert(tc == 200 && tb.asObj("queriesStopped") == JNum(BigDecimal(1)))
+      assert(get(api.port, "/stream/status")._2.asObj("active") == JBool(false))
+
+      // idempotent stop reports zero with a message
+      val (t2c, t2b) = post(api.port, "/stream/stop")
+      assert(t2c == 200 && t2b.asObj("queriesStopped") == JNum(BigDecimal(0)))
+      assert(t2b.asObj("message").str.nonEmpty)
+
+      // restart allowed after stop
+      assert(post(api.port, "/stream/start")._1 == 200)
+    } finally api.stop()
+  }
+
+  test("graceful stop: responds, then drains") {
+    @volatile var stopped = false
+    val reg = new BatchRegistry(None)
+    val svc = new BatchService(spark, reg, Files.createTempDirectory("httpstop").toString)
+    val api = new HttpApi(spark, svc, reg, sourcePath, onStop = () => stopped = true).start()
+    try {
+      val (c, b) = post(api.port, "/stop")
+      assert(c == 200 && b.asObj("status").str == "shutting_down")
+      await(stopped, 10.seconds)
+    } finally api.stop()
+  }
+}
