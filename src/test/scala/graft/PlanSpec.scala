@@ -1,0 +1,80 @@
+package graft
+
+/** Always-on plan-hygiene probes over headline queries (the automated form
+  * of the dev-only `graft.Plans` eyeball tool): a plan regression — lost
+  * filter pushdown, a broadcast join degrading to shuffle, a top-n
+  * becoming a global sort, a candidate join degenerating to a cross
+  * product — fails `sbt test` instead of surfacing as a silent slowdown
+  * three rounds later.
+  *
+  * Assertions read the INITIAL physical plan (AQE may re-plan at runtime,
+  * but the static plan is where pushdown/broadcast/top-k shape is decided
+  * from file statistics, and it is deterministic for the fixed sf0.001
+  * input).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("equality filter pushes to the parquet scan") {
+    val p = planOf("rel_filter_eq")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo"), p)
+  }
+
+  test("date-range filter pushes both bounds to the scan") {
+    val p = planOf("rel_filter_date_range")
+    // half-open range: >= lower bound, < day-after-upper-bound
+    assert(p.contains("GreaterThanOrEqual") && p.contains("LessThan"), p)
+  }
+
+  test("dimension joins broadcast (no shuffled dim join)") {
+    val p = planOf("rel_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-n revenue query plans as distributed TakeOrderedAndProject") {
+    val p = planOf("rel_top_revenue_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("offset/limit plans as top-k, not a global sort") {
+    val p = planOf("rel_offset_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("aggregation runs partial+final (map-side combine present)") {
+    val p = planOf("ana_revenue_by_category")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash candidate generation is an equi-join, never a cross product") {
+    val p = planOf("dedup_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("LSH bucket join is an equi-join, never a cross product") {
+    val p = planOf("sim_topk_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text quality pipeline has no codegen barriers (no object ops/UDFs)") {
+    // The initial AQE plan string doesn't render WholeStageCodegen spans, so
+    // assert the absence of the operators that would break them instead.
+    val p = planOf("txt_quality")
+    for (barrier <- Seq("DeserializeToObject", "MapPartitions", "BatchEvalPython", "SerializeFromObject"))
+      assert(!p.contains(barrier), s"codegen barrier $barrier:\n$p")
+  }
+
+  test("single-row-group JSON scan is widened before the per-row parse") {
+    val p = planOf("evt_json_extract")
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
+}
