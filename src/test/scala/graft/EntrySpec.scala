@@ -12,8 +12,9 @@ class EntrySpec extends SparkSpec {
   test("every query is declared exactly once and oracle keys all resolve") {
     assert(SparkEntry.queries.nonEmpty)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // media queries are the only rows-only (oracle-less) entries
+    // since round 5 every query (media included) is oracle-checked:
+    // a new query without an oracleSql entry is a coverage regression
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly.forall(_.startsWith("media_")), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 }
