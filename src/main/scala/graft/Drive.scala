@@ -1,27 +1,39 @@
 package graft
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.batch.{BatchRegistry, BatchRequest, BatchService}
-import graft.core.{SparkSessionFactory, TransactionGen}
+import graft.batch.{BatchRegistry, BatchService}
+import graft.core.{GraftConfig, SparkSessionFactory, TransactionGen}
+import graft.http.{HttpApi, JArr, JNum, Json}
 import graft.streaming.StreamingIngest
 
 /** Standalone end-to-end drive of the whole engine loop (ST8 stream/batch
-  * convergence): generate reference-distribution transactions → stream them
-  * through the JSON drop-dir ingest into the partitioned table → run a
-  * full_report batch over the STREAMED table → read results back paginated.
-  * Prints one summary line per stage; exits non-zero on any failure.
+  * convergence) over the reference's actual interface: typed config →
+  * generate reference-distribution transactions → stream them through the
+  * JSON drop-dir ingest into the partitioned table → submit a full_report
+  * batch over HTTP → poll status → read results back over paginated HTTP
+  * envelopes. Prints one summary line per stage; exits non-zero on any
+  * failure.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSessionFactory.create(master = "local[8]",
       appName = "graft-drive", shufflePartitions = Some(8))
     spark.sparkContext.setLogLevel("ERROR")
+
+    // 0. config tree: defaults overlaid with this run's scratch root
     val root = Files.createTempDirectory("graft-drive").toString
-    val (drop, table, ckpt, out) =
-      (s"$root/drop", s"$root/table", s"$root/ckpt", s"$root/batches")
+    val cfg = GraftConfig.load(
+      overrides = Some(s"""graft { data { base-path = "$root" } }"""))
+    assert(cfg.stream.tableDir == s"$root/stream/transactions",
+      s"substitution must chase the overlay: ${cfg.stream.tableDir}")
+    val (drop, table, ckpt) =
+      (cfg.stream.dropDir, cfg.stream.tableDir, s"${cfg.spark.checkpointDir}/ingest")
+    println(s"DRIVE config: base=${cfg.data.basePath} pool=${cfg.batch.threadPoolSize}")
 
     // 1. 20k deterministic transactions, landed as JSON in two waves
     val tx = TransactionGen.generate(spark, 20000L, days = 30)
@@ -42,30 +54,65 @@ object Drive {
     val nDates = streamed.select("event_date").distinct().count()
     println(s"DRIVE ingest: $n rows in $nDates date partitions (2 waves, 1 checkpoint)")
 
-    // 3. batch full_report over the streamed table
-    val svc = new BatchService(spark, new BatchRegistry, out)
-    val id = svc.submit(table, BatchRequest(
-      startDate = "2026-01-01", endDate = "2026-01-30",
-      analysisType = "full_report",
-      filters = Map("transaction_status" -> "completed"))).fold(
-      err => sys.error(s"submit failed: $err"), identity)
+    // 3. batch full_report over the STREAMED table, submitted over HTTP
+    val registry = new BatchRegistry
+    val svc = new BatchService(spark, registry, cfg.data.batchBasePath,
+      poolSize = cfg.batch.threadPoolSize)
+    val api = new HttpApi(spark, svc, registry, sourcePath = table,
+      defaultPageSize = cfg.batch.defaultPageSize,
+      maxPageSize = cfg.batch.maxPageSize).start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.port}$path"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    val (subCode, subBody) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.port}/batch/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"startDate":"2026-01-01","endDate":"2026-01-30",
+               "analysisType":"full_report",
+               "filters":{"transaction_status":"completed"}}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    assert(subCode == 202, s"submit: $subCode $subBody")
+    val id = subBody.asObj("batchId").str
     val deadline = System.currentTimeMillis() + 120000
-    while (svc.status(id).exists(r => r.status.toString == "Pending" ||
-        r.status.toString == "Running") && System.currentTimeMillis() < deadline)
+    var status = "PENDING"
+    while (status != "COMPLETED" && status != "FAILED" &&
+        System.currentTimeMillis() < deadline) {
       Thread.sleep(200)
-    val rec = svc.status(id).get
-    assert(rec.status.toString == "Completed", s"batch: $rec")
-    println(s"DRIVE batch: $id completed, rows=${rec.rowCount.get}")
+      status = get(s"/batch/status/$id")._2.asObj("status").str
+    }
+    assert(status == "COMPLETED", s"batch over HTTP: $status")
+    val rows = get(s"/batch/status/$id")._2.asObj("rowCount") match {
+      case JNum(v) => v.toLong
+      case other   => sys.error(s"rowCount: $other")
+    }
+    println(s"DRIVE batch: $id completed over HTTP, rows=$rows")
 
-    // 4. results readback: one aggregation + stable pagination
-    val rev = svc.readAggregated(id, "revenue_by_category")
-      .fold(e => sys.error(e), identity)
-    assert(rev.count() > 0)
-    val page = svc.readData(id, offset = 100, limit = 50)
-      .fold(e => sys.error(e), identity)
-    assert(page.count() == 50)
-    println(s"DRIVE readback: ${rev.count()} categories, page(100,50) ok")
+    // 4. results readback over paginated HTTP envelopes
+    val (ac, ab) = get(s"/batch/data/$id/aggregated?analysis=revenue_by_category")
+    assert(ac == 200, s"aggregated: $ac $ab")
+    val nCat = ab.asObj("data") match {
+      case JArr(items) => items.length
+      case other       => sys.error(s"agg data: $other")
+    }
+    assert(nCat > 0)
+    val (pc, pb) = get(s"/batch/data/$id?limit=50&offset=100")
+    assert(pc == 200, s"page: $pc $pb")
+    val pageLen = pb.asObj("data") match {
+      case JArr(items) => items.length
+      case other       => sys.error(s"page data: $other")
+    }
+    assert(pageLen == 50, s"page(100,50) returned $pageLen")
+    assert(pb.asObj("page").asObj("hasMore") == graft.http.JBool(true))
+    println(s"DRIVE readback: $nCat categories, page(100,50) over HTTP ok")
     println("DRIVE OK")
+    api.stop()
     svc.shutdown()
     spark.stop()
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftConfig
+
+/** The HOCON-subset config loader: defaults, block nesting, substitution +
+  * concatenation, optional env overrides, user-file overlay — the
+  * reference's AppConfig tree semantics without the typesafe-config jar. */
+class ConfigSpec extends AnyFunSuite {
+
+  test("defaults load with reference values and resolved substitutions") {
+    val cfg = GraftConfig.load(env = Map.empty)
+    assert(cfg.appName == "GraftAnalyticsEngine")
+    assert(cfg.http.port == 8080)
+    assert(cfg.batch.threadPoolSize == 8)
+    assert(cfg.batch.defaultPageSize == 100 && cfg.batch.maxPageSize == 10000)
+    // ${graft.data.base-path}"/…" concatenation chains
+    assert(cfg.data.basePath == "data/graft")
+    assert(cfg.data.batchBasePath == "data/graft/batches")
+    assert(cfg.spark.checkpointDir == "data/graft/checkpoints")
+    // batch.source-path = ${graft.stream.table-dir} = ${base}/stream/transactions
+    assert(cfg.batch.sourcePath == "data/graft/stream/transactions")
+  }
+
+  test("optional env reference overrides only when the variable is set") {
+    val unset = GraftConfig.load(env = Map.empty)
+    assert(unset.data.basePath == "data/graft")
+    val set = GraftConfig.load(env = Map("GRAFT_DATA_BASE" -> "/mnt/x"))
+    assert(set.data.basePath == "/mnt/x")
+    // substitutions chase the override
+    assert(set.batch.sourcePath == "/mnt/x/stream/transactions")
+    assert(set.data.seedPath == "/mnt/x/seed/transactions")
+  }
+
+  test("user overlay wins over defaults and can add substitutions") {
+    val cfg = GraftConfig.load(
+      overrides = Some("""
+        graft {
+          batch { thread-pool-size = 4 }   # fewer cores in this deployment
+          data { base-path = "/srv/graft" }
+        }
+      """),
+      env = Map.empty)
+    assert(cfg.batch.threadPoolSize == 4)
+    assert(cfg.data.batchBasePath == "/srv/graft/batches")
+    assert(cfg.batch.defaultPageSize == 100) // untouched default survives
+  }
+
+  test("malformed input fails loudly") {
+    assertThrows[IllegalArgumentException](
+      GraftConfig.load(Some("graft { no-equals-here }"), env = Map.empty))
+    assertThrows[IllegalArgumentException](
+      GraftConfig.load(Some("graft { http { port = not-a-number } }"), env = Map.empty))
+  }
+}
