@@ -155,6 +155,10 @@ object SimilarityQueries extends QueryModule {
   private val IvfIters = 3
   private[operators] val IvfNprobe = 6
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    // NOT cached on purpose: caching the quantized corpus was measured
+    // (sf0.1, 3-run medians) to buy nothing — the build cost is the
+    // per-iteration window/partial-sum shuffles, not the trivial re-scans —
+    // and a corpus-sized cache is exactly what must not exist at 100 TB.
     val q = quantized(s, d)
     var cent = q.filter(col("vec_id") % 50 === 3)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"))
