@@ -51,20 +51,35 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    // SPARK_GRAFT_REPEAT=k runs the whole suite k times and reports the
-    // per-query MEDIAN across rounds — the host's ±50% run-to-run CPU
-    // variance (BASELINE.md) makes single-run timings unadjudicable.
+    // The suite runs SPARK_GRAFT_REPEAT times (default 3) and reports the
+    // per-query MEDIAN across rounds: the host's ±50% run-to-run CPU
+    // variance (BASELINE.md) makes single-run timings unadjudicable, and
+    // round 1 additionally carries ~2× of JIT/codegen warm-up (measured
+    // round totals 102.8/52.0/47.7 s on identical code). A wall-clock
+    // budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 600) stops early on a
+    // slow host: a round only starts if the previous round's duration
+    // still fits, so the caller's timeout is never blown chasing medians.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1).max(1)
-    val rounds: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
-      selected.map { case (name, fn) =>
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
+    val budgetMs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600L) * 1000L
+    val benchStart = System.currentTimeMillis()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    var lastRoundMs = 0L
+    while (rounds.size < repeat &&
+        (rounds.isEmpty ||
+          System.currentTimeMillis() - benchStart + lastRoundMs < budgetMs)) {
+      val r0 = System.currentTimeMillis()
+      rounds += selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      lastRoundMs = System.currentTimeMillis() - r0
     }
-    val byRound = rounds.map(_.toMap)
+    val byRound = rounds.toSeq.map(_.toMap)
+    val actualRounds = rounds.size
     val results: Seq[(String, Double)] =
       selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
 
@@ -74,7 +89,7 @@ object Bench {
     val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$repeat,"round_totals":$roundsJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$actualRounds,"round_totals":$roundsJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail: one stdout line (for humans/BASELINE.md) plus a
     // file. It is ~2.5 KB for 80+ queries.
     println(detail)
@@ -100,7 +115,7 @@ object Bench {
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + f"""":$v%.2f"""))
       .mkString("{", ",", "}")
     val median = med(results.map(_._2))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$repeat,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
