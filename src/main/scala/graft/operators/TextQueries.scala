@@ -171,7 +171,31 @@ object TextQueries extends QueryModule {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** The composed corpus-cleaning pipeline a training-data user actually
+    * runs, end-to-end in one plan: quality-score filter (≥ 0.35 ≈ drops
+    * the worse half of this corpus) → exact dedup on the normalized-text
+    * fingerprint (keep the lowest doc_id per fingerprint) → per-language
+    * survivor stats. Shuffles once on fingerprint (dedup) and
+    * once on the tiny lang key; the quality/lang/fingerprint map stage is
+    * pure projection. The per-lang quality mass is reported as an exact
+    * integer sum of micro-quantized scores (floor(q·1e6)) — averaging the
+    * raw doubles would be accumulation-order dependent. */
+  def cleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = withQuality(docs(s, d))
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .filter(col("quality_score") >= 0.35)
+    val keep = base.groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
+    base.join(keep, Seq("fingerprint", "doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(floor(col("quality_score") * 1e6)).cast("long").as("quality_micro_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_clean_pipeline" -> (cleanPipeline _),
     "txt_tfidf" -> (tfidfTop _),
     "txt_token_stats" -> (tokenStats _),
     "txt_lang_confusion" -> (langConfusion _),
@@ -191,6 +215,22 @@ object TextQueries extends QueryModule {
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "txt_clean_pipeline" -> s"""$cte,
+      scored AS (
+        SELECT doc_id, lang,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5 +
+          (CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
+          LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2 AS quality_score,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM docs),
+      surviving AS (SELECT * FROM scored WHERE quality_score >= 0.35),
+      keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM surviving GROUP BY 1)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(FLOOR(quality_score * 1e6)) AS BIGINT) AS quality_micro_sum
+      FROM surviving JOIN keep USING (fingerprint, doc_id)
+      GROUP BY 1""",
     "txt_tfidf" -> s"""$cte,
       tok AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
