@@ -122,19 +122,40 @@ final class HttpApi(
       case None      => reply(ex, 404, err("BATCH_NOT_FOUND", s"No batch job found with ID: $id"))
     }
 
+  /** Offset pages by default; `?after=<transaction_id>` switches to keyset
+    * ("seek") pagination — constant cost per page regardless of depth
+    * (`BatchService.readDataAfter`). The keyset envelope carries
+    * `nextAfter` (last key of the page) for the client to chain; `hasMore`
+    * is `returned == limit` since a seek page never knows the remaining
+    * count without a recount. */
   private def batchData(ex: HttpExchange, id: String): Unit =
     withCompleted(ex, id) { rec =>
       val (limit, offset) = pageParams(ex)
-      val page = service.readData(id, offset, limit, maxPageSize)
-        .fold(m => throw new IllegalStateException(m), identity)
-      val rows = page.toJSON.collect().toVector.map(Json.parse)
       val total = rec.rowCount.getOrElse(0L)
-      reply(ex, 200, JObj.of(
-        "batchId" -> JStr(id),
-        "status" -> JStr("COMPLETED"),
-        "rowCount" -> JNum(BigDecimal(total)),
-        "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < total),
-        "data" -> JArr(rows)))
+      query(ex).get("after") match {
+        case after @ Some(_) =>
+          val page = service.readDataAfter(id, after, limit, maxPageSize)
+            .fold(m => throw new IllegalStateException(m), identity)
+          val rows = page.toJSON.collect().toVector.map(Json.parse)
+          val nextAfter = rows.lastOption.map(_.asObj("transaction_id").str)
+          reply(ex, 200, JObj.of(
+            "batchId" -> JStr(id),
+            "status" -> JStr("COMPLETED"),
+            "rowCount" -> JNum(BigDecimal(total)),
+            "page" -> JObj(pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
+              nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
+            "data" -> JArr(rows)))
+        case None =>
+          val page = service.readData(id, offset, limit, maxPageSize)
+            .fold(m => throw new IllegalStateException(m), identity)
+          val rows = page.toJSON.collect().toVector.map(Json.parse)
+          reply(ex, 200, JObj.of(
+            "batchId" -> JStr(id),
+            "status" -> JStr("COMPLETED"),
+            "rowCount" -> JNum(BigDecimal(total)),
+            "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < total),
+            "data" -> JArr(rows)))
+      }
     }
 
   private def batchAggregated(ex: HttpExchange, id: String): Unit =

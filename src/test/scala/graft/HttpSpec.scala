@@ -124,6 +124,23 @@ class HttpSpec extends SparkSpec {
       assert(ids.length == 150 && ids.distinct.length == 150)
       assert(ids == ids.sorted, "pages must walk key order")
 
+      // keyset walk over HTTP chains nextAfter and matches the offset walk
+      var after: Option[String] = None
+      var kIds = Vector.empty[String]
+      var more = true
+      while (more) {
+        val path = s"/batch/data/$id?limit=60" +
+          after.map(k => s"&after=$k").getOrElse("&after=")
+        val (c, b) = get(api.port, path)
+        assert(c == 200)
+        val data = b.asObj("data") match { case JArr(items) => items; case _ => fail() }
+        kIds ++= data.map(_.asObj("transaction_id").str)
+        val page = b.asObj("page").asObj
+        after = page.get("nextAfter").map(_.str)
+        more = page("hasMore") == JBool(true) && data.nonEmpty
+      }
+      assert(kIds == ids, "HTTP keyset walk must equal the offset walk")
+
       // aggregated envelope
       val (ac, ab) = get(api.port, s"/batch/data/$id/aggregated")
       assert(ac == 200)
