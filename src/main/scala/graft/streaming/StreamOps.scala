@@ -24,6 +24,31 @@ object StreamOps {
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming form of the corpus-cleaning pipeline
+    * (TextQueries.cleanPipeline): per-document quality gate (pure
+    * projection — no state) followed by exact dedup on the
+    * normalized-text fingerprint within the watermark horizon. The same
+    * quality/fingerprint expressions run in the batch path, so a corpus
+    * cleaned incrementally converges to the batch-cleaned corpus; state is
+    * O(fingerprints per horizon), the property that keeps an unbounded
+    * document stream cleanable. Expects `text` and an event-time column.
+    */
+  def cleanDocStream(
+      df: DataFrame,
+      eventTimeCol: String,
+      watermark: String,
+      minQuality: Double = 0.35): DataFrame = {
+    val scored = graft.operators.TextQueries.withQuality(
+        df.withColumn("toks", graft.operators.TextQueries.toks(col("text"))))
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .filter(col("quality_score") >= minQuality)
+    scored
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .drop("toks")
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionSummary(
       user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, value_sum: Double)

@@ -134,6 +134,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("clean stream: quality gate + fingerprint dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val cleaned = StreamOps.cleanDocStream(mem.toDF(), "ts", "10 minutes")
+    val q = cleaned.writeStream.format("memory").queryName("cleantest")
+      .outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog in the sunny meadow today"
+      mem.addData(
+        Doc(1L, good, ts("2026-01-05 10:00:00")),
+        // duplicate up to whitespace/case normalization: must dedup with doc 1
+        Doc(2L, "  " + good.toUpperCase.toLowerCase + "  ", ts("2026-01-05 10:00:10")),
+        // degenerate low-quality text: one token repeated -> filtered
+        Doc(3L, Array.fill(40)("spam").mkString(" "), ts("2026-01-05 10:00:20")))
+      q.processAllAvailable()
+      val ids = spark.table("cleantest").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.size == 1 && (ids.head == 1L || ids.head == 2L),
+        s"one survivor of the dup pair, spam filtered: $ids")
+      // a distinct good doc in a later micro-batch still passes
+      mem.addData(Doc(4L,
+        "every valid sentence of fresh words keeps its own fingerprint and survives",
+        ts("2026-01-05 10:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("cleantest").count() == 2)
+    } finally q.stop()
+  }
+
   test("transformWithState: per-user running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
