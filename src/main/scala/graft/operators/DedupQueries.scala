@@ -237,6 +237,61 @@ object DedupQueries extends QueryModule {
       .select("id", "cluster", "n_members")
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken, the
+    * MOSS scheme — the rolling-hash fingerprinting named in the pipeline
+    * brief): per document, Rabin-Karp polynomial hashes of all character
+    * k-grams (k=8, base 257 mod 2^31-1, Horner with per-step mod so every
+    * intermediate fits a long in both engines), then the minimum of each
+    * sliding window of w=4 consecutive hashes, distinct, is the
+    * fingerprint set. Near-dups share fingerprints, so candidate pairs
+    * come from an EQUI-JOIN on fingerprint value (the same scale shape as
+    * the LSH bucket join — never all-pairs) over a bounded probe set,
+    * scored by overlap coefficient |A∩B| / min(|A|,|B|).
+    *
+    * All-integer arithmetic (character codepoints, modular Horner, integer
+    * counts) makes the whole pipeline bit-identical in DuckDB; the only
+    * double is the final ratio of two integers. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val K = 8   // k-gram length (chars)
+    val W = 4   // winnow window (hashes)
+    // Two evaluation traps both avoided here, each measured as a multi-
+    // second pathology on 50 docs:
+    //  (1) substring(norm, p, 1) is an O(p) UTF-8 seek, so hashing off the
+    //      string directly is quadratic in document length — the codepoint
+    //      array is materialized first and hashing indexes it in O(1);
+    //  (2) staged withColumn intermediates collapse back into ONE
+    //      projection (CollapseProject), re-inlining the full upstream
+    //      expression at every use site — so each stage is let-bound via
+    //      `flatten(transform(array(<stage>), x -> …))`, which evaluates
+    //      the stage exactly once per row and binds it as a lambda var.
+    val fpsExpr =
+      s"""CASE WHEN length(norm) >= ${K + W - 1} THEN
+            flatten(transform(
+              array(transform(sequence(1, length(norm)),
+                p -> CAST(ascii(substring(norm, p, 1)) AS BIGINT))),
+              cps -> flatten(transform(
+                array(transform(sequence(0, size(cps) - $K),
+                  p -> aggregate(sequence(1, $K), 0L,
+                    (acc, i) -> (acc * 257 + cps[p + i - 1]) % 2147483647))),
+                hashes -> array_distinct(transform(sequence(0, size(hashes) - $W),
+                  q -> array_min(slice(hashes, q + 1, $W))))))))
+          ELSE array() END"""
+    val fp = docs(s, d).filter(col("doc_id") < 50)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .withColumn("fps", expr(fpsExpr))
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))
+    val ex = fp.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_fp").as("nfa"), col("b.n_fp").as("nfb"))
+      .agg(countDistinct(col("a.h")).as("n_shared"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("nfa"), col("nfb")).cast("double"))
+      .filter(col("overlap") >= 0.2) // max observed overlap on this corpus ≈ 0.29
+      .select("doc_a", "doc_b", "n_shared", "overlap")
+  }
+
   /** 16-bit SimHash per document (frequency-weighted token hyperplanes). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val bitSums = (0 until 16).map { b =>
@@ -334,6 +389,7 @@ object DedupQueries extends QueryModule {
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_pairs" -> (minhashPairs _),
     "dedup_simhash" -> (simhash _),
+    "dedup_winnow_pairs" -> (winnowPairs _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_embedding_pairs" -> (embeddingPairs _),
   )
@@ -452,6 +508,41 @@ object DedupQueries extends QueryModule {
           counts AS (SELECT doc_id, toks, $cs FROM shingled)
         SELECT doc_id, CAST($h AS BIGINT) AS simhash FROM counts"""
     },
+    "dedup_winnow_pairs" ->
+      """WITH norm AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents WHERE doc_id < 50),
+         cp AS (
+           SELECT doc_id,
+             list_transform(range(1, length(norm) + 1),
+               p -> CAST(ord(substring(norm, p, 1)) AS BIGINT)) AS cps
+           FROM norm),
+         hs AS (
+           SELECT doc_id,
+             CASE WHEN len(cps) >= 8 THEN
+               list_transform(range(0, len(cps) - 7),
+                 p -> list_reduce(list_transform(range(1, 9), i -> cps[p + i]),
+                   (acc, c) -> (acc * 257 + c) % 2147483647))
+             ELSE [] END AS hashes
+           FROM cp),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN len(hashes) >= 4 THEN
+               list_distinct(list_transform(range(0, len(hashes) - 3),
+                 q -> list_min(hashes[q + 1 : q + 4])))
+             ELSE [] END AS fps
+           FROM hs),
+         sized AS (SELECT doc_id, fps, len(fps) AS n_fp FROM fp),
+         ex AS (SELECT doc_id, n_fp, UNNEST(fps) AS h FROM sized),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_fp AS nfa, b.n_fp AS nfb,
+                  COUNT(DISTINCT a.h) AS n_shared
+           FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, n_shared,
+                CAST(n_shared AS DOUBLE) / CAST(LEAST(nfa, nfb) AS DOUBLE) AS overlap
+         FROM pairs
+         WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(nfa, nfb) AS DOUBLE) >= 0.2""",
     "dedup_ngram_jaccard" -> s"""WITH $docsCte,
        ts AS (SELECT doc_id, list_distinct(toks) AS ts FROM shingled WHERE doc_id < 50)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
