@@ -59,6 +59,20 @@ object MediaQueries extends QueryModule {
         countDistinct(col("checksum")).as("distinct_payloads"))
   }
 
+  /** Resize (downsample to half resolution) then decode — the two
+    * mapPartitions stages composed, aggregated like [[mediaDecodeStats]].
+    * The oracle replays the same LCG but folds only even-index bytes
+    * (StubCodec.downsample keeps every other byte). */
+  def mediaResizeStats(s: SparkSession, d: String): DataFrame = {
+    val resized = MediaOps.decodeImages(MediaOps.resizeImages(corpus(s, d)))
+    resized.groupBy(lit("image").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_pixels")).as("total_pixels"),
+        min(col("mean_luma")).as("min_luma"),
+        max(col("mean_luma")).as("max_luma"),
+        countDistinct(col("checksum")).as("distinct_payloads"))
+  }
+
   /** Frame sampling fan-out + per-asset frame counts. */
   def mediaFrameSample(s: SparkSession, d: String): DataFrame = {
     MediaOps.sampleFrames(corpus(s, d), stride = 2) // filters kind internally
@@ -87,6 +101,7 @@ object MediaQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "media_decode_stats" -> (mediaDecodeStats _),
+    "media_resize_stats" -> (mediaResizeStats _),
     "media_frame_sample" -> (mediaFrameSample _),
     "media_feature_sim" -> (mediaFeatureSim _),
   )
@@ -127,6 +142,31 @@ object MediaQueries extends QueryModule {
            SELECT g.id, g.h_acc,
                   CAST(g.luma_sum AS DOUBLE) / CAST(g.size AS DOUBLE) AS mean_luma,
                   (64 + (g.id % 4) * 16) * 48 AS n_pixels
+           FROM gen g WHERE g.k = g.size - 1)
+         SELECT 'image' AS kind, COUNT(*) AS n,
+                CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+                MIN(mean_luma) AS min_luma, MAX(mean_luma) AS max_luma,
+                COUNT(DISTINCT h_acc) AS distinct_payloads
+         FROM fin""",
+    "media_resize_stats" ->
+      s"""WITH RECURSIVE ${paramsCte(" AND id % 3 = 0")},
+         gen(id, k, s, h_acc, luma_sum, n_kept, size) AS (
+           SELECT id, -1, s0, CAST(1125899906842597 AS HUGEINT), CAST(0 AS HUGEINT), 0, size FROM params
+           UNION ALL
+           SELECT id, k + 1, ${lcgNext("s")},
+                  CASE WHEN (k + 1) % 2 = 0
+                       THEN (31 * h_acc + ${lcgNext("s")} // 72057594037927936) % 18446744073709551616
+                       ELSE h_acc END,
+                  CASE WHEN (k + 1) % 2 = 0
+                       THEN luma_sum + ${lcgNext("s")} // 72057594037927936
+                       ELSE luma_sum END,
+                  n_kept + CASE WHEN (k + 1) % 2 = 0 THEN 1 ELSE 0 END,
+                  size
+           FROM gen WHERE k < size - 1),
+         fin AS (
+           SELECT g.id, g.h_acc,
+                  CAST(g.luma_sum AS DOUBLE) / CAST(g.n_kept AS DOUBLE) AS mean_luma,
+                  ((64 + (g.id % 4) * 16) // 2) * 24 AS n_pixels
            FROM gen g WHERE g.k = g.size - 1)
          SELECT 'image' AS kind, COUNT(*) AS n,
                 CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
