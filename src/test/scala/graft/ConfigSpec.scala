@@ -47,6 +47,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.batch.defaultPageSize == 100) // untouched default survives
   }
 
+  test("substitution cycles are detected, not stack-overflowed") {
+    // base-path -> batch.source-path -> stream.table-dir -> base-path
+    val cyclic = """graft { data { base-path = ${graft.batch.source-path} } }"""
+    val e = intercept[IllegalArgumentException](
+      GraftConfig.load(Some(cyclic), env = Map.empty))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("malformed input fails loudly") {
     assertThrows[IllegalArgumentException](
       GraftConfig.load(Some("graft { no-equals-here }"), env = Map.empty))
