@@ -194,9 +194,15 @@ object DedupQueries extends QueryModule {
     val (edges, freeEdges) = checkpointed(pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     freeRaw()
+    // Initialize labels at the ROUND-1 state directly: label₀ =
+    // min(id, min 1-hop neighbor) is one aggregation over the (symmetric)
+    // edge list — exactly what the first propagation round would produce,
+    // for one groupBy instead of a join+window+checkpoint+count round.
+    // Any init that is an upper bound ≥ the component minimum converges to
+    // the same fixpoint, so the oracle answer is unchanged.
     var (labels, freeLabels) = checkpointed(
-      edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("label", col("id")))
+      edges.groupBy(col("doc_a").as("id"))
+        .agg(least(min(col("doc_b")), min(col("doc_a"))).as("label")))
     var changed = 1L
     var iter = 0
     val maxIter = 64
