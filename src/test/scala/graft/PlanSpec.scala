@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("winnow candidate pairs join on fingerprint value, never cross product") {
+    val p = planOf("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cleaning pipeline dedup joins on fingerprint, never cross product") {
+    val p = planOf("txt_clean_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text quality pipeline has no codegen barriers (no object ops/UDFs)") {
     // The initial AQE plan string doesn't render WholeStageCodegen spans, so
     // assert the absence of the operators that would break them instead.
