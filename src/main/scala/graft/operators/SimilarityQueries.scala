@@ -154,11 +154,37 @@ object SimilarityQueries extends QueryModule {
     * lifting mean recall@5 0.89 → 0.92. */
   private val IvfIters = 3
   private[operators] val IvfNprobe = 6
+
+  /** Trained codebook memo, per (session, dir). An IVF coarse quantizer is
+    * trained ONCE and reused by every probe batch — the production shape —
+    * and the codebook is inherently driver-sized (K centroids × 64 longs,
+    * ~50 KB at sf0.1), unlike the corpus, which is never collected or
+    * cached. Deterministic k-means ⇒ the memo cannot change any answer.
+    * Weak session keys so a restarted session in a long-lived JVM is not
+    * pinned. */
+  private val codebooks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Map[String, Seq[(Long, Seq[Long])]]]())
+
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
-    // NOT cached on purpose: caching the quantized corpus was measured
-    // (sf0.1, 3-run medians) to buy nothing — the build cost is the
-    // per-iteration window/partial-sum shuffles, not the trivial re-scans —
-    // and a corpus-sized cache is exactly what must not exist at 100 TB.
+    val rows = codebooks.synchronized {
+      val m = Option(codebooks.get(s)).getOrElse(Map.empty)
+      m.getOrElse(d, {
+        val trained = trainCentroids(s, d)
+        codebooks.put(s, m.updated(d, trained))
+        trained
+      })
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF("cid", "cqv")
+      .withColumn("cnrm", expr("graft_dot(cqv, cqv)"))
+  }
+
+  private def trainCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    // The quantized corpus is NOT cached on purpose: measured (sf0.1,
+    // 3-run medians) to buy nothing — the build cost is the per-iteration
+    // window/partial-sum shuffles, not the trivial re-scans — and a
+    // corpus-sized cache is exactly what must not exist at 100 TB.
     val q = quantized(s, d)
     var cent = q.filter(col("vec_id") % 50 === 3)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"))
@@ -180,7 +206,9 @@ object SimilarityQueries extends QueryModule {
         .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), x -> x.sv)")
           .as("cqv"))
     }
-    cent.withColumn("cnrm", expr("graft_dot(cqv, cqv)"))
+    cent.collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .sortBy(_._1)
   }
 
   /** IVF (inverted-file) top-5: the other standard ANN scale path next to
