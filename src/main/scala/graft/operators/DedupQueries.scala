@@ -257,7 +257,12 @@ object DedupQueries extends QueryModule {
     * All-integer arithmetic (character codepoints, modular Horner, integer
     * counts) makes the whole pipeline bit-identical in DuckDB; the only
     * double is the final ratio of two integers. */
-  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsOf(docs(s, d).filter(col("doc_id") < 50))
+
+  /** Same pipeline over any (doc_id, text) frame — separated so specs can
+    * drive it on synthetic documents with hand-checkable overlaps. */
+  private[graft] def winnowPairsOf(docsDf: DataFrame): DataFrame = {
     val K = 8   // k-gram length (chars)
     val W = 4   // winnow window (hashes)
     // Two evaluation traps both avoided here, each measured as a multi-
@@ -282,7 +287,7 @@ object DedupQueries extends QueryModule {
                 hashes -> array_distinct(transform(sequence(0, size(hashes) - $W),
                   q -> array_min(slice(hashes, q + 1, $W))))))))
           ELSE array() END"""
-    val fp = docs(s, d).filter(col("doc_id") < 50)
+    val fp = docsDf
       .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
       .withColumn("fps", expr(fpsExpr))
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))

@@ -48,4 +48,18 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.map(_._1).toSet == Set(5L))
     assert(labels(20L) == ((5L, 4L)))
   }
+
+  test("winnow pairs: duplicates-modulo-whitespace overlap 1.0, unrelated text no pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on rooftops"
+    val docs = Seq(
+      (1L, base),
+      (2L, "  " + base.replace(" ", "   ") + "  "), // same normalized text
+      (3L, "zzz qqq xxx 999 888 777 666 555 444 333 222 111 000 vvv uuu ttt sss"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.DedupQueries.winnowPairsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"identical normalized docs share every fingerprint; doc 3 shares none: ${pairs.toSeq}")
+  }
 }
