@@ -21,14 +21,20 @@ import graft.streaming.StreamingIngest
   */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSessionFactory.create(master = "local[8]",
-      appName = "graft-drive", shufflePartitions = Some(8))
-    spark.sparkContext.setLogLevel("ERROR")
-
     // 0. config tree: defaults overlaid with this run's scratch root
     val root = Files.createTempDirectory("graft-drive").toString
     val cfg = GraftConfig.load(
       overrides = Some(s"""graft { data { base-path = "$root" } }"""))
+    val spark = SparkSessionFactory.create(master = "local[8]",
+      appName = "graft-drive", shufflePartitions = Some(8),
+      fairSchedulerXml =
+        Some(cfg.spark.fairSchedulerFile).filter(f => new java.io.File(f).isFile))
+    spark.sparkContext.setLogLevel("ERROR")
+    // the allocation file really loaded: reference weights on our pools
+    val sched = spark.sparkContext.getPoolForName("streaming")
+    assert(sched.exists(p => p.weight == 3 && p.minShare == 4),
+      s"streaming pool must carry weight 3 / minShare 4: $sched")
+    assert(spark.sparkContext.getPoolForName("batch").exists(_.weight == 1))
     assert(cfg.stream.tableDir == s"$root/stream/transactions",
       s"substitution must chase the overlay: ${cfg.stream.tableDir}")
     val (drop, table, ckpt) =

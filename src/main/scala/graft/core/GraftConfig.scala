@@ -30,7 +30,9 @@ final case class GraftConfig(
 object GraftConfig {
 
   final case class Http(host: String, port: Int)
-  final case class Spark(master: String, checkpointDir: String, shufflePartitions: Int)
+  final case class Spark(
+      master: String, checkpointDir: String, shufflePartitions: Int,
+      fairSchedulerFile: String)
   final case class Stream(dropDir: String, tableDir: String, aggDir: String, triggerSeconds: Int)
   final case class Data(basePath: String, batchBasePath: String, seedPath: String)
   final case class Batch(threadPoolSize: Int, defaultPageSize: Int, maxPageSize: Int, sourcePath: String)
@@ -53,6 +55,7 @@ object GraftConfig {
         master = ${?GRAFT_SPARK_MASTER}
         checkpoint-dir = ${graft.data.base-path}"/checkpoints"
         shuffle-partitions = 32
+        fair-scheduler-file = "conf/fairscheduler.xml"
       }
 
       data {
@@ -93,7 +96,8 @@ object GraftConfig {
       spark = Spark(
         master = resolver.string("graft.spark.master"),
         checkpointDir = resolver.string("graft.spark.checkpoint-dir"),
-        shufflePartitions = resolver.int("graft.spark.shuffle-partitions")),
+        shufflePartitions = resolver.int("graft.spark.shuffle-partitions"),
+        fairSchedulerFile = resolver.string("graft.spark.fair-scheduler-file")),
       stream = Stream(
         dropDir = resolver.string("graft.stream.drop-dir"),
         tableDir = resolver.string("graft.stream.table-dir"),
