@@ -60,6 +60,24 @@ object Drive {
     val nDates = streamed.select("event_date").distinct().count()
     println(s"DRIVE ingest: $n rows in $nDates date partitions (2 waves, 1 checkpoint)")
 
+    // 2b. realtime dashboard: second streaming query over the same drop-dir
+    // source, complete-mode-equivalent snapshot published atomically to the
+    // config tree's agg dir (production would trigger every
+    // cfg.stream.triggerSeconds; the drive drains all-available instead)
+    val dashSrc = StreamingIngest.enrich(spark.readStream
+      .schema(graft.core.Schemas.TransactionSchema).json(drop))
+    val qd = graft.streaming.StreamingDashboard.start(
+      spark, dashSrc, cfg.stream.aggDir, s"${cfg.spark.checkpointDir}/dashboard")
+    qd.processAllAvailable(); qd.stop()
+    val snap = graft.streaming.StreamingDashboard.readLatest(spark, cfg.stream.aggDir)
+    val dashTx = snap.agg(sum(col("txn_count"))).head().getLong(0)
+    val completedOrPending = streamed
+      .filter(col("transaction_status").isin("completed", "pending")).count()
+    // sliding 5m/1m windows: every event lands in exactly 5 windows
+    assert(dashTx == 5 * completedOrPending,
+      s"dashboard snapshot must cover all $completedOrPending events x5 windows, got $dashTx")
+    println(s"DRIVE dashboard: snapshot covers $dashTx window-events at ${cfg.stream.aggDir}")
+
     // 3. batch full_report over the STREAMED table, submitted over HTTP
     val registry = new BatchRegistry
     val svc = new BatchService(spark, registry, cfg.data.batchBasePath,
