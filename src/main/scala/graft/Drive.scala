@@ -84,7 +84,8 @@ object Drive {
       poolSize = cfg.batch.threadPoolSize)
     val api = new HttpApi(spark, svc, registry, sourcePath = table,
       defaultPageSize = cfg.batch.defaultPageSize,
-      maxPageSize = cfg.batch.maxPageSize).start()
+      maxPageSize = cfg.batch.maxPageSize,
+      host = cfg.http.host, bindPort = cfg.http.port).start()
     val client = HttpClient.newHttpClient()
     def get(path: String) = {
       val r = client.send(

@@ -18,13 +18,23 @@ final class BatchRegistry(persistDir: Option[String] = None) {
 
   private val records = new ConcurrentHashMap[String, BatchJobRecord]()
 
-  def put(r: BatchJobRecord): Unit = { records.put(r.batchId, r); persist(r) }
+  def put(r: BatchJobRecord): Unit = { persist(r); records.put(r.batchId, r) }
 
   def get(batchId: String): Option[BatchJobRecord] = Option(records.get(batchId))
 
-  /** Atomic read-modify-write of one record. */
+  /** Atomic read-modify-write of one record.
+    *
+    * Durability ordering: the new record is persisted to disk INSIDE the
+    * remapping function — i.e. BEFORE `computeIfPresent` publishes it to the
+    * in-memory map. A poller that observes an in-memory terminal status is
+    * therefore guaranteed the JSON file is already on disk (atomic
+    * tmp+ATOMIC_MOVE in [[persist]]), so a crash-restart [[recover]] can
+    * never lose a state an observer already saw. The remapping function runs
+    * under the map's bin lock; the write is one small JSON file per
+    * transition, which is an acceptable critical section for a metadata
+    * registry (O(jobs) records, terminal transitions only hit the disk). */
   def update(batchId: String)(f: BatchJobRecord => BatchJobRecord): Option[BatchJobRecord] =
-    Option(records.computeIfPresent(batchId, (_, r) => f(r))).map { r => persist(r); r }
+    Option(records.computeIfPresent(batchId, (_, r) => { val next = f(r); persist(next); next }))
 
   def listAll(limit: Int = Int.MaxValue): Seq[BatchJobRecord] =
     records.values().asScala.toSeq.sortBy(-_.submittedAt).take(limit)
@@ -54,7 +64,15 @@ final class BatchRegistry(persistDir: Option[String] = None) {
             |"rawPath":"${esc(r.rawPath.getOrElse(""))}",
             |"aggregatedPath":"${esc(r.aggregatedPath.getOrElse(""))}",
             |"error":"${esc(r.error.getOrElse(""))}"}""".stripMargin.replaceAll("\n", "")
-      java.nio.file.Files.writeString(p.resolve(s"${r.batchId}.json"), json)
+      // Crash-safe publish: write the full record to a temp file, then
+      // ATOMIC_MOVE over the final name — a reader (or a recover() after a
+      // crash mid-write) sees either the complete old JSON or the complete
+      // new JSON, never a truncated file.
+      val tmp = java.nio.file.Files.createTempFile(p, s".${r.batchId}", ".tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, p.resolve(s"${r.batchId}.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -64,30 +82,34 @@ final class BatchRegistry(persistDir: Option[String] = None) {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) 0
     else {
+      // Orphaned .tmp files (crash between createTempFile and ATOMIC_MOVE)
+      // are ignored; the published *.json files are complete by construction.
       val files = java.nio.file.Files.list(p).iterator().asScala
         .filter(_.toString.endsWith(".json")).toSeq
-      files.foreach { f =>
-        val txt = java.nio.file.Files.readString(f)
-        def field(k: String): Option[String] =
-          s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        def num(k: String): Option[Long] =
-          s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        for {
-          id <- field("batchId")
-          st <- field("status")
-        } records.putIfAbsent(id, BatchJobRecord(
-          batchId = id,
-          request = BatchRequest(
-            field("startDate").getOrElse(""), field("endDate").getOrElse(""),
-            field("analysisType").getOrElse("")),
-          status = BatchStatus.withName(st),
-          submittedAt = num("submittedAt").getOrElse(0L),
-          rowCount = num("rowCount").filter(_ >= 0),
-          rawPath = field("rawPath").filter(_.nonEmpty),
-          aggregatedPath = field("aggregatedPath").filter(_.nonEmpty),
-          error = field("error").filter(_.nonEmpty)))
+      val loaded = files.count { f =>
+        scala.util.Try {
+          val txt = java.nio.file.Files.readString(f)
+          def field(k: String): Option[String] =
+            s""""$k":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+          def num(k: String): Option[Long] =
+            s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          (for {
+            id <- field("batchId")
+            st <- field("status")
+          } yield records.putIfAbsent(id, BatchJobRecord(
+            batchId = id,
+            request = BatchRequest(
+              field("startDate").getOrElse(""), field("endDate").getOrElse(""),
+              field("analysisType").getOrElse("")),
+            status = BatchStatus.withName(st),
+            submittedAt = num("submittedAt").getOrElse(0L),
+            rowCount = num("rowCount").filter(_ >= 0),
+            rawPath = field("rawPath").filter(_.nonEmpty),
+            aggregatedPath = field("aggregatedPath").filter(_.nonEmpty),
+            error = field("error").filter(_.nonEmpty)))).isDefined
+        }.getOrElse(false) // truncated/malformed file: skip, don't abort recovery
       }
-      files.size
+      loaded
     }
   }.getOrElse(0)
 }

@@ -83,16 +83,23 @@ final class BatchService(
       val rawPath = s"$outputRoot/$batchId/raw"
       val aggPath = s"$outputRoot/$batchId/aggregated"
 
-      // Observation: row count rides along with the snapshot write — no 2nd scan
+      // Observation: row count rides along with the snapshot write — no 2nd
+      // scan. The write lands in a temp dir and is swapped in atomically, so
+      // a reader of a batch being RE-run sees complete-old or complete-new,
+      // never a half-written directory (the Delta-ACID substitute).
       val obs = org.apache.spark.sql.Observation(s"batch_metrics_$batchId")
-      filtered.observe(obs, count(lit(1)).as("rows"))
-        .write.partitionBy("category").mode("overwrite").parquet(rawPath)
+      graft.core.AtomicWrite.publish(spark, rawPath) { tmp =>
+        filtered.observe(obs, count(lit(1)).as("rows"))
+          .write.partitionBy("category").mode("overwrite").parquet(tmp)
+      }
       val rowCount = obs.get("rows").asInstanceOf[Long]
 
       // aggregations read the pruned snapshot, not the source
       val snapshot = spark.read.parquet(rawPath)
       Analytics.runAnalysis(snapshot, req.analysisType).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$aggPath/$name")
+        graft.core.AtomicWrite.publish(spark, s"$aggPath/$name") { tmp =>
+          df.write.mode("overwrite").parquet(tmp)
+        }
       }
 
       registry.update(batchId)(_.copy(
@@ -146,6 +153,22 @@ final class BatchService(
       val base = spark.read.parquet(r.rawPath.get)
       val page = afterKey.fold(base)(k => base.filter(col("transaction_id") > k))
       Right(page.orderBy(col("transaction_id")).limit(eff))
+    }
+
+  /** One page of an aggregated result, executed distributed — never a full
+    * driver collect. Ordered by ALL output columns (group keys lead in every
+    * analysis and are unique per row, so this is a stable total order) and
+    * planned as a single `TakeOrderedAndProject(limit=offset+eff,
+    * offset=offset)`. Matters because aggregates are NOT always small:
+    * `customer_segmentation` is per-customer — hundreds of millions of rows
+    * at 100 TB — so the serving path must have the same shape as
+    * [[readData]]. */
+  def readAggregatedPage(
+      batchId: String, analysis: String, offset: Int, limit: Int,
+      maxPageSize: Int = 10000): Either[String, DataFrame] =
+    readAggregated(batchId, analysis).map { df =>
+      val eff = math.min(limit, maxPageSize)
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*).offset(offset).limit(eff)
     }
 
   /** Aggregated result for one analysis of a completed batch. */

@@ -45,8 +45,13 @@ object GraftConfig {
       app-name = "GraftAnalyticsEngine"
 
       http {
-        host = "0.0.0.0"
-        port = 8080
+        # Loopback by default: the facade serves unauthenticated control
+        # routes (POST /stop) — widen to 0.0.0.0 only behind a gateway.
+        host = "127.0.0.1"
+        host = ${?GRAFT_HTTP_HOST}
+        # 0 = ephemeral bind (parallel-safe for tests/e2e); set a fixed port
+        # for deployments.
+        port = 0
         port = ${?GRAFT_HTTP_PORT}
       }
 
@@ -237,7 +242,10 @@ object GraftConfig {
         effective.map {
           case Lit(s)       => s
           case Ref(path)    => resolve(path)
-          case EnvRef(name) => env(name)
+          // HOCON drops an unset ${?ENV} from a concatenation (renders as
+          // ""); only a whole-value unset ref voids the assignment (handled
+          // by the `effective` selection above).
+          case EnvRef(name) => env.getOrElse(name, "")
         }.mkString
       } finally resolving -= key
     })

@@ -36,8 +36,9 @@ import graft.streaming.QueryLifecycle
   * snapshot on the driver per request (`toJSON.collect()`,
   * BatchRoutes.scala:149,221), which dies at 100 TB. `rowCount` comes from
   * the job record (captured by `observe()` at write time), never a
-  * re-count. Aggregated pages do collect the (small, bounded-cardinality)
-  * aggregate frame — same bound the reference relies on.
+  * re-count. Aggregated pages go through the same distributed page shape
+  * (`BatchService.readAggregatedPage`) — per-customer aggregates are NOT
+  * bounded at 100 TB, so they are never fully collected either.
   */
 final class HttpApi(
     spark: SparkSession,
@@ -47,11 +48,16 @@ final class HttpApi(
     mkStreams: () => Seq[StreamingQuery] = () => Nil,
     onStop: () => Unit = () => (),
     defaultPageSize: Int = 100,
-    maxPageSize: Int = 10000) {
+    maxPageSize: Int = 10000,
+    host: String = "127.0.0.1",
+    bindPort: Int = 0) {
 
   private val lifecycle = new QueryLifecycle
   private val startTime = Instant.now()
-  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  // Loopback by default: the facade exposes unauthenticated control routes
+  // (POST /stop), so it must not bind the wildcard interface unless a
+  // deployment explicitly configures a host (GraftConfig.http).
+  private val server = HttpServer.create(new InetSocketAddress(host, bindPort), 0)
   server.setExecutor(Executors.newFixedThreadPool(8, r => {
     val t = new Thread(r, "http-api"); t.setDaemon(true); t
   }))
@@ -131,30 +137,35 @@ final class HttpApi(
   private def batchData(ex: HttpExchange, id: String): Unit =
     withCompleted(ex, id) { rec =>
       val (limit, offset) = pageParams(ex)
-      val total = rec.rowCount.getOrElse(0L)
+      // rowCount can be absent (e.g. a record recovered from a pre-observe()
+      // registry file) — then it is OMITTED from the envelope and hasMore
+      // falls back to the keyset convention (full page ⇒ maybe more), rather
+      // than lying with rowCount:0 / hasMore:false on a non-empty page.
+      val rowCountField =
+        rec.rowCount.map(t => "rowCount" -> (JNum(BigDecimal(t)): JVal)).toVector
       query(ex).get("after") match {
         case after @ Some(_) =>
           val page = service.readDataAfter(id, after, limit, maxPageSize)
             .fold(m => throw new IllegalStateException(m), identity)
           val rows = page.toJSON.collect().toVector.map(Json.parse)
           val nextAfter = rows.lastOption.map(_.asObj("transaction_id").str)
-          reply(ex, 200, JObj.of(
+          reply(ex, 200, JObj(Vector[(String, JVal)](
             "batchId" -> JStr(id),
-            "status" -> JStr("COMPLETED"),
-            "rowCount" -> JNum(BigDecimal(total)),
+            "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
             "page" -> JObj(pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
               nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
-            "data" -> JArr(rows)))
+            "data" -> JArr(rows))))
         case None =>
           val page = service.readData(id, offset, limit, maxPageSize)
             .fold(m => throw new IllegalStateException(m), identity)
           val rows = page.toJSON.collect().toVector.map(Json.parse)
-          reply(ex, 200, JObj.of(
+          val hasMore = rec.rowCount
+            .map(t => offset + limit < t).getOrElse(rows.length == limit)
+          reply(ex, 200, JObj(Vector[(String, JVal)](
             "batchId" -> JStr(id),
-            "status" -> JStr("COMPLETED"),
-            "rowCount" -> JNum(BigDecimal(total)),
-            "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < total),
-            "data" -> JArr(rows)))
+            "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
+            "page" -> pageEnvelope(limit, offset, rows.length, hasMore),
+            "data" -> JArr(rows))))
       }
     }
 
@@ -162,20 +173,37 @@ final class HttpApi(
     withCompleted(ex, id) { rec =>
       val (limit, offset) = pageParams(ex)
       val analysis = query(ex).getOrElse("analysis", rec.request.analysisType)
-      service.readAggregated(id, analysis) match {
+      // Distributed page, NOT a full collect: aggregates are not always
+      // small (customer_segmentation is per-customer — hundreds of millions
+      // of rows at 100 TB), so this serves through the same
+      // TakeOrderedAndProject shape as the raw-data path.
+      service.readAggregatedPage(id, analysis, offset, limit, maxPageSize) match {
         case Left(msg) => reply(ex, 404, err("ANALYSIS_NOT_FOUND", msg))
         case Right(df) =>
-          // Aggregates have bounded cardinality (grouped rollups), so a
-          // driver-side page slice is safe — unlike raw data pages.
-          val all = df.toJSON.collect().toVector
-          val rows = all.slice(offset, offset + limit).map(Json.parse)
+          val rows = presentationRounded(df).toJSON.collect().toVector.map(Json.parse)
           reply(ex, 200, JObj.of(
             "batchId" -> JStr(id),
             "analysisType" -> JStr(analysis),
-            "page" -> pageEnvelope(limit, offset, rows.length, offset + limit < all.length),
+            "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),
             "data" -> JArr(rows)))
       }
     }
+
+  /** Presentation rounding, applied at the serialization boundary ONLY (the
+    * stored/oracle-checked internals stay unrounded — Analytics.scala:21-24):
+    * the reference rounds these derived ratios for display
+    * (ref AnalysisAggregator.scala:114 share 2dp, :216 fraud rate 4dp,
+    * :282 daily velocity 2dp). */
+  private val presentationScale: Map[String, Int] =
+    Map("revenue_share_pct" -> 2, "fraud_rate_pct" -> 4, "daily_velocity" -> 2)
+
+  private def presentationRounded(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    presentationScale.foldLeft(df) { case (d, (c, scale)) =>
+      if (d.columns.contains(c)) d.withColumn(c, round(col(c), scale)) else d
+    }
+  }
 
   private def batchList(ex: HttpExchange): Unit = {
     val q = query(ex)
@@ -303,11 +331,13 @@ final class HttpApi(
       "returned" -> JNum(BigDecimal(returned)),
       "hasMore" -> JBool(hasMore))
 
+  /** Negative params are clamped to 0 rather than flowing into
+    * `Dataset.limit/offset` (which throw → opaque 500s). */
   private def pageParams(ex: HttpExchange): (Int, Int) = {
     val q = query(ex)
-    val limit = math.min(
-      q.get("limit").flatMap(_.toIntOption).getOrElse(defaultPageSize), maxPageSize)
-    val offset = q.get("offset").flatMap(_.toIntOption).getOrElse(0)
+    val limit = math.max(0, math.min(
+      q.get("limit").flatMap(_.toIntOption).getOrElse(defaultPageSize), maxPageSize))
+    val offset = math.max(0, q.get("offset").flatMap(_.toIntOption).getOrElse(0))
     (limit, offset)
   }
 

@@ -165,10 +165,24 @@ object SimilarityQueries extends QueryModule {
     * ~50 KB at sf0.1), unlike the corpus, which is never collected or
     * cached. Deterministic k-means ⇒ the memo cannot change any answer.
     * Weak session keys so a restarted session in a long-lived JVM is not
-    * pinned. */
+    * pinned.
+    *
+    * INVARIANT: the corpus under a memoized `dir` is immutable for the
+    * session — a rewrite-in-place would re-scan new vectors against stale
+    * centroids. Callers that rewrite a corpus dir must call
+    * [[invalidateCodebook]] (or use a fresh dir, the normal
+    * immutable-snapshot layout at scale). */
   private val codebooks =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, Map[String, Seq[(Long, Seq[Long])]]]())
+
+  /** Drop the trained codebook for `dir` (all dirs if None) so the next IVF
+    * query retrains against the current corpus contents. */
+  def invalidateCodebook(s: SparkSession, dir: Option[String] = None): Unit =
+    codebooks.synchronized {
+      val m = Option(codebooks.get(s)).getOrElse(Map.empty)
+      codebooks.put(s, dir.fold(Map.empty[String, Seq[(Long, Seq[Long])]])(m - _))
+    }
 
   private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
     val rows = codebooks.synchronized {

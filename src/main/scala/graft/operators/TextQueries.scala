@@ -157,7 +157,11 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val total = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    // N = plain document count — taken from the raw table, NOT from a second
+    // docs() pipeline, which would re-run the tokenize+repartition stage
+    // (the whole corpus scanned twice). A bare count over parquet is served
+    // from footer row counts; tokenization happens exactly once (in `tf`).
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score"), col("term"))
     tf.filter(col("doc_id") < 30)

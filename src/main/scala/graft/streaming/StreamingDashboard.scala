@@ -18,17 +18,12 @@ import graft.operators.Analytics
   */
 object StreamingDashboard {
 
-  /** Overwrite-publish one micro-batch result atomically under target. */
-  private[streaming] def publish(df: DataFrame, target: String): Unit = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(target, "_tmp")
-    val live = new org.apache.hadoop.fs.Path(target, "data")
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(live, true)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"atomic publish failed: $tmp -> $live")
-  }
+  /** Overwrite-publish one micro-batch result atomically under target
+    * (shared swap mechanics: [[graft.core.AtomicWrite]]). */
+  private[streaming] def publish(df: DataFrame, target: String): Unit =
+    graft.core.AtomicWrite.publish(df.sparkSession, s"$target/data") { tmp =>
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
 
   def start(
       spark: SparkSession,

@@ -145,6 +145,74 @@ class BatchSpec extends SparkSpec {
     assert(svc.readData("nope", 0, 10).isLeft)
   }
 
+  test("atomic publish: a failed rewrite never corrupts the live directory") {
+    import graft.core.AtomicWrite
+    val target = Files.createTempDirectory("atomic").toString + "/out"
+    val v1 = df(spark, (1 to 5).map(i => row(id = s"a$i")): _*)
+    AtomicWrite.publish(spark, target)(tmp => v1.write.parquet(tmp))
+    assert(spark.read.parquet(target).count() == 5)
+
+    // a rewrite that dies mid-write must leave the old tree fully readable —
+    // the old overwrite-in-place would have deleted it before the crash
+    intercept[RuntimeException] {
+      AtomicWrite.publish(spark, target) { tmp =>
+        df(spark, row(id = "b1")).write.parquet(tmp) // partial new data exists
+        throw new RuntimeException("boom mid-publish")
+      }
+    }
+    val after = spark.read.parquet(target)
+    assert(after.count() == 5)
+    assert(after.select("transaction_id").collect().map(_.getString(0)).toSet ==
+      (1 to 5).map(i => s"a$i").toSet)
+    // failure leaves no temp debris next to the target
+    assert(!new java.io.File(target).getParentFile.list().exists(_.startsWith(".tmp-")))
+
+    // a successful rewrite swaps to exactly the new tree
+    AtomicWrite.publish(spark, target)(tmp =>
+      df(spark, row(id = "b1"), row(id = "b2")).write.parquet(tmp))
+    assert(spark.read.parquet(target)
+      .select("transaction_id").collect().map(_.getString(0)).toSet == Set("b1", "b2"))
+    assert(!new java.io.File(target).getParentFile.list()
+      .exists(n => n.startsWith(".tmp-") || n.startsWith(".old-")))
+  }
+
+  test("aggregated pages execute distributed (TakeOrderedAndProject, no collect)") {
+    val (svc, _) = newService()
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "customer_segmentation"))
+    await(svc.status(id).get.status == BatchStatus.Completed)
+    val full = svc.readAggregated(id, "customer_segmentation").toOption.get
+    val n = full.count().toInt
+    assert(n == 20) // one row per fixture customer — per-entity, NOT bounded at scale
+    // page walk is ordered, non-overlapping, exhaustive
+    val pages = (0 until n by 7).map { off =>
+      svc.readAggregatedPage(id, "customer_segmentation", off, 7).toOption.get
+        .select("customer_id").collect().map(_.getString(0)).toSeq
+    }
+    val walked = pages.flatten
+    assert(walked.size == n && walked.distinct.size == n && walked == walked.sorted)
+    // plan hygiene: distributed top-k, never a global window or 1-partition sort
+    val plan = svc.readAggregatedPage(id, "customer_segmentation", 7, 7)
+      .toOption.get.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
+  }
+
+  test("recover() skips truncated registry files and orphaned tmps") {
+    val dir = Files.createTempDirectory("regbad")
+    Files.writeString(dir.resolve("bad.json"), """{"batchId":"x","status":"Comp""")
+    Files.writeString(dir.resolve(".b-orphan.tmp"), "garbage from a crash mid-write")
+    val reg = new BatchRegistry(Some(dir.toString))
+    reg.put(BatchJobRecord("b-ok",
+      BatchRequest("2026-01-01", "2026-01-02", "revenue_by_category"),
+      BatchStatus.Completed, 1L, rowCount = Some(5), rawPath = Some("/x")))
+    val reg2 = new BatchRegistry(Some(dir.toString))
+    assert(reg2.recover() == 1) // the good record, and only it
+    assert(reg2.get("b-ok").exists(r =>
+      r.status == BatchStatus.Completed && r.rowCount.contains(5L)))
+  }
+
   test("registry persists terminal records and recovers after restart") {
     val persist = Files.createTempDirectory("reg").toString
     val (svc, _) = newService(Some(persist))

@@ -12,7 +12,8 @@ class ConfigSpec extends AnyFunSuite {
   test("defaults load with reference values and resolved substitutions") {
     val cfg = GraftConfig.load(env = Map.empty)
     assert(cfg.appName == "GraftAnalyticsEngine")
-    assert(cfg.http.port == 8080)
+    assert(cfg.http.host == "127.0.0.1" && cfg.http.port == 0) // loopback + ephemeral
+    assert(GraftConfig.load(env = Map("GRAFT_HTTP_PORT" -> "8080")).http.port == 8080)
     assert(cfg.batch.threadPoolSize == 8)
     assert(cfg.batch.defaultPageSize == 100 && cfg.batch.maxPageSize == 10000)
     // ${graft.data.base-path}"/…" concatenation chains
@@ -45,6 +46,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.batch.threadPoolSize == 4)
     assert(cfg.data.batchBasePath == "/srv/graft/batches")
     assert(cfg.batch.defaultPageSize == 100) // untouched default survives
+  }
+
+  test("unset env ref inside a concatenation drops out (HOCON semantics)") {
+    val cfg = GraftConfig.load(
+      Some("""graft { data { base-path = ${?GRAFT_DEFINITELY_UNSET}"x/y" } }"""),
+      env = Map.empty)
+    assert(cfg.data.basePath == "x/y")
+    // and a set one concatenates
+    val set = GraftConfig.load(
+      Some("""graft { data { base-path = ${?GRAFT_PFX}"/y" } }"""),
+      env = Map("GRAFT_PFX" -> "/mnt"))
+    assert(set.data.basePath == "/mnt/y")
   }
 
   test("substitution cycles are detected, not stack-overflowed") {

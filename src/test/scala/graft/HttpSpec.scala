@@ -165,6 +165,59 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("aggregated endpoint: distributed pages, presentation rounding, clamped params") {
+    // three payment methods with equal revenue → exact share is 33.333…%;
+    // the HTTP boundary must render the reference's 2dp presentation
+    // (ref AnalysisAggregator.scala:114) while internals stay unrounded.
+    val src = Files.createTempDirectory("httppay").toString
+    val rows = (1 to 9).map { i =>
+      row(id = f"p$i%02d", customerId = s"C${i % 3}",
+        paymentMethod = Seq("credit_card", "upi", "wallet")(i % 3),
+        totalAmount = 10.0,
+        eventTs = ts("2026-03-05 09:00:00"))
+    }
+    df(spark, rows: _*)
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .write.mode("overwrite").parquet(src)
+    val reg = new BatchRegistry(None)
+    val svc = new BatchService(spark, reg, Files.createTempDirectory("httppayb").toString)
+    val api = new HttpApi(spark, svc, reg, src).start()
+    try {
+      val (c, b) = post(api.port, "/batch/run",
+        """{"startDate":"2026-03-01","endDate":"2026-03-09","analysisType":"payment_analysis"}""")
+      assert(c == 202, s"$c $b")
+      val id = b.asObj("batchId").str
+      await(get(api.port, s"/batch/status/$id")._2.asObj("status").str == "COMPLETED")
+
+      val (ac, ab) = get(api.port, s"/batch/data/$id/aggregated")
+      assert(ac == 200)
+      val data = ab.asObj("data") match { case JArr(items) => items; case _ => fail() }
+      assert(data.length == 3)
+      val shares = data.map(_.asObj("revenue_share_pct") match {
+        case JNum(n) => n; case other => fail(s"non-numeric share: $other")
+      })
+      // every rendered share is exactly 33.33 — 2dp, not 33.33333…
+      assert(shares.forall(_ == BigDecimal("33.33")), s"shares not 2dp-rounded: $shares")
+      // …while the stored aggregate keeps the unrounded double
+      val stored = svc.readAggregated(id, "payment_analysis").toOption.get
+        .select("revenue_share_pct").collect().map(_.getDouble(0))
+      assert(stored.forall(s => math.abs(s - 100.0 / 3) < 1e-9), stored.mkString(","))
+
+      // aggregated paging over HTTP: limit=2 pages walk all 3 groups in order
+      val (p1c, p1b) = get(api.port, s"/batch/data/$id/aggregated?limit=2&offset=0")
+      val (p2c, p2b) = get(api.port, s"/batch/data/$id/aggregated?limit=2&offset=2")
+      assert(p1c == 200 && p2c == 200)
+      def methods(v: JVal) = (v.asObj("data") match { case JArr(i) => i; case _ => fail() })
+        .map(_.asObj("payment_method").str)
+      assert(p1b.asObj("page").asObj("hasMore") == JBool(true))
+      assert((methods(p1b) ++ methods(p2b)).sorted == Seq("credit_card", "upi", "wallet"))
+
+      // negative paging params are clamped, not 500s
+      val (nc, _) = get(api.port, s"/batch/data/$id?limit=-1&offset=-5")
+      assert(nc == 200)
+    } finally api.stop()
+  }
+
   test("stream lifecycle: start, 409 on double-start, status, stop") {
     val api = newApi()
     try {
