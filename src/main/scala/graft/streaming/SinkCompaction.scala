@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for the streaming Parquet file sink — the scheduled
+  * maintenance op the reference specs as OPTIMIZE/VACUUM over its Delta sink
+  * (ref AGENTS.md:1162-1171; unimplemented there). A long-running ingest
+  * appends one file per micro-batch per partition; this job rewrites each
+  * partition's visible files into size-targeted larger ones and rewrites the
+  * sink's `_spark_metadata` commit log to match, so readers that resolve the
+  * table through the log (`spark.read.parquet(table)` — exactly the batch
+  * side's path) keep exactly-once visibility across the rewrite.
+  *
+  * Log surgery, not log bypass: the file sink's commit log (versioned files
+  * `0,1,…,N[.compact]`, header `v1`, one JSON file-status line per visible
+  * file) is both the readers' file index AND the sink's exactly-once ledger
+  * (on restart the sink skips any batch id ≤ the log's latest). The rewrite
+  * therefore preserves the latest batch id N exactly: the full compacted
+  * file list lands in the one log version the reader scan starts from (the
+  * arithmetic compact boundary for N, or version 0 when N predates the first
+  * boundary), every other version in scan range becomes a header-only stub,
+  * and the new log directory is swapped in atomically. A restarted ingest
+  * resumes at batch N+1 — no skipped data, no replays, old small files are
+  * deleted only after the swap.
+  *
+  * CONTRACT: run while the ingest query on this table is STOPPED (it is a
+  * maintenance op, exactly like the reference's scheduled OPTIMIZE). Readers
+  * racing the metadata swap may transiently fail planning (dir-missing
+  * instant) — retryable, never a partial/duplicate view.
+  *
+  * At 100 TB: each partition rewrite is a distributed read+write bounded by
+  * `targetBytes`; partitions are processed independently so a scheduler can
+  * shard them; the log rewrite is O(files) driver metadata, not data.
+  */
+object SinkCompaction {
+
+  final case class Report(
+      partitionsCompacted: Int,
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesRewritten: Long)
+
+  private final case class Entry(path: String, size: Long, line: String)
+
+  /** Compact every partition of `tablePath` whose visible file count exceeds
+    * `minFilesToCompact`, targeting `targetBytes` per output file.
+    *
+    * `compactInterval` must equal the writer's
+    * `spark.sql.streaming.fileSink.log.compactInterval` (Spark default 10) —
+    * the log's compact-boundary arithmetic depends on it. */
+  def compact(
+      spark: SparkSession,
+      tablePath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 2,
+      compactInterval: Int = 10): Report = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tablePath, "_spark_metadata")
+    val fs = logDir.getFileSystem(conf)
+    require(fs.isDirectory(logDir),
+      s"$tablePath has no _spark_metadata commit log — not a streaming file-sink table")
+
+    // ---- 1. read the log: latest batch id + currently visible files
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d+(\\.compact)?"))
+      .map(n => (n.stripSuffix(".compact").toLong, n.endsWith(".compact")))
+    require(versions.nonEmpty, s"empty commit log at $logDir")
+    val latestId = versions.map(_._1).max
+    // reader scan range: latest arithmetic compact boundary ≤ latestId, else 0
+    val boundary = ((latestId + 1) / compactInterval) * compactInterval - 1
+    val scanFrom = if (boundary >= 0 && versions.exists(v => v._1 == boundary && v._2)) boundary else 0L
+    val entries = (scanFrom to latestId).flatMap { v =>
+      val isCompact = v == scanFrom && versions.exists(x => x._1 == v && x._2)
+      val p = new Path(logDir, if (isCompact) s"$v.compact" else v.toString)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.linesIterator.filter(l => l.startsWith("{") && l.contains("\"action\":\"add\""))
+          .map { l =>
+            def f(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1))
+            def n(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+            Entry(f("path").get, n("size").getOrElse(0L), l)
+          }.toSeq
+      }
+    }
+
+    // ---- 2. group by partition directory; rewrite the crowded ones
+    val byDir = entries.groupBy(e => new Path(new java.net.URI(e.path)).getParent)
+    var rewritten = Vector.empty[Entry]
+    var kept = Vector.empty[Entry]
+    var partitions = 0
+    var bytes = 0L
+    byDir.foreach { case (dir, es) =>
+      if (es.size < minFilesToCompact) kept ++= es
+      else {
+        partitions += 1
+        bytes += es.map(_.size).sum
+        val nOut = math.max(1, math.ceil(es.map(_.size).sum.toDouble / targetBytes).toInt)
+        // read ONLY this partition's visible files (content schema excludes
+        // the partition column — preserved as-is on rewrite)
+        val df = spark.read.parquet(es.map(_.path): _*)
+        val tmpOut = new Path(dir, s".compact-${java.util.UUID.randomUUID.toString.take(8)}")
+        df.coalesce(nOut).write.parquet(tmpOut.toString)
+        val parts = fs.listStatus(tmpOut)
+          .filter(s => s.getPath.getName.startsWith("part-"))
+        rewritten ++= parts.zipWithIndex.map { case (s, i) =>
+          val dest = new Path(dir,
+            f"part-$i%05d-${java.util.UUID.randomUUID}-compacted.snappy.parquet")
+          if (!fs.rename(s.getPath, dest))
+            throw new java.io.IOException(s"compaction: failed to place $dest")
+          val st = fs.getFileStatus(dest)
+          Entry(dest.toUri.toString, st.getLen, statusJson(dest, st.getLen, st.getModificationTime))
+        }
+        fs.delete(tmpOut, true)
+      }
+    }
+
+    // ---- 3. build the replacement log off to the side, then swap
+    val newLog = new Path(tablePath, s".tmp-_spark_metadata-${java.util.UUID.randomUUID.toString.take(8)}")
+    fs.mkdirs(newLog)
+    val carrier = if (boundary >= 0) boundary else 0L
+    val carrierName = if (boundary >= 0) s"$carrier.compact" else "0"
+    write(fs, new Path(newLog, carrierName),
+      ("v1" +: (kept ++ rewritten).map(_.line)).mkString("\n"))
+    ((carrier + 1) to latestId).foreach { v =>
+      write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
+    }
+    val oldLog = new Path(tablePath, s".old-_spark_metadata-${java.util.UUID.randomUUID.toString.take(8)}")
+    if (!fs.rename(logDir, oldLog))
+      throw new java.io.IOException(s"compaction: failed to retire $logDir")
+    if (!fs.rename(newLog, logDir))
+      throw new java.io.IOException(s"compaction: failed to install $newLog")
+    fs.delete(oldLog, true)
+
+    // ---- 4. old small files are no longer referenced — remove them
+    val replaced = entries.toSet -- kept.toSet
+    replaced.foreach(e => fs.delete(new Path(new java.net.URI(e.path)), false))
+
+    Report(partitions, entries.size, kept.size + rewritten.size, bytes)
+  }
+
+  private def statusJson(p: Path, size: Long, modTime: Long): String =
+    s"""{"path":"${p.toUri}","size":$size,"isDir":false,"modificationTime":$modTime,""" +
+      s""""blockReplication":1,"blockSize":33554432,"action":"add"}"""
+
+  private def write(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+}

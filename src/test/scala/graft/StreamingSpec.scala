@@ -56,6 +56,53 @@ class StreamingSpec extends SparkSpec {
     assert(read2.select("transaction_id").distinct().count() == 3)
   }
 
+  test("sink compaction: fewer files, identical rows, checkpoint-resume intact") {
+    val (drop, table, ckpt) = (tmp("cdrop"), tmp("ctable"), tmp("cckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+    def tx(id: String, ts: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"$ts","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+
+    // 6 drop files × maxFilesPerTrigger=1 → 6 micro-batches, each appending
+    // one small file to each of the two date partitions
+    (1 to 6).foreach { b =>
+      writeFile(s"w$b.json", Seq(
+        tx(s"t${b}a", "2026-02-01 10:00:00"), tx(s"t${b}b", "2026-02-02 11:00:00")))
+    }
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q1.processAllAvailable(); q1.stop()
+
+    def partFiles(): Seq[String] =
+      new java.io.File(table).listFiles().filter(_.getName.startsWith("event_date="))
+        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    def idSet(): Set[String] = StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+
+    val before = idSet()
+    assert(before.size == 12 && partFiles().size == 12)
+
+    val report = SinkCompaction.compact(spark, table, minFilesToCompact = 2)
+    assert(report.partitionsCompacted == 2 && report.filesBefore == 12)
+    assert(partFiles().size == 2, s"expected 1 file per partition: ${partFiles()}")
+    // readers still resolve through the commit log and see the same rows
+    assert(idSet() == before)
+    assert(StreamingIngest.readTable(spark, table)
+      .select("event_date").distinct().count() == 2)
+
+    // the batch-id ledger survived: resume on the same checkpoint, new wave
+    // lands exactly once on top of the compacted table
+    writeFile("w7.json", Seq(tx("t7a", "2026-02-01 12:00:00")))
+    val q2 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    val after = idSet()
+    assert(after == before + "t7a", s"resume must append exactly t7a: $after")
+  }
+
   test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
