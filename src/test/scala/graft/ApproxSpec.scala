@@ -34,6 +34,18 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.02, s"approx median $a vs exact $e")
   }
 
+  test("LSH OR-amplification reaches recall ≥0.9 on separable embeddings") {
+    // on the near-random corpus recall floors at ~0.62 (method-limited);
+    // the clustered mixture corpus is where the 1-(1-r)^L curve must climb
+    val r = graft.operators.SimilarityQueries.clusteredRecall(spark, dir)
+      .agg(avg("recall_l1").as("l1"), avg("recall_l4").as("l4"), avg("recall_l8").as("l8"))
+      .head()
+    val (l1, l4, l8) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(l1 <= l4 && l4 <= l8, s"amplification must be monotonic: $l1 $l4 $l8")
+    assert(l8 >= 0.9, s"8-table recall@5 on separable data should be ≥0.9, got $l8")
+    assert(l8 - l1 > 0.05, s"amplification should visibly lift recall: $l1 -> $l8")
+  }
+
   test("deterministic seeded sample: stable fraction, reproducible rows") {
     val li = Tables.lineitem(spark, dir)
     val s1 = li.sample(withReplacement = false, 0.1, seed = 7)
