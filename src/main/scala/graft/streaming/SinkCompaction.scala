@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Small-file compaction for the streaming Parquet file sink — the scheduled
-  * maintenance op the reference specs as OPTIMIZE/VACUUM over its Delta sink
+/** Small-file [[compact]]ion and orphan-file [[vacuum]] for the streaming
+  * Parquet file sink — the scheduled maintenance ops the reference specs as
+  * OPTIMIZE/VACUUM over its Delta sink
   * (ref AGENTS.md:1162-1171; unimplemented there). A long-running ingest
   * appends one file per micro-batch per partition; this job rewrites each
   * partition's visible files into size-targeted larger ones and rewrites the
@@ -58,33 +59,9 @@ object SinkCompaction {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(tablePath, "_spark_metadata")
     val fs = logDir.getFileSystem(conf)
-    require(fs.isDirectory(logDir),
-      s"$tablePath has no _spark_metadata commit log — not a streaming file-sink table")
 
     // ---- 1. read the log: latest batch id + currently visible files
-    val versions = fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("\\d+(\\.compact)?"))
-      .map(n => (n.stripSuffix(".compact").toLong, n.endsWith(".compact")))
-    require(versions.nonEmpty, s"empty commit log at $logDir")
-    val latestId = versions.map(_._1).max
-    // reader scan range: latest arithmetic compact boundary ≤ latestId, else 0
-    val boundary = ((latestId + 1) / compactInterval) * compactInterval - 1
-    val scanFrom = if (boundary >= 0 && versions.exists(v => v._1 == boundary && v._2)) boundary else 0L
-    val entries = (scanFrom to latestId).flatMap { v =>
-      val isCompact = v == scanFrom && versions.exists(x => x._1 == v && x._2)
-      val p = new Path(logDir, if (isCompact) s"$v.compact" else v.toString)
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val in = fs.open(p)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        txt.linesIterator.filter(l => l.startsWith("{") && l.contains("\"action\":\"add\""))
-          .map { l =>
-            def f(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1))
-            def n(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
-            Entry(f("path").get, n("size").getOrElse(0L), l)
-          }.toSeq
-      }
-    }
+    val (latestId, boundary, entries) = readLog(fs, logDir, compactInterval)
 
     // ---- 2. group by partition directory; rewrite the crowded ones
     val byDir = entries.groupBy(e => new Path(new java.net.URI(e.path)).getParent)
@@ -139,6 +116,81 @@ object SinkCompaction {
     replaced.foreach(e => fs.delete(new Path(new java.net.URI(e.path)), false))
 
     Report(partitions, entries.size, kept.size + rewritten.size, bytes)
+  }
+
+  /** (latest batch id, arithmetic compact boundary for it, visible files) —
+    * exactly the resolution a reader's `MetadataLogFileIndex` performs. */
+  private def readLog(
+      fs: FileSystem, logDir: Path, compactInterval: Int): (Long, Long, Seq[Entry]) = {
+    require(fs.isDirectory(logDir),
+      s"${logDir.getParent} has no _spark_metadata commit log — not a streaming file-sink table")
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d+(\\.compact)?"))
+      .map(n => (n.stripSuffix(".compact").toLong, n.endsWith(".compact")))
+    require(versions.nonEmpty, s"empty commit log at $logDir")
+    val latestId = versions.map(_._1).max
+    // reader scan range: latest arithmetic compact boundary ≤ latestId, else 0
+    val boundary = ((latestId + 1) / compactInterval) * compactInterval - 1
+    val scanFrom = if (boundary >= 0 && versions.exists(v => v._1 == boundary && v._2)) boundary else 0L
+    val entries = (scanFrom to latestId).flatMap { v =>
+      val isCompact = v == scanFrom && versions.exists(x => x._1 == v && x._2)
+      val p = new Path(logDir, if (isCompact) s"$v.compact" else v.toString)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        txt.linesIterator.filter(l => l.startsWith("{") && l.contains("\"action\":\"add\""))
+          .map { l =>
+            def f(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1))
+            def n(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+            Entry(f("path").get, n("size").getOrElse(0L), l)
+          }.toSeq
+      }
+    }
+    (latestId, boundary, entries)
+  }
+
+  final case class VacuumReport(filesRemoved: Int, bytesRemoved: Long, dirsRemoved: Int)
+
+  /** Remove data files the commit log does not reference — crash debris: a
+    * micro-batch that wrote its file but died before the log append, or a
+    * compaction killed before its swap. The reference specs this as the
+    * scheduled VACUUM op over its Delta sink (ref AGENTS.md:1162-1171).
+    *
+    * `minAgeMs` is the safety horizon (Delta's retention-period analog): a
+    * file younger than it is kept even if unreferenced, because an ACTIVE
+    * micro-batch writes data files before committing them to the log —
+    * vacuuming those would lose the in-flight batch. Production default is
+    * hours; 0 only makes sense with the ingest stopped (as in tests). */
+  def vacuum(
+      spark: SparkSession,
+      tablePath: String,
+      minAgeMs: Long = 24L * 3600 * 1000,
+      compactInterval: Int = 10): VacuumReport = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val (_, _, entries) = readLog(fs, new Path(tablePath, "_spark_metadata"), compactInterval)
+    val visible = entries.map(e => new Path(new java.net.URI(e.path)).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var files = 0; var bytes = 0L; var dirs = 0
+    fs.listStatus(root).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("_")) // _spark_metadata
+      .foreach { part =>
+        if (part.getPath.getName.startsWith(".")) {
+          // orphaned compaction/publish temp dir
+          if (part.getModificationTime < cutoff) { fs.delete(part.getPath, true); dirs += 1 }
+        } else fs.listStatus(part.getPath).filter(_.isFile).foreach { f =>
+          val name = f.getPath.getName
+          val orphan = !name.startsWith(".") && !name.startsWith("_") &&
+            !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
+          if (orphan) {
+            files += 1; bytes += f.getLen
+            fs.delete(f.getPath, false)
+          }
+        }
+      }
+    VacuumReport(files, bytes, dirs)
   }
 
   private def statusJson(p: Path, size: Long, modTime: Long): String =

@@ -103,6 +103,97 @@ class StreamingSpec extends SparkSpec {
     assert(after == before + "t7a", s"resume must append exactly t7a: $after")
   }
 
+  test("sink compaction across a .compact log boundary (≥10 micro-batches)") {
+    // 12 micro-batches → the sink's own log compaction fires at batch 9
+    // (default compactInterval 10), so the log is [9.compact, 10, 11] — the
+    // carrier-at-boundary rewrite path, distinct from the all-deltas case.
+    val (drop, table, ckpt) = (tmp("bdrop"), tmp("btable"), tmp("bckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+    def tx(id: String, ts: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"$ts","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+
+    (1 to 12).foreach { b =>
+      writeFile(f"w$b%02d.json", Seq(tx(f"t$b%02d", "2026-03-01 10:00:00")))
+    }
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q1.processAllAvailable(); q1.stop()
+    val logNames = new java.io.File(table, "_spark_metadata").list().toSet
+    assert(logNames.contains("9.compact"), s"precondition: $logNames")
+
+    def idSet(): Set[String] = StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+    val before = idSet()
+    assert(before.size == 12)
+
+    val report = SinkCompaction.compact(spark, table, minFilesToCompact = 2)
+    assert(report.filesBefore == 12 && report.filesAfter == 1)
+    assert(idSet() == before, "rows must survive the boundary rewrite")
+    // the rewritten log keeps the compact carrier + delta stubs to batch 11
+    val newNames = new java.io.File(table, "_spark_metadata").list().toSet
+      .filterNot(_.startsWith(".")) // drop local-FS .crc siblings
+    assert(newNames == Set("9.compact", "10", "11"), s"log shape: $newNames")
+
+    // resume appends batch 12 exactly once on the surgically-rewritten log
+    writeFile("w13.json", Seq(tx("t13", "2026-03-01 11:00:00")))
+    val q2 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q2.processAllAvailable(); q2.stop()
+    assert(idSet() == before + "t13")
+    // and the sink's NEXT own compaction (batch 19) still works: 7 more waves
+    (14 to 20).foreach { b =>
+      writeFile(s"w$b.json", Seq(tx(s"t$b", "2026-03-01 12:00:00")))
+    }
+    val q3 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q3.processAllAvailable(); q3.stop()
+    assert(idSet().size == 20, s"got ${idSet().size}")
+    assert(new java.io.File(table, "_spark_metadata").list().toSet.contains("19.compact"),
+      "the sink must be able to compact its log again after surgery")
+  }
+
+  test("sink vacuum: removes uncommitted debris, keeps committed files and young files") {
+    val (drop, table, ckpt) = (tmp("vdrop"), tmp("vtable"), tmp("vckpt"))
+    def tx(id: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-04-01 10:00:00","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+    Files.write(java.nio.file.Paths.get(drop, "w1.json"), Seq(tx("t1"), tx("t2")).mkString("\n").getBytes)
+    val q = StreamingIngest.start(spark, drop, table, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    // plant crash debris: an uncommitted data file (micro-batch died before
+    // its log append) and an orphaned compaction temp dir
+    val part = new java.io.File(table).listFiles().filter(_.getName.startsWith("event_date=")).head
+    val straY = new java.io.File(part, "part-99999-deadbeef-uncommitted.snappy.parquet")
+    Files.copy(part.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath, straY.toPath)
+    val tmpDir = new java.io.File(table, ".compact-dead")
+    tmpDir.mkdir()
+    Files.write(new java.io.File(tmpDir, "junk").toPath, "x".getBytes)
+
+    val before = StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+    assert(before == Set("t1", "t2"))
+
+    // young debris survives the safety horizon…
+    val kept = SinkCompaction.vacuum(spark, table, minAgeMs = 3600 * 1000)
+    assert(kept.filesRemoved == 0 && kept.dirsRemoved == 0)
+    assert(straY.exists && tmpDir.exists)
+
+    // …and is collected once past it (stream stopped ⇒ age 0 is safe here)
+    val r = SinkCompaction.vacuum(spark, table, minAgeMs = 0)
+    assert(r.filesRemoved == 1 && r.dirsRemoved == 1 && r.bytesRemoved > 0)
+    assert(!straY.exists && !tmpDir.exists)
+    // committed files untouched, table reads identically
+    assert(StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).toSet == before)
+  }
+
   test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
