@@ -175,6 +175,73 @@ object TextQueries extends QueryModule {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, §A1.1 public filter
+    * suite): per document, the mass of its most frequent word bigram and the
+    * count of immediately-repeated tokens — the two signals that catch
+    * boilerplate/looping text that length and stopword ratios miss. Pure
+    * per-doc map + one (doc_id, bigram) count shuffle whose key space is
+    * bounded by corpus vocabulary; scales linearly. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("n_toks", size(col("toks")).cast("long"))
+    val grams = base
+      .withColumn("bigram", explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks)-2),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE array() END""")))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("n"), col("bigram"))
+    val top = grams.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("n").as("top_bigram_n"))
+    base.select(col("doc_id"), col("n_toks"),
+        expr("""CASE WHEN size(toks) >= 2
+                  THEN size(filter(sequence(0, size(toks)-2), i -> toks[i] = toks[i+1]))
+                  ELSE 0 END""").cast("long").as("n_adj_dup"))
+      .join(top, "doc_id")
+      .withColumn("n_bigrams", col("n_toks") - 1)
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("adj_dup_frac",
+        when(col("n_bigrams") > 0,
+          col("n_adj_dup").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_bigrams", "top_bigram", "top_bigram_n",
+        "top_bigram_frac", "n_adj_dup", "adj_dup_frac")
+  }
+
+  /** Benchmark decontamination scan (the public 13-gram protocol of
+    * GPT-3/PaLM appendix C, at 8 tokens for this corpus's ~55-token docs):
+    * treat docs 0-9 as the held-out eval set, report the 20 most
+    * contaminated training docs by distinct-shingle overlap. The probe
+    * shingle set is tiny → broadcast; the corpus side is an equi-join on
+    * the shingle string — never all-pairs, so the scan is linear at 100 TB
+    * with the eval set as the build side. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d)
+      .withColumn("sh", explode(expr(
+        """CASE WHEN size(toks) >= 8
+             THEN array_distinct(transform(sequence(0, size(toks)-8),
+                            i -> concat_ws(' ', slice(toks, i+1, 8))))
+             ELSE array() END""")))
+      .select(col("doc_id"), col("sh"))
+    val probes = sh.filter(col("doc_id") < 10).select("sh").distinct()
+    val corpus = sh.filter(col("doc_id") >= 10)
+    val perDoc = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(probes), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cont"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_cont"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination_rate"))
+      .orderBy(desc("contamination_rate"), col("doc_id"))
+      .limit(20)
+  }
+
   /** The composed corpus-cleaning pipeline a training-data user actually
     * runs, end-to-end in one plan: quality-score filter (≥ 0.35 ≈ drops
     * the worse half of this corpus) → exact dedup on the normalized-text
@@ -199,6 +266,8 @@ object TextQueries extends QueryModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "txt_repetition" -> (repetition _),
+    "txt_contamination" -> (contamination _),
     "txt_clean_pipeline" -> (cleanPipeline _),
     "txt_tfidf" -> (tfidfTop _),
     "txt_token_stats" -> (tokenStats _),
@@ -219,6 +288,50 @@ object TextQueries extends QueryModule {
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
 
   val oracleSql: Map[String, String] = Map(
+    "txt_repetition" -> s"""$cte,
+      grams AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2),
+      counted AS (SELECT doc_id, bigram, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n FROM (
+          SELECT doc_id, bigram, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rk
+          FROM counted) WHERE rk = 1),
+      stats AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+          CAST(CASE WHEN len(toks) >= 2
+                 THEN len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1]))
+                 ELSE 0 END AS BIGINT) AS n_adj_dup
+        FROM docs)
+      SELECT s.doc_id, (n_toks - 1) AS n_bigrams, top_bigram,
+             CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+             CASE WHEN n_toks - 1 > 0
+               THEN CAST(top_bigram_n AS DOUBLE) / CAST(n_toks - 1 AS DOUBLE)
+               ELSE 0.0 END AS top_bigram_frac,
+             n_adj_dup,
+             CASE WHEN n_toks - 1 > 0
+               THEN CAST(n_adj_dup AS DOUBLE) / CAST(n_toks - 1 AS DOUBLE)
+               ELSE 0.0 END AS adj_dup_frac
+      FROM stats s JOIN top USING (doc_id)""",
+    "txt_contamination" -> s"""$cte,
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8),
+      probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+      corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10),
+      per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+      hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_cont
+        FROM corpus c JOIN probes p ON c.sh = p.sh GROUP BY 1)
+      SELECT per.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(COALESCE(n_cont, 0) AS BIGINT) AS n_contaminated,
+             CAST(COALESCE(n_cont, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+               AS contamination_rate
+      FROM per LEFT JOIN hits ON per.doc_id = hits.doc_id
+      ORDER BY contamination_rate DESC, per.doc_id LIMIT 20""",
     "txt_clean_pipeline" -> s"""$cte,
       scored AS (
         SELECT doc_id, lang,
