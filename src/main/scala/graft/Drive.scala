@@ -86,16 +86,19 @@ object Drive {
       defaultPageSize = cfg.batch.defaultPageSize,
       maxPageSize = cfg.batch.maxPageSize,
       host = cfg.http.host, bindPort = cfg.http.port).start()
+    // client targets the configured bind host (loopback stays loopback; a
+    // wildcard bind is reachable via loopback too)
+    val apiHost = if (cfg.http.host == "0.0.0.0") "127.0.0.1" else cfg.http.host
     val client = HttpClient.newHttpClient()
     def get(path: String) = {
       val r = client.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.port}$path"))
+        HttpRequest.newBuilder(URI.create(s"http://$apiHost:${api.port}$path"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
       (r.statusCode(), Json.parse(r.body()))
     }
     val (subCode, subBody) = {
       val r = client.send(
-        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.port}/batch/run"))
+        HttpRequest.newBuilder(URI.create(s"http://$apiHost:${api.port}/batch/run"))
           .POST(HttpRequest.BodyPublishers.ofString(
             """{"startDate":"2026-01-01","endDate":"2026-01-30",
                "analysisType":"full_report",

@@ -96,7 +96,9 @@ final class BatchRegistry(persistDir: Option[String] = None) {
           (for {
             id <- field("batchId")
             st <- field("status")
-          } yield records.putIfAbsent(id, BatchJobRecord(
+            // null = actually inserted; an id already live in memory is not
+            // "recovered" (keeps repeat recover() calls honest at 0)
+          } yield null == records.putIfAbsent(id, BatchJobRecord(
             batchId = id,
             request = BatchRequest(
               field("startDate").getOrElse(""), field("endDate").getOrElse(""),
@@ -106,7 +108,7 @@ final class BatchRegistry(persistDir: Option[String] = None) {
             rowCount = num("rowCount").filter(_ >= 0),
             rawPath = field("rawPath").filter(_.nonEmpty),
             aggregatedPath = field("aggregatedPath").filter(_.nonEmpty),
-            error = field("error").filter(_.nonEmpty)))).isDefined
+            error = field("error").filter(_.nonEmpty)))).getOrElse(false)
         }.getOrElse(false) // truncated/malformed file: skip, don't abort recovery
       }
       loaded

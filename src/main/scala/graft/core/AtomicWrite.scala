@@ -23,7 +23,14 @@ object AtomicWrite {
 
   /** Run `write` against a temp path, then atomically swap the result into
     * place at `target`. `write` must produce a complete directory tree at the
-    * path it is given (e.g. `df.write.parquet(tmp)`). */
+    * path it is given (e.g. `df.write.parquet(tmp)`).
+    *
+    * Failure behavior: if the install rename fails AFTER the live tree was
+    * retired, the old tree is renamed back into place before the error
+    * propagates — a failed publish never leaves the target missing. The one
+    * unrecoverable-in-process window is a hard crash between the two
+    * renames; [[recoverSwap]] repairs exactly that from the `.old-` sibling
+    * on the next maintenance entry. */
   def publish(spark: SparkSession, target: String)(write: String => Unit): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(target)
@@ -37,13 +44,45 @@ object AtomicWrite {
     try {
       write(tmp.toString)
       val old = side("old")
-      if (fs.exists(live) && !fs.rename(live, old))
+      val retired = fs.exists(live)
+      if (retired && !fs.rename(live, old))
         throw new java.io.IOException(s"atomic publish: failed to retire $live")
-      if (!fs.rename(tmp, live))
+      if (!fs.rename(tmp, live)) {
+        // roll the retire back so readers still have a complete live tree
+        if (retired && !fs.rename(old, live))
+          throw new java.io.IOException(
+            s"atomic publish: install failed AND rollback failed — live tree is at $old")
         throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
+      }
       fs.delete(old, true)
     } finally {
       fs.delete(tmp, true) // no-op on success (renamed away); cleanup on failure
+    }
+  }
+
+  /** Repair a [[publish]] interrupted between its two renames (hard crash):
+    * if `target` is missing but a `.old-<name>-*` sibling exists, rename the
+    * newest one back into place; stale `.tmp-<name>-*` siblings are removed.
+    * Call from maintenance entry points before relying on `target` — e.g.
+    * the streaming sink's commit log, where a missing directory would
+    * otherwise be silently recreated empty by a restarted query (total loss
+    * of the prior file index). Returns true if a restore happened. */
+  def recoverSwap(spark: SparkSession, target: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new Path(target)
+    val fs = live.getFileSystem(conf)
+    val parent = Option(live.getParent).getOrElse(return false)
+    if (!fs.exists(parent)) return false
+    val name = live.getName
+    val siblings = fs.listStatus(parent).map(_.getPath)
+    siblings.filter(_.getName.startsWith(s".tmp-$name-")).foreach(fs.delete(_, true))
+    if (fs.exists(live)) false
+    else siblings.filter(_.getName.startsWith(s".old-$name-")).sortBy(_.getName).lastOption match {
+      case Some(old) =>
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"recoverSwap: failed to restore $old -> $live")
+        true
+      case None => false
     }
   }
 }

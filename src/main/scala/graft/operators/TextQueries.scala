@@ -182,34 +182,33 @@ object TextQueries extends QueryModule {
     * per-doc map + one (doc_id, bigram) count shuffle whose key space is
     * bounded by corpus vocabulary; scales linearly. */
   def repetition(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).withColumn("n_toks", size(col("toks")).cast("long"))
-    val grams = base
+    // every stat derives from the (doc_id, bigram) counts — ONE tokenize
+    // scan, ONE exchange on doc_id (both Windows share it), no self-join:
+    // n_bigrams = Σn, adjacent-dup mass = Σn over bigrams whose halves are
+    // equal (tokens are whitespace-split, so the split is unambiguous)
+    val grams = docs(s, d)
       .withColumn("bigram", explode(expr(
         """CASE WHEN size(toks) >= 2
              THEN transform(sequence(0, size(toks)-2),
                             i -> concat_ws(' ', toks[i], toks[i+1]))
              ELSE array() END""")))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wtop = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("n"), col("bigram"))
-    val top = grams.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("bigram").as("top_bigram"), col("n").as("top_bigram_n"))
-    base.select(col("doc_id"), col("n_toks"),
-        expr("""CASE WHEN size(toks) >= 2
-                  THEN size(filter(sequence(0, size(toks)-2), i -> toks[i] = toks[i+1]))
-                  ELSE 0 END""").cast("long").as("n_adj_dup"))
-      .join(top, "doc_id")
-      .withColumn("n_bigrams", col("n_toks") - 1)
-      .withColumn("top_bigram_frac",
-        when(col("n_bigrams") > 0,
-          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("adj_dup_frac",
-        when(col("n_bigrams") > 0,
-          col("n_adj_dup").cast("double") / col("n_bigrams").cast("double"))
-          .otherwise(lit(0.0)))
-      .select("doc_id", "n_bigrams", "top_bigram", "top_bigram_n",
-        "top_bigram_frac", "n_adj_dup", "adj_dup_frac")
+    val isAdjDup =
+      element_at(split(col("bigram"), " "), 1) === element_at(split(col("bigram"), " "), 2)
+    grams
+      .withColumn("n_bigrams", sum("n").over(wdoc))
+      .withColumn("n_adj_dup", sum(when(isAdjDup, col("n")).otherwise(0L)).over(wdoc))
+      .withColumn("rk", row_number().over(wtop))
+      .filter(col("rk") === 1)
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        col("bigram").as("top_bigram"), col("n").as("top_bigram_n"),
+        (col("n").cast("double") / col("n_bigrams").cast("double")).as("top_bigram_frac"),
+        col("n_adj_dup"),
+        (col("n_adj_dup").cast("double") / col("n_bigrams").cast("double")).as("adj_dup_frac"))
   }
 
   /** Benchmark decontamination scan (the public 13-gram protocol of

@@ -59,6 +59,9 @@ object SinkCompaction {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(tablePath, "_spark_metadata")
     val fs = logDir.getFileSystem(conf)
+    // repair a previous maintenance run crashed mid-log-swap BEFORE touching
+    // anything — otherwise a restarted ingest would recreate an empty log
+    graft.core.AtomicWrite.recoverSwap(spark, logDir.toString)
 
     // ---- 1. read the log: latest batch id + currently visible files
     val (latestId, boundary, entries) = readLog(fs, logDir, compactInterval)
@@ -76,8 +79,11 @@ object SinkCompaction {
         bytes += es.map(_.size).sum
         val nOut = math.max(1, math.ceil(es.map(_.size).sum.toDouble / targetBytes).toInt)
         // read ONLY this partition's visible files (content schema excludes
-        // the partition column — preserved as-is on rewrite)
-        val df = spark.read.parquet(es.map(_.path): _*)
+        // the partition column — preserved as-is on rewrite). mergeSchema:
+        // a partition can mix files written before/after a widening schema
+        // evolution; resolving from one footer would silently DROP the added
+        // columns from the rewrite (and step 4 then deletes the originals).
+        val df = spark.read.option("mergeSchema", "true").parquet(es.map(_.path): _*)
         val tmpOut = new Path(dir, s".compact-${java.util.UUID.randomUUID.toString.take(8)}")
         df.coalesce(nOut).write.parquet(tmpOut.toString)
         val parts = fs.listStatus(tmpOut)
@@ -94,22 +100,23 @@ object SinkCompaction {
       }
     }
 
-    // ---- 3. build the replacement log off to the side, then swap
-    val newLog = new Path(tablePath, s".tmp-_spark_metadata-${java.util.UUID.randomUUID.toString.take(8)}")
-    fs.mkdirs(newLog)
-    val carrier = if (boundary >= 0) boundary else 0L
-    val carrierName = if (boundary >= 0) s"$carrier.compact" else "0"
-    write(fs, new Path(newLog, carrierName),
-      ("v1" +: (kept ++ rewritten).map(_.line)).mkString("\n"))
-    ((carrier + 1) to latestId).foreach { v =>
-      write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
+    // nothing crowded → leave the log untouched (no reason to take even the
+    // tiny swap window for a no-op)
+    if (partitions == 0) return Report(0, entries.size, entries.size, 0L)
+
+    // ---- 3. build the replacement log off to the side, then swap — the
+    // same retire→install→rollback choreography as every other publish
+    graft.core.AtomicWrite.publish(spark, logDir.toString) { tmpPath =>
+      val newLog = new Path(tmpPath)
+      fs.mkdirs(newLog)
+      val carrier = if (boundary >= 0) boundary else 0L
+      val carrierName = if (boundary >= 0) s"$carrier.compact" else "0"
+      write(fs, new Path(newLog, carrierName),
+        ("v1" +: (kept ++ rewritten).map(_.line)).mkString("\n"))
+      ((carrier + 1) to latestId).foreach { v =>
+        write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
+      }
     }
-    val oldLog = new Path(tablePath, s".old-_spark_metadata-${java.util.UUID.randomUUID.toString.take(8)}")
-    if (!fs.rename(logDir, oldLog))
-      throw new java.io.IOException(s"compaction: failed to retire $logDir")
-    if (!fs.rename(newLog, logDir))
-      throw new java.io.IOException(s"compaction: failed to install $newLog")
-    fs.delete(oldLog, true)
 
     // ---- 4. old small files are no longer referenced — remove them
     val replaced = entries.toSet -- kept.toSet
@@ -132,11 +139,23 @@ object SinkCompaction {
     // reader scan range: latest arithmetic compact boundary ≤ latestId, else 0
     val boundary = ((latestId + 1) / compactInterval) * compactInterval - 1
     val scanFrom = if (boundary >= 0 && versions.exists(v => v._1 == boundary && v._2)) boundary else 0L
+    // a .compact at a non-boundary position means the writer used a
+    // different compactInterval — proceeding would silently treat those
+    // batches' files as invisible (and vacuum would DELETE them). Fail loud.
+    versions.filter(v => v._2 && v._1 > scanFrom).foreach { v =>
+      throw new IllegalStateException(
+        s"commit log has ${v._1}.compact beyond the interval-$compactInterval boundary " +
+          s"$scanFrom — compactInterval does not match the writer's " +
+          "spark.sql.streaming.fileSink.log.compactInterval; aborting")
+    }
     val entries = (scanFrom to latestId).flatMap { v =>
       val isCompact = v == scanFrom && versions.exists(x => x._1 == v && x._2)
       val p = new Path(logDir, if (isCompact) s"$v.compact" else v.toString)
-      if (!fs.exists(p)) Seq.empty
-      else {
+      if (!fs.exists(p)) {
+        throw new IllegalStateException(
+          s"commit log is missing version ${p.getName} in scan range [$scanFrom, $latestId] — " +
+            "refusing to treat its files as invisible")
+      } else {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         txt.linesIterator.filter(l => l.startsWith("{") && l.contains("\"action\":\"add\""))
@@ -170,7 +189,11 @@ object SinkCompaction {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
-    val (_, _, entries) = readLog(fs, new Path(tablePath, "_spark_metadata"), compactInterval)
+    val logDir = new Path(tablePath, "_spark_metadata")
+    // repair a crashed log swap first — without the log every data file
+    // would look unreferenced, and this method DELETES unreferenced files
+    graft.core.AtomicWrite.recoverSwap(spark, logDir.toString)
+    val (_, _, entries) = readLog(fs, logDir, compactInterval)
     val visible = entries.map(e => new Path(new java.net.URI(e.path)).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var files = 0; var bytes = 0L; var dirs = 0
@@ -178,15 +201,23 @@ object SinkCompaction {
       .filterNot(_.getPath.getName.startsWith("_")) // _spark_metadata
       .foreach { part =>
         if (part.getPath.getName.startsWith(".")) {
-          // orphaned compaction/publish temp dir
+          // orphaned publish/log-swap temp dir at the table root
           if (part.getModificationTime < cutoff) { fs.delete(part.getPath, true); dirs += 1 }
-        } else fs.listStatus(part.getPath).filter(_.isFile).foreach { f =>
+        } else fs.listStatus(part.getPath).foreach { f =>
           val name = f.getPath.getName
-          val orphan = !name.startsWith(".") && !name.startsWith("_") &&
-            !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
-          if (orphan) {
-            files += 1; bytes += f.getLen
-            fs.delete(f.getPath, false)
+          if (f.isDirectory) {
+            // a compaction killed mid-rewrite leaves its .compact-<uuid>
+            // output INSIDE the partition dir — collect that too
+            if (name.startsWith(".") && f.getModificationTime < cutoff) {
+              fs.delete(f.getPath, true); dirs += 1
+            }
+          } else {
+            val orphan = !name.startsWith(".") && !name.startsWith("_") &&
+              !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
+            if (orphan) {
+              files += 1; bytes += f.getLen
+              fs.delete(f.getPath, false)
+            }
           }
         }
       }

@@ -175,6 +175,11 @@ class StreamingSpec extends SparkSpec {
     val tmpDir = new java.io.File(table, ".compact-dead")
     tmpDir.mkdir()
     Files.write(new java.io.File(tmpDir, "junk").toPath, "x".getBytes)
+    // the location compact() actually writes its rewrite output: INSIDE the
+    // partition dir — a kill mid-rewrite orphans it there
+    val partTmp = new java.io.File(part, ".compact-died-mid-rewrite")
+    partTmp.mkdir()
+    Files.write(new java.io.File(partTmp, "part-00000").toPath, "y".getBytes)
 
     val before = StreamingIngest.readTable(spark, table)
       .select("transaction_id").collect().map(_.getString(0)).toSet
@@ -183,15 +188,56 @@ class StreamingSpec extends SparkSpec {
     // young debris survives the safety horizon…
     val kept = SinkCompaction.vacuum(spark, table, minAgeMs = 3600 * 1000)
     assert(kept.filesRemoved == 0 && kept.dirsRemoved == 0)
-    assert(straY.exists && tmpDir.exists)
+    assert(straY.exists && tmpDir.exists && partTmp.exists)
 
     // …and is collected once past it (stream stopped ⇒ age 0 is safe here)
     val r = SinkCompaction.vacuum(spark, table, minAgeMs = 0)
-    assert(r.filesRemoved == 1 && r.dirsRemoved == 1 && r.bytesRemoved > 0)
-    assert(!straY.exists && !tmpDir.exists)
+    assert(r.filesRemoved == 1 && r.dirsRemoved == 2 && r.bytesRemoved > 0)
+    assert(!straY.exists && !tmpDir.exists && !partTmp.exists)
     // committed files untouched, table reads identically
     assert(StreamingIngest.readTable(spark, table)
       .select("transaction_id").collect().map(_.getString(0)).toSet == before)
+  }
+
+  test("maintenance guards: crashed log swap recovers; interval mismatch fails loud") {
+    // crashed-swap recovery: retire the log exactly as a kill between the
+    // two swap renames would leave it, then any maintenance entry restores it
+    val (drop, table, ckpt) = (tmp("gdrop"), tmp("gtable"), tmp("gckpt"))
+    def tx(id: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-05-01 10:00:00","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+    Files.write(java.nio.file.Paths.get(drop, "w1.json"), tx("t1").getBytes)
+    val q = StreamingIngest.start(spark, drop, table, ckpt)
+    q.processAllAvailable(); q.stop()
+    val log = new java.io.File(table, "_spark_metadata")
+    assert(log.renameTo(new java.io.File(table, ".old-_spark_metadata-deadbeef")))
+    assert(!log.exists)
+    val r = SinkCompaction.vacuum(spark, table, minAgeMs = 0) // entry repairs first
+    assert(log.exists, "vacuum must restore a crashed log swap before collecting")
+    assert(r.filesRemoved == 0)
+    assert(StreamingIngest.readTable(spark, table).count() == 1)
+
+    // interval mismatch: a .compact beyond the expected boundary must abort,
+    // not silently treat those batches as invisible (vacuum would delete them)
+    val fake = tmp("fakesink")
+    val flog = new java.io.File(fake, "_spark_metadata")
+    flog.mkdirs()
+    Files.write(new java.io.File(flog, "4.compact").toPath, "v1".getBytes) // writer interval 5
+    Files.write(new java.io.File(flog, "5").toPath, "v1".getBytes)
+    Files.write(new java.io.File(flog, "6").toPath, "v1".getBytes)
+    val e = intercept[IllegalStateException](SinkCompaction.vacuum(spark, fake, minAgeMs = 0))
+    assert(e.getMessage.contains("compactInterval"), e.getMessage)
+
+    // a missing version inside the scan range is log corruption — also loud
+    val fake2 = tmp("fakesink2")
+    val flog2 = new java.io.File(fake2, "_spark_metadata")
+    flog2.mkdirs()
+    Files.write(new java.io.File(flog2, "3").toPath, "v1".getBytes) // 0..2 absent
+    val e2 = intercept[IllegalStateException](SinkCompaction.vacuum(spark, fake2, minAgeMs = 0))
+    assert(e2.getMessage.contains("missing version"), e2.getMessage)
   }
 
   test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
