@@ -241,6 +241,78 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Training-sequence packing (concat-and-chunk, the layout step between a
+    * cleaned corpus and a training run): within each source shard, documents
+    * are concatenated in doc_id order and the token stream is cut into
+    * fixed-length sequences of L=256. Emits per-sequence occupancy stats —
+    * how many documents touch the sequence, how many sit fully inside it,
+    * and the exact token count it holds (the last sequence of a shard may be
+    * partial). All integer math on running offsets, so Spark and DuckDB
+    * agree bit-for-bit.
+    *
+    * Scale shape: the running offset is a cumulative sum windowed PER
+    * SOURCE, so shards pack in parallel; at 100 TB you'd sub-shard a large
+    * source (pack per (source, file-group)) or compute offsets two-phase
+    * (per-partition totals broadcast as bases) — packing is associative over
+    * shard boundaries, nothing here requires a global order. The explode
+    * fan-out is ≤ 2 rows per document for any L larger than a typical doc. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val L = 256
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // zero-token guard: sequence(a, b) DESCENDS when b < a (an empty doc
+      // would fabricate phantom seq_ids); DuckDB's range() returns empty.
+      // Neither is wanted — an empty doc contributes to no sequence.
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(start_off DIV $L, (end_off - 1) DIV $L)")))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("start_off") >= col("seq_id") * L &&
+                 col("end_off") <= (col("seq_id") + 1) * L, 1L).otherwise(0L))
+          .as("n_full_docs"),
+        sum(least(col("end_off"), (col("seq_id") + 1) * L) -
+            greatest(col("start_off"), col("seq_id") * L)).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Weighted source mixing: sample each source at the rate that hits a
+    * TARGET token share inside an overall token budget (here: equal 1/5
+    * share per source of a half-corpus budget) — the mixing step that turns
+    * cleaned shards into a training corpus with chosen domain proportions.
+    * Rates are data-dependent (derived in-plan from per-source token totals
+    * — no driver round trip) and the accept/reject decision is a
+    * deterministic 16-bit md5 threshold per doc, so the sample is stable
+    * across engines, runs, AND cluster sizes (hash-based, not RNG-based:
+    * adding executors cannot change the sample). Over-weighted small
+    * sources cap at rate 1.0 (can't up-sample what isn't there — reported,
+    * not silently re-normalized). One agg + one broadcast-size join; the
+    * per-doc accept is a pure projection. */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).withColumn("n_tokens", size(col("toks")).cast("long"))
+    val totals = base.groupBy("source").agg(sum("n_tokens").as("tok_s"))
+    val grand = totals.agg(sum("tok_s").as("tok_total"))
+    // rate_s = min(1, share * budget_frac * T / tok_s), share=0.2 budget=0.5
+    val rated = totals.crossJoin(grand)
+      .withColumn("rate", least(lit(1.0),
+        (lit(0.1) * col("tok_total").cast("double")) / col("tok_s").cast("double")))
+      .withColumn("threshold", floor(col("rate") * 65536.0).cast("long"))
+    val hash16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    base.join(broadcast(rated), "source")
+      .withColumn("keep", hash16 < col("threshold"))
+      .groupBy(col("source"), col("tok_s"), col("rate"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
   /** The composed corpus-cleaning pipeline a training-data user actually
     * runs, end-to-end in one plan: quality-score filter (≥ 0.35 ≈ drops
     * the worse half of this corpus) → exact dedup on the normalized-text
@@ -268,6 +340,8 @@ object TextQueries extends QueryModule {
     "txt_repetition" -> (repetition _),
     "txt_contamination" -> (contamination _),
     "txt_clean_pipeline" -> (cleanPipeline _),
+    "txt_pack_sequences" -> (packSequences _),
+    "txt_source_mix" -> (sourceMix _),
     "txt_tfidf" -> (tfidfTop _),
     "txt_token_stats" -> (tokenStats _),
     "txt_lang_confusion" -> (langConfusion _),
@@ -347,6 +421,56 @@ object TextQueries extends QueryModule {
         CAST(SUM(FLOOR(quality_score * 1e6)) AS BIGINT) AS quality_micro_sum
       FROM surviving JOIN keep USING (fingerprint, doc_id)
       GROUP BY 1""",
+    "txt_pack_sequences" -> s"""$cte,
+      sized AS (
+        SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM docs WHERE len(toks) > 0),
+      off AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
+        FROM sized),
+      spans AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(end_off - n_tokens AS BIGINT) AS start_off,
+               CAST(end_off AS BIGINT) AS end_off
+        FROM off),
+      ex AS (
+        SELECT source, doc_id, start_off, end_off, seq_id
+        FROM spans CROSS JOIN
+          UNNEST(range(start_off // 256, ((end_off - 1) // 256) + 1)) AS u(seq_id))
+      SELECT source, seq_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN start_off >= seq_id * 256 AND end_off <= (seq_id + 1) * 256
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+        CAST(SUM(LEAST(end_off, (seq_id + 1) * 256) -
+                 GREATEST(start_off, seq_id * 256)) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc,
+        MAX(doc_id) AS last_doc
+      FROM ex GROUP BY 1, 2""",
+    "txt_source_mix" -> s"""$cte,
+      sized AS (
+        SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),
+      totals AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s FROM sized GROUP BY 1),
+      grand AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_total FROM totals),
+      rated AS (
+        SELECT source, tok_s,
+          LEAST(1.0, (0.1 * CAST(tok_total AS DOUBLE)) / CAST(tok_s AS DOUBLE)) AS rate,
+          CAST(FLOOR(LEAST(1.0, (0.1 * CAST(tok_total AS DOUBLE)) / CAST(tok_s AS DOUBLE)) * 65536.0) AS BIGINT) AS threshold
+        FROM totals CROSS JOIN grand),
+      hashed AS (
+        SELECT s.source, s.n_tokens, r.tok_s, r.rate, r.threshold,
+          CAST(
+            (strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+            (strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+            (strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 4, 1)) - 1)
+            AS BIGINT) AS h16
+        FROM sized s JOIN rated r USING (source))
+      SELECT source, tok_s, rate,
+        CAST(SUM(CASE WHEN h16 < threshold THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN h16 < threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM hashed GROUP BY 1, 2, 3""",
     "txt_tfidf" -> s"""$cte,
       tok AS (SELECT doc_id, UNNEST(toks) AS term FROM docs),
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -20,6 +20,18 @@ class BatchSpec extends SparkSpec {
     assert(cond, "condition not met within timeout")
   }
 
+  /** Wait for a terminal state; fail FAST with the record (incl. its error
+    * message) if the batch FAILED — a bare timeout hides the actual reason.
+    * Generous deadline: the shared local[4] session runs suites back to
+    * back, and a cold/loaded host can push a small job past 60 s. */
+  private def awaitCompleted(svc: BatchService, id: String): Unit = {
+    def rec = svc.status(id).get
+    val deadline = System.currentTimeMillis() + 180.seconds.toMillis
+    while (rec.status != BatchStatus.Completed && rec.status != BatchStatus.Failed &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(rec.status == BatchStatus.Completed, s"batch not completed: $rec")
+  }
+
   private lazy val sourcePath: String = {
     val p = Files.createTempDirectory("txsource").toString
     val rows = (1 to 200).map { i =>
@@ -44,7 +56,7 @@ class BatchSpec extends SparkSpec {
     val Right(id) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-05", "revenue_by_category"))
     assert(svc.status(id).get.status != null) // record exists immediately
-    await(svc.status(id).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, id)
     val rec = svc.status(id).get
     val expected = spark.read.parquet(sourcePath)
       .filter(col("event_date").between("2026-01-01", "2026-01-05")).count()
@@ -63,7 +75,7 @@ class BatchSpec extends SparkSpec {
     val Right(id) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-10", "full_report",
         filters = Map("category" -> "books")))
-    await(svc.status(id).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, id)
     val rec = svc.status(id).get
     val raw = spark.read.parquet(rec.rawPath.get)
     assert(raw.select("category").distinct().collect().map(_.getString(0)).toSeq == Seq("books"))
@@ -80,7 +92,7 @@ class BatchSpec extends SparkSpec {
     val Right(good) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
     await(svc.status(bad).get.status == BatchStatus.Failed)
-    await(svc.status(good).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, good)
     assert(svc.status(bad).get.error.get.contains("no_such_column"))
   }
 
@@ -105,7 +117,7 @@ class BatchSpec extends SparkSpec {
     val (svc, _) = newService()
     val Right(id) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
-    await(svc.status(id).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, id)
     val total = svc.status(id).get.rowCount.get
     val pages = (0L until total by 70).map { off =>
       svc.readData(id, off.toInt, 70).toOption.get
@@ -180,7 +192,7 @@ class BatchSpec extends SparkSpec {
     val (svc, _) = newService()
     val Right(id) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-10", "customer_segmentation"))
-    await(svc.status(id).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, id)
     val full = svc.readAggregated(id, "customer_segmentation").toOption.get
     val n = full.count().toInt
     assert(n == 20) // one row per fixture customer — per-entity, NOT bounded at scale
@@ -218,7 +230,7 @@ class BatchSpec extends SparkSpec {
     val (svc, _) = newService(Some(persist))
     val Right(id) = svc.submit(sourcePath,
       BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
-    await(svc.status(id).get.status == BatchStatus.Completed)
+    awaitCompleted(svc, id)
     val reg2 = new BatchRegistry(Some(persist))
     assert(reg2.recover() >= 1)
     val rec = reg2.get(id).get

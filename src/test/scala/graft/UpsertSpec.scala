@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.Upsert
+
+/** Partition-granularity MERGE: matched keys update, new keys insert,
+  * untouched partitions are untouched BYTES (same files on disk) — the
+  * delta-scaled property that makes upsert viable on a 100 TB table. */
+class UpsertSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def seed(table: String): Unit = {
+    import spark.implicits._
+    Seq(
+      ("2026-01-01", "k1", 10.0), ("2026-01-01", "k2", 20.0),
+      ("2026-01-02", "k3", 30.0), ("2026-01-02", "k4", 40.0),
+      ("2026-01-03", "k5", 50.0))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+  }
+
+  private def fileIndex(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("mergeByKey: update + insert in touched partition; siblings keep their exact files") {
+    import spark.implicits._
+    val table = tmp("upsert")
+    seed(table)
+    val before = fileIndex(table)
+
+    val updates = Seq(
+      ("2026-01-02", "k3", 300.0), // matched → update
+      ("2026-01-02", "k9", 90.0),  // unmatched in existing partition → insert
+      ("2026-01-04", "k7", 70.0))  // brand-new partition → insert
+      .toDF("day", "k", "v")
+
+    val touched = Upsert.mergeByKey(spark, table, updates, "day", Seq("k"))
+    assert(touched == Seq("2026-01-02", "2026-01-04"))
+
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("2026-01-01", "k1", 10.0), ("2026-01-01", "k2", 20.0),
+      ("2026-01-02", "k3", 300.0), ("2026-01-02", "k4", 40.0),
+      ("2026-01-02", "k9", 90.0),
+      ("2026-01-03", "k5", 50.0),
+      ("2026-01-04", "k7", 70.0)))
+
+    // untouched partitions: identical file paths and mtimes (zero rewrite)
+    val untouchedBefore = before.filter(p =>
+      p._1.contains("day=2026-01-01") || p._1.contains("day=2026-01-03"))
+    val afterIdx = fileIndex(table)
+    untouchedBefore.foreach { case (path, mtime) =>
+      assert(afterIdx.get(path).contains(mtime), s"sibling partition rewritten: $path")
+    }
+    // touched partition: all-new files (atomic republish, not in-place edit)
+    assert(!afterIdx.keys.exists(before.keySet.filter(_.contains("day=2026-01-02"))),
+      "old 01-02 files must be retired")
+  }
+
+  test("mergeByKey: duplicate keys in updates fail fast") {
+    import spark.implicits._
+    val table = tmp("upsert-dup")
+    seed(table)
+    val dup = Seq(("2026-01-01", "k1", 1.0), ("2026-01-01", "k1", 2.0))
+      .toDF("day", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, dup, "day", Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // table unchanged
+    assert(spark.read.parquet(table).count() == 5)
+  }
+}
