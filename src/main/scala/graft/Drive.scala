@@ -78,6 +78,22 @@ object Drive {
       s"dashboard snapshot must cover all $completedOrPending events x5 windows, got $dashTx")
     println(s"DRIVE dashboard: snapshot covers $dashTx window-events at ${cfg.stream.aggDir}")
 
+    // 2c. scheduled sink maintenance with the ingest stopped (the
+    // reference's OPTIMIZE/VACUUM slot): compact each partition's
+    // per-micro-batch small files and GC unreferenced debris. Runs after
+    // every pre-maintenance Dataset over the table has been consumed — a
+    // Dataset pins its file listing at creation, so it would fail on the
+    // replaced files (same contract as the reference's OPTIMIZE: readers
+    // re-resolve the table afterwards). The batch phase below re-reads
+    // the table from scratch and must see identical rows.
+    val rep = graft.streaming.SinkCompaction.compact(
+      spark, table, targetBytes = 64L * 1024 * 1024)
+    val vac = graft.streaming.SinkCompaction.vacuum(spark, table, minAgeMs = 0L)
+    val afterMaint = StreamingIngest.readTable(spark, table).count()
+    assert(afterMaint == n, s"maintenance must not change visible rows: $afterMaint")
+    println(s"DRIVE maintenance: ${rep.filesBefore}->${rep.filesAfter} files " +
+      s"(${rep.partitionsCompacted} partitions), vacuumed ${vac.filesRemoved} orphans")
+
     // 3. batch full_report over the STREAMED table, submitted over HTTP
     val registry = new BatchRegistry
     val svc = new BatchService(spark, registry, cfg.data.batchBasePath,

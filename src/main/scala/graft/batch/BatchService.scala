@@ -89,7 +89,27 @@ final class BatchService(
       // never a half-written directory (the Delta-ACID substitute).
       val obs = org.apache.spark.sql.Observation(s"batch_metrics_$batchId")
       graft.core.AtomicWrite.publish(spark, rawPath) { tmp =>
-        filtered.observe(obs, count(lit(1)).as("rows"))
+        // Snapshot layout: range-clustered on transaction_id (the serving
+        // key) so each file covers a disjoint key slice and the keyset
+        // pagination's pushed GreaterThan(transaction_id) skips whole row
+        // groups — every page after the first reads a sliver of the
+        // snapshot instead of re-scanning it. The within-partition sort
+        // leads with category (a prefix of the writer's required ordering,
+        // so no second sort is inserted by the partitioned write).
+        //
+        // Two placement constraints, both load-bearing:
+        //  - observe() sits ABOVE the range exchange: RangePartitioning
+        //    executes its child an extra time (boundary-sampling pass), so a
+        //    metric below the exchange double-counts every row;
+        //  - the partition count is explicit so AQE doesn't coalesce the
+        //    (small) range shuffle into one output file and erase the
+        //    clustering. Production sizes shuffle partitions from the
+        //    cluster, so this inherits the right scale.
+        filtered
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("transaction_id"))
+          .observe(obs, count(lit(1)).as("rows"))
+          .sortWithinPartitions("category", "transaction_id")
           .write.partitionBy("category").mode("overwrite").parquet(tmp)
       }
       val rowCount = obs.get("rows").asInstanceOf[Long]

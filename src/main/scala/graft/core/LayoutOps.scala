@@ -73,4 +73,30 @@ object LayoutOps {
     require(bounds.nonEmpty, "no files")
     bounds.count { case (_, mn, mx, _) => mx >= lo && mn <= hi }.toDouble / bounds.size
   }
+
+  /** [[longColumnBounds]] for string columns (parquet BINARY/UTF8 stats):
+    * (fileName, min, max) per file. */
+  def stringColumnBounds(dir: String, column: String): Seq[(String, String, String)] = {
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .toSeq.sortBy(_.getName)
+      .map { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val stats = reader.getFooter.getBlocks.asScala.toSeq
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          require(stats.nonEmpty, s"no footer statistics for $column in $p")
+          def str(b: Any) =
+            b.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          (p.getName, stats.map(s => str(s.genericGetMin)).min,
+            stats.map(s => str(s.genericGetMax)).max)
+        } finally reader.close()
+      }
+  }
 }

@@ -157,6 +157,34 @@ class BatchSpec extends SparkSpec {
     assert(svc.readData("nope", 0, 10).isLeft)
   }
 
+  test("snapshot layout: files are range-clustered on the serving key") {
+    val (svc, _) = newService()
+    val Right(id) = svc.submit(sourcePath,
+      BatchRequest("2026-01-01", "2026-01-10", "revenue_by_category"))
+    awaitCompleted(svc, id)
+    val raw = svc.status(id).get.rawPath.get
+    val catDirs = new java.io.File(raw).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("category="))
+    assert(catDirs.nonEmpty)
+    // within every category partition, each file must cover a DISJOINT
+    // transaction_id slice — the property that lets the keyset page's
+    // pushed GreaterThan(transaction_id) skip whole row groups
+    var multiFile = 0
+    catDirs.foreach { dir =>
+      val bounds = graft.core.LayoutOps
+        .stringColumnBounds(dir.getAbsolutePath, "transaction_id")
+      if (bounds.size > 1) {
+        multiFile += 1
+        bounds.sortBy(_._2).sliding(2).foreach {
+          case Seq((fa, _, amax), (fb, bmin, _)) =>
+            assert(amax < bmin, s"$fa / $fb overlap on transaction_id in ${dir.getName}")
+          case _ => ()
+        }
+      }
+    }
+    assert(multiFile > 0, "need a multi-file partition to prove the clustering")
+  }
+
   test("atomic publish: a failed rewrite never corrupts the live directory") {
     import graft.core.AtomicWrite
     val target = Files.createTempDirectory("atomic").toString + "/out"

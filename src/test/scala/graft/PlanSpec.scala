@@ -89,4 +89,39 @@ class PlanSpec extends SparkSpec {
     val p = planOf("evt_json_extract")
     assert(p.contains("RoundRobinPartitioning"), p)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // At 100 TB the win is shuffle-volume reduction: a selective dimension
+    // predicate is turned into a bloom filter applied to the fact side
+    // BEFORE its shuffle, so non-joining rows never leave the scan stage.
+    // Thresholds are sized for the tiny fixture (the optimizer gates the
+    // rewrite on scan-size estimates that default to cluster scale).
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0) // selective creation side
+    def query() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    // ground truth under default confs (no injected filter)
+    val expected = query().collect().map(_.toString).sorted.toSeq
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      val j = query()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom runtime filter:\n$optimized")
+      // and the filtered plan still returns the exact join result
+      assert(j.collect().map(_.toString).sorted.toSeq == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
