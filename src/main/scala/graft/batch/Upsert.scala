@@ -57,12 +57,14 @@ object Upsert {
       partCol: String,
       keyCols: Seq[String]): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
-    val dupKeys = updates.groupBy(partCol, keyCols: _*)
-      .count().filter(col("count") > 1).limit(1).collect()
-    if (dupKeys.nonEmpty)
+    // both sanity probes ride one tiny job: ambiguous matches and null
+    // partition values are silent data bugs if they reach the write
+    val bad = updates.groupBy(partCol, keyCols: _*)
+      .count().filter(col("count") > 1 || col(partCol).isNull).limit(1).collect()
+    if (bad.nonEmpty)
       throw new IllegalArgumentException(
-        s"updates contain duplicate keys (first: ${dupKeys.head}); " +
-          "MERGE matches must be unambiguous")
+        s"updates contain a duplicate key or null $partCol (first: ${bad.head}); " +
+          "MERGE matches must be unambiguous and partition values non-null")
 
     val dataCols = updates.columns.filterNot(_ == partCol).toSeq
     val touched = updates.select(col(partCol).cast("string")).distinct()

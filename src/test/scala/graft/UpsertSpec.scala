@@ -69,7 +69,7 @@ class UpsertSpec extends SparkSpec {
       "old 01-02 files must be retired")
   }
 
-  test("mergeByKey: duplicate keys in updates fail fast") {
+  test("mergeByKey: duplicate keys or null partition values fail fast") {
     import spark.implicits._
     val table = tmp("upsert-dup")
     seed(table)
@@ -78,8 +78,12 @@ class UpsertSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Upsert.mergeByKey(spark, table, dup, "day", Seq("k"))
     }
-    assert(e.getMessage.contains("duplicate keys"))
-    // table unchanged
+    assert(e.getMessage.contains("duplicate key"))
+    val nullPart = Seq((Option.empty[String], "k9", 9.0)).toDF("day", "k", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, nullPart, "day", Seq("k"))
+    }
+    // table unchanged by either refused merge
     assert(spark.read.parquet(table).count() == 5)
   }
 }
