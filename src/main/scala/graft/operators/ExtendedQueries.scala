@@ -305,7 +305,43 @@ object ExtendedQueries extends QueryModule {
         expr("percentile(abs(l_extendedprice - med), 0.5D)").as("mad_price"))
   }
 
+  /** Single-pass column profiler — the first query a data engineer runs on
+    * an unknown table: per column, the non-null count, exact distinct
+    * count, and min/max rendered through type-stable casts (numerics via
+    * DECIMAL(18,4) fixed-point, timestamps via DATE — a raw double/ts →
+    * string cast renders differently across engines). ONE scan: all
+    * per-column aggregates ride one hash-agg row (the multi-countDistinct
+    * plans as Expand ×k), then an inline explode unpivots it to one row per
+    * column. At 100 TB the same shape runs with approx_count_distinct
+    * (HLL) for the distinct column — exact distinct is the oracle-checkable
+    * baseline. */
+  def profileStats(s: SparkSession, d: String): DataFrame = {
+    val specs = Seq( // (column, render kind)
+      "l_partkey" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "date")
+    def render(c: org.apache.spark.sql.Column, kind: String) = kind match {
+      case "num"  => c.cast("decimal(18,4)").cast("string")
+      case "date" => c.cast("date").cast("string")
+      case _      => c.cast("string")
+    }
+    val aggs = specs.flatMap { case (c, k) => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      render(min(col(c)), k).as(s"${c}_mn"),
+      render(max(col(c)), k).as(s"${c}_mx"))
+    }
+    val one = li(s, d).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = specs.map { case (c, _) =>
+      struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}_nn").as("n_non_null"), col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_mn").as("min_value"), col(s"${c}_mx").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_profile_stats" -> (profileStats _),
     "rel_mad" -> (madAgg _),
     "rel_pareto" -> (pareto _),
     "rel_topk_agg" -> (topkAgg _),
@@ -324,6 +360,30 @@ object ExtendedQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_profile_stats" -> {
+      val specs = Seq(
+        "l_partkey" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+        "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "date")
+      def render(f: String, c: String, kind: String) = kind match {
+        case "num"  => s"CAST(CAST($f($c) AS DECIMAL(18,4)) AS VARCHAR)"
+        case "date" => s"CAST(CAST($f($c) AS DATE) AS VARCHAR)"
+        case _      => s"CAST($f($c) AS VARCHAR)"
+      }
+      val aggCols = specs.map { case (c, k) =>
+        s"""COUNT($c) AS ${c}_nn, COUNT(DISTINCT $c) AS ${c}_nd,
+            ${render("MIN", c, k)} AS ${c}_mn, ${render("MAX", c, k)} AS ${c}_mx"""
+      }.mkString(",\n            ")
+      val branches = specs.map { case (c, _) =>
+        s"""SELECT '$c' AS col_name, n_rows, ${c}_nn AS n_non_null,
+              ${c}_nd AS n_distinct, ${c}_mn AS min_value, ${c}_mx AS max_value
+            FROM a"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH a AS (
+            SELECT COUNT(*) AS n_rows,
+            $aggCols
+            FROM lineitem)
+          $branches"""
+    },
     "rel_mad" ->
       """WITH med AS (
            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med

@@ -119,6 +119,55 @@ object SqlQueries extends QueryModule {
          AND o_orderdate < CAST('1996-07-01' AS DATE)
        GROUP BY 1, 2, 3"""
 
+  /** TPC-H Q3 shape: segment-filtered join, grouped revenue, TOP-10 over
+    * the aggregate (ORDER BY an aggregated column + LIMIT — plans as
+    * TakeOrderedAndProject over the final agg, never a global sort).
+    * Total-ordered tiebreak (unique l_orderkey) so the LIMIT membership is
+    * deterministic; revenue is an exact decimal sum cast to double, so the
+    * ordering agrees bit-for-bit across engines. */
+  private val q3 =
+    """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, o_orderpriority
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < CAST('1996-06-01' AS DATE)
+         AND l_shipdate > CAST('1996-06-01' AS DATE)
+       GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10"""
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    * NOT IN exclusion subquery (anti-join; safe here because s_suppkey is
+    * non-null — the NOT-IN-with-nulls trap is covered separately by
+    * rel_null_antijoin). partsupp does not exist in this corpus, so the
+    * part↔supplier relationship comes from lineitem, same join shape. */
+  private val q16 =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey
+       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_size"""
+
+  /** TPC-H Q18 shape: large-quantity orders via IN over a grouped HAVING
+    * subquery (planned as a semi-join against the re-aggregated lineitem —
+    * the aggregate-filter-then-join idiom). */
+  private val q18 =
+    """SELECT c_name, c_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+       GROUP BY c_name, c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING)"""
+
   /** Correlated LATERAL subquery: per-nation top-2 customers by balance —
     * the SQL-text form of ranked-per-group retrieval (both engines plan the
     * correlated limit as a per-group top-k, not a full sort). Tie-broken on
@@ -142,6 +191,9 @@ object SqlQueries extends QueryModule {
     "sql_cross_nation" -> (run(q7) _),
     "sql_returned_items" -> (run(q10) _),
     "sql_lateral_topn" -> (run(qLateral) _),
+    "sql_topk_over_agg" -> (run(q3) _),
+    "sql_not_in_anti" -> (run(q16) _),
+    "sql_in_having" -> (run(q18) _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +203,8 @@ object SqlQueries extends QueryModule {
     "sql_cross_nation" -> q7,
     "sql_returned_items" -> q10,
     "sql_lateral_topn" -> qLateral,
+    "sql_topk_over_agg" -> q3,
+    "sql_not_in_anti" -> q16,
+    "sql_in_having" -> q18,
   )
 }
