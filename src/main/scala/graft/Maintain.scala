@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftConfig
+import graft.streaming.SinkCompaction
+
+/** Standalone scheduled-maintenance entry point — the operational form of
+  * the reference's spec'd-but-unimplemented OPTIMIZE/VACUUM jobs
+  * (ref AGENTS.md:1162-1171): compact the streaming sink's per-micro-batch
+  * small files, then vacuum unreferenced debris, both honoring the typed
+  * config tree's `graft.maintenance` knobs. Run from cron/scheduler while
+  * the ingest query is stopped (same contract as the reference's scheduled
+  * OPTIMIZE); both ops begin by repairing any crashed prior swap.
+  *
+  * Usage: `runMain graft.Maintain [tablePath]` — defaults to the config
+  * tree's stream table. Prints one JSON line per op for the scheduler's
+  * log scraper; exits non-zero on failure.
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.load()
+    val table = args.headOption.getOrElse(cfg.stream.tableDir)
+    val m = cfg.maintenance
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_SPARK_MASTER", cfg.spark.master))
+      .appName(s"${cfg.appName}-maintenance")
+      .config("spark.sql.shuffle.partitions", cfg.spark.shufflePartitions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val rep = SinkCompaction.compact(spark, table,
+        targetBytes = m.targetBytes,
+        minFilesToCompact = m.minFilesToCompact,
+        compactInterval = m.compactInterval)
+      println(s"""{"op":"compact","table":"$table","partitions":${rep.partitionsCompacted},""" +
+        s""""filesBefore":${rep.filesBefore},"filesAfter":${rep.filesAfter},""" +
+        s""""bytesRewritten":${rep.bytesRewritten}}""")
+      val vac = SinkCompaction.vacuum(spark, table,
+        minAgeMs = m.minAgeMs, compactInterval = m.compactInterval)
+      println(s"""{"op":"vacuum","table":"$table","filesRemoved":${vac.filesRemoved},""" +
+        s""""bytesRemoved":${vac.bytesRemoved},"dirsRemoved":${vac.dirsRemoved}}""")
+    } finally spark.stop()
+  }
+}

@@ -25,7 +25,8 @@ final case class GraftConfig(
     spark: GraftConfig.Spark,
     stream: GraftConfig.Stream,
     data: GraftConfig.Data,
-    batch: GraftConfig.Batch)
+    batch: GraftConfig.Batch,
+    maintenance: GraftConfig.Maintenance)
 
 object GraftConfig {
 
@@ -36,6 +37,12 @@ object GraftConfig {
   final case class Stream(dropDir: String, tableDir: String, aggDir: String, triggerSeconds: Int)
   final case class Data(basePath: String, batchBasePath: String, seedPath: String)
   final case class Batch(threadPoolSize: Int, defaultPageSize: Int, maxPageSize: Int, sourcePath: String)
+  /** Scheduled sink-maintenance knobs (the reference specs OPTIMIZE/VACUUM
+    * as scheduled ops over its Delta sink, AGENTS.md:1162-1171): compaction
+    * output-file size target, vacuum retention horizon, and the writer's
+    * fileSink log compact interval the log surgery must agree with. */
+  final case class Maintenance(
+      targetBytes: Long, minAgeMs: Long, compactInterval: Int, minFilesToCompact: Int)
 
   /** The engine's defaults — the analog of the reference's
     * conf/application.conf (same numbers where the semantics carried over:
@@ -83,6 +90,17 @@ object GraftConfig {
         max-page-size = 10000
         source-path = ${graft.stream.table-dir}
       }
+
+      maintenance {
+        # compaction rewrites a partition's visible files toward this size
+        target-bytes = 134217728
+        # vacuum keeps unreferenced files younger than this (an ACTIVE
+        # micro-batch writes data before committing it to the log)
+        min-age-ms = 86400000
+        # must equal spark.sql.streaming.fileSink.log.compactInterval
+        compact-interval = 10
+        min-files-to-compact = 2
+      }
     }
   """
 
@@ -116,7 +134,12 @@ object GraftConfig {
         threadPoolSize = resolver.int("graft.batch.thread-pool-size"),
         defaultPageSize = resolver.int("graft.batch.default-page-size"),
         maxPageSize = resolver.int("graft.batch.max-page-size"),
-        sourcePath = resolver.string("graft.batch.source-path")))
+        sourcePath = resolver.string("graft.batch.source-path")),
+      maintenance = Maintenance(
+        targetBytes = resolver.long("graft.maintenance.target-bytes"),
+        minAgeMs = resolver.long("graft.maintenance.min-age-ms"),
+        compactInterval = resolver.int("graft.maintenance.compact-interval"),
+        minFilesToCompact = resolver.int("graft.maintenance.min-files-to-compact")))
   }
 
   // ------------------------------------------------------------- parsing
@@ -225,6 +248,12 @@ object GraftConfig {
       val s = resolve(key)
       s.toIntOption.getOrElse(
         throw new IllegalArgumentException(s"config $key: '$s' is not an int"))
+    }
+
+    def long(key: String): Long = {
+      val s = resolve(key)
+      s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"config $key: '$s' is not a long"))
     }
 
     private def resolve(key: String): String = memo.getOrElseUpdate(key, {

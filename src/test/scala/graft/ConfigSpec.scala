@@ -22,6 +22,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.spark.checkpointDir == "data/graft/checkpoints")
     // batch.source-path = ${graft.stream.table-dir} = ${base}/stream/transactions
     assert(cfg.batch.sourcePath == "data/graft/stream/transactions")
+    // maintenance knobs: 128 MiB compaction target, 24 h vacuum horizon,
+    // log compact interval matching Spark's fileSink default
+    assert(cfg.maintenance.targetBytes == 128L * 1024 * 1024)
+    assert(cfg.maintenance.minAgeMs == 24L * 3600 * 1000)
+    assert(cfg.maintenance.compactInterval == 10)
+    assert(cfg.maintenance.minFilesToCompact == 2)
   }
 
   test("optional env reference overrides only when the variable is set") {

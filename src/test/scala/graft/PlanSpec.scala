@@ -90,6 +90,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RoundRobinPartitioning"), p)
   }
 
+  test("SQL top-k over aggregate plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("sql_topk_over_agg")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort exchange:\n$p")
+  }
+
+  test("SQL NOT IN plans as an anti join, never an unbounded cross product") {
+    val p = planOf("sql_not_in_anti")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("SQL IN-over-HAVING plans as a semi join against the re-aggregate") {
+    val p = planOf("sql_in_having")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
     // At 100 TB the win is shuffle-volume reduction: a selective dimension
     // predicate is turned into a bloom filter applied to the fact side
