@@ -115,7 +115,10 @@ object Bench {
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + f"""":$v%.2f"""))
       .mkString("{", ",", "}")
     val median = med(results.map(_._2))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // round_totals expose run-to-run host variance (co-tenant CPU waves
+    // distort single rounds up to 10× — BASELINE.md): a reader can tell a
+    // contended round from a code regression without re-running.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
