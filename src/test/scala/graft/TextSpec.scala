@@ -35,6 +35,27 @@ class TextSpec extends SparkSpec {
     assert(got == "de")
   }
 
+  test("sequence packing: exact-fill and straddling documents") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("packdocs").toString
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, n.toLong)
+    // s1: doc1 fills sequence 0 EXACTLY (boundary: full, not straddling);
+    //     doc2 lands wholly in sequence 1.
+    // s2: doc3 [0,200) + doc4 [200,400) — doc4 straddles the 256 cut.
+    Seq(doc(1, "s1", 256), doc(2, "s1", 100), doc(3, "s2", 200), doc(4, "s2", 200))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.packSequences(spark, dir)
+      .select("source", "seq_id", "n_docs", "n_full_docs", "n_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", 0L, 1L, 1L, 256L),
+      ("s1", 1L, 1L, 1L, 100L),
+      ("s2", 0L, 2L, 1L, 256L),
+      ("s2", 1L, 1L, 0L, 144L)), s"got $got")
+  }
+
   test("quality: single-token and all-duplicate docs stay finite") {
     val d = docsDf(1L -> "word", 2L -> "dup dup dup dup")
     val rows = TextQueries.withQuality(d)

@@ -69,6 +69,22 @@ class UpsertSpec extends SparkSpec {
       "old 01-02 files must be retired")
   }
 
+  test("mergeByKey: composite keys match on the full tuple") {
+    import spark.implicits._
+    val table = tmp("upsert-ck")
+    Seq(("2026-01-01", "a", 1, 10.0), ("2026-01-01", "a", 2, 20.0))
+      .toDF("day", "k1", "k2", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val upd = Seq(("2026-01-01", "a", 2, 200.0), ("2026-01-01", "b", 2, 99.0))
+      .toDF("day", "k1", "k2", "v")
+    Upsert.mergeByKey(spark, table, upd, "day", Seq("k1", "k2"))
+    val after = spark.read.parquet(table)
+      .select("k1", "k2", "v").as[(String, Int, Double)].collect().toSet
+    // (a,1) survives untouched, (a,2) updates, (b,2) inserts — a
+    // single-column match on k1 alone would have clobbered (a,1) too
+    assert(after == Set(("a", 1, 10.0), ("a", 2, 200.0), ("b", 2, 99.0)))
+  }
+
   test("mergeByKey: duplicate keys or null partition values fail fast") {
     import spark.implicits._
     val table = tmp("upsert-dup")
