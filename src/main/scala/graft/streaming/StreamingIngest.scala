@@ -33,16 +33,25 @@ object StreamingIngest {
       .withColumn("event_date", to_date(col("event_timestamp")))
       .withColumn("processing_timestamp", current_timestamp())
 
-  /** Start the raw-ingest query: dropDir JSON → transactions Parquet. */
+  /** Start the raw-ingest query: dropDir JSON → transactions Parquet.
+    *
+    * `schema` defaults to the reference transaction schema; an upgraded
+    * producer widens it (the streaming face of Delta `schema.autoMerge`,
+    * ref SparkManager.scala:36). The sink's commit log tracks files, not
+    * schemas, so a restart on the SAME checkpoint with a wider schema is
+    * legal: offsets resume exactly-once, old files keep the narrow footer,
+    * and readers union the generations with `mergeSchema`
+    * (SchemaEvolutionSpec covers the full upgrade round trip). */
   def start(
       spark: SparkSession,
       dropDir: String,
       tablePath: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 100,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      schema: org.apache.spark.sql.types.StructType = Schemas.TransactionSchema): StreamingQuery = {
     val raw = spark.readStream
-      .schema(Schemas.TransactionSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dropDir)
     enrich(raw).writeStream

@@ -52,6 +52,45 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(agg.getLong(0) == 4 && agg.getLong(1) == 2)
   }
 
+  test("streaming upgrade: widened schema resumes the same checkpoint, exactly-once") {
+    import org.apache.spark.sql.types.StructType
+    import graft.core.Schemas
+    import graft.streaming.StreamingIngest
+    val (drop, table, ckpt) = (tmp("updrop"), tmp("uptable"), tmp("upckpt"))
+    def tx(id: String, extra: String = "") =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-03-01 10:00:00",
+          "customer_id":"C1","product_id":"P1","product_name":"W",
+          "category":"electronics","quantity":1,"unit_price":10.0,
+          "total_amount":10.0,"currency":"USD","payment_method":"upi",
+          "transaction_status":"completed","channel":"web","region":"west",
+          "city":"Pune"$extra}""".replaceAll("\n\\s*", "")
+
+    // generation 1: reference schema
+    Files.write(java.nio.file.Paths.get(drop, "g1.json"),
+      (tx("v1a") + "\n" + tx("v1b")).getBytes)
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // generation 2: producer upgrade adds loyalty_points; SAME checkpoint.
+    // The sink's commit log tracks files (not schemas), so offsets resume
+    // exactly-once and the new files carry the wider footer.
+    Files.write(java.nio.file.Paths.get(drop, "g2.json"),
+      tx("v2a", ""","loyalty_points":42""").getBytes)
+    val widened: StructType =
+      Schemas.TransactionSchema.add("loyalty_points", LongType)
+    val q2 = StreamingIngest.start(spark, drop, table, ckpt, schema = widened)
+    q2.processAllAvailable(); q2.stop()
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(table)
+    assert(merged.count() == 3, "no replays, no skips across the upgrade")
+    assert(merged.schema.fieldNames.contains("loyalty_points"))
+    val byId = merged.collect()
+      .map(r => r.getString(r.fieldIndex("transaction_id")) -> r).toMap
+    assert(byId("v1a").isNullAt(byId("v1a").fieldIndex("loyalty_points")),
+      "old-generation rows null-fill the added column")
+    assert(byId("v2a").getLong(byId("v2a").fieldIndex("loyalty_points")) == 42L)
+  }
+
   test("mergeSchema: incompatible type change fails loudly, not silently") {
     import spark.implicits._
     val root = tmp("conflict")
