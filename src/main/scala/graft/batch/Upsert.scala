@@ -35,9 +35,10 @@ object Upsert {
     *                 keys must be unique within `updates` (fails fast
     *                 otherwise — ambiguous matched-rows are a silent data
     *                 bug in MERGE implementations)
-    * @param partCol  the table's partition column; values must be
-    *                 path-representable (dates, hours, enum strings — the
-    *                 usual partition domains)
+    * @param partCol  the table's partition column; values are escaped into
+    *                 directory names exactly as Spark's `partitionBy` does
+    *                 (so timestamps with ':' etc. match the layout on disk);
+    *                 null values are refused
     * @param keyCols  match key within a partition
     * @return the touched partition values, for observability
     *
@@ -70,8 +71,19 @@ object Upsert {
     val touched = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
 
-    touched.foreach { p =>
-      val partDir = s"$table/$partCol=$p"
+    // One materialization of the updates plan: validation, the distinct
+    // partition collect, and the per-partition delta/anti-join below would
+    // otherwise each re-execute a possibly-expensive upstream computation
+    // (2 + 2×partitions replays on a backfill).
+    updates.persist()
+    try touched.foreach { p =>
+      // Spark's partitionBy ESCAPES special chars in directory names
+      // (':' → %3A etc.); building the path from the raw value would miss
+      // the existing dir, treat the partition as new, and publish a
+      // duplicate sibling that readers merge into old-AND-new rows.
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p)
+      val partDir = s"$table/$partCol=$escaped"
       val delta = updates.filter(col(partCol).cast("string") === p)
         .select(dataCols.map(col): _*)
       val existing = existingPartition(spark, partDir, dataCols)
@@ -86,7 +98,7 @@ object Upsert {
       AtomicWrite.publish(spark, partDir) { tmp =>
         merged.write.parquet(tmp)
       }
-    }
+    } finally updates.unpersist()
     touched
   }
 

@@ -55,6 +55,19 @@ object AtomicWrite {
         throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
       }
       fs.delete(old, true)
+      // GC siblings stranded by PRIOR crashed publishes (this one succeeded,
+      // so live is complete and no crash-window repair can be pending).
+      // Left in place they accumulate, and a stale .old- would be a
+      // candidate for a FUTURE recoverSwap to resurrect. Publishers are
+      // single-flight per target (registry/maintenance contracts), so no
+      // concurrent publish owns these names.
+      fs.listStatus(parent).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n != tmp.getName && n != old.getName &&
+            (n.startsWith(s".old-${live.getName}-") || n.startsWith(s".tmp-${live.getName}-"))
+        }
+        .foreach(fs.delete(_, true))
     } finally {
       fs.delete(tmp, true) // no-op on success (renamed away); cleanup on failure
     }
@@ -74,15 +87,24 @@ object AtomicWrite {
     val parent = Option(live.getParent).getOrElse(return false)
     if (!fs.exists(parent)) return false
     val name = live.getName
-    val siblings = fs.listStatus(parent).map(_.getPath)
-    siblings.filter(_.getName.startsWith(s".tmp-$name-")).foreach(fs.delete(_, true))
+    val siblings = fs.listStatus(parent)
+    siblings.map(_.getPath)
+      .filter(_.getName.startsWith(s".tmp-$name-")).foreach(fs.delete(_, true))
     if (fs.exists(live)) false
-    else siblings.filter(_.getName.startsWith(s".old-$name-")).sortBy(_.getName).lastOption match {
-      case Some(old) =>
-        if (!fs.rename(old, live))
-          throw new java.io.IOException(s"recoverSwap: failed to restore $old -> $live")
-        true
-      case None => false
+    else {
+      // newest by MODIFICATION TIME — the .old- suffix is a random UUID, so
+      // name order is meaningless; with stale crash debris present, a
+      // lexicographic pick could resurrect an ancient tree (for a sink
+      // commit log that is a ledger rollback → batch replays)
+      val olds = siblings.filter(_.getPath.getName.startsWith(s".old-$name-"))
+      olds.sortBy(_.getModificationTime).lastOption match {
+        case Some(old) =>
+          if (!fs.rename(old.getPath, live))
+            throw new java.io.IOException(s"recoverSwap: failed to restore ${old.getPath} -> $live")
+          olds.map(_.getPath).filter(_ != old.getPath).foreach(fs.delete(_, true))
+          true
+        case None => false
+      }
     }
   }
 }

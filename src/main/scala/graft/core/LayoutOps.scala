@@ -39,10 +39,11 @@ object LayoutOps {
     df.repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
 
-  /** Per-file footer statistics of an integral column under `dir`:
-    * (fileName, min over row groups, max over row groups, rowGroupCount).
-    * Footer-only reads — O(files) metadata ops, no data pages touched. */
-  def longColumnBounds(dir: String, column: String): Seq[(String, Long, Long, Int)] = {
+  /** Shared footer walk: per data file under `dir`, the column's non-null
+    * row-group statistics and the row-group count. Footer-only reads —
+    * O(files) metadata ops, no data pages touched. */
+  private def footerStats(dir: String, column: String)
+      : Seq[(String, Seq[org.apache.parquet.column.statistics.Statistics[_]], Int)] = {
     val conf = new Configuration()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -59,12 +60,20 @@ object LayoutOps {
             .map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
           require(stats.nonEmpty, s"no footer statistics for $column in $p")
-          val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
-          val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
-          (p.getName, mins.min, maxs.max, blocks.size)
+          (p.getName, stats.toSeq, blocks.size)
         } finally reader.close()
       }
   }
+
+  /** Per-file bounds of an integral column:
+    * (fileName, min over row groups, max over row groups, rowGroupCount). */
+  def longColumnBounds(dir: String, column: String): Seq[(String, Long, Long, Int)] =
+    footerStats(dir, column).map { case (name, stats, rowGroups) =>
+      (name,
+        stats.map(_.genericGetMin.asInstanceOf[Number].longValue()).min,
+        stats.map(_.genericGetMax.asInstanceOf[Number].longValue()).max,
+        rowGroups)
+    }
 
   /** Fraction of files whose [min,max] intersects [lo,hi] — the fraction of
     * the table a pushed range predicate must actually read. 1.0 = layout
@@ -77,26 +86,11 @@ object LayoutOps {
   /** [[longColumnBounds]] for string columns (parquet BINARY/UTF8 stats):
     * (fileName, min, max) per file. */
   def stringColumnBounds(dir: String, column: String): Seq[(String, String, String)] = {
-    val conf = new Configuration()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .toSeq.sortBy(_.getName)
-      .map { p =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try {
-          val stats = reader.getFooter.getBlocks.asScala.toSeq
-            .flatMap(_.getColumns.asScala)
-            .filter(_.getPath.toDotString == column)
-            .map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-          require(stats.nonEmpty, s"no footer statistics for $column in $p")
-          def str(b: Any) =
-            b.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-          (p.getName, stats.map(s => str(s.genericGetMin)).min,
-            stats.map(s => str(s.genericGetMax)).max)
-        } finally reader.close()
-      }
+    def str(b: Any) =
+      b.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+    footerStats(dir, column).map { case (name, stats, _) =>
+      (name, stats.map(s => str(s.genericGetMin)).min,
+        stats.map(s => str(s.genericGetMax)).max)
+    }
   }
 }

@@ -136,56 +136,62 @@ final class HttpApi(
     * count without a recount. */
   private def batchData(ex: HttpExchange, id: String): Unit =
     withCompleted(ex, id) { rec =>
-      val (limit, offset) = pageParams(ex)
-      // rowCount can be absent (e.g. a record recovered from a pre-observe()
-      // registry file) — then it is OMITTED from the envelope and hasMore
-      // falls back to the keyset convention (full page ⇒ maybe more), rather
-      // than lying with rowCount:0 / hasMore:false on a non-empty page.
-      val rowCountField =
-        rec.rowCount.map(t => "rowCount" -> (JNum(BigDecimal(t)): JVal)).toVector
-      query(ex).get("after") match {
-        case after @ Some(_) =>
-          val page = service.readDataAfter(id, after, limit, maxPageSize)
-            .fold(m => throw new IllegalStateException(m), identity)
-          val rows = page.toJSON.collect().toVector.map(Json.parse)
-          val nextAfter = rows.lastOption.map(_.asObj("transaction_id").str)
-          reply(ex, 200, JObj(Vector[(String, JVal)](
-            "batchId" -> JStr(id),
-            "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
-            "page" -> JObj(pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
-              nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
-            "data" -> JArr(rows))))
-        case None =>
-          val page = service.readData(id, offset, limit, maxPageSize)
-            .fold(m => throw new IllegalStateException(m), identity)
-          val rows = page.toJSON.collect().toVector.map(Json.parse)
-          val hasMore = rec.rowCount
-            .map(t => offset + limit < t).getOrElse(rows.length == limit)
-          reply(ex, 200, JObj(Vector[(String, JVal)](
-            "batchId" -> JStr(id),
-            "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
-            "page" -> pageEnvelope(limit, offset, rows.length, hasMore),
-            "data" -> JArr(rows))))
+      pageParams(ex) match {
+        case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+        case Right((limit, offset)) =>
+          // rowCount can be absent (e.g. a record recovered from a pre-observe()
+          // registry file) — then it is OMITTED from the envelope and hasMore
+          // falls back to the keyset convention (full page ⇒ maybe more), rather
+          // than lying with rowCount:0 / hasMore:false on a non-empty page.
+          val rowCountField =
+            rec.rowCount.map(t => "rowCount" -> (JNum(BigDecimal(t)): JVal)).toVector
+          query(ex).get("after") match {
+            case after @ Some(_) =>
+              val page = service.readDataAfter(id, after, limit, maxPageSize)
+                .fold(m => throw new IllegalStateException(m), identity)
+              val rows = page.toJSON.collect().toVector.map(Json.parse)
+              val nextAfter = rows.lastOption.map(_.asObj("transaction_id").str)
+              reply(ex, 200, JObj(Vector[(String, JVal)](
+                "batchId" -> JStr(id),
+                "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
+                "page" -> JObj(pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
+                  nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
+                "data" -> JArr(rows))))
+            case None =>
+              val page = service.readData(id, offset, limit, maxPageSize)
+                .fold(m => throw new IllegalStateException(m), identity)
+              val rows = page.toJSON.collect().toVector.map(Json.parse)
+              val hasMore = rec.rowCount
+                .map(t => offset + limit < t).getOrElse(rows.length == limit)
+              reply(ex, 200, JObj(Vector[(String, JVal)](
+                "batchId" -> JStr(id),
+                "status" -> JStr("COMPLETED")) ++ rowCountField ++ Vector[(String, JVal)](
+                "page" -> pageEnvelope(limit, offset, rows.length, hasMore),
+                "data" -> JArr(rows))))
+          }
       }
     }
 
   private def batchAggregated(ex: HttpExchange, id: String): Unit =
     withCompleted(ex, id) { rec =>
-      val (limit, offset) = pageParams(ex)
-      val analysis = query(ex).getOrElse("analysis", rec.request.analysisType)
-      // Distributed page, NOT a full collect: aggregates are not always
-      // small (customer_segmentation is per-customer — hundreds of millions
-      // of rows at 100 TB), so this serves through the same
-      // TakeOrderedAndProject shape as the raw-data path.
-      service.readAggregatedPage(id, analysis, offset, limit, maxPageSize) match {
-        case Left(msg) => reply(ex, 404, err("ANALYSIS_NOT_FOUND", msg))
-        case Right(df) =>
-          val rows = presentationRounded(df).toJSON.collect().toVector.map(Json.parse)
-          reply(ex, 200, JObj.of(
-            "batchId" -> JStr(id),
-            "analysisType" -> JStr(analysis),
-            "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),
-            "data" -> JArr(rows)))
+      pageParams(ex) match {
+        case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+        case Right((limit, offset)) =>
+          val analysis = query(ex).getOrElse("analysis", rec.request.analysisType)
+          // Distributed page, NOT a full collect: aggregates are not always
+          // small (customer_segmentation is per-customer — hundreds of millions
+          // of rows at 100 TB), so this serves through the same
+          // TakeOrderedAndProject shape as the raw-data path.
+          service.readAggregatedPage(id, analysis, offset, limit, maxPageSize) match {
+            case Left(msg) => reply(ex, 404, err("ANALYSIS_NOT_FOUND", msg))
+            case Right(df) =>
+              val rows = presentationRounded(df).toJSON.collect().toVector.map(Json.parse)
+              reply(ex, 200, JObj.of(
+                "batchId" -> JStr(id),
+                "analysisType" -> JStr(analysis),
+                "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),
+                "data" -> JArr(rows)))
+          }
       }
     }
 
@@ -331,14 +337,18 @@ final class HttpApi(
       "returned" -> JNum(BigDecimal(returned)),
       "hasMore" -> JBool(hasMore))
 
-  /** Negative params are clamped to 0 rather than flowing into
-    * `Dataset.limit/offset` (which throw → opaque 500s). */
-  private def pageParams(ex: HttpExchange): (Int, Int) = {
+  /** Negative offsets clamp to 0; a non-positive limit is a LOUD client
+    * error. Clamping limit to 0 would serve an empty page whose envelope
+    * says `hasMore=true` with no `nextAfter` (the keyset convention reads
+    * full-page-⇒-maybe-more, and 0 == 0), trapping a spec-following client
+    * in an infinite refetch loop; letting it flow into `Dataset.limit`
+    * would throw an opaque 500. */
+  private def pageParams(ex: HttpExchange): Either[String, (Int, Int)] = {
     val q = query(ex)
-    val limit = math.max(0, math.min(
-      q.get("limit").flatMap(_.toIntOption).getOrElse(defaultPageSize), maxPageSize))
-    val offset = math.max(0, q.get("offset").flatMap(_.toIntOption).getOrElse(0))
-    (limit, offset)
+    val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(defaultPageSize)
+    if (limit <= 0) Left(s"limit must be positive, got $limit")
+    else Right((math.min(limit, maxPageSize),
+      math.max(0, q.get("offset").flatMap(_.toIntOption).getOrElse(0))))
   }
 
   private def query(ex: HttpExchange): Map[String, String] =

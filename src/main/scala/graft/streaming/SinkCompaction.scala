@@ -26,9 +26,14 @@ import org.apache.spark.sql.SparkSession
   * deleted only after the swap.
   *
   * CONTRACT: run while the ingest query on this table is STOPPED (it is a
-  * maintenance op, exactly like the reference's scheduled OPTIMIZE). Readers
-  * racing the metadata swap may transiently fail planning (dir-missing
-  * instant) — retryable, never a partial/duplicate view.
+  * maintenance op, exactly like the reference's scheduled OPTIMIZE), and
+  * read the table via [[StreamingIngest.readTable]], which repairs a
+  * crashed swap before reading. A RAW `spark.read.parquet` racing the
+  * dir-missing instant between the swap's two renames would not fail — it
+  * falls back to plain directory listing and can see old small files plus
+  * their compacted rewrites (a duplicate view). The repair-first readers
+  * and the stopped-ingest contract close that window on this engine's own
+  * paths; external readers must retry on a missing `_spark_metadata`.
   *
   * At 100 TB: each partition rewrite is a distributed read+write bounded by
   * `targetBytes`; partitions are processed independently so a scheduler can
@@ -197,28 +202,34 @@ object SinkCompaction {
     val visible = entries.map(e => new Path(new java.net.URI(e.path)).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var files = 0; var bytes = 0L; var dirs = 0
-    fs.listStatus(root).filter(_.isDirectory)
+    def orphanFile(f: org.apache.hadoop.fs.FileStatus): Unit = {
+      val name = f.getPath.getName
+      val orphan = !name.startsWith(".") && !name.startsWith("_") &&
+        !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
+      if (orphan) {
+        files += 1; bytes += f.getLen
+        fs.delete(f.getPath, false)
+      }
+    }
+    fs.listStatus(root)
       .filterNot(_.getPath.getName.startsWith("_")) // _spark_metadata
       .foreach { part =>
-        if (part.getPath.getName.startsWith(".")) {
+        if (!part.isDirectory) {
+          // UNPARTITIONED sink: data files (and crash debris — a micro-batch
+          // that died before its log append, a compaction killed before its
+          // swap) sit directly at the table root
+          orphanFile(part)
+        } else if (part.getPath.getName.startsWith(".")) {
           // orphaned publish/log-swap temp dir at the table root
           if (part.getModificationTime < cutoff) { fs.delete(part.getPath, true); dirs += 1 }
         } else fs.listStatus(part.getPath).foreach { f =>
-          val name = f.getPath.getName
           if (f.isDirectory) {
             // a compaction killed mid-rewrite leaves its .compact-<uuid>
             // output INSIDE the partition dir — collect that too
-            if (name.startsWith(".") && f.getModificationTime < cutoff) {
+            if (f.getPath.getName.startsWith(".") && f.getModificationTime < cutoff) {
               fs.delete(f.getPath, true); dirs += 1
             }
-          } else {
-            val orphan = !name.startsWith(".") && !name.startsWith("_") &&
-              !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
-            if (orphan) {
-              files += 1; bytes += f.getLen
-              fs.delete(f.getPath, false)
-            }
-          }
+          } else orphanFile(f)
         }
       }
     VacuumReport(files, bytes, dirs)

@@ -50,6 +50,12 @@ object StreamingIngest {
       maxFilesPerTrigger: Int = 100,
       trigger: Trigger = Trigger.ProcessingTime(0),
       schema: org.apache.spark.sql.types.StructType = Schemas.TransactionSchema): StreamingQuery = {
+    // A maintenance run (SinkCompaction) crashed between its log-swap
+    // renames leaves `_spark_metadata` retired to an `.old-` sibling. The
+    // file sink would silently CREATE A FRESH EMPTY LOG here — resetting
+    // the exactly-once ledger and orphaning every prior data file (which
+    // the next vacuum would then delete). Repair before starting.
+    graft.core.AtomicWrite.recoverSwap(spark, s"$tablePath/_spark_metadata")
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -66,7 +72,16 @@ object StreamingIngest {
   }
 
   /** Read the ingested table THROUGH the sink's commit log so in-progress
-    * files are invisible (the Parquet stand-in for Delta ACID, §7.3). */
-  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    * files are invisible (the Parquet stand-in for Delta ACID, §7.3).
+    *
+    * Repairs a crashed maintenance log-swap first: with `_spark_metadata`
+    * missing, `spark.read.parquet` would NOT fail — it silently falls back
+    * to plain directory listing, which during/after an interrupted
+    * compaction can surface old small files AND their compacted rewrites
+    * (a ~2× duplicate view). Going through this method restores the log
+    * and with it exactly-once visibility. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    graft.core.AtomicWrite.recoverSwap(spark, s"$tablePath/_spark_metadata")
     spark.read.parquet(tablePath)
+  }
 }

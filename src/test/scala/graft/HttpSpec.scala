@@ -212,9 +212,14 @@ class HttpSpec extends SparkSpec {
       assert(p1b.asObj("page").asObj("hasMore") == JBool(true))
       assert((methods(p1b) ++ methods(p2b)).sorted == Seq("credit_card", "upi", "wallet"))
 
-      // negative paging params are clamped, not 500s
-      val (nc, _) = get(api.port, s"/batch/data/$id?limit=-1&offset=-5")
-      assert(nc == 200)
+      // a non-positive limit is a LOUD 400 (a clamp-to-zero would serve an
+      // empty page with hasMore=true — an infinite client loop); negative
+      // offsets still clamp to 0 rather than 500
+      val (nc, nb) = get(api.port, s"/batch/data/$id?limit=-1&offset=-5")
+      assert(nc == 400, s"$nc $nb")
+      assert(nb.asObj("error").str == "INVALID_REQUEST")
+      val (oc, _) = get(api.port, s"/batch/data/$id?limit=5&offset=-5")
+      assert(oc == 200)
     } finally api.stop()
   }
 

@@ -240,6 +240,34 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("missing version"), e2.getMessage)
   }
 
+  test("ingest restart repairs a crashed log swap instead of resetting the ledger") {
+    val (drop, table, ckpt) = (tmp("rdrop"), tmp("rtable"), tmp("rckpt"))
+    def tx(id: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-05-02 10:00:00","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+    Files.write(java.nio.file.Paths.get(drop, "w1.json"), tx("t1").getBytes)
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // a compaction killed between its two log-swap renames: log retired
+    val log = new java.io.File(table, "_spark_metadata")
+    assert(log.renameTo(new java.io.File(table, ".old-_spark_metadata-cafe0001")))
+
+    // restarting the INGEST (not a maintenance op) must repair the log
+    // first — the sink would otherwise create a fresh EMPTY ledger: prior
+    // rows invisible to log-resolving readers, then vacuumed as orphans
+    Files.write(java.nio.file.Paths.get(drop, "w2.json"), tx("t2").getBytes)
+    val q2 = StreamingIngest.start(spark, drop, table, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(log.exists, "ingest restart must restore the retired commit log")
+    val ids = StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("t1", "t2"), s"no loss, no replay across the repair: $ids")
+  }
+
   test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

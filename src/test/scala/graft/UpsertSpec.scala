@@ -85,6 +85,26 @@ class UpsertSpec extends SparkSpec {
     assert(after == Set(("a", 1, 10.0), ("a", 2, 200.0), ("b", 2, 99.0)))
   }
 
+  test("mergeByKey: partition values needing path escaping update in place") {
+    import spark.implicits._
+    val table = tmp("upsert-esc")
+    // ':' is escaped by partitionBy (hour=2026-01-01 10%3A00); building the
+    // dir from the raw value would miss it and publish a duplicate sibling
+    Seq(("2026-01-01 10:00", "k1", 1.0), ("2026-01-01 11:00", "k2", 2.0))
+      .toDF("hour", "k", "v")
+      .write.partitionBy("hour").mode("overwrite").parquet(table)
+    val upd = Seq(("2026-01-01 10:00", "k1", 100.0)).toDF("hour", "k", "v")
+    Upsert.mergeByKey(spark, table, upd, "hour", Seq("k"))
+    val after = spark.read.parquet(table)
+      .select("hour", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == Set(("2026-01-01 10:00", "k1", 100.0), ("2026-01-01 11:00", "k2", 2.0)),
+      s"matched row must UPDATE, not duplicate: $after")
+    // exactly one physical dir per partition value — no unescaped sibling
+    val dirs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("hour=")).map(_.getName).toSeq
+    assert(dirs.size == 2, s"no duplicate partition dirs: $dirs")
+  }
+
   test("mergeByKey: duplicate keys or null partition values fail fast") {
     import spark.implicits._
     val table = tmp("upsert-dup")
