@@ -239,6 +239,36 @@ class BatchSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"no single-partition exchange:\n$plan")
   }
 
+  test("publish GCs stale crash debris; recoverSwap restores the newest tree") {
+    import graft.core.AtomicWrite
+    val root = Files.createTempDirectory("swapgc").toString
+    val target = s"$root/out"
+    def publish(n: Int): Unit = AtomicWrite.publish(spark, target)(tmp =>
+      df(spark, (1 to n).map(i => row(id = s"x$i")): _*).write.parquet(tmp))
+    publish(1)
+
+    // debris from prior crashed publishes must not survive a SUCCESS —
+    // a lingering .old- is a candidate a future recovery could resurrect
+    val staleTmp = new java.io.File(root, ".tmp-out-deadbeef"); staleTmp.mkdirs()
+    val staleOld = new java.io.File(root, ".old-out-zzzzzzzz"); staleOld.mkdirs()
+    staleOld.setLastModified(System.currentTimeMillis() - 100000)
+    publish(2)
+    assert(!staleTmp.exists && !staleOld.exists, "success must GC crash debris")
+    assert(spark.read.parquet(target).count() == 2)
+
+    // recovery picks the NEWEST retired tree by mtime — the suffix is a
+    // random UUID, so name order would be a coin flip
+    val live = new java.io.File(target)
+    val recent = new java.io.File(root, ".old-out-aaaa1111") // sorts FIRST by name
+    assert(live.renameTo(recent))
+    val ancient = new java.io.File(root, ".old-out-zzzz9999") // sorts LAST by name
+    ancient.mkdirs()
+    ancient.setLastModified(System.currentTimeMillis() - 3600000L)
+    assert(AtomicWrite.recoverSwap(spark, target))
+    assert(spark.read.parquet(target).count() == 2, "the newest tree must be restored")
+    assert(!ancient.exists, "losing candidates are GC'd, not left for next time")
+  }
+
   test("recover() skips truncated registry files and orphaned tmps") {
     val dir = Files.createTempDirectory("regbad")
     Files.writeString(dir.resolve("bad.json"), """{"batchId":"x","status":"Comp""")
