@@ -29,17 +29,21 @@ object Maintain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the table path is user/config input — escape it so a quote or
+    // backslash in the path cannot produce invalid JSON for the scheduler's
+    // log scraper
+    val tableJson = graft.http.Json.quote(table)
     try {
       val rep = SinkCompaction.compact(spark, table,
         targetBytes = m.targetBytes,
         minFilesToCompact = m.minFilesToCompact,
         compactInterval = m.compactInterval)
-      println(s"""{"op":"compact","table":"$table","partitions":${rep.partitionsCompacted},""" +
+      println(s"""{"op":"compact","table":$tableJson,"partitions":${rep.partitionsCompacted},""" +
         s""""filesBefore":${rep.filesBefore},"filesAfter":${rep.filesAfter},""" +
         s""""bytesRewritten":${rep.bytesRewritten}}""")
       val vac = SinkCompaction.vacuum(spark, table,
         minAgeMs = m.minAgeMs, compactInterval = m.compactInterval)
-      println(s"""{"op":"vacuum","table":"$table","filesRemoved":${vac.filesRemoved},""" +
+      println(s"""{"op":"vacuum","table":$tableJson,"filesRemoved":${vac.filesRemoved},""" +
         s""""bytesRemoved":${vac.bytesRemoved},"dirsRemoved":${vac.dirsRemoved}}""")
     } finally spark.stop()
   }

@@ -79,8 +79,19 @@ object AtomicWrite {
     * Call from maintenance entry points before relying on `target` — e.g.
     * the streaming sink's commit log, where a missing directory would
     * otherwise be silently recreated empty by a restarted query (total loss
-    * of the prior file index). Returns true if a restore happened. */
-  def recoverSwap(spark: SparkSession, target: String): Boolean = {
+    * of the prior file index). Returns true if a restore happened.
+    *
+    * `gcTmp = false` is the READ-PATH mode: a reader only needs the live
+    * tree restored, and it must not delete `.tmp-` siblings — those may
+    * belong to an in-flight publish by a live maintenance job (deleting its
+    * temp dir mid-write fails that job). Repair entry points that own the
+    * target exclusively (start()/maintenance) keep the default GC.
+    *
+    * Concurrent repairers are tolerated in both modes: losing the restore
+    * rename to another repairer is success, not failure — after a failed
+    * rename the live tree is re-checked and, if present, the repair is
+    * reported done. */
+  def recoverSwap(spark: SparkSession, target: String, gcTmp: Boolean = true): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(target)
     val fs = live.getFileSystem(conf)
@@ -88,8 +99,9 @@ object AtomicWrite {
     if (!fs.exists(parent)) return false
     val name = live.getName
     val siblings = fs.listStatus(parent)
-    siblings.map(_.getPath)
-      .filter(_.getName.startsWith(s".tmp-$name-")).foreach(fs.delete(_, true))
+    if (gcTmp)
+      siblings.map(_.getPath)
+        .filter(_.getName.startsWith(s".tmp-$name-")).foreach(fs.delete(_, true))
     if (fs.exists(live)) false
     else {
       // newest by MODIFICATION TIME — the .old- suffix is a random UUID, so
@@ -99,9 +111,17 @@ object AtomicWrite {
       val olds = siblings.filter(_.getPath.getName.startsWith(s".old-$name-"))
       olds.sortBy(_.getModificationTime).lastOption match {
         case Some(old) =>
-          if (!fs.rename(old.getPath, live))
-            throw new java.io.IOException(s"recoverSwap: failed to restore ${old.getPath} -> $live")
-          olds.map(_.getPath).filter(_ != old.getPath).foreach(fs.delete(_, true))
+          if (!fs.rename(old.getPath, live)) {
+            // the rename raced another repairer; if either restored the live
+            // tree, the repair this caller needed has happened
+            if (!fs.exists(live))
+              throw new java.io.IOException(
+                s"recoverSwap: failed to restore ${old.getPath} -> $live")
+          } else if (gcTmp) {
+            // only the winning OWNER-mode repairer clears leftover debris
+            olds.map(_.getPath).filter(_ != old.getPath)
+              .filter(p => fs.exists(p)).foreach(fs.delete(_, true))
+          }
           true
         case None => false
       }

@@ -79,9 +79,16 @@ object StreamingIngest {
     * to plain directory listing, which during/after an interrupted
     * compaction can surface old small files AND their compacted rewrites
     * (a ~2× duplicate view). Going through this method restores the log
-    * and with it exactly-once visibility. */
+    * and with it exactly-once visibility.
+    *
+    * Reader-safe repair: `gcTmp = false` — a reader must not delete the
+    * `.tmp-` siblings of a maintenance publish that is legitimately in
+    * flight, and a repair rename lost to a concurrent reader is tolerated.
+    * `mergeSchema` is on so a table whose producer widened the schema
+    * (see [[start]]) reads as the union of generations instead of a
+    * footer-dependent subset. */
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
-    graft.core.AtomicWrite.recoverSwap(spark, s"$tablePath/_spark_metadata")
-    spark.read.parquet(tablePath)
+    graft.core.AtomicWrite.recoverSwap(spark, s"$tablePath/_spark_metadata", gcTmp = false)
+    spark.read.option("mergeSchema", "true").parquet(tablePath)
   }
 }
