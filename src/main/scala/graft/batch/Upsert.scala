@@ -1,9 +1,14 @@
 package graft.batch
 
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.AtomicWrite
+import graft.core.{AtomicWrite, TxnLog}
 
 /** Partition-granularity MERGE (upsert) for plain-Parquet tables — the
   * stand-in for the `MERGE INTO` the reference would get from Delta
@@ -24,6 +29,14 @@ import graft.core.AtomicWrite
   * observes complete-old or complete-new data per partition, never a
   * half-written directory (same crash-safety contract as the batch result
   * store).
+  *
+  * Concurrent WRITERS are serialized per partition by the table's
+  * [[graft.core.TxnLog]] manifest (the Delta optimistic-concurrency analog):
+  * each partition merge claims its partition on top of the snapshot version
+  * read before any table data, so two merges touching the same partition
+  * fail loudly with [[graft.core.TxnLog.ConcurrentWriteException]] instead
+  * of silently last-winning; merges of disjoint partitions proceed
+  * unimpeded.
   */
 object Upsert {
 
@@ -34,82 +47,147 @@ object Upsert {
     * @param updates  new/changed rows; must contain `partCol` and `keyCols`;
     *                 keys must be unique within `updates` (fails fast
     *                 otherwise — ambiguous matched-rows are a silent data
-    *                 bug in MERGE implementations)
+    *                 bug in MERGE implementations); the non-partition
+    *                 columns must COVER every column of each touched
+    *                 partition (narrower updates would silently drop the
+    *                 uncovered columns from surviving rows — refused, like
+    *                 Delta MERGE which preserves unmentioned columns)
     * @param partCol  the table's partition column; values are escaped into
     *                 directory names exactly as Spark's `partitionBy` does
     *                 (so timestamps with ':' etc. match the layout on disk);
     *                 null values are refused
     * @param keyCols  match key within a partition
+    * @param parallelism max partitions merging at once. Each partition
+    *                 merge is one distributed job; running a bounded number
+    *                 of them concurrently keeps a many-partition backfill
+    *                 from serializing on job latency while capping the peak
+    *                 footprint at `parallelism` partition rewrites.
+    *                 Atomicity stays per-partition either way.
     * @return the touched partition values, for observability
     *
-    * Scale notes: the only driver-side materialization is the DISTINCT set
-    * of touched partition values (bounded by the partition count of the
-    * delta, not by rows). Each partition merge is one distributed job —
-    * old-rows anti-join new-keys, union, write — and partitions merge
-    * sequentially so the peak footprint is one partition's rewrite; a
-    * many-partition backfill would parallelize across jobs instead (or use
-    * Spark's `partitionOverwriteMode=dynamic` when atomicity per partition
-    * is not required).
+    * Scale notes: the only driver-side materializations are the DISTINCT
+    * set of touched partition values (bounded by the partition count of the
+    * delta, not by rows) and one commit record per partition. Failure
+    * semantics under parallelism: every partition merge is atomic; on any
+    * failure the remaining in-flight merges finish, unstarted ones are
+    * skipped, and the first error propagates — completed partitions stay
+    * published (re-running the same merge is idempotent per key).
     */
   def mergeByKey(
       spark: SparkSession,
       table: String,
       updates: DataFrame,
       partCol: String,
-      keyCols: Seq[String]): Seq[String] = {
+      keyCols: Seq[String],
+      parallelism: Int = 4): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
-    // both sanity probes ride one tiny job: ambiguous matches and null
-    // partition values are silent data bugs if they reach the write
-    val bad = updates.groupBy(partCol, keyCols: _*)
-      .count().filter(col("count") > 1 || col(partCol).isNull).limit(1).collect()
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"updates contain a duplicate key or null $partCol (first: ${bad.head}); " +
-          "MERGE matches must be unambiguous and partition values non-null")
+    require(parallelism >= 1, "parallelism must be >= 1")
 
-    val dataCols = updates.columns.filterNot(_ == partCol).toSeq
-    val touched = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // OCC snapshot BEFORE any table read: commits that land after this
+    // version and touch our partitions invalidate what we are about to read
+    val snapshot = TxnLog.currentVersion(spark, table)
 
-    // One materialization of the updates plan: validation, the distinct
-    // partition collect, and the per-partition delta/anti-join below would
-    // otherwise each re-execute a possibly-expensive upstream computation
+    // One materialization of the updates plan, populated by the FIRST
+    // action (the validation probe): validation, the distinct partition
+    // collect, and the per-partition delta/anti-join below would otherwise
+    // each re-execute a possibly-expensive upstream computation
     // (2 + 2×partitions replays on a backfill).
     updates.persist()
-    try touched.foreach { p =>
-      // Spark's partitionBy ESCAPES special chars in directory names
-      // (':' → %3A etc.); building the path from the raw value would miss
-      // the existing dir, treat the partition as new, and publish a
-      // duplicate sibling that readers merge into old-AND-new rows.
-      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(p)
-      val partDir = s"$table/$partCol=$escaped"
-      val delta = updates.filter(col(partCol).cast("string") === p)
-        .select(dataCols.map(col): _*)
-      val existing = existingPartition(spark, partDir, dataCols)
-      val merged = existing match {
-        case Some(old) =>
-          // matched → update wins; join only on keys, so changed non-key
-          // columns replace the old values
-          old.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .unionByName(delta)
-        case None => delta // brand-new partition: pure insert
-      }
-      AtomicWrite.publish(spark, partDir) { tmp =>
-        merged.write.parquet(tmp)
-      }
+    try {
+      // both sanity probes ride one tiny job: ambiguous matches and null
+      // partition values are silent data bugs if they reach the write
+      val bad = updates.groupBy(partCol, keyCols: _*)
+        .count().filter(col("count") > 1 || col(partCol).isNull).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"updates contain a duplicate key or null $partCol (first: ${bad.head}); " +
+            "MERGE matches must be unambiguous and partition values non-null")
+
+      val dataCols = updates.columns.filterNot(_ == partCol).toSeq
+      val touched = updates.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+
+      // Bounded-parallel partition merges: Spark schedules concurrent jobs
+      // fine from multiple submitter threads; the pool only bounds how many
+      // partition rewrites are in flight.
+      val pool = Executors.newFixedThreadPool(math.min(parallelism, math.max(1, touched.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val merges = touched.map { p =>
+          Future(mergeOnePartition(spark, table, updates, partCol, keyCols, dataCols, p, snapshot))
+        }
+        // surface the FIRST failure but let in-flight merges complete first
+        // (each is atomic; cancelling a distributed write mid-flight buys
+        // nothing and loses the completed partitions' observability)
+        val results = merges.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      } finally pool.shutdown()
+      touched
     } finally updates.unpersist()
-    touched
+  }
+
+  /** Merge one partition under a two-phase TxnLog claim:
+    * begin (the loud-failure point for concurrent same-partition writers,
+    * checked against `snapshot`) → read existing + publish merged → end.
+    * The begin precedes the partition's file-listing resolution, so a
+    * successful claim guarantees no concurrent writer republishes this
+    * partition between our read and our install. */
+  private def mergeOnePartition(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      p: String,
+      snapshot: Long): Unit = {
+    val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
+    // Spark's partitionBy ESCAPES special chars in directory names
+    // (':' → %3A etc.); building the path from the raw value would miss
+    // the existing dir, treat the partition as new, and publish a
+    // duplicate sibling that readers merge into old-AND-new rows.
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(p)
+    val partDir = s"$table/$partCol=$escaped"
+    val delta = updates.filter(col(partCol).cast("string") === p)
+      .select(dataCols.map(col): _*)
+    val existing = existingPartition(spark, partDir, dataCols, p)
+    val merged = existing match {
+      case Some(old) =>
+        // matched → update wins; join only on keys, so changed non-key
+        // columns replace the old values
+        old.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(delta)
+      case None => delta // brand-new partition: pure insert
+    }
+    AtomicWrite.publish(spark, partDir) { tmp =>
+      merged.write.parquet(tmp)
+    }
+    TxnLog.end(spark, table, claim)
   }
 
   /** The surviving rows of a partition dir, or None if it does not exist.
-    * Read with an explicit column list so a schema drift between table and
-    * updates fails loudly in the select, not silently in the union. */
+    * Schema discipline in BOTH directions: updates with columns the table
+    * lacks fail in the select below (analysis error); a table with columns
+    * the updates lack fails HERE — selecting only the updates' columns
+    * would silently rewrite every surviving row without the uncovered
+    * columns (Delta MERGE preserves unmentioned columns; losing them must
+    * be loud). */
   private def existingPartition(
-      spark: SparkSession, partDir: String, dataCols: Seq[String]): Option[DataFrame] = {
+      spark: SparkSession, partDir: String, dataCols: Seq[String],
+      partValue: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) Some(spark.read.parquet(partDir).select(dataCols.map(col): _*))
-    else None
+    if (!fs.exists(path)) None
+    else {
+      val old = spark.read.parquet(partDir)
+      val uncovered = old.columns.toSet -- dataCols.toSet
+      if (uncovered.nonEmpty)
+        throw new IllegalArgumentException(
+          s"updates do not cover existing columns ${uncovered.toSeq.sorted.mkString(", ")} " +
+            s"of partition $partValue — surviving rows would lose them; " +
+            "include the columns in updates (null-filled if unchanged is not intended)")
+      Some(old.select(dataCols.map(col): _*))
+    }
   }
 }

@@ -1,0 +1,271 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Per-table optimistic-concurrency manifest — the engine's stand-in for
+  * the multi-writer commit protocol the reference inherits from Delta
+  * (ref SparkManager.scala:36-37 enables Delta ACID; Delta serializes
+  * writers through an ordered `_delta_log` with create-exclusive commits).
+  *
+  * Layout: `<table>/_graft_txn/v00000000000000000042.json`, one file per
+  * commit, zero-padded so lexicographic order IS version order. Each commit
+  * records the operation and the partition values it touched. The version
+  * file itself is the claim: it is created EXCLUSIVELY (`O_EXCL` on local
+  * filesystems, atomic `create(overwrite = false)` on HDFS-likes), so two
+  * writers racing for version N+1 cannot both win — the loser re-reads the
+  * log, re-checks its conflict window, and either retries with N+2 (disjoint
+  * partitions) or fails loudly ([[ConcurrentWriteException]]) instead of
+  * silently last-winning.
+  *
+  * Protocol (the classic OCC read-validate-write):
+  *  1. writer snapshots [[currentVersion]] BEFORE reading any table data;
+  *  2. writer prepares its new partition content;
+  *  3. [[commit]] scans every commit that landed after the snapshot — an
+  *     overlap with the writer's partitions means the data it read is stale
+  *     → ConcurrentWriteException BEFORE anything is published;
+  *  4. the claim lands (create-exclusive), AFTER which no other writer can
+  *     commit an overlapping partition against an older snapshot — so the
+  *     claimer may publish its partitions knowing it owns them.
+  *
+  * Crash window: a writer that dies between its claim and its publish
+  * leaves a committed version without data. That is harmless to readers
+  * (data visibility is the directory tree, never this manifest) and to
+  * writers (later snapshots include the dangling version, so it conflicts
+  * with nothing they read). The manifest is METADATA — O(commits), a few
+  * hundred bytes each; [[truncate]] keeps it bounded.
+  *
+  * At 100 TB: one small file create per commit, conflict scan bounded by
+  * the commits since the writer's snapshot (not table size). The same
+  * pattern Delta runs on multi-PB tables.
+  */
+object TxnLog {
+
+  /** A concurrent writer published an overlapping partition between this
+    * writer's snapshot and its commit — the read was stale; retry the whole
+    * operation against the new table state. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  final case class Commit(
+      version: Long,
+      op: String,
+      partitions: Set[String],
+      ts: Long,
+      /** for `*-end` records: the version of the `*-begin` they close */
+      ref: Option[Long] = None)
+
+  private val Pad = 20
+  private def logDir(table: String) = new Path(table, "_graft_txn")
+  private def vFile(dir: Path, v: Long) = new Path(dir, f"v$v%020d.json")
+
+  private def fsFor(spark: SparkSession, table: String): FileSystem =
+    logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Highest committed version, 0 if the table has no manifest yet (a
+    * legacy/single-writer table: every commit path upgrades it lazily). */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) 0L
+    else versionsIn(fs, dir).lastOption.getOrElse(0L)
+  }
+
+  /** All commits with version > `after`, in version order. An unparseable
+    * version file (a claim whose content write is in flight) is retried
+    * briefly, then surfaced conservatively as touching EVERYTHING — a
+    * conflict checker must treat an unreadable claim as a conflict, never
+    * as absence. */
+  def commitsSince(spark: SparkSession, table: String, after: Long): Seq[Commit] = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return Seq.empty
+    versionsIn(fs, dir).filter(_ > after).map { v =>
+      readCommit(fs, dir, v)
+    }
+  }
+
+  /** CAS commit of (`op`, `partitions`) on top of the writer's
+    * `snapshotVersion`. Fails with [[ConcurrentWriteException]] if any
+    * commit after the snapshot touches one of `partitions`; otherwise
+    * claims the next version (retrying version-number collisions with
+    * concurrent writers of DISJOINT partitions) and returns it. */
+  def commit(
+      spark: SparkSession,
+      table: String,
+      op: String,
+      partitions: Set[String],
+      snapshotVersion: Long,
+      ref: Option[Long] = None): Commit = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    fs.mkdirs(dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 1000)
+        throw new IllegalStateException(
+          s"TxnLog.commit: $table still contended after $attempts attempts")
+      val since = commitsSince(spark, table, snapshotVersion)
+      since.find(c => overlaps(c.partitions, partitions))
+        .foreach { c =>
+          throw new ConcurrentWriteException(
+            s"concurrent write to $table: commit v${c.version} (${c.op}) touched " +
+              s"${c.partitions.mkString(",")} after this writer's snapshot " +
+              s"v$snapshotVersion — partitions ${partitions.mkString(",")} are stale; " +
+              "re-read and retry the operation")
+        }
+      // SOUNDNESS: `next` comes from the SAME listing as the conflict check,
+      // so a successful exclusive create of version N proves this writer saw
+      // (and conflict-checked) every version below N — a racing commit that
+      // claimed N first makes our create fail, and the retry re-reads it.
+      val next = since.lastOption.map(_.version).getOrElse(snapshotVersion) + 1
+      val c = Commit(next, op, partitions, System.currentTimeMillis(), ref)
+      if (createExclusive(fs, vFile(dir, next), render(c))) return c
+      // lost the version race to a disjoint writer — loop re-checks conflicts
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Two-phase claim for write operations whose data publication follows
+    * the log record (a plain-directory engine cannot make the commit file
+    * itself the point of data visibility the way Delta does — see the
+    * class doc's crash-window note).
+    *
+    * `begin` refuses if (a) any commit after `snapshotVersion` overlaps
+    * `partitions` (the OCC stale-read check), or (b) an UNCLOSED fresh
+    * `*-begin` anywhere in the log overlaps them (a writer claimed before
+    * our snapshot but has not published yet). An unclosed begin older than
+    * `staleLockMs` is a crashed writer's leftover and is ignored — its
+    * publish either completed atomically or never installed, so the
+    * partition directory is consistent either way. (A writer PAUSED longer
+    * than the horizon and then resuming is the one hazard of lease-style
+    * claims; [[end]] detects the usurpation and fails loudly after the
+    * fact.) */
+  def begin(
+      spark: SparkSession,
+      table: String,
+      op: String,
+      partitions: Set[String],
+      snapshotVersion: Long,
+      staleLockMs: Long = 30L * 60 * 1000): Commit = {
+    val all = commitsSince(spark, table, 0L)
+    val closed = all.flatMap(_.ref).toSet
+    val now = System.currentTimeMillis()
+    all.find { c =>
+      c.op.endsWith("-begin") && !closed.contains(c.version) &&
+        now - c.ts < staleLockMs && overlaps(c.partitions, partitions)
+    }.foreach { c =>
+      throw new ConcurrentWriteException(
+        s"concurrent write to $table: in-flight ${c.op} v${c.version} holds " +
+          s"${c.partitions.mkString(",")} (age ${now - c.ts} ms < $staleLockMs ms); " +
+          "retry after it completes")
+    }
+    commit(spark, table, s"$op-begin", partitions, snapshotVersion)
+  }
+
+  /** Close a [[begin]] claim after the data publish. A conflicting commit
+    * between the begin and here means another writer ignored this claim as
+    * stale (this process was paused past `staleLockMs`) and the partition
+    * may hold its data — fail loudly rather than record a clean end. */
+  def end(spark: SparkSession, table: String, begun: Commit): Commit =
+    commit(spark, table, begun.op.stripSuffix("-begin") + "-end",
+      begun.partitions, begun.version, ref = Some(begun.version))
+
+  private def overlaps(a: Set[String], b: Set[String]): Boolean =
+    a.contains("*") || b.contains("*") || a.exists(b)
+
+  /** Drop manifest entries older than `keep` versions below the current tip
+    * (maintenance; the manifest is append-only otherwise). Never removes
+    * the tip: version numbering must stay monotone. */
+  def truncate(spark: SparkSession, table: String, keep: Int = 100): Int = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return 0
+    val vs = versionsIn(fs, dir)
+    val horizon = vs.lastOption.getOrElse(0L) - keep.toLong.max(1)
+    val victims = vs.filter(_ < horizon)
+    victims.foreach(v => fs.delete(vFile(dir, v), false))
+    victims.size
+  }
+
+  // ------------------------------------------------------------- internals
+
+  private def versionsIn(fs: FileSystem, dir: Path): Seq[Long] =
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{" + Pad + "}\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+
+  private def readCommit(fs: FileSystem, dir: Path, v: Long): Commit = {
+    val p = vFile(dir, v)
+    // a claim's content write is microseconds behind its create — retry a
+    // parse failure briefly before reporting the conservative "touches all"
+    var waited = 0L
+    while (true) {
+      parse(v, readFully(fs, p)) match {
+        case Some(c) => return c
+        case None if waited < 2000 =>
+          Thread.sleep(25); waited += 25
+        case None =>
+          return Commit(v, "unreadable", Set("*"), 0L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def render(c: Commit): String = {
+    val parts = c.partitions.toSeq.sorted
+      .map(graft.http.Json.quote).mkString("[", ",", "]")
+    val refField = c.ref.map(r => s""""ref":$r,""").getOrElse("")
+    s"""{"version":${c.version},"op":${graft.http.Json.quote(c.op)},""" +
+      s""""partitions":$parts,"ts":${c.ts},$refField"complete":true}"""
+  }
+
+  private def parse(v: Long, txt: String): Option[Commit] =
+    // "complete":true is the last byte group written — its presence proves
+    // the content write finished
+    if (!txt.contains("\"complete\":true")) None
+    else scala.util.Try {
+      val op = graft.http.Json.parse(txt).asObj
+      Commit(
+        version = v,
+        op = op("op").str,
+        partitions = op("partitions") match {
+          case graft.http.JArr(items) => items.map(_.str).toSet
+          case other => throw new IllegalArgumentException(s"bad partitions: $other")
+        },
+        ts = op.get("ts").collect { case graft.http.JNum(n) => n.toLong }.getOrElse(0L),
+        ref = op.get("ref").collect { case graft.http.JNum(n) => n.toLong })
+    }.toOption
+
+  /** Atomic create-if-absent — the CAS primitive. Local filesystems get a
+    * true `O_EXCL` create via java.nio (Hadoop's RawLocalFileSystem
+    * `create(overwrite=false)` is check-then-create, a TOCTOU hole under
+    * real thread concurrency); HDFS-likes get the namenode-atomic
+    * `create(path, false)`. Returns false if the path already exists. */
+  private def createExclusive(fs: FileSystem, p: Path, content: String): Boolean = {
+    val bytes = content.getBytes("UTF-8")
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try java.nio.file.Files.createFile(local)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      java.nio.file.Files.write(local, bytes)
+      true
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+      }
+    }
+  }
+}

@@ -122,4 +122,130 @@ class UpsertSpec extends SparkSpec {
     // table unchanged by either refused merge
     assert(spark.read.parquet(table).count() == 5)
   }
+
+  test("mergeByKey: updates narrower than the table fail fast — no silent column loss") {
+    import spark.implicits._
+    val table = tmp("upsert-narrow")
+    Seq(("2026-01-01", "k1", 10.0, "keepme"))
+      .toDF("day", "k", "v", "extra")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    // updates lack `extra`: merging would rewrite the surviving rows of the
+    // touched partition WITHOUT that column (Delta MERGE preserves
+    // unmentioned columns — losing them must be loud, not silent)
+    val narrow = Seq(("2026-01-01", "k2", 2.0)).toDF("day", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, narrow, "day", Seq("k"))
+    }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+    // table unchanged, column intact
+    val after = spark.read.parquet(table)
+    assert(after.columns.contains("extra") && after.count() == 1)
+  }
+
+  test("mergeByKey: concurrent merges on DISJOINT partitions both land") {
+    import spark.implicits._
+    val table = tmp("upsert-cc-disjoint")
+    seed(table)
+    val updA = Seq(("2026-01-01", "k1", 111.0)).toDF("day", "k", "v")
+    val updB = Seq(("2026-01-02", "k3", 333.0)).toDF("day", "k", "v")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(upd: org.apache.spark.sql.DataFrame) = new Thread(() => {
+      start.await()
+      try Upsert.mergeByKey(spark, table, upd, "day", Seq("k"))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writer(updA), writer(updB))
+    ta.start(); tb.start(); start.countDown(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"disjoint-partition writers must not conflict: ${errs.peek()}")
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after.contains(("2026-01-01", "k1", 111.0)))
+    assert(after.contains(("2026-01-02", "k3", 333.0)))
+    assert(after.size == 5)
+  }
+
+  test("mergeByKey: an in-flight claim on the same partition raises, not last-wins") {
+    import spark.implicits._
+    val table = tmp("upsert-cc-conflict")
+    seed(table)
+    // writer A claimed the partition and has not published yet
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-02"), graft.core.TxnLog.currentVersion(spark, table))
+    val upd = Seq(("2026-01-02", "k3", 333.0)).toDF("day", "k", "v")
+    intercept[graft.core.TxnLog.ConcurrentWriteException] {
+      Upsert.mergeByKey(spark, table, upd, "day", Seq("k"))
+    }
+    // a DISJOINT partition is not blocked by A's claim
+    val other = Seq(("2026-01-01", "k1", 111.0)).toDF("day", "k", "v")
+    Upsert.mergeByKey(spark, table, other, "day", Seq("k"))
+    // once A completes, the same-partition merge proceeds
+    graft.core.TxnLog.end(spark, table, claim)
+    Upsert.mergeByKey(spark, table, upd, "day", Seq("k"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after.contains(("2026-01-02", "k3", 333.0)))
+    assert(after.contains(("2026-01-01", "k1", 111.0)))
+  }
+
+  test("TxnLog: a commit after the writer's snapshot is a stale read — fails loudly") {
+    import spark.implicits._
+    val table = tmp("upsert-occ")
+    seed(table)
+    val staleSnapshot = graft.core.TxnLog.currentVersion(spark, table)
+    // someone else lands a merge on the partition after our snapshot
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", "k3", 300.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val e = intercept[graft.core.TxnLog.ConcurrentWriteException] {
+      graft.core.TxnLog.commit(spark, table, "upsert", Set("2026-01-02"), staleSnapshot)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
+  test("TxnLog: a crashed writer's claim is ignored past the staleness horizon") {
+    import spark.implicits._
+    val table = tmp("upsert-stale-claim")
+    seed(table)
+    // writer A claims and "crashes" (never ends)
+    graft.core.TxnLog.begin(spark, table, "upsert", Set("2026-01-01"),
+      graft.core.TxnLog.currentVersion(spark, table))
+    Thread.sleep(30)
+    // a fresh writer that snapshots AFTER the crash takes over once the
+    // claim ages past the horizon (here 10 ms); with the default 30 min
+    // horizon it would have been refused as in-flight
+    val snap = graft.core.TxnLog.currentVersion(spark, table)
+    intercept[graft.core.TxnLog.ConcurrentWriteException] {
+      graft.core.TxnLog.begin(spark, table, "upsert", Set("2026-01-01"), snap)
+    }
+    val c = graft.core.TxnLog.begin(spark, table, "upsert", Set("2026-01-01"), snap,
+      staleLockMs = 10)
+    graft.core.TxnLog.end(spark, table, c)
+  }
+
+  test("mergeByKey: 8-partition backfill merges in parallel with exact results") {
+    import spark.implicits._
+    val table = tmp("upsert-backfill")
+    val days = (1 to 8).map(i => f"2026-02-$i%02d")
+    days.flatMap(d => Seq((d, "a", 1.0), (d, "b", 2.0)))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val updates = days.flatMap(d => Seq((d, "a", 10.0), (d, "c", 3.0)))
+      .toDF("day", "k", "v")
+    val touched = Upsert.mergeByKey(spark, table, updates, "day", Seq("k"), parallelism = 4)
+    assert(touched == days)
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == days.flatMap(d =>
+      Seq((d, "a", 10.0), (d, "b", 2.0), (d, "c", 3.0))).toSet)
+    // the TxnLog shows genuinely interleaved claims: some partition began
+    // before another one's end — i.e. merges overlapped in time, they did
+    // not serialize (pool of 4 over 8 one-second distributed jobs)
+    val commits = graft.core.TxnLog.commitsSince(spark, table, 0L)
+    val beginV = commits.filter(_.op == "upsert-begin").map(c => c.partitions.head -> c.version).toMap
+    val endV = commits.filter(_.op == "upsert-end").map(c => c.partitions.head -> c.version).toMap
+    assert(beginV.keySet == days.toSet && endV.keySet == days.toSet)
+    val interleaved = days.exists(d1 => days.exists(d2 =>
+      d1 != d2 && beginV(d2) > beginV(d1) && beginV(d2) < endV(d1)))
+    assert(interleaved, s"claims serialized — expected overlap: begins=$beginV ends=$endV")
+  }
 }
