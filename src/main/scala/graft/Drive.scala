@@ -78,21 +78,37 @@ object Drive {
       s"dashboard snapshot must cover all $completedOrPending events x5 windows, got $dashTx")
     println(s"DRIVE dashboard: snapshot covers $dashTx window-events at ${cfg.stream.aggDir}")
 
-    // 2c. scheduled sink maintenance with the ingest stopped (the
+    // 2c. scheduled sink maintenance with the ingest WRITER stopped (the
     // reference's OPTIMIZE/VACUUM slot): compact each partition's
-    // per-micro-batch small files and GC unreferenced debris. Runs after
-    // every pre-maintenance Dataset over the table has been consumed — a
-    // Dataset pins its file listing at creation, so it would fail on the
-    // replaced files (same contract as the reference's OPTIMIZE: readers
-    // re-resolve the table afterwards). The batch phase below re-reads
-    // the table from scratch and must see identical rows.
-    val rep = graft.streaming.SinkCompaction.compact(
-      spark, table, targetBytes = 64L * 1024 * 1024)
+    // per-micro-batch small files and GC unreferenced debris. READERS stay
+    // active throughout compaction — readTable's versioned resolution
+    // (TxnLog swap marks + retry) must keep every concurrent read at
+    // exactly n rows. Replaced small files persist as orphans until vacuum
+    // (run after the readers stop: its minAgeMs retention IS the reader
+    // grace period, and the drive uses 0).
+    val maintReaderStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintAnomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val maintReader = new Thread(() => {
+      while (!maintReaderStop.get()) {
+        try {
+          val c = StreamingIngest.readTable(spark, table).count()
+          if (c != n) maintAnomalies.add(s"saw $c rows")
+        } catch { case e: Throwable => maintAnomalies.add(s"threw $e") }
+      }
+    })
+    maintReader.start()
+    val rep =
+      try graft.streaming.SinkCompaction.compact(
+        spark, table, targetBytes = 64L * 1024 * 1024)
+      finally { maintReaderStop.set(true); maintReader.join() }
+    assert(maintAnomalies.isEmpty,
+      s"concurrent readers must stay consistent during compaction: $maintAnomalies")
     val vac = graft.streaming.SinkCompaction.vacuum(spark, table, minAgeMs = 0L)
     val afterMaint = StreamingIngest.readTable(spark, table).count()
     assert(afterMaint == n, s"maintenance must not change visible rows: $afterMaint")
     println(s"DRIVE maintenance: ${rep.filesBefore}->${rep.filesAfter} files " +
-      s"(${rep.partitionsCompacted} partitions), vacuumed ${vac.filesRemoved} orphans")
+      s"(${rep.partitionsCompacted} partitions), vacuumed ${vac.filesRemoved} orphans, " +
+      "readers consistent throughout")
 
     // 3. batch full_report over the STREAMED table, submitted over HTTP
     val registry = new BatchRegistry

@@ -48,11 +48,32 @@ object AtomicWrite {
       if (retired && !fs.rename(live, old))
         throw new java.io.IOException(s"atomic publish: failed to retire $live")
       if (!fs.rename(tmp, live)) {
-        // roll the retire back so readers still have a complete live tree
-        if (retired && !fs.rename(old, live))
-          throw new java.io.IOException(
-            s"atomic publish: install failed AND rollback failed — live tree is at $old")
-        throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
+        // A concurrent reader-repair ([[recoverSwap]]) can resurrect the
+        // retired tree in the instant between our two renames — install
+        // then fails because live EXISTS. Re-retire the resurrected tree
+        // and try again (bounded: each retry needs another reader to hit
+        // an ever-narrower window, and readers gate their repair on the
+        // TxnLog in-flight probe, so one spin is the realistic maximum).
+        var installed = false
+        var spins = 0
+        while (!installed && fs.exists(live) && spins < 8) {
+          val re = side("old")
+          if (fs.rename(live, re)) {
+            installed = fs.rename(tmp, live)
+            if (installed) fs.delete(re, true)
+            else if (!fs.exists(live) && !fs.rename(re, live))
+              throw new java.io.IOException(
+                s"atomic publish: install retry failed AND restore failed — live tree is at $re")
+          }
+          spins += 1
+        }
+        if (!installed) {
+          // roll the retire back so readers still have a complete live tree
+          if (!fs.exists(live) && retired && !fs.rename(old, live))
+            throw new java.io.IOException(
+              s"atomic publish: install failed AND rollback failed — live tree is at $old")
+          throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
+        }
       }
       fs.delete(old, true)
       // GC siblings stranded by PRIOR crashed publishes (this one succeeded,

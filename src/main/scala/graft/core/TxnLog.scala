@@ -175,6 +175,24 @@ object TxnLog {
   private def overlaps(a: Set[String], b: Set[String]): Boolean =
     a.contains("*") || b.contains("*") || a.exists(b)
 
+  /** Reader-side stability probe: (current version, whether an unclosed
+    * fresh `*-begin` is in flight). A reader resolves its file listing,
+    * then re-probes — an unchanged version with nothing in flight proves no
+    * table-rewrite swap overlapped the resolution (any swap commits its
+    * begin BEFORE swapping, so an overlapping swap is visible in one of the
+    * two probes). Begins older than `staleLockMs` are crashed writers —
+    * their swap either completed or was repaired; readers proceed. */
+  def readerState(
+      spark: SparkSession, table: String,
+      staleLockMs: Long = 30000L): (Long, Boolean) = {
+    val all = commitsSince(spark, table, 0L)
+    val closed = all.flatMap(_.ref).toSet
+    val now = System.currentTimeMillis()
+    val inFlight = all.exists(c => c.op.endsWith("-begin") &&
+      !closed.contains(c.version) && now - c.ts < staleLockMs)
+    (all.lastOption.map(_.version).getOrElse(0L), inFlight)
+  }
+
   /** Drop manifest entries older than `keep` versions below the current tip
     * (maintenance; the manifest is append-only otherwise). Never removes
     * the tip: version numbering must stay monotone. */

@@ -25,15 +25,19 @@ import org.apache.spark.sql.SparkSession
   * resumes at batch N+1 — no skipped data, no replays, old small files are
   * deleted only after the swap.
   *
-  * CONTRACT: run while the ingest query on this table is STOPPED (it is a
-  * maintenance op, exactly like the reference's scheduled OPTIMIZE), and
-  * read the table via [[StreamingIngest.readTable]], which repairs a
-  * crashed swap before reading. A RAW `spark.read.parquet` racing the
-  * dir-missing instant between the swap's two renames would not fail — it
-  * falls back to plain directory listing and can see old small files plus
-  * their compacted rewrites (a duplicate view). The repair-first readers
-  * and the stopped-ingest contract close that window on this engine's own
-  * paths; external readers must retry on a missing `_spark_metadata`.
+  * CONTRACT: run while the ingest WRITER on this table is stopped (it is a
+  * maintenance op, exactly like the reference's scheduled OPTIMIZE).
+  * READERS need no coordination: the log swap is bracketed by
+  * [[graft.core.TxnLog]] begin/end marks and [[StreamingIngest.readTable]]
+  * probes them around its file-listing resolution, retrying if a swap
+  * overlapped — so a concurrent reader always resolves a complete
+  * pre-swap or post-swap file set, never the duplicate view a raw
+  * `spark.read.parquet` could get by silently falling back to directory
+  * listing at the dir-missing instant between the swap's two renames.
+  * Replaced small files outlive the swap as unreferenced orphans until
+  * [[vacuum]]'s retention horizon passes (the reader grace period), so a
+  * reader that resolved the pre-swap log can finish its scan. External
+  * raw readers must retry on a missing `_spark_metadata`.
   *
   * At 100 TB: each partition rewrite is a distributed read+write bounded by
   * `targetBytes`; partitions are processed independently so a scheduler can
@@ -110,7 +114,15 @@ object SinkCompaction {
     if (partitions == 0) return Report(0, entries.size, entries.size, 0L)
 
     // ---- 3. build the replacement log off to the side, then swap — the
-    // same retire→install→rollback choreography as every other publish
+    // same retire→install→rollback choreography as every other publish.
+    // The swap is bracketed by TxnLog begin/end marks: [[StreamingIngest
+    // .readTable]] probes them around its file-listing resolution, so a
+    // reader racing the log-dir-missing instant between the swap's two
+    // renames detects the overlap and re-resolves instead of silently
+    // falling back to a directory listing (which would see old small files
+    // PLUS their compacted rewrites — a duplicate view).
+    val claim = graft.core.TxnLog.begin(spark, tablePath, "compact",
+      Set("*"), graft.core.TxnLog.currentVersion(spark, tablePath))
     graft.core.AtomicWrite.publish(spark, logDir.toString) { tmpPath =>
       val newLog = new Path(tmpPath)
       fs.mkdirs(newLog)
@@ -122,11 +134,13 @@ object SinkCompaction {
         write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
       }
     }
+    graft.core.TxnLog.end(spark, tablePath, claim)
 
-    // ---- 4. old small files are no longer referenced — remove them
-    val replaced = entries.toSet -- kept.toSet
-    replaced.foreach(e => fs.delete(new Path(new java.net.URI(e.path)), false))
-
+    // ---- 4. the replaced small files are now unreferenced ORPHANS — they
+    // are deliberately NOT deleted here: a reader that resolved the
+    // pre-swap log may still be scanning them. [[vacuum]]'s `minAgeMs`
+    // retention horizon (the reader grace period, Delta's
+    // retention-period analog) removes them on the next maintenance pass.
     Report(partitions, entries.size, kept.size + rewritten.size, bytes)
   }
 

@@ -74,21 +74,59 @@ object StreamingIngest {
   /** Read the ingested table THROUGH the sink's commit log so in-progress
     * files are invisible (the Parquet stand-in for Delta ACID, §7.3).
     *
-    * Repairs a crashed maintenance log-swap first: with `_spark_metadata`
-    * missing, `spark.read.parquet` would NOT fail — it silently falls back
-    * to plain directory listing, which during/after an interrupted
-    * compaction can surface old small files AND their compacted rewrites
-    * (a ~2× duplicate view). Going through this method restores the log
-    * and with it exactly-once visibility.
+    * Versioned read: the file listing is resolved eagerly here, bracketed
+    * by [[graft.core.TxnLog.readerState]] probes. [[SinkCompaction]] marks
+    * its log swap begin/end in the same manifest, so if a swap overlapped
+    * this resolution — the one window where `spark.read.parquet` silently
+    * falls back from the commit log to directory listing and can see old
+    * small files AND their compacted rewrites (a ~2× duplicate view) — the
+    * probe disagrees and the read re-resolves. Readers therefore always
+    * observe a complete pre-swap or post-swap file set, with no
+    * coordination and no locks (the Delta snapshot-read analog).
     *
-    * Reader-safe repair: `gcTmp = false` — a reader must not delete the
-    * `.tmp-` siblings of a maintenance publish that is legitimately in
-    * flight, and a repair rename lost to a concurrent reader is tolerated.
-    * `mergeSchema` is on so a table whose producer widened the schema
-    * (see [[start]]) reads as the union of generations instead of a
-    * footer-dependent subset. */
-  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
-    graft.core.AtomicWrite.recoverSwap(spark, s"$tablePath/_spark_metadata", gcTmp = false)
-    spark.read.option("mergeSchema", "true").parquet(tablePath)
+    * Also repairs a CRASHED maintenance log-swap first, in reader-safe
+    * mode (`gcTmp = false`: never delete the `.tmp-` siblings of a
+    * possibly-live maintenance publish; tolerate losing the repair rename
+    * to a concurrent reader). `mergeSchema` is on so a table whose
+    * producer widened the schema (see [[start]]) reads as the union of
+    * generations instead of a footer-dependent subset. */
+  def readTable(spark: SparkSession, tablePath: String, maxAttempts: Int = 80): DataFrame = {
+    val logDir = s"$tablePath/_spark_metadata"
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // probe BEFORE any repair: while a swap is in flight the "missing"
+      // log belongs to the live publisher — a reader restoring it
+      // mid-publish would hijack the swap (the publisher recovers, but
+      // there is no reason to race it)
+      val before = graft.core.TxnLog.readerState(spark, tablePath)
+      if (before._2) {
+        // a swap is in flight RIGHT NOW (marks bracket only the
+        // milliseconds-long log publish, not the rewrite work) — yield
+        if (attempt >= maxAttempts)
+          throw new IllegalStateException(
+            s"readTable: $tablePath still has an in-flight maintenance swap " +
+              s"after $maxAttempts attempts")
+        Thread.sleep(25)
+      } else {
+        // no fresh in-flight swap → a missing log is a CRASHED swap; repair
+        graft.core.AtomicWrite.recoverSwap(spark, logDir, gcTmp = false)
+        try {
+          // eager: the commit log and file listing are pinned here
+          val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
+          if (graft.core.TxnLog.readerState(spark, tablePath) == before) return df
+          // a swap landed mid-resolution — the listing may be the raw
+          // directory fallback; re-resolve
+        } catch {
+          case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
+            // the dir-missing instant of a concurrent swap — retry
+            Thread.sleep(25)
+        }
+        if (attempt >= maxAttempts)
+          throw new IllegalStateException(
+            s"readTable: $tablePath did not yield a stable resolution in $maxAttempts attempts")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

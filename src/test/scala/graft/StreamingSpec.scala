@@ -88,6 +88,12 @@ class StreamingSpec extends SparkSpec {
 
     val report = SinkCompaction.compact(spark, table, minFilesToCompact = 2)
     assert(report.partitionsCompacted == 2 && report.filesBefore == 12)
+    // replaced files persist as orphans until vacuum's retention passes
+    // (the reader grace period) — readers that resolved the pre-swap log
+    // can still finish their scans
+    assert(partFiles().size == 14, s"12 orphans + 2 rewrites: ${partFiles()}")
+    assert(idSet() == before)
+    SinkCompaction.vacuum(spark, table, minAgeMs = 0)
     assert(partFiles().size == 2, s"expected 1 file per partition: ${partFiles()}")
     // readers still resolve through the commit log and see the same rows
     assert(idSet() == before)
@@ -101,6 +107,79 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     val after = idSet()
     assert(after == before + "t7a", s"resume must append exactly t7a: $after")
+  }
+
+  test("readers never observe a duplicate or partial view while the log swaps") {
+    // Table with 12 small files across 2 partitions, compacted WITHOUT
+    // vacuum: 12 orphan files + 2 rewrites sit on disk while the commit log
+    // references only the 2 rewrites. A raw directory-listing fallback —
+    // exactly what spark.read.parquet degrades to if it catches the
+    // dir-missing instant of a log swap — would read 24 rows. Hammer that
+    // window: republish the log 25× with the same TxnLog-bracketed publish
+    // choreography compact uses, while reader threads loop on readTable.
+    val (drop, table, ckpt) = (tmp("rdrop"), tmp("rtable"), tmp("rckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+    def tx(id: String, ts: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"$ts","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":10.0,"total_amount":10.0,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+    (1 to 6).foreach { b =>
+      writeFile(s"w$b.json", Seq(
+        tx(s"t${b}a", "2026-02-01 10:00:00"), tx(s"t${b}b", "2026-02-02 11:00:00")))
+    }
+    val q1 = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q1.processAllAvailable(); q1.stop()
+    SinkCompaction.compact(spark, table, minFilesToCompact = 2)
+    // precondition: the poisoned-fallback state is really on disk
+    val dataFiles = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(dataFiles == 14, s"12 orphans + 2 rewrites expected, got $dataFiles")
+    assert(spark.read.parquet(table).count() == 12, "log-resolving read")
+
+    val logDir = new java.io.File(table, "_spark_metadata")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 2).map { i =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try {
+            val c = StreamingIngest.readTable(spark, table).count()
+            if (c != 12L) anomalies.add(s"reader$i saw $c rows")
+          } catch { case e: Throwable => anomalies.add(s"reader$i threw $e") }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (1 to 25).foreach { _ =>
+        // capture the current log content, then swap in a byte-identical
+        // copy — pure window-exercise, no semantic change
+        val content = logDir.listFiles().filterNot(_.getName.startsWith("."))
+          .map(f => f.getName -> Files.readAllBytes(f.toPath)).toMap
+        val claim = graft.core.TxnLog.begin(spark, table, "compact", Set("*"),
+          graft.core.TxnLog.currentVersion(spark, table))
+        graft.core.AtomicWrite.publish(spark, logDir.toString) { tmpPath =>
+          val out = new java.io.File(tmpPath)
+          out.mkdirs()
+          content.foreach { case (name, bytes) =>
+            Files.write(new java.io.File(out, name).toPath, bytes)
+          }
+        }
+        graft.core.TxnLog.end(spark, table, claim)
+      }
+    } finally {
+      stop.set(true); readers.foreach(_.join())
+    }
+    assert(anomalies.isEmpty, s"versioned reads must stay consistent: $anomalies")
+    // vacuum after the readers are done reclaims the orphans
+    val vac = SinkCompaction.vacuum(spark, table, minAgeMs = 0)
+    assert(vac.filesRemoved == 12, s"orphans reclaimed: $vac")
+    assert(StreamingIngest.readTable(spark, table).count() == 12)
   }
 
   test("sink compaction across a .compact log boundary (≥10 micro-batches)") {
