@@ -163,40 +163,65 @@ object SimilarityQueries extends QueryModule {
   private val IvfIters = 3
   private[operators] val IvfNprobe = 6
 
-  /** Trained codebook memo, per (session, dir). An IVF coarse quantizer is
-    * trained ONCE and reused by every probe batch — the production shape —
-    * and the codebook is inherently driver-sized (K centroids × 64 longs,
-    * ~50 KB at sf0.1), unlike the corpus, which is never collected or
-    * cached. Deterministic k-means ⇒ the memo cannot change any answer.
-    * Weak session keys so a restarted session in a long-lived JVM is not
-    * pinned.
+  /** Trained codebook memo, per (session, dir), keyed on a CORPUS
+    * FINGERPRINT. An IVF coarse quantizer is trained ONCE and reused by
+    * every probe batch — the production shape — and the codebook is
+    * inherently driver-sized (K centroids × 64 longs, ~50 KB at sf0.1),
+    * unlike the corpus, which is never collected or cached. Deterministic
+    * k-means ⇒ the memo cannot change any answer. Weak session keys so a
+    * restarted session in a long-lived JVM is not pinned.
     *
-    * INVARIANT: the corpus under a memoized `dir` is immutable for the
-    * session — a rewrite-in-place would re-scan new vectors against stale
-    * centroids. Callers that rewrite a corpus dir must call
-    * [[invalidateCodebook]] (or use a fresh dir, the normal
-    * immutable-snapshot layout at scale). */
+    * The fingerprint is the corpus parquet files' sorted
+    * (path, length, modTime) — O(files) driver metadata. A corpus dir
+    * rewritten in place therefore invalidates its memo and the next IVF
+    * query RETRAINS, instead of scanning new vectors against stale
+    * centroids (immutable-snapshot dirs, the normal layout at scale, hit
+    * the memo every time). [[invalidateCodebook]] remains for callers that
+    * want to force a retrain. */
   private val codebooks =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, Map[String, Seq[(Long, Seq[Long])]]]())
+      new java.util.WeakHashMap[SparkSession, Map[String, (String, Seq[(Long, Seq[Long])])]]())
 
   /** Drop the trained codebook for `dir` (all dirs if None) so the next IVF
     * query retrains against the current corpus contents. */
   def invalidateCodebook(s: SparkSession, dir: Option[String] = None): Unit =
     codebooks.synchronized {
       val m = Option(codebooks.get(s)).getOrElse(Map.empty)
-      codebooks.put(s, dir.fold(Map.empty[String, Seq[(Long, Seq[Long])]])(m - _))
+      codebooks.put(s, dir.fold(Map.empty[String, (String, Seq[(Long, Seq[Long])])])(m - _))
     }
 
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
-    val rows = codebooks.synchronized {
-      val m = Option(codebooks.get(s)).getOrElse(Map.empty)
-      m.getOrElse(d, {
-        val trained = trainCentroids(s, d)
-        codebooks.put(s, m.updated(d, trained))
-        trained
-      })
+  /** Sorted (path, length, modTime) of the corpus files — changes whenever
+    * the corpus dir is rewritten. */
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(f => walk(f.getPath))
+      else Seq(st)
     }
+    walk(root).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** The memoized codebook rows for `d`, training if absent or if the
+    * corpus fingerprint changed (package-visible for the retrain spec). */
+  private[graft] def codebookRows(s: SparkSession, d: String): Seq[(Long, Seq[Long])] = {
+    val fp = corpusFingerprint(s, d)
+    codebooks.synchronized {
+      val m = Option(codebooks.get(s)).getOrElse(Map.empty)
+      m.get(d) match {
+        case Some((oldFp, rows)) if oldFp == fp => rows
+        case _ =>
+          val trained = trainCentroids(s, d)
+          codebooks.put(s, m.updated(d, (fp, trained)))
+          trained
+      }
+    }
+  }
+
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    val rows = codebookRows(s, d)
     import s.implicits._
     s.createDataset(rows).toDF("cid", "cqv")
       .withColumn("cnrm", expr("graft_dot(cqv, cqv)"))
