@@ -257,17 +257,60 @@ object TextQueries extends QueryModule {
     * shard boundaries, nothing here requires a global order. The explode
     * fan-out is ≤ 2 rows per document for any L larger than a typical doc. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
-    val L = 256
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
-    docs(s, d)
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      // zero-token guard: sequence(a, b) DESCENDS when b < a (an empty doc
-      // would fabricate phantom seq_ids); DuckDB's range() returns empty.
-      // Neither is wanted — an empty doc contributes to no sequence.
-      .filter(col("n_tokens") > 0)
+    val withOffsets = packSized(s, d)
       .withColumn("end_off", sum("n_tokens").over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))
+    packTail(withOffsets)
+  }
+
+  /** Two-phase packing offsets — IDENTICAL output to [[packSequences]]
+    * (same oracle SQL), computed the way a 100 TB source actually must be:
+    * docs are grouped into contiguous doc_id ranges (the file-group
+    * analog), phase 1 aggregates one token total per group and turns them
+    * into per-group BASE offsets with a window over the group list (tiny:
+    * one row per group, not per doc), phase 2 computes running offsets
+    * WITHIN each group in parallel and adds the base. The per-source
+    * single-partition window over all docs — the one scale hazard of the
+    * windowed version — is gone; packing is associative over group
+    * boundaries, so the offsets (and every downstream sequence) are
+    * bit-identical. */
+  def packSequencesSharded(s: SparkSession, d: String): DataFrame = {
+    val G = 500 // docs per offset group; at scale ≈ one parquet file-group
+    val base = packSized(s, d).withColumn("grp", expr(s"doc_id DIV $G"))
+    // phase 1: one row per (source, group) → base offsets; the window runs
+    // over the GROUP list (corpus_size / G rows), broadcastable metadata
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("grp")
+    val bases = base.groupBy("source", "grp")
+      .agg(sum("n_tokens").as("grp_tokens"))
+      .withColumn("base_off", sum("grp_tokens").over(wg) - col("grp_tokens"))
+      .select("source", "grp", "base_off")
+    // phase 2: per-group local running offsets, shifted by the group base —
+    // windows partitioned by (source, grp) parallelize across groups
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "grp").orderBy("doc_id")
+    val withOffsets = base.join(broadcast(bases), Seq("source", "grp"))
+      .withColumn("end_off", col("base_off") + sum("n_tokens").over(wl))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+    packTail(withOffsets)
+  }
+
+  /** (source, doc_id, n_tokens, toks…) of the packable docs. Zero-token
+    * guard: sequence(a, b) DESCENDS when b < a (an empty doc would
+    * fabricate phantom seq_ids); DuckDB's range() returns empty. Neither
+    * is wanted — an empty doc contributes to no sequence. */
+  private def packSized(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+
+  /** Cut the running offsets into L=256-token sequences and aggregate
+    * per-sequence occupancy — shared by both offset computations. */
+  private def packTail(withOffsets: DataFrame): DataFrame = {
+    val L = 256
+    withOffsets
       .withColumn("seq_id",
         explode(expr(s"sequence(start_off DIV $L, (end_off - 1) DIV $L)")))
       .groupBy(col("source"), col("seq_id"))
@@ -341,6 +384,7 @@ object TextQueries extends QueryModule {
     "txt_contamination" -> (contamination _),
     "txt_clean_pipeline" -> (cleanPipeline _),
     "txt_pack_sequences" -> (packSequences _),
+    "txt_pack_sequences_sharded" -> (packSequencesSharded _),
     "txt_source_mix" -> (sourceMix _),
     "txt_tfidf" -> (tfidfTop _),
     "txt_token_stats" -> (tokenStats _),
@@ -359,6 +403,33 @@ object TextQueries extends QueryModule {
 
   private def sqlMarker(words: Seq[String]): String =
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
+
+  private lazy val packSql: String = s"""$cte,
+      sized AS (
+        SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM docs WHERE len(toks) > 0),
+      off AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
+        FROM sized),
+      spans AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(end_off - n_tokens AS BIGINT) AS start_off,
+               CAST(end_off AS BIGINT) AS end_off
+        FROM off),
+      ex AS (
+        SELECT source, doc_id, start_off, end_off, seq_id
+        FROM spans CROSS JOIN
+          UNNEST(range(start_off // 256, ((end_off - 1) // 256) + 1)) AS u(seq_id))
+      SELECT source, seq_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN start_off >= seq_id * 256 AND end_off <= (seq_id + 1) * 256
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+        CAST(SUM(LEAST(end_off, (seq_id + 1) * 256) -
+                 GREATEST(start_off, seq_id * 256)) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc,
+        MAX(doc_id) AS last_doc
+      FROM ex GROUP BY 1, 2"""
 
   val oracleSql: Map[String, String] = Map(
     "txt_repetition" -> s"""$cte,
@@ -421,32 +492,10 @@ object TextQueries extends QueryModule {
         CAST(SUM(FLOOR(quality_score * 1e6)) AS BIGINT) AS quality_micro_sum
       FROM surviving JOIN keep USING (fingerprint, doc_id)
       GROUP BY 1""",
-    "txt_pack_sequences" -> s"""$cte,
-      sized AS (
-        SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-        FROM docs WHERE len(toks) > 0),
-      off AS (
-        SELECT source, doc_id, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS end_off
-        FROM sized),
-      spans AS (
-        SELECT source, doc_id, n_tokens,
-               CAST(end_off - n_tokens AS BIGINT) AS start_off,
-               CAST(end_off AS BIGINT) AS end_off
-        FROM off),
-      ex AS (
-        SELECT source, doc_id, start_off, end_off, seq_id
-        FROM spans CROSS JOIN
-          UNNEST(range(start_off // 256, ((end_off - 1) // 256) + 1)) AS u(seq_id))
-      SELECT source, seq_id,
-        COUNT(*) AS n_docs,
-        CAST(SUM(CASE WHEN start_off >= seq_id * 256 AND end_off <= (seq_id + 1) * 256
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
-        CAST(SUM(LEAST(end_off, (seq_id + 1) * 256) -
-                 GREATEST(start_off, seq_id * 256)) AS BIGINT) AS n_tokens,
-        MIN(doc_id) AS first_doc,
-        MAX(doc_id) AS last_doc
-      FROM ex GROUP BY 1, 2""",
+    "txt_pack_sequences" -> packSql,
+    // the sharded two-phase offsets are output-identical by construction —
+    // the ONE oracle text checks both computations against the same answer
+    "txt_pack_sequences_sharded" -> packSql,
     "txt_source_mix" -> s"""$cte,
       sized AS (
         SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),

@@ -56,6 +56,21 @@ class TextSpec extends SparkSpec {
       ("s2", 1L, 1L, 0L, 144L)), s"got $got")
   }
 
+  test("sharded two-phase packing offsets equal the windowed offsets") {
+    // groups of 500 doc_ids with bases joined back must reproduce the
+    // per-source global running offsets bit-for-bit — packing is
+    // associative over group boundaries. Real corpus (sf0.001) so group
+    // boundaries genuinely split sources mid-stream.
+    val d = "/root/testdata/sf0.001"
+    val cols = Seq("source", "seq_id", "n_docs", "n_full_docs", "n_tokens",
+      "first_doc", "last_doc")
+    val windowed = TextQueries.packSequences(spark, d)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val sharded = TextQueries.packSequencesSharded(spark, d)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(windowed.nonEmpty && sharded == windowed)
+  }
+
   test("quality: single-token and all-duplicate docs stay finite") {
     val d = docsDf(1L -> "word", 2L -> "dup dup dup dup")
     val rows = TextQueries.withQuality(d)
