@@ -57,19 +57,33 @@ object Bench {
     // round 1 additionally carries ~2× of JIT/codegen warm-up (measured
     // round totals 102.8/52.0/47.7 s on identical code). A wall-clock
     // budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 600) stops early on a
-    // slow host: a round only starts if the previous round's duration
-    // still fits, so the caller's timeout is never blown chasing medians.
+    // slow host — EXCEPT under detected contention (a round that blew the
+    // whole budget, or a >3× round-total spread), where [[BenchGuard]]
+    // keeps running extra rounds up to SPARK_GRAFT_BENCH_MAX_ROUNDS
+    // (default max(repeat,5)) and a 2× elapsed-budget hard stop, so the
+    // report is a median across the contention wave — never a single
+    // inflated round with repeat=1. The system load average is sampled at
+    // each round start and recorded in the JSON so a reader can attribute
+    // an inflated round to ambient load without re-running.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3).max(1)
     val budgetMs = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600L) * 1000L
+    val maxRounds = sys.env.get("SPARK_GRAFT_BENCH_MAX_ROUNDS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(repeat.max(5))
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val benchStart = System.currentTimeMillis()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     var lastRoundMs = 0L
-    while (rounds.size < repeat &&
-        (rounds.isEmpty ||
-          System.currentTimeMillis() - benchStart + lastRoundMs < budgetMs)) {
+    while (BenchGuard.shouldRunAnother(
+        rounds.toSeq.map(_.map(_._2).sum),
+        System.currentTimeMillis() - benchStart, lastRoundMs,
+        repeat, budgetMs, maxRounds)) {
       val r0 = System.currentTimeMillis()
+      loads += loadAvg
       rounds += selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -87,9 +101,11 @@ object Bench {
       .mkString("{", ",", "}")
     val roundTotals = rounds.map(_.map(_._2).sum)
     val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
+    val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$actualRounds,"round_totals":$roundsJson,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail: one stdout line (for humans/BASELINE.md) plus a
     // file. It is ~2.5 KB for 80+ queries.
     println(detail)
@@ -115,10 +131,12 @@ object Bench {
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + f"""":$v%.2f"""))
       .mkString("{", ",", "}")
     val median = med(results.map(_._2))
-    // round_totals expose run-to-run host variance (co-tenant CPU waves
-    // distort single rounds up to 10× — BASELINE.md): a reader can tell a
-    // contended round from a code regression without re-running.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // round_totals + load + the contended flag expose run-to-run host
+    // variance (co-tenant CPU waves distort single rounds up to 10× —
+    // BASELINE.md): a reader can tell a contended round from a code
+    // regression without re-running, and a contended run reports medians
+    // across extra rounds instead of one inflated round.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+/** Pure round-control logic for [[Bench]], factored out so the
+  * contention guard is unit-testable without running Spark.
+  *
+  * Why it exists: a co-tenant CPU wave can inflate a single bench round
+  * 10-100× (BASELINE.md records the spread). The old guard stopped as soon
+  * as the projected next round no longer fit the budget — so one inflated
+  * first round produced a single unusable `repeat=1` artifact with no
+  * medians. The fix: DETECT contention (a round that blew the whole
+  * budget, or a >3× spread across round totals) and, when detected, keep
+  * running extra rounds — up to `maxRounds` and a 2× elapsed-budget hard
+  * stop — so the reported number is a median across the wave instead of
+  * one round inside it. Quiet hosts are unaffected: the original
+  * budget-projection early-stop still applies to consistent rounds.
+  */
+object BenchGuard {
+
+  /** A bench run is contended when any single round consumed the entire
+    * budget, or the round totals spread by more than [[SpreadLimit]]
+    * (genuine code regressions shift ALL rounds; only ambient load makes
+    * the same binary swing 3×+ between rounds minutes apart). */
+  val SpreadLimit = 3.0
+
+  def isContended(roundTotalsSec: Seq[Double], budgetMs: Long): Boolean =
+    roundTotalsSec.exists(_ * 1000.0 >= budgetMs.toDouble) ||
+      (roundTotalsSec.size >= 2 &&
+        roundTotalsSec.max / math.max(roundTotalsSec.min, 1e-9) > SpreadLimit)
+
+  /** Decide whether to start another round.
+    *
+    * @param roundTotalsSec totals of completed rounds, in seconds
+    * @param elapsedMs      wall time since the suite started
+    * @param lastRoundMs    duration of the most recent round
+    * @param repeat         requested round count (medians want ≥ 3)
+    * @param budgetMs       soft wall-clock budget for the whole suite
+    * @param maxRounds      hard cap on rounds (contended runs included)
+    */
+  def shouldRunAnother(
+      roundTotalsSec: Seq[Double],
+      elapsedMs: Long,
+      lastRoundMs: Long,
+      repeat: Int,
+      budgetMs: Long,
+      maxRounds: Int): Boolean = {
+    val n = roundTotalsSec.size
+    if (n == 0) true // round 1 always runs
+    else if (n >= maxRounds) false
+    else if (n < repeat && elapsedMs + lastRoundMs < budgetMs) true
+    else if (isContended(roundTotalsSec, budgetMs) && elapsedMs < 2 * budgetMs) true
+    else false
+  }
+}

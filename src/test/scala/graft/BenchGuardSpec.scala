@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention guard, replayed against synthetic loads —
+  * including the exact round-6 failure shape (one 1015 s round against a
+  * 600 s budget produced an unusable repeat=1 artifact). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val budget = 600000L // 600 s in ms
+
+  test("round 1 always runs") {
+    assert(BenchGuard.shouldRunAnother(Nil, 0, 0, 3, budget, 5))
+  }
+
+  test("quiet host: stop at repeat, spread under the limit") {
+    val totals = Seq(100.0, 110.0, 105.0)
+    assert(!BenchGuard.isContended(totals, budget))
+    assert(!BenchGuard.shouldRunAnother(totals, 315000, 105000, 3, budget, 5))
+  }
+
+  test("quiet host: budget projection still stops a slow-but-consistent run") {
+    // one 400 s round, 600 s budget: the projected second round does not
+    // fit and nothing indicates contention — stop (the pre-guard behavior)
+    val totals = Seq(400.0)
+    assert(!BenchGuard.isContended(totals, budget))
+    assert(!BenchGuard.shouldRunAnother(totals, 400000, 400000, 3, budget, 5))
+  }
+
+  test("round-6 replay: a round that blew the whole budget forces extra rounds") {
+    // BENCH_r06: round 1 took 1015 s against the 600 s budget; the old
+    // guard stopped with repeat=1 and no medians. The guard must instead
+    // keep going (elapsed 1015 s < 2 x budget) so a median exists.
+    val totals = Seq(1015.0)
+    assert(BenchGuard.isContended(totals, budget))
+    assert(BenchGuard.shouldRunAnother(totals, 1015000, 1015000, 3, budget, 5))
+    // and the hard stop still bounds it: after two such rounds the 2x
+    // elapsed budget is spent
+    assert(!BenchGuard.shouldRunAnother(Seq(1015.0, 980.0), 1995000, 980000, 3, budget, 5))
+  }
+
+  test("spread >3x across rounds marks contention and buys extra rounds") {
+    // three fast-ish rounds with one 4x outlier: contended, rounds remain
+    // under the cap, elapsed far under 2x budget -> run more
+    val totals = Seq(100.0, 380.0, 95.0)
+    assert(BenchGuard.isContended(totals, budget))
+    assert(BenchGuard.shouldRunAnother(totals, 575000, 95000, 3, budget, 5))
+    // consistent equivalents do not
+    assert(!BenchGuard.isContended(Seq(100.0, 120.0, 95.0), budget))
+  }
+
+  test("maxRounds caps contended runs") {
+    val totals = Seq(100.0, 380.0, 95.0, 97.0, 101.0)
+    assert(BenchGuard.isContended(totals, budget))
+    assert(!BenchGuard.shouldRunAnother(totals, 773000, 101000, 3, budget, 5))
+  }
+
+  test("contended extra rounds respect the 2x elapsed hard stop") {
+    val totals = Seq(100.0, 380.0, 95.0)
+    assert(!BenchGuard.shouldRunAnother(totals, 2 * budget, 95000, 3, budget, 5))
+  }
+}
