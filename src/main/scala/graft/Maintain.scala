@@ -45,6 +45,17 @@ object Maintain {
         minAgeMs = m.minAgeMs, compactInterval = m.compactInterval)
       println(s"""{"op":"vacuum","table":$tableJson,"filesRemoved":${vac.filesRemoved},""" +
         s""""bytesRemoved":${vac.bytesRemoved},"dirsRemoved":${vac.dirsRemoved}}""")
+      // bound the table's OCC manifest (metadata, one small file per commit)
+      val truncated = graft.core.TxnLog.truncate(spark, table)
+      println(s"""{"op":"txn-truncate","table":$tableJson,"removed":$truncated}""")
+      // registry sweep: terminal job records older than the retention
+      // horizon leave the crash-recovery mirror, so a long-lived deployment
+      // cannot grow its restart recovery (and /batch/list) without bound
+      val reg = new graft.batch.BatchRegistry(Some(cfg.data.registryDir))
+      reg.recover()
+      val pruned = reg.prune(m.registryRetentionMs)
+      println(s"""{"op":"registry-sweep","dir":${graft.http.Json.quote(cfg.data.registryDir)},""" +
+        s""""recovered":${reg.size + pruned},"pruned":$pruned}""")
     } finally spark.stop()
   }
 }

@@ -39,6 +39,47 @@ final class BatchRegistry(persistDir: Option[String] = None) {
   def listAll(limit: Int = Int.MaxValue): Seq[BatchJobRecord] =
     records.values().asScala.toSeq.sortBy(-_.submittedAt).take(limit)
 
+  /** Keyset page: records strictly AFTER the cursor in
+    * (submittedAt DESC, batchId ASC) order. Unlike offset paging, a page
+    * boundary is stable under concurrent submissions (new records land
+    * before the cursor and cannot shift later pages), and the response
+    * stays bounded no matter how many records disk recovery loaded.
+    * Returns (page, total matching the filter). */
+  def listPage(
+      limit: Int,
+      after: Option[(Long, String)] = None,
+      status: Option[BatchStatus.Value] = None): (Seq[BatchJobRecord], Int) = {
+    val filtered = records.values().asScala.toSeq
+      .filter(r => status.forall(_ == r.status))
+    val page = filtered
+      .filter(r => after.forall { case (ts, id) =>
+        r.submittedAt < ts || (r.submittedAt == ts && r.batchId > id)
+      })
+      .sortBy(r => (-r.submittedAt, r.batchId))
+      .take(limit)
+    (page, filtered.size)
+  }
+
+  /** Retention sweep: drop TERMINAL records older than `horizonMs` from
+    * memory and disk (active PENDING/RUNNING records are never touched).
+    * Bounds registry growth across restarts — without it, disk [[recover]]
+    * accumulates every job ever finished. Returns the number removed. */
+  def prune(horizonMs: Long, now: Long = System.currentTimeMillis()): Int = {
+    val cutoff = now - horizonMs
+    val victims = records.values().asScala.toSeq.filter { r =>
+      (r.status == BatchStatus.Completed || r.status == BatchStatus.Failed) &&
+        r.submittedAt < cutoff
+    }
+    victims.foreach { r =>
+      records.remove(r.batchId)
+      persistDir.foreach { dir =>
+        val f = java.nio.file.Paths.get(dir, s"${r.batchId}.json")
+        scala.util.Try(java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    victims.size
+  }
+
   def size: Int = records.size()
 
   // ------------------------------------------------------------ durability

@@ -35,14 +35,17 @@ object GraftConfig {
       master: String, checkpointDir: String, shufflePartitions: Int,
       fairSchedulerFile: String)
   final case class Stream(dropDir: String, tableDir: String, aggDir: String, triggerSeconds: Int)
-  final case class Data(basePath: String, batchBasePath: String, seedPath: String)
+  final case class Data(
+      basePath: String, batchBasePath: String, seedPath: String,
+      registryDir: String)
   final case class Batch(threadPoolSize: Int, defaultPageSize: Int, maxPageSize: Int, sourcePath: String)
   /** Scheduled sink-maintenance knobs (the reference specs OPTIMIZE/VACUUM
     * as scheduled ops over its Delta sink, AGENTS.md:1162-1171): compaction
     * output-file size target, vacuum retention horizon, and the writer's
     * fileSink log compact interval the log surgery must agree with. */
   final case class Maintenance(
-      targetBytes: Long, minAgeMs: Long, compactInterval: Int, minFilesToCompact: Int)
+      targetBytes: Long, minAgeMs: Long, compactInterval: Int,
+      minFilesToCompact: Int, registryRetentionMs: Long)
 
   /** The engine's defaults — the analog of the reference's
     * conf/application.conf (same numbers where the semantics carried over:
@@ -75,6 +78,8 @@ object GraftConfig {
         base-path = ${?GRAFT_DATA_BASE}
         batch-base-path = ${graft.data.base-path}"/batches"
         seed-path = ${graft.data.base-path}"/seed/transactions"
+        # terminal batch-job records are mirrored here for crash recovery
+        registry-dir = ${graft.data.base-path}"/registry"
       }
 
       stream {
@@ -100,6 +105,9 @@ object GraftConfig {
         # must equal spark.sql.streaming.fileSink.log.compactInterval
         compact-interval = 10
         min-files-to-compact = 2
+        # registry sweep: terminal job records older than this are pruned
+        # from the recovery mirror (30 days)
+        registry-retention-ms = 2592000000
       }
     }
   """
@@ -129,7 +137,8 @@ object GraftConfig {
       data = Data(
         basePath = resolver.string("graft.data.base-path"),
         batchBasePath = resolver.string("graft.data.batch-base-path"),
-        seedPath = resolver.string("graft.data.seed-path")),
+        seedPath = resolver.string("graft.data.seed-path"),
+        registryDir = resolver.string("graft.data.registry-dir")),
       batch = Batch(
         threadPoolSize = resolver.int("graft.batch.thread-pool-size"),
         defaultPageSize = resolver.int("graft.batch.default-page-size"),
@@ -139,7 +148,8 @@ object GraftConfig {
         targetBytes = resolver.long("graft.maintenance.target-bytes"),
         minAgeMs = resolver.long("graft.maintenance.min-age-ms"),
         compactInterval = resolver.int("graft.maintenance.compact-interval"),
-        minFilesToCompact = resolver.int("graft.maintenance.min-files-to-compact")))
+        minFilesToCompact = resolver.int("graft.maintenance.min-files-to-compact"),
+        registryRetentionMs = resolver.long("graft.maintenance.registry-retention-ms")))
   }
 
   // ------------------------------------------------------------- parsing

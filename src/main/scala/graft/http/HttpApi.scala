@@ -211,19 +211,46 @@ final class HttpApi(
     }
   }
 
+  /** Keyset-paginated listing: `?limit=&status=&after=<submittedAt>:<id>`.
+    * `after` is the opaque cursor echoed back as `nextAfter` while more
+    * pages remain — stable under concurrent submissions and O(limit) on
+    * the wire however many records disk recovery loaded (offset paging
+    * over an unbounded recovered registry would re-serialize ever-growing
+    * prefixes). */
   private def batchList(ex: HttpExchange): Unit = {
     val q = query(ex)
-    val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20)
-    val all = registry.listAll(Int.MaxValue)
-    val filtered = q.get("status") match {
-      case Some(s) => all.filter(_.status.toString.toUpperCase == s.toUpperCase)
-      case None    => all
+    val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(20).max(1)
+    val status = q.get("status").flatMap(s =>
+      scala.util.Try(graft.batch.BatchStatus.withName(
+        s.toUpperCase.charAt(0) + s.toLowerCase.drop(1))).toOption match {
+        case some @ Some(_) => some
+        // tolerate exact enum casing too
+        case None => scala.util.Try(graft.batch.BatchStatus.withName(s)).toOption
+      })
+    if (q.contains("status") && status.isEmpty) {
+      reply(ex, 400, err("INVALID_STATUS", s"unknown status '${q("status")}'"))
+      return
     }
-    val limited = filtered.take(limit)
-    reply(ex, 200, JObj.of(
-      "total" -> JNum(BigDecimal(filtered.size)),
-      "returned" -> JNum(BigDecimal(limited.size)),
-      "batches" -> JArr(limited.toVector.map(recordJson))))
+    val after = q.get("after").flatMap { c =>
+      val i = c.indexOf(':')
+      if (i <= 0) None
+      else c.take(i).toLongOption.map(ts => (ts, c.drop(i + 1)))
+    }
+    if (q.contains("after") && after.isEmpty) {
+      reply(ex, 400, err("INVALID_CURSOR", "after must be <submittedAt>:<batchId>"))
+      return
+    }
+    // limit+1 peek: nextAfter is emitted only when a further record exists,
+    // so an exactly-full final page does not cost the client an empty fetch
+    val (peek, total) = registry.listPage(limit + 1, after, status)
+    val page = peek.take(limit)
+    val base = Vector(
+      "total" -> (JNum(BigDecimal(total)): JVal),
+      "returned" -> JNum(BigDecimal(page.size)),
+      "batches" -> JArr(page.toVector.map(recordJson)))
+    val next = page.lastOption.filter(_ => peek.size > limit)
+      .map(r => "nextAfter" -> (JStr(s"${r.submittedAt}:${r.batchId}"): JVal))
+    reply(ex, 200, JObj(base ++ next))
   }
 
   // -------------------------------------------------------------- stream

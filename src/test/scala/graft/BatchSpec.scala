@@ -295,4 +295,26 @@ class BatchSpec extends SparkSpec {
     assert(rec.status == BatchStatus.Completed &&
       rec.rawPath.isDefined && rec.request.analysisType == "revenue_by_category")
   }
+
+  test("registry retention sweep prunes old terminal records, memory and disk") {
+    val persist = Files.createTempDirectory("regprune").toString
+    val reg = new BatchRegistry(Some(persist))
+    val now = System.currentTimeMillis()
+    def rec(id: String, st: BatchStatus.Value, age: Long) = BatchJobRecord(
+      batchId = id, request = BatchRequest("2026-01-01", "2026-01-02", "summary_stats"),
+      status = st, submittedAt = now - age)
+    reg.put(rec("old-done", BatchStatus.Completed, 10.days.toMillis))
+    reg.put(rec("old-fail", BatchStatus.Failed, 9.days.toMillis))
+    reg.put(rec("old-pending", BatchStatus.Pending, 10.days.toMillis)) // active: never swept
+    reg.put(rec("new-done", BatchStatus.Completed, 1.days.toMillis))
+    assert(reg.prune(horizonMs = 7.days.toMillis, now = now) == 2)
+    assert(reg.get("old-done").isEmpty && reg.get("old-fail").isEmpty)
+    assert(reg.get("old-pending").isDefined && reg.get("new-done").isDefined)
+    // disk mirror pruned too: a restart recovers only the surviving records
+    val reg2 = new BatchRegistry(Some(persist))
+    assert(reg2.recover() == 1) // new-done (pending records are not mirrored)
+    assert(reg2.get("new-done").isDefined)
+    // sweep is idempotent
+    assert(reg.prune(horizonMs = 7.days.toMillis, now = now) == 0)
+  }
 }

@@ -64,6 +64,62 @@ class HttpSpec extends SparkSpec {
           .writeStream.format("noop").queryName("http-stream").start())).start()
   }
 
+  test("batch list pages a >1k-record registry by keyset cursor") {
+    val reg = new BatchRegistry(None)
+    val base = 1700000000000L
+    // 1200 records with deliberate submittedAt TIES (3 ids per timestamp)
+    // so the (submittedAt DESC, batchId ASC) tie-break is really exercised
+    (0 until 1200).foreach { i =>
+      reg.put(BatchJobRecord(
+        batchId = f"job-$i%04d",
+        request = BatchRequest("2026-01-01", "2026-01-31", "revenue_by_category"),
+        status = if (i % 5 == 4) BatchStatus.Pending else BatchStatus.Completed,
+        submittedAt = base + (i / 3) * 1000L))
+    }
+    val svc = new BatchService(spark, reg, Files.createTempDirectory("httplist").toString)
+    val api = new HttpApi(spark, svc, reg, sourcePath).start()
+    try {
+      // walk the full registry with the cursor; every id exactly once
+      var cursor = Option.empty[String]
+      var pages = 0
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var done = false
+      while (!done) {
+        val q = s"/batch/list?limit=100" + cursor.map("&after=" + _).getOrElse("")
+        val (code, body) = get(api.port, q)
+        assert(code == 200)
+        assert((body.asObj("total") match { case JNum(n) => n.toInt; case _ => fail() }) == 1200)
+        val batches = body.asObj("batches") match { case JArr(b) => b; case _ => fail() }
+        batches.foreach { b =>
+          val o = b.asObj
+          seen += ((java.time.Instant.parse(o("submitTime").str).toEpochMilli,
+            o("batchId").str))
+        }
+        pages += 1
+        body.asObj.get("nextAfter") match {
+          case Some(JStr(c)) => cursor = Some(c)
+          case _             => done = true
+        }
+      }
+      assert(pages == 12, s"1200 records / 100 per page, got $pages pages")
+      assert(seen.size == 1200 && seen.distinct.size == 1200,
+        "keyset pages must partition the registry without dupes or gaps")
+      // global order held across page boundaries
+      assert(seen.toSeq == seen.toSeq.sortBy { case (ts, id) => (-ts, id) })
+
+      // status filter composes with the cursor
+      val (fc, fb) = get(api.port, "/batch/list?limit=50&status=PENDING")
+      assert(fc == 200)
+      assert((fb.asObj("total") match { case JNum(n) => n.toInt; case _ => fail() }) == 240)
+
+      // malformed cursor is a 400, not a silent full listing
+      val (bc, bb) = get(api.port, "/batch/list?after=garbage")
+      assert(bc == 400 && bb.asObj("error").str == "INVALID_CURSOR")
+      val (sc2, sb2) = get(api.port, "/batch/list?status=NOPE")
+      assert(sc2 == 400 && sb2.asObj("error").str == "INVALID_STATUS")
+    } finally api.stop()
+  }
+
   test("health reports healthy with uptime") {
     val api = newApi()
     try {
