@@ -185,6 +185,12 @@ object DedupQueries extends QueryModule {
     (cp, () => fresh.foreach(_.unpersist(blocking = false)))
   }
 
+  /** Rounds the most recent [[connectedComponents]] call took to converge —
+    * scale observability for the stress suite (pointer doubling must keep
+    * this O(log diameter), not O(diameter)). Driver-side, last-call-wins;
+    * not meaningful under concurrent CC runs. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(s: SparkSession, pairList: DataFrame): DataFrame = {
     val (rawPairs, freeRaw) = checkpointed(pairList)
     val nPairs = rawPairs.count()
@@ -233,6 +239,7 @@ object DedupQueries extends QueryModule {
       iter += 1
     }
     freeEdges()
+    lastCcRounds = iter
     require(changed == 0,
       s"connectedComponents did not converge after $maxIter rounds " +
         s"($changed labels still changing) — result would be silently wrong")

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.tagobjects.Slow
+
+import graft.operators.DedupQueries
+
+/** Scale-stress for the dedup pair/cluster path: the same code on a 10×
+  * corpus must cost ≲ linearly more wall-clock (LSH is a bucketed
+  * equi-join, never all-pairs) and connected components must converge in
+  * O(log diameter) rounds at every size (pointer doubling, not plain
+  * propagation). Corpora are generated transiently at 1× = 5 000 docs
+  * (the sf0.1 shape) and 10× = 50 000 docs with identical duplicate
+  * structure, so the ratio isolates scaling from data character.
+  *
+  * Wall-clock assertions carry deliberate slack (host CPU varies ±50%
+  * run-to-run and co-tenant waves distort far more — BASELINE.md); the
+  * deterministic assertions (pair-count scaling, round counts) are the
+  * primary gate. Measured slope is recorded in BASELINE.md. */
+class ScalingStressSpec extends SparkSpec {
+
+  /** Deterministic corpus: every doc is 40 md5-derived tokens; docs with
+    * id % 25 == 1 are a near-duplicate of id-1 (one interior token
+    * replaced → 3-shingle Jaccard = 35/41 ≈ 0.854, above the 0.8 verify
+    * threshold and near-certain under 8-band LSH) — so pair count scales
+    * exactly linearly with the corpus. */
+  private def gen(n: Long): String = {
+    val dir = Files.createTempDirectory(s"stress$n").toString
+    spark.range(n).selectExpr(
+      "id AS doc_id",
+      // base doc: tokens t(i) = md5(base_id:i); near-dup member replaces
+      // token 20 with its own marker
+      """concat_ws(' ', transform(sequence(0, 39), i ->
+           CASE WHEN i = 20 AND id % 25 = 1
+                THEN substr(md5(concat('own:', CAST(id AS STRING))), 1, 8)
+                ELSE substr(md5(concat(
+                       CAST(id - CAST(id % 25 = 1 AS INT) AS STRING), ':',
+                       CAST(i AS STRING))), 1, 8) END)) AS text""",
+      "'en' AS lang",
+      "concat('s', CAST(id % 5 AS STRING)) AS source",
+      "CAST(40 * 9 - 1 AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def timeIt[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** min-of-2 damps (but cannot eliminate) co-tenant interference. */
+  private def minTime(body: => Long): (Long, Double) = {
+    val (a1, t1) = timeIt(body)
+    val (_, t2) = timeIt(body)
+    (a1, math.min(t1, t2))
+  }
+
+  test("10x corpus: pairs scale linearly, CC rounds stay flat, time ≲ linear", Slow) {
+    val dir1 = gen(5000L)
+    val dir10 = gen(50000L)
+
+    val (pairs1, tp1) = minTime(DedupQueries.minhashPairs(spark, dir1).count())
+    val (pairs10, tp10) = minTime(DedupQueries.minhashPairs(spark, dir10).count())
+    // the generator plants exactly n/25 near-dup pairs; LSH+verify must
+    // recover them all — and ONLY them (no quadratic bucket blowup)
+    assert(pairs1 == 200L, s"1x pairs: $pairs1")
+    assert(pairs10 == 2000L, s"10x pairs: $pairs10")
+
+    val (_, tc1) = minTime(DedupQueries.clusters(spark, dir1).count())
+    val rounds1 = DedupQueries.lastCcRounds
+    val (nClusters10, tc10) = minTime(DedupQueries.clusters(spark, dir10).count())
+    val rounds10 = DedupQueries.lastCcRounds
+    assert(nClusters10 == 4000L, "2000 pair-clusters x 2 member rows")
+
+    // pointer doubling: rounds must NOT grow with corpus size (components
+    // here have diameter 1; propagation depth is O(log d), and d is fixed)
+    assert(rounds1 >= 1 && rounds1 <= 6, s"1x rounds: $rounds1")
+    assert(rounds10 <= rounds1 + 1, s"rounds grew with corpus size: $rounds1 -> $rounds10")
+
+    // wall-clock: 10x data within ~3x of linear (generous: host variance)
+    assert(tp10 / tp1 < 30.0, f"minhashPairs 10x slope ${tp10 / tp1}%.1f")
+    assert(tc10 / tc1 < 30.0, f"clusters 10x slope ${tc10 / tc1}%.1f")
+    info(f"minhashPairs: 1x ${tp1}%.2f s, 10x ${tp10}%.2f s (x${tp10 / tp1}%.1f); " +
+      f"clusters: 1x ${tc1}%.2f s, 10x ${tc10}%.2f s (x${tc10 / tc1}%.1f); " +
+      s"cc rounds $rounds1 -> $rounds10")
+  }
+
+  test("connected components: chain of depth 2048 converges in O(log d) rounds", Slow) {
+    import spark.implicits._
+    // a single path graph is the worst case for label propagation: plain
+    // min-label needs ~d rounds; pointer doubling must stay ~log2(d)
+    val d = 2048
+    val chain = (0 until d).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val cc = DedupQueries.connectedComponents(spark, chain)
+    assert(cc.count() == (d + 1).toLong)
+    assert(cc.select("cluster").distinct().count() == 1L)
+    val rounds = DedupQueries.lastCcRounds
+    assert(rounds <= 16, s"chain-$d took $rounds rounds — propagation is not O(log d)")
+  }
+}
