@@ -48,6 +48,10 @@ object Maintain {
       // bound the table's OCC manifest (metadata, one small file per commit)
       val truncated = graft.core.TxnLog.truncate(spark, table)
       println(s"""{"op":"txn-truncate","table":$tableJson,"removed":$truncated}""")
+      // retained time-travel generations past the retention horizon (the
+      // min-age knob doubles as the as-of horizon, like Delta's)
+      val hist = graft.batch.Upsert.vacuumHistory(spark, table, minAgeMs = m.minAgeMs)
+      println(s"""{"op":"history-vacuum","table":$tableJson,"removed":$hist}""")
       // registry sweep: terminal job records older than the retention
       // horizon leave the crash-recovery mirror, so a long-lived deployment
       // cannot grow its restart recovery (and /batch/list) without bound

@@ -148,7 +148,8 @@ object Upsert {
     // duplicate sibling that readers merge into old-AND-new rows.
     val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(p)
-    val partDir = s"$table/$partCol=$escaped"
+    val dirName = s"$partCol=$escaped"
+    val partDir = s"$table/$dirName"
     val delta = updates.filter(col(partCol).cast("string") === p)
       .select(dataCols.map(col): _*)
     val existing = existingPartition(spark, partDir, dataCols, p)
@@ -160,10 +161,116 @@ object Upsert {
           .unionByName(delta)
       case None => delta // brand-new partition: pure insert
     }
-    AtomicWrite.publish(spark, partDir) { tmp =>
+    // Time travel: the replaced generation is retained under the claim's
+    // version (underscore prefix — invisible to plain readers). A
+    // brand-new partition retains an ABSENT marker instead, so [[readAsOf]]
+    // can tell "did not exist at that version" from "generation vacuumed"
+    // (the latter must fail loudly, never silently drop a partition).
+    val historyRoot = s"$table/$HistoryDir/v${claim.version}"
+    if (existing.isEmpty) {
+      val marker = new org.apache.hadoop.fs.Path(s"$historyRoot/$dirName$AbsentSuffix")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(Array.empty[Byte]) finally out.close()
+    }
+    AtomicWrite.publish(spark, partDir,
+      retainOldTo = if (existing.isDefined) Some(s"$historyRoot/$dirName") else None) { tmp =>
       merged.write.parquet(tmp)
     }
     TxnLog.end(spark, table, claim)
+  }
+
+  private val HistoryDir = "_graft_history"
+  private val AbsentSuffix = ".ABSENT"
+
+  /** Versioned snapshot read — the Delta `VERSION AS OF` analog
+    * (ref `SparkManager.scala:36-37`: Delta gives the reference repeatable
+    * reads of any retained version for free). Returns the table as of
+    * TxnLog `version`: every partition resolves to its live directory if
+    * no COMMITTED upsert touched it after `version`, otherwise to the
+    * pre-image retained when the earliest such upsert replaced it.
+    * Partitions first created after `version` are excluded (their ABSENT
+    * marker proves non-existence); a generation already removed by
+    * [[vacuumHistory]] fails loudly — a snapshot must never be silently
+    * partial.
+    *
+    * Semantics: "as of v" = the state produced by every write whose END
+    * commit is ≤ v. A write in flight at v (begun, not ended) is not yet
+    * committed and resolves to its pre-image. Guarantees cover committed
+    * writes; a writer that crashed mid-merge leaves its partition visible
+    * to PLAIN readers but outside any committed version (same
+    * partial-application semantics as [[mergeByKey]] itself).
+    *
+    * Scale shape: resolution is O(partitions) driver METADATA (one commit
+    * scan + one directory listing); data reads group by generation, so the
+    * plan holds O(distinct retained versions) scans, each partition-pruned
+    * — no per-partition plan explosion, nothing corpus-sized on the
+    * driver. */
+  def readAsOf(
+      spark: SparkSession,
+      table: String,
+      version: Long,
+      partCol: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val ends = TxnLog.commitsSince(spark, table, 0L)
+      .filter(c => c.op == "upsert-end" && c.ref.isDefined)
+    val liveDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath.getName).sorted
+    require(liveDirs.nonEmpty, s"$table has no $partCol=* partitions")
+
+    val liveVals = Seq.newBuilder[String]
+    val fromHistory = Seq.newBuilder[(Long, String)] // (begin version, dir name)
+    liveDirs.foreach { dirName =>
+      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(dirName.stripPrefix(s"$partCol="))
+      val later = ends.filter(e => e.partitions.contains(value) && e.version > version)
+      if (later.isEmpty) liveVals += value
+      else {
+        val begin = later.minBy(_.version).ref.get
+        val gen = s"$table/$HistoryDir/v$begin/$dirName"
+        if (fs.exists(new org.apache.hadoop.fs.Path(gen + AbsentSuffix))) ()
+        else if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
+          fromHistory += ((begin, dirName))
+        else
+          throw new IllegalStateException(
+            s"time travel: generation v$begin of $dirName was vacuumed — " +
+              s"the snapshot at version $version is no longer reconstructible")
+      }
+    }
+    val live = liveVals.result()
+    val reads = Seq.newBuilder[DataFrame]
+    if (live.nonEmpty)
+      reads += spark.read.option("mergeSchema", "true").parquet(table)
+        .filter(col(partCol).cast("string").isin(live: _*))
+    fromHistory.result().groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
+      val base = s"$table/$HistoryDir/v$begin"
+      reads += spark.read.option("mergeSchema", "true").option("basePath", base)
+        .parquet(dirs.map(d => s"$base/${d._2}"): _*)
+    }
+    val parts = reads.result()
+    if (parts.isEmpty)
+      spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Remove retained generations older than `minAgeMs` (age since
+    * REPLACEMENT — the retention rename sets the directory mtime), bounding
+    * history growth; the time-travel horizon is exactly this retention,
+    * like Delta's. Returns the number of generation roots removed. */
+  def vacuumHistory(
+      spark: SparkSession, table: String,
+      minAgeMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val hist = new org.apache.hadoop.fs.Path(s"$table/$HistoryDir")
+    val fs = hist.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hist)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val victims = fs.listStatus(hist)
+      .filter(st => st.getPath.getName.matches("v\\d+") && st.getModificationTime < cutoff)
+    victims.foreach(st => fs.delete(st.getPath, true))
+    victims.length
   }
 
   /** The surviving rows of a partition dir, or None if it does not exist.

@@ -25,13 +25,23 @@ object AtomicWrite {
     * place at `target`. `write` must produce a complete directory tree at the
     * path it is given (e.g. `df.write.parquet(tmp)`).
     *
+    * `retainOldTo`: instead of deleting the retired tree after a successful
+    * install, rename it to this path — the hook that lets callers keep
+    * PRIOR GENERATIONS for versioned snapshot reads (Delta time-travel
+    * analog, see [[graft.batch.Upsert.readAsOf]]). Retention is
+    * best-effort-after-success: the swap's atomicity guarantees are
+    * unchanged, and a failed retention rename surfaces as an error AFTER
+    * the new tree is live.
+    *
     * Failure behavior: if the install rename fails AFTER the live tree was
     * retired, the old tree is renamed back into place before the error
     * propagates — a failed publish never leaves the target missing. The one
     * unrecoverable-in-process window is a hard crash between the two
     * renames; [[recoverSwap]] repairs exactly that from the `.old-` sibling
     * on the next maintenance entry. */
-  def publish(spark: SparkSession, target: String)(write: String => Unit): Unit = {
+  def publish(
+      spark: SparkSession, target: String,
+      retainOldTo: Option[String] = None)(write: String => Unit): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(target)
     val fs = live.getFileSystem(conf)
@@ -45,6 +55,9 @@ object AtomicWrite {
       write(tmp.toString)
       val old = side("old")
       val retired = fs.exists(live)
+      // where the pre-image tree ended up (the re-retire race below can
+      // move it): retention must follow it
+      var retiredTree = old
       if (retired && !fs.rename(live, old))
         throw new java.io.IOException(s"atomic publish: failed to retire $live")
       if (!fs.rename(tmp, live)) {
@@ -60,7 +73,7 @@ object AtomicWrite {
           val re = side("old")
           if (fs.rename(live, re)) {
             installed = fs.rename(tmp, live)
-            if (installed) fs.delete(re, true)
+            if (installed) retiredTree = re // the resurrected pre-image moved here
             else if (!fs.exists(live) && !fs.rename(re, live))
               throw new java.io.IOException(
                 s"atomic publish: install retry failed AND restore failed — live tree is at $re")
@@ -75,7 +88,17 @@ object AtomicWrite {
           throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
         }
       }
-      fs.delete(old, true)
+      retainOldTo match {
+        case Some(keep) if fs.exists(retiredTree) =>
+          val keepPath = new Path(keep)
+          Option(keepPath.getParent).foreach(fs.mkdirs)
+          if (!fs.rename(retiredTree, keepPath))
+            throw new java.io.IOException(
+              s"atomic publish: installed $live but failed to retain the prior " +
+                s"generation at $keep (it is still at $retiredTree)")
+        case _ => fs.delete(retiredTree, true)
+      }
+      if (retiredTree != old) fs.delete(old, true) // consumed by the race; clear debris
       // GC siblings stranded by PRIOR crashed publishes (this one succeeded,
       // so live is complete and no crash-window repair can be pending).
       // Left in place they accumulate, and a stale .old- would be a

@@ -81,7 +81,9 @@ class SchemaEvolutionSpec extends SparkSpec {
     val q2 = StreamingIngest.start(spark, drop, table, ckpt, schema = widened)
     q2.processAllAvailable(); q2.stop()
 
-    val merged = spark.read.option("mergeSchema", "true").parquet(table)
+    // read through the PRODUCT reader: readTable must itself carry
+    // mergeSchema, or the union schema would be footer-order-dependent
+    val merged = StreamingIngest.readTable(spark, table)
     assert(merged.count() == 3, "no replays, no skips across the upgrade")
     assert(merged.schema.fieldNames.contains("loyalty_points"))
     val byId = merged.collect()

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.batch.Upsert
+import graft.core.TxnLog
+
+/** Versioned snapshot reads over the MERGE path (Delta `VERSION AS OF`
+  * analog): every committed TxnLog version of the table is reconstructible
+  * from the live tree plus retained pre-image generations, until
+  * vacuumHistory's retention horizon passes — after which an
+  * unreconstructible snapshot fails loudly, never silently partial. */
+class TimeTravelSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def state(table: String): Set[(String, String, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+  }
+
+  private def stateAsOf(table: String, v: Long): Set[(String, String, Double)] = {
+    import spark.implicits._
+    Upsert.readAsOf(spark, table, v, "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+  }
+
+  test("readAsOf reconstructs every committed version; plain read = latest") {
+    import spark.implicits._
+    val table = tmp("tt")
+    Seq(("2026-01-01", "k1", 10.0), ("2026-01-02", "k3", 30.0),
+        ("2026-01-03", "k5", 50.0))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val s0 = state(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+
+    // M1: update 01-01, CREATE 01-04
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 111.0), ("2026-01-04", "k7", 70.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val s1 = state(table)
+    val v1 = TxnLog.currentVersion(spark, table)
+
+    // M2: update 01-01 again and 01-02
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 222.0), ("2026-01-02", "k3", 333.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val s2 = state(table)
+
+    assert(s0 != s1 && s1 != s2)
+    // every version reconstructs exactly; the untouched 01-03 partition
+    // appears in all of them; 01-04 is ABSENT before M1 created it
+    assert(stateAsOf(table, v0) == s0, "as-of v0 must equal the seed state")
+    assert(!stateAsOf(table, v0).exists(_._1 == "2026-01-04"))
+    assert(stateAsOf(table, v1) == s1, "as-of v1 must equal the post-M1 state")
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == s2)
+    assert(state(table) == s2, "plain readers are unaffected by history")
+  }
+
+  test("a version mid-merge resolves to the pre-image (end commit defines visibility)") {
+    import spark.implicits._
+    val table = tmp("tt-mid")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val s0 = state(table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    // the merge produced begin (v1) and end (v2); at the BEGIN version the
+    // write was not yet committed — the snapshot is the pre-image
+    val ends = TxnLog.commitsSince(spark, table, 0L).filter(_.op == "upsert-end")
+    assert(ends.size == 1)
+    val beginV = ends.head.ref.get
+    assert(stateAsOf(table, beginV) == s0)
+    assert(stateAsOf(table, ends.head.version) == state(table))
+  }
+
+  test("vacuumed generations fail loudly, never a silently-partial snapshot") {
+    import spark.implicits._
+    val table = tmp("tt-vac")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    // retention horizon 0: every retained generation is reclaimable
+    assert(Upsert.vacuumHistory(spark, table, minAgeMs = 0) >= 1)
+    val e = intercept[IllegalStateException](stateAsOf(table, v0))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // the LATEST state needs no history and still reads fine
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == state(table))
+    // a fresh horizon keeps young generations: new merge, immediate as-of works
+    val vMid = TxnLog.currentVersion(spark, table)
+    val sMid = state(table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 3.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(Upsert.vacuumHistory(spark, table, minAgeMs = 60000) == 0)
+    assert(stateAsOf(table, vMid) == sMid)
+  }
+}
