@@ -214,8 +214,18 @@ object Upsert {
       partCol: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val ends = TxnLog.commitsSince(spark, table, 0L)
-      .filter(c => c.op == "upsert-end" && c.ref.isDefined)
+    val all = TxnLog.commitsSince(spark, table, 0L)
+    // TxnLog.truncate removes commits below the retention floor; a version
+    // below it cannot be soundly reconstructed — commits in (version,
+    // floor) may be GONE, and a missing end-commit would make a rewritten
+    // partition silently resolve to live. Refuse rather than guess.
+    all.headOption.map(_.version).filter(version < _ - 1).foreach { floor =>
+      throw new IllegalStateException(
+        s"time travel: version $version predates the manifest horizon " +
+          s"(oldest retained commit is v$floor) — the snapshot is no longer " +
+          "reconstructible")
+    }
+    val ends = all.filter(c => c.op == "upsert-end" && c.ref.isDefined)
     val liveDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted

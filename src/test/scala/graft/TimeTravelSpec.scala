@@ -77,6 +77,51 @@ class TimeTravelSpec extends SparkSpec {
     assert(stateAsOf(table, ends.head.version) == state(table))
   }
 
+  test("a version below the truncated manifest horizon is refused, not guessed") {
+    import spark.implicits._
+    val table = tmp("tt-trunc")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    (1 to 3).foreach { i =>
+      Upsert.mergeByKey(spark, table,
+        Seq(("2026-01-01", "k1", i.toDouble)).toDF("day", "k", "v"), "day", Seq("k"))
+    }
+    // aggressive manifest truncation: only the tip survives. The end-commit
+    // that rewrote the partition after v0 may be gone — resolving v0 to the
+    // live dir would be a silently-wrong snapshot. Must refuse.
+    assert(TxnLog.truncate(spark, table, keep = 1) > 0)
+    val e = intercept[IllegalStateException](stateAsOf(table, v0))
+    assert(e.getMessage.contains("manifest horizon"), e.getMessage)
+    // the tip itself still reads
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == state(table))
+  }
+
+  test("typed (date) partition columns reconstruct through history generations") {
+    import spark.implicits._
+    val table = tmp("tt-date")
+    Seq(("2026-01-01", "k1", 1.0), ("2026-01-02", "k2", 2.0))
+      .toDF("d", "k", "v")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("d")).as("day"),
+        org.apache.spark.sql.functions.col("k"), org.apache.spark.sql.functions.col("v"))
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 10.0)).toDF("d", "k", "v")
+        .select(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("d")).as("day"),
+          org.apache.spark.sql.functions.col("k"), org.apache.spark.sql.functions.col("v")),
+      "day", Seq("k"))
+    val snap = Upsert.readAsOf(spark, table, v0, "day")
+    assert(snap.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType, "partition type must survive history reads")
+    val got = snap.select(org.apache.spark.sql.functions.col("day").cast("string"),
+        org.apache.spark.sql.functions.col("k"), org.apache.spark.sql.functions.col("v"))
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("2026-01-01", "k1", 1.0), ("2026-01-02", "k2", 2.0)))
+  }
+
   test("vacuumed generations fail loudly, never a silently-partial snapshot") {
     import spark.implicits._
     val table = tmp("tt-vac")
