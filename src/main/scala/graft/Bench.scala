@@ -77,6 +77,27 @@ object Bench {
     val benchStart = System.currentTimeMillis()
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    // medians-so-far over the completed rounds (the final call is the
+    // report; in-loop calls checkpoint it to disk)
+    def detailJson(): String = {
+      val byRound = rounds.toSeq.map(_.toMap)
+      val results = selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
+      val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val roundTotals = rounds.map(_.map(_._2).sum)
+      val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
+      val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    def writeDetail(): Unit =
+      try {
+        val p = java.nio.file.Paths.get("bench_detail.json")
+        java.nio.file.Files.write(p, (detailJson() + "\n").getBytes("UTF-8"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+
     var lastRoundMs = 0L
     while (BenchGuard.shouldRunAnother(
         rounds.toSeq.map(_.map(_._2).sum),
@@ -91,28 +112,23 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       lastRoundMs = System.currentTimeMillis() - r0
+      // checkpoint after EVERY round: a contended run may legally exceed
+      // the soft budget, and an external timeout kill must still leave the
+      // latest medians on disk rather than no artifact at all
+      writeDetail()
     }
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size
     val results: Seq[(String, Double)] =
       selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
-
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
     val roundTotals = rounds.map(_.map(_._2).sum)
     val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"queries":$qs,"sf":"$sfDir"}"""
-    // Full per-query detail: one stdout line (for humans/BASELINE.md) plus a
-    // file. It is ~2.5 KB for 80+ queries.
-    println(detail)
-    try {
-      val p = java.nio.file.Paths.get("bench_detail.json")
-      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // Full per-query detail: one stdout line (for humans/BASELINE.md) plus
+    // the file written above. It is ~2.5 KB for 80+ queries.
+    println(detailJson())
     // The LAST stdout line is the machine-readable one the external driver
     // parses — and the driver keeps only the final 2000 characters of output
     // (with sbt's "[success] …" epilogue inside that window). The full

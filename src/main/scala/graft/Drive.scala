@@ -110,8 +110,12 @@ object Drive {
       s"(${rep.partitionsCompacted} partitions), vacuumed ${vac.filesRemoved} orphans, " +
       "readers consistent throughout")
 
-    // 3. batch full_report over the STREAMED table, submitted over HTTP
-    val registry = new BatchRegistry
+    // 3. batch full_report over the STREAMED table, submitted over HTTP.
+    // The registry runs with its crash-recovery mirror (the production
+    // shape): terminal records land in cfg.data.registryDir, a restart
+    // recover()s them, and Maintain's retention sweep bounds the dir.
+    val registry = new BatchRegistry(Some(cfg.data.registryDir))
+    registry.recover() // no-op on first boot; restores records on restart
     val svc = new BatchService(spark, registry, cfg.data.batchBasePath,
       poolSize = cfg.batch.threadPoolSize)
     val api = new HttpApi(spark, svc, registry, sourcePath = table,
@@ -170,7 +174,14 @@ object Drive {
     }
     assert(pageLen == 50, s"page(100,50) returned $pageLen")
     assert(pb.asObj("page").asObj("hasMore") == graft.http.JBool(true))
-    println(s"DRIVE readback: $nCat categories, page(100,50) over HTTP ok")
+    // the crash-recovery mirror really received the terminal record, and a
+    // cold registry recovers it — restart durability over the actual
+    // serving path, not just a unit fixture
+    val recovered = { val r = new BatchRegistry(Some(cfg.data.registryDir)); r.recover(); r }
+    assert(recovered.get(id).exists(_.status == graft.batch.BatchStatus.Completed),
+      s"registry mirror must hold $id for restart recovery")
+    println(s"DRIVE readback: $nCat categories, page(100,50) over HTTP ok, " +
+      "registry mirror recoverable")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()

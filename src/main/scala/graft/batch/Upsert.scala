@@ -142,6 +142,26 @@ object Upsert {
       p: String,
       snapshot: Long): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
+    // any failure between the claim and its end must ABORT the claim —
+    // otherwise the partition stays locked for the full staleness horizon
+    // and an immediate retry after fixing the input is refused
+    try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(TxnLog.abort(spark, table, claim)) // never mask the cause
+        throw e
+    }
+  }
+
+  private def mergeUnderClaim(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      dataCols: Seq[String],
+      p: String,
+      claim: TxnLog.Commit): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
     // (':' → %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
@@ -226,6 +246,7 @@ object Upsert {
           "reconstructible")
     }
     val ends = all.filter(c => c.op == "upsert-end" && c.ref.isDefined)
+    val closed = all.flatMap(_.ref).toSet // ends AND aborts release claims
     val liveDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
@@ -233,22 +254,39 @@ object Upsert {
 
     val liveVals = Seq.newBuilder[String]
     val fromHistory = Seq.newBuilder[(Long, String)] // (begin version, dir name)
+    // resolve through the retained generation of `begin`, live dir if the
+    // pre-image was never retained (the write had not installed), absent
+    // if the marker proves the partition postdates the snapshot
+    def resolveVia(begin: Long, dirName: String): Unit = {
+      val gen = s"$table/$HistoryDir/v$begin/$dirName"
+      if (fs.exists(new org.apache.hadoop.fs.Path(gen + AbsentSuffix))) ()
+      else if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
+        fromHistory += ((begin, dirName))
+      else
+        throw new IllegalStateException(
+          s"time travel: generation v$begin of $dirName was vacuumed — " +
+            s"the snapshot at version $version is no longer reconstructible")
+    }
     liveDirs.foreach { dirName =>
       val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(dirName.stripPrefix(s"$partCol="))
-      val later = ends.filter(e => e.partitions.contains(value) && e.version > version)
-      if (later.isEmpty) liveVals += value
-      else {
-        val begin = later.minBy(_.version).ref.get
-        val gen = s"$table/$HistoryDir/v$begin/$dirName"
+      val laterEnds = ends.filter(e => e.partitions.contains(value) && e.version > version)
+      // an UNCLOSED begin is a write that never committed (in flight or
+      // crashed): its publish may already sit in the live dir, so the live
+      // dir is NOT evidence of the committed state — resolve through the
+      // pre-image it retained (or the live dir only if it never installed,
+      // when no retained generation exists)
+      val unclosed = all.filter(c => c.op == "upsert-begin" &&
+        !closed.contains(c.version) && c.partitions.contains(value))
+      if (laterEnds.nonEmpty) resolveVia(laterEnds.minBy(_.version).ref.get, dirName)
+      else if (unclosed.nonEmpty) {
+        val b = unclosed.minBy(_.version).version
+        val gen = s"$table/$HistoryDir/v$b/$dirName"
         if (fs.exists(new org.apache.hadoop.fs.Path(gen + AbsentSuffix))) ()
-        else if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
-          fromHistory += ((begin, dirName))
-        else
-          throw new IllegalStateException(
-            s"time travel: generation v$begin of $dirName was vacuumed — " +
-              s"the snapshot at version $version is no longer reconstructible")
+        else if (fs.exists(new org.apache.hadoop.fs.Path(gen))) fromHistory += ((b, dirName))
+        else liveVals += value // publish never installed: live IS the pre-image
       }
+      else liveVals += value
     }
     val live = liveVals.result()
     val reads = Seq.newBuilder[DataFrame]

@@ -96,6 +96,11 @@ object AtomicWrite {
             throw new java.io.IOException(
               s"atomic publish: installed $live but failed to retain the prior " +
                 s"generation at $keep (it is still at $retiredTree)")
+          // rename does NOT update the moved tree's own mtime — retention
+          // vacuums age generations by mtime, which must mean "age since
+          // REPLACEMENT", not "age since the data was first written"
+          scala.util.Try(
+            fs.setTimes(keepPath, System.currentTimeMillis(), -1))
         case _ => fs.delete(retiredTree, true)
       }
       if (retiredTree != old) fs.delete(old, true) // consumed by the race; clear debris

@@ -172,6 +172,18 @@ object TxnLog {
     commit(spark, table, begun.op.stripSuffix("-begin") + "-end",
       begun.partitions, begun.version, ref = Some(begun.version))
 
+  /** Close a [[begin]] claim after a FAILED operation. The abort record's
+    * `ref` releases the claim immediately (the closed-set check in
+    * [[begin]]/[[readerState]] keys on refs, not on op names), so a failed
+    * merge does not lock its partition for the staleness horizon — the
+    * caller can fix the input and retry at once. Abort records are never
+    * treated as committed writes (snapshot resolution consults `*-end`
+    * only). Best-effort by contract: callers emit it from failure paths
+    * and must not mask the original error if the abort itself fails. */
+  def abort(spark: SparkSession, table: String, begun: Commit): Commit =
+    commit(spark, table, begun.op.stripSuffix("-begin") + "-abort",
+      begun.partitions, begun.version, ref = Some(begun.version))
+
   private def overlaps(a: Set[String], b: Set[String]): Boolean =
     a.contains("*") || b.contains("*") || a.exists(b)
 

@@ -190,17 +190,20 @@ object SimilarityQueries extends QueryModule {
       codebooks.put(s, dir.fold(Map.empty[String, (String, Seq[(Long, Seq[Long])])])(m - _))
     }
 
-  /** Sorted (path, length, modTime) of the corpus files — changes whenever
-    * the corpus dir is rewritten. */
+  /** Sorted (path, length, modTime) of the corpus root's TOP-LEVEL entries
+    * — changes whenever the corpus is rewritten. Deliberately ONE
+    * `listStatus` call, not a recursive walk: this runs before every memo
+    * lookup, and O(files) metadata RPCs per query on an object store would
+    * tax the hot path the memo exists to keep cheap. Sufficient because a
+    * parquet rewrite replaces files directly under the root (new names /
+    * lengths / mtimes), and adding or removing entries inside a nested
+    * subdirectory updates that subdirectory's own mtime. */
   private def corpusFingerprint(s: SparkSession, d: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(f => walk(f.getPath))
-      else Seq(st)
-    }
-    walk(root).map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+    val st = fs.getFileStatus(root)
+    val entries = if (st.isDirectory) fs.listStatus(root).toSeq else Seq(st)
+    entries.map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
       .sorted.mkString("|")
   }
 

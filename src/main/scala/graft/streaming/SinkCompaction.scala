@@ -123,24 +123,39 @@ object SinkCompaction {
     // PLUS their compacted rewrites — a duplicate view).
     val claim = graft.core.TxnLog.begin(spark, tablePath, "compact",
       Set("*"), graft.core.TxnLog.currentVersion(spark, tablePath))
-    graft.core.AtomicWrite.publish(spark, logDir.toString) { tmpPath =>
-      val newLog = new Path(tmpPath)
-      fs.mkdirs(newLog)
-      val carrier = if (boundary >= 0) boundary else 0L
-      val carrierName = if (boundary >= 0) s"$carrier.compact" else "0"
-      write(fs, new Path(newLog, carrierName),
-        ("v1" +: (kept ++ rewritten).map(_.line)).mkString("\n"))
-      ((carrier + 1) to latestId).foreach { v =>
-        write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
+    // a failed swap must release the claim (abort), or the next compaction
+    // is refused for the staleness horizon and readers wait it out
+    try {
+      graft.core.AtomicWrite.publish(spark, logDir.toString) { tmpPath =>
+        val newLog = new Path(tmpPath)
+        fs.mkdirs(newLog)
+        val carrier = if (boundary >= 0) boundary else 0L
+        val carrierName = if (boundary >= 0) s"$carrier.compact" else "0"
+        write(fs, new Path(newLog, carrierName),
+          ("v1" +: (kept ++ rewritten).map(_.line)).mkString("\n"))
+        ((carrier + 1) to latestId).foreach { v =>
+          write(fs, new Path(newLog, v.toString), "v1") // header-only stub keeps batch-id ledger intact
+        }
       }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(graft.core.TxnLog.abort(spark, tablePath, claim))
+        throw e
     }
     graft.core.TxnLog.end(spark, tablePath, claim)
 
     // ---- 4. the replaced small files are now unreferenced ORPHANS — they
     // are deliberately NOT deleted here: a reader that resolved the
     // pre-swap log may still be scanning them. [[vacuum]]'s `minAgeMs`
-    // retention horizon (the reader grace period, Delta's
-    // retention-period analog) removes them on the next maintenance pass.
+    // retention horizon (the reader grace period, Delta's retention-period
+    // analog) removes them on the next maintenance pass. Their mtimes are
+    // TOUCHED to the replacement instant — vacuum ages files by mtime, and
+    // without the touch a file written hours ago would exit its "grace
+    // period" the moment it became an orphan.
+    val touchNow = System.currentTimeMillis()
+    (entries.toSet -- kept.toSet).foreach { e =>
+      scala.util.Try(fs.setTimes(new Path(new java.net.URI(e.path)), touchNow, -1))
+    }
     Report(partitions, entries.size, kept.size + rewritten.size, bytes)
   }
 

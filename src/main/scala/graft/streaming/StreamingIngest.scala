@@ -92,6 +92,13 @@ object StreamingIngest {
     * generations instead of a footer-dependent subset. */
   def readTable(spark: SparkSession, tablePath: String, maxAttempts: Int = 80): DataFrame = {
     val logDir = s"$tablePath/_spark_metadata"
+    val start = System.currentTimeMillis()
+    // how long to honor an unclosed swap mark before treating its owner as
+    // crashed: the mark brackets only the milliseconds-long log publish
+    // (failure paths abort their claims), so seconds of persistence means
+    // a hard-killed maintenance job — readers then repair and proceed
+    // instead of serving errors for the full TxnLog staleness horizon
+    val inFlightPatienceMs = 5000L
     var attempt = 0
     while (true) {
       attempt += 1
@@ -99,14 +106,17 @@ object StreamingIngest {
       // log belongs to the live publisher — a reader restoring it
       // mid-publish would hijack the swap (the publisher recovers, but
       // there is no reason to race it)
-      val before = graft.core.TxnLog.readerState(spark, tablePath)
-      if (before._2) {
-        // a swap is in flight RIGHT NOW (marks bracket only the
-        // milliseconds-long log publish, not the rewrite work) — yield
-        if (attempt >= maxAttempts)
-          throw new IllegalStateException(
-            s"readTable: $tablePath still has an in-flight maintenance swap " +
-              s"after $maxAttempts attempts")
+      val probe = graft.core.TxnLog.readerState(spark, tablePath)
+      val inFlight = probe._2 &&
+        System.currentTimeMillis() - start < inFlightPatienceMs
+      // past the patience window the mark is a crashed publisher's
+      // leftover: fall through, repair, and read (the version check below
+      // still guards against a LIVE swap racing the resolution — every
+      // swap's begin mark bumps the version)
+      if (inFlight) {
+        // bounded by construction: after inFlightPatienceMs the flag
+        // computes false and the read proceeds (crashed-publisher path), so
+        // this wait needs no attempt cap of its own
         Thread.sleep(25)
       } else {
         // no fresh in-flight swap → a missing log is a CRASHED swap; repair
@@ -114,9 +124,10 @@ object StreamingIngest {
         try {
           // eager: the commit log and file listing are pinned here
           val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
-          if (graft.core.TxnLog.readerState(spark, tablePath) == before) return df
-          // a swap landed mid-resolution — the listing may be the raw
-          // directory fallback; re-resolve
+          if (graft.core.TxnLog.readerState(spark, tablePath)._1 == probe._1) return df
+          // a swap landed mid-resolution (its begin mark bumped the
+          // version) — the listing may be the raw directory fallback;
+          // re-resolve
         } catch {
           case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
             // the dir-missing instant of a concurrent swap — retry

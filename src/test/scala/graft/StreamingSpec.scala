@@ -182,6 +182,52 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.readTable(spark, table).count() == 12)
   }
 
+  test("compaction orphans get a fresh vacuum grace period; crashed marks don't lock readers") {
+    val (drop, table, ckpt) = (tmp("gdrop"), tmp("gtable"), tmp("gckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+    def tx(id: String) =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-02-01 10:00:00",
+          "customer_id":"C1","product_id":"P1","product_name":"W",
+          "category":"electronics","quantity":1,"unit_price":10.0,
+          "total_amount":10.0,"currency":"USD","payment_method":"upi",
+          "transaction_status":"completed","channel":"web","region":"west",
+          "city":"Pune"}""".replaceAll("\n\\s*", "")
+    (1 to 4).foreach(b => writeFile(s"w$b.json", Seq(tx(s"t$b"))))
+    val q = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+
+    // backdate every data file by 2 h — files written long before the
+    // compaction, exactly the shape whose "grace period" used to be vacuous
+    val part = new java.io.File(table, "event_date=2026-02-01")
+    val dataFiles = part.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 4)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000
+    dataFiles.foreach(f => assert(f.setLastModified(old)))
+
+    SinkCompaction.compact(spark, table, minFilesToCompact = 2)
+    // a 1-hour retention must KEEP the just-orphaned (2-hour-old) files:
+    // vacuum ages by mtime and compaction touched them at replacement time
+    val kept = SinkCompaction.vacuum(spark, table, minAgeMs = 3600 * 1000)
+    assert(kept.filesRemoved == 0,
+      s"orphan grace period must start at replacement, not file creation: $kept")
+    assert(StreamingIngest.readTable(spark, table).count() == 4)
+
+    // a maintenance job hard-killed between begin and end must not lock
+    // readers out for the 30 s staleness horizon — readTable's patience
+    // window (5 s) expires and the read proceeds
+    graft.core.TxnLog.begin(spark, table, "compact", Set("*"),
+      graft.core.TxnLog.currentVersion(spark, table))
+    val t0 = System.currentTimeMillis()
+    assert(StreamingIngest.readTable(spark, table).count() == 4)
+    val waited = System.currentTimeMillis() - t0
+    assert(waited < 20000, s"reader blocked ${waited} ms on a crashed mark")
+
+    val gone = SinkCompaction.vacuum(spark, table, minAgeMs = 0)
+    assert(gone.filesRemoved == 4)
+  }
+
   test("sink compaction across a .compact log boundary (≥10 micro-batches)") {
     // 12 micro-batches → the sink's own log compaction fires at batch 9
     // (default compactInterval 10), so the log is [9.compact, 10, 11] — the

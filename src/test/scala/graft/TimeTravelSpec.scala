@@ -77,6 +77,33 @@ class TimeTravelSpec extends SparkSpec {
     assert(stateAsOf(table, ends.head.version) == state(table))
   }
 
+  test("an uncommitted (crashed) merge never leaks into a snapshot") {
+    import spark.implicits._
+    val table = tmp("tt-crash")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val committed = state(table)
+    val vCommitted = TxnLog.currentVersion(spark, table)
+
+    // simulate a writer that claimed, retained the pre-image, PUBLISHED —
+    // and died before its end commit: the live dir holds uncommitted data
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-01"), vCommitted)
+    graft.core.AtomicWrite.publish(spark, s"$table/day=2026-01-01",
+      retainOldTo = Some(s"$table/_graft_history/v${claim.version}/day=2026-01-01")) { tmpDir =>
+      Seq(("k1", 99.0)).toDF("k", "v").write.parquet(tmpDir)
+    }
+    assert(state(table) == Set(("2026-01-01", "k1", 99.0)),
+      "plain readers see the uncommitted publish (documented crash semantics)")
+    // every COMMITTED version resolves through the retained pre-image, not
+    // the uncommitted live data — including the current tip
+    assert(stateAsOf(table, vCommitted) == committed,
+      "snapshots must never surface a begun-but-unended write")
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == committed)
+  }
+
   test("a version below the truncated manifest horizon is refused, not guessed") {
     import spark.implicits._
     val table = tmp("tt-trunc")

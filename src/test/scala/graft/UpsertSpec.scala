@@ -222,6 +222,28 @@ class UpsertSpec extends SparkSpec {
     graft.core.TxnLog.end(spark, table, c)
   }
 
+  test("a failed merge aborts its claim — an immediate retry is not locked out") {
+    import spark.implicits._
+    val table = tmp("upsert-abort")
+    Seq(("2026-01-01", "k1", 10.0, "keepme"))
+      .toDF("day", "k", "v", "extra")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    // this merge CLAIMS the partition, then fails the schema-coverage check
+    val narrow = Seq(("2026-01-01", "k2", 2.0)).toDF("day", "k", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, narrow, "day", Seq("k"))
+    }
+    // without the abort record the partition would stay locked for the
+    // 30-minute staleness horizon; the corrected merge must land NOW
+    val fixed = Seq(("2026-01-01", "k2", 2.0, "x")).toDF("day", "k", "v", "extra")
+    Upsert.mergeByKey(spark, table, fixed, "day", Seq("k"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v", "extra").as[(String, String, Double, String)]
+      .collect().toSet
+    assert(after == Set(
+      ("2026-01-01", "k1", 10.0, "keepme"), ("2026-01-01", "k2", 2.0, "x")))
+  }
+
   test("mergeByKey: 8-partition backfill merges in parallel with exact results") {
     import spark.implicits._
     val table = tmp("upsert-backfill")
