@@ -222,6 +222,14 @@ object Upsert {
     * to PLAIN readers but outside any committed version (same
     * partial-application semantics as [[mergeByKey]] itself).
     *
+    * One bounded race: the pre-image lands in history via a rename that
+    * FOLLOWS the install rename (reversing them would break crash repair —
+    * recoverSwap restores from `.old-` siblings, not from history), so a
+    * snapshot read racing that instant can transiently resolve an
+    * in-flight writer's partition to the live dir. The window is two
+    * metadata ops wide (milliseconds); a re-read after the writer commits
+    * is exact.
+    *
     * Scale shape: resolution is O(partitions) driver METADATA (one commit
     * scan + one directory listing); data reads group by generation, so the
     * plan holds O(distinct retained versions) scans, each partition-pruned
