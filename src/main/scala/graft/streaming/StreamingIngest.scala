@@ -101,7 +101,6 @@ object StreamingIngest {
     val inFlightPatienceMs = 5000L
     var attempt = 0
     while (true) {
-      attempt += 1
       // probe BEFORE any repair: while a swap is in flight the "missing"
       // log belongs to the live publisher — a reader restoring it
       // mid-publish would hijack the swap (the publisher recovers, but
@@ -119,6 +118,9 @@ object StreamingIngest {
         // this wait needs no attempt cap of its own
         Thread.sleep(25)
       } else {
+        // resolution attempts only — the in-flight wait above is bounded
+        // by its patience window and must not consume this budget
+        attempt += 1
         // no fresh in-flight swap → a missing log is a CRASHED swap; repair
         graft.core.AtomicWrite.recoverSwap(spark, logDir, gcTmp = false)
         try {
