@@ -35,6 +35,12 @@ import org.apache.spark.sql.SparkSession
   * with nothing they read). The manifest is METADATA — O(commits), a few
   * hundred bytes each; [[truncate]] keeps it bounded.
   *
+  * Probe cost: every [[CheckpointInterval]] commits the full retained
+  * state is compacted into one `checkpoint-v<N>.json` (Delta's
+  * checkpoint-every-10 design), so [[commitsSince]] reads one checkpoint
+  * plus the tail of commits above it — O(tail) small reads per probe, not
+  * O(history), no matter how long the manifest grows between truncations.
+  *
   * At 100 TB: one small file create per commit, conflict scan bounded by
   * the commits since the writer's snapshot (not table size). The same
   * pattern Delta runs on multi-PB tables.
@@ -47,17 +53,35 @@ object TxnLog {
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
 
+  /** @param all  whole-table claim (e.g. a compaction's log swap touches
+    *             every partition). A DEDICATED FLAG, not a magic partition
+    *             value: a table whose partition column contains the literal
+    *             string "*" must conflict like any other value, not like a
+    *             wildcard.
+    * @param txn  idempotence marker `"<appId>:<batchId>"` for exactly-once
+    *             streaming upserts (Delta's txnAppId/txnVersion analog) —
+    *             see [[graft.streaming.StreamingUpsert]]. */
   final case class Commit(
       version: Long,
       op: String,
       partitions: Set[String],
       ts: Long,
       /** for `*-end` records: the version of the `*-begin` they close */
-      ref: Option[Long] = None)
+      ref: Option[Long] = None,
+      all: Boolean = false,
+      txn: Option[String] = None)
 
   private val Pad = 20
+  /** Compact the retained manifest into one checkpoint file every this many
+    * commits (Delta defaults to 10). */
+  private[graft] val CheckpointInterval = 10
+  /** Commits retained inside a checkpoint: generous relative to
+    * [[truncate]]'s default keep=100 so the checkpoint never drops history
+    * that the version files still carry. */
+  private[graft] val CheckpointRetain = 1000
   private def logDir(table: String) = new Path(table, "_graft_txn")
   private def vFile(dir: Path, v: Long) = new Path(dir, f"v$v%020d.json")
+  private def ckptFile(dir: Path, v: Long) = new Path(dir, f"checkpoint-v$v%020d.json")
 
   private def fsFor(spark: SparkSession, table: String): FileSystem =
     logDir(table).getFileSystem(spark.sessionState.newHadoopConf())
@@ -71,18 +95,33 @@ object TxnLog {
     else versionsIn(fs, dir).lastOption.getOrElse(0L)
   }
 
-  /** All commits with version > `after`, in version order. An unparseable
-    * version file (a claim whose content write is in flight) is retried
-    * briefly, then surfaced conservatively as touching EVERYTHING — a
-    * conflict checker must treat an unreadable claim as a conflict, never
-    * as absence. */
+  /** All commits with version > `after`, in version order. Reads the latest
+    * checkpoint plus the commit files above it — O(tail), not O(history).
+    * An unparseable version file (a claim whose content write is in flight)
+    * is retried briefly, then surfaced conservatively as touching
+    * EVERYTHING — a conflict checker must treat an unreadable claim as a
+    * conflict, never as absence. */
   def commitsSince(spark: SparkSession, table: String, after: Long): Seq[Commit] = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     if (!fs.exists(dir)) return Seq.empty
-    versionsIn(fs, dir).filter(_ > after).map { v =>
-      readCommit(fs, dir, v)
+    // a concurrent truncate may delete a version file between our listing
+    // and our read — re-list and retry (bounded; truncation is rare)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val base = latestCheckpoint(fs, dir)
+        val floor = base.map(_._1).getOrElse(0L)
+        val fromCkpt = base.map(_._2).getOrElse(Seq.empty).filter(_.version > after)
+        val tail = versionsIn(fs, dir).filter(v => v > floor && v > after)
+          .map(v => readCommit(fs, dir, v))
+        return (fromCkpt ++ tail).sortBy(_.version)
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 5 => // truncate race
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** CAS commit of (`op`, `partitions`) on top of the writer's
@@ -96,7 +135,9 @@ object TxnLog {
       op: String,
       partitions: Set[String],
       snapshotVersion: Long,
-      ref: Option[Long] = None): Commit = {
+      ref: Option[Long] = None,
+      all: Boolean = false,
+      txn: Option[String] = None): Commit = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     fs.mkdirs(dir)
@@ -107,12 +148,12 @@ object TxnLog {
         throw new IllegalStateException(
           s"TxnLog.commit: $table still contended after $attempts attempts")
       val since = commitsSince(spark, table, snapshotVersion)
-      since.find(c => overlaps(c.partitions, partitions))
+      since.find(c => overlaps(c.partitions, c.all, partitions, all))
         .foreach { c =>
           throw new ConcurrentWriteException(
             s"concurrent write to $table: commit v${c.version} (${c.op}) touched " +
-              s"${c.partitions.mkString(",")} after this writer's snapshot " +
-              s"v$snapshotVersion — partitions ${partitions.mkString(",")} are stale; " +
+              s"${describe(c.partitions, c.all)} after this writer's snapshot " +
+              s"v$snapshotVersion — partitions ${describe(partitions, all)} are stale; " +
               "re-read and retry the operation")
         }
       // SOUNDNESS: `next` comes from the SAME listing as the conflict check,
@@ -120,8 +161,11 @@ object TxnLog {
       // (and conflict-checked) every version below N — a racing commit that
       // claimed N first makes our create fail, and the retry re-reads it.
       val next = since.lastOption.map(_.version).getOrElse(snapshotVersion) + 1
-      val c = Commit(next, op, partitions, System.currentTimeMillis(), ref)
-      if (createExclusive(fs, vFile(dir, next), render(c))) return c
+      val c = Commit(next, op, partitions, System.currentTimeMillis(), ref, all, txn)
+      if (createExclusive(fs, vFile(dir, next), render(c))) {
+        if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, fs, dir, next)
+        return c
+      }
       // lost the version race to a disjoint writer — loop re-checks conflicts
     }
     throw new IllegalStateException("unreachable")
@@ -148,20 +192,21 @@ object TxnLog {
       op: String,
       partitions: Set[String],
       snapshotVersion: Long,
-      staleLockMs: Long = 30L * 60 * 1000): Commit = {
-    val all = commitsSince(spark, table, 0L)
-    val closed = all.flatMap(_.ref).toSet
+      staleLockMs: Long = 30L * 60 * 1000,
+      all: Boolean = false): Commit = {
+    val allCommits = commitsSince(spark, table, 0L)
+    val closed = allCommits.flatMap(_.ref).toSet
     val now = System.currentTimeMillis()
-    all.find { c =>
+    allCommits.find { c =>
       c.op.endsWith("-begin") && !closed.contains(c.version) &&
-        now - c.ts < staleLockMs && overlaps(c.partitions, partitions)
+        now - c.ts < staleLockMs && overlaps(c.partitions, c.all, partitions, all)
     }.foreach { c =>
       throw new ConcurrentWriteException(
         s"concurrent write to $table: in-flight ${c.op} v${c.version} holds " +
-          s"${c.partitions.mkString(",")} (age ${now - c.ts} ms < $staleLockMs ms); " +
+          s"${describe(c.partitions, c.all)} (age ${now - c.ts} ms < $staleLockMs ms); " +
           "retry after it completes")
     }
-    commit(spark, table, s"$op-begin", partitions, snapshotVersion)
+    commit(spark, table, s"$op-begin", partitions, snapshotVersion, all = all)
   }
 
   /** Close a [[begin]] claim after the data publish. A conflicting commit
@@ -170,7 +215,7 @@ object TxnLog {
     * may hold its data — fail loudly rather than record a clean end. */
   def end(spark: SparkSession, table: String, begun: Commit): Commit =
     commit(spark, table, begun.op.stripSuffix("-begin") + "-end",
-      begun.partitions, begun.version, ref = Some(begun.version))
+      begun.partitions, begun.version, ref = Some(begun.version), all = begun.all)
 
   /** Close a [[begin]] claim after a FAILED operation. The abort record's
     * `ref` releases the claim immediately (the closed-set check in
@@ -179,13 +224,38 @@ object TxnLog {
     * caller can fix the input and retry at once. Abort records are never
     * treated as committed writes (snapshot resolution consults `*-end`
     * only). Best-effort by contract: callers emit it from failure paths
-    * and must not mask the original error if the abort itself fails. */
+    * and must not mask the original error if the abort itself fails.
+    * Callers whose failure may POSTDATE their data publish must roll the
+    * publish back before aborting (see `Upsert.mergeOnePartition`) — an
+    * abort alone does not undo installed data. */
   def abort(spark: SparkSession, table: String, begun: Commit): Commit =
     commit(spark, table, begun.op.stripSuffix("-begin") + "-abort",
-      begun.partitions, begun.version, ref = Some(begun.version))
+      begun.partitions, begun.version, ref = Some(begun.version), all = begun.all)
 
-  private def overlaps(a: Set[String], b: Set[String]): Boolean =
-    a.contains("*") || b.contains("*") || a.exists(b)
+  /** Record that idempotence token `txn` (= `"<appId>:<batchId>"`) has been
+    * applied to `table`. Touches no partitions, so it conflicts with
+    * nothing — it is a pure ledger entry for [[txnApplied]]. */
+  def commitTxn(spark: SparkSession, table: String, txnId: String): Commit =
+    commit(spark, table, "txn", Set.empty,
+      currentVersion(spark, table), txn = Some(txnId))
+
+  /** Has [[commitTxn]] recorded `txnId` within the retained manifest?
+    * Retention caveat (same as Delta's): [[truncate]] can age out a marker,
+    * so the horizon must exceed the maximum expected replay gap — with the
+    * default keep=100 and Structured Streaming replaying only the LAST
+    * unacknowledged batch, the marker consulted is always the newest. */
+  def txnApplied(spark: SparkSession, table: String, txnId: String): Boolean =
+    commitsSince(spark, table, 0L).exists(c => c.op == "txn" && c.txn.contains(txnId))
+
+  /** Empty non-wildcard claims (txn markers) overlap nothing; a wildcard
+    * claim overlaps any non-empty or wildcard claim. */
+  private def overlaps(
+      a: Set[String], aAll: Boolean, b: Set[String], bAll: Boolean): Boolean =
+    if ((a.isEmpty && !aAll) || (b.isEmpty && !bAll)) false
+    else aAll || bAll || a.exists(b)
+
+  private def describe(parts: Set[String], all: Boolean): String =
+    if (all) "<all partitions>" else parts.toSeq.sorted.mkString(",")
 
   /** Reader-side stability probe: (current version, whether an unclosed
     * fresh `*-begin` is in flight). A reader resolves its file listing,
@@ -193,29 +263,61 @@ object TxnLog {
     * table-rewrite swap overlapped the resolution (any swap commits its
     * begin BEFORE swapping, so an overlapping swap is visible in one of the
     * two probes). Begins older than `staleLockMs` are crashed writers —
-    * their swap either completed or was repaired; readers proceed. */
+    * their swap either completed or was repaired; readers proceed.
+    * `allClaimsOnly = true` restricts the in-flight flag to WHOLE-TABLE
+    * claims (compaction log swaps): snapshot readers that resolve
+    * partition-level claims through retained pre-images do not need to wait
+    * out partition-level writes, only full-listing rewrites. */
   def readerState(
       spark: SparkSession, table: String,
-      staleLockMs: Long = 30000L): (Long, Boolean) = {
-    val all = commitsSince(spark, table, 0L)
-    val closed = all.flatMap(_.ref).toSet
+      staleLockMs: Long = 30000L,
+      allClaimsOnly: Boolean = false): (Long, Boolean) = {
+    val allCommits = commitsSince(spark, table, 0L)
+    val closed = allCommits.flatMap(_.ref).toSet
     val now = System.currentTimeMillis()
-    val inFlight = all.exists(c => c.op.endsWith("-begin") &&
+    val inFlight = allCommits.exists(c => c.op.endsWith("-begin") &&
+      (c.all || !allClaimsOnly) &&
       !closed.contains(c.version) && now - c.ts < staleLockMs)
-    (all.lastOption.map(_.version).getOrElse(0L), inFlight)
+    (allCommits.lastOption.map(_.version).getOrElse(0L), inFlight)
   }
 
   /** Drop manifest entries older than `keep` versions below the current tip
     * (maintenance; the manifest is append-only otherwise). Never removes
-    * the tip: version numbering must stay monotone. */
+    * the tip (version numbering must stay monotone) and never drops an
+    * UNCLOSED `*-begin` or anything above it: snapshot resolution routes
+    * partitions through unresolved begins' retained pre-images, and the
+    * retained range must stay CONTIGUOUS for the reconstruction-floor
+    * check to be sound. A permanently crashed begin therefore pins the
+    * horizon until maintenance aborts it — bounded-growth over silent
+    * mis-resolution. Checkpoints older than the newest are swept too. */
   def truncate(spark: SparkSession, table: String, keep: Int = 100): Int = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     if (!fs.exists(dir)) return 0
+    val all = commitsSince(spark, table, 0L)
+    val closed = all.flatMap(_.ref).toSet
+    val oldestUnclosedBegin = all
+      .filter(c => c.op.endsWith("-begin") && !closed.contains(c.version))
+      .map(_.version).sorted.headOption.getOrElse(Long.MaxValue)
     val vs = versionsIn(fs, dir)
-    val horizon = vs.lastOption.getOrElse(0L) - keep.toLong.max(1)
+    val horizon = math.min(
+      vs.lastOption.getOrElse(0L) - keep.toLong.max(1), oldestUnclosedBegin)
     val victims = vs.filter(_ < horizon)
     victims.foreach(v => fs.delete(vFile(dir, v), false))
+    // checkpoints carrying commits below the horizon would resurrect what
+    // was just truncated (probes union checkpoint + tail) — delete them;
+    // probes fall back to the remaining version files (bounded by `keep`)
+    // until the next CheckpointInterval-th commit writes a fresh one. Among
+    // the survivors only the newest is ever read.
+    val ckpts = checkpointVersions(fs, dir)
+    val surviving = ckpts.filter { v =>
+      scala.util.Try(readFully(fs, ckptFile(dir, v))).toOption
+        .flatMap(parseCheckpoint)
+        .exists(_.forall(_.version >= horizon))
+    }
+    (ckpts.toSet -- surviving.toSet).toSeq.sorted
+      .foreach(v => fs.delete(ckptFile(dir, v), false))
+    surviving.dropRight(1).foreach(v => fs.delete(ckptFile(dir, v), false))
     victims.size
   }
 
@@ -226,6 +328,58 @@ object TxnLog {
       .filter(_.matches("v\\d{" + Pad + "}\\.json"))
       .map(_.stripPrefix("v").stripSuffix(".json").toLong)
       .sorted.toSeq
+
+  private def checkpointVersions(fs: FileSystem, dir: Path): Seq[Long] =
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("checkpoint-v\\d{" + Pad + "}\\.json"))
+      .map(_.stripPrefix("checkpoint-v").stripSuffix(".json").toLong)
+      .sorted.toSeq
+
+  /** The newest PARSEABLE checkpoint as (version, commits), newest first —
+    * a checkpoint whose content write is still in flight (no terminal
+    * marker) falls back to the one before it, then to no checkpoint. */
+  private def latestCheckpoint(
+      fs: FileSystem, dir: Path): Option[(Long, Seq[Commit])] = {
+    checkpointVersions(fs, dir).reverse.iterator.flatMap { v =>
+      scala.util.Try(readFully(fs, ckptFile(dir, v))).toOption
+        .flatMap(parseCheckpoint)
+        .map(v -> _)
+    }.nextOption()
+  }
+
+  /** Compact the retained manifest state ≤ `upTo` into one checkpoint file.
+    * Best-effort: a failure leaves probes on the previous checkpoint. The
+    * checkpoint applies its own retention window ([[CheckpointRetain]]),
+    * clamped so no unclosed begin (or anything above it) is dropped —
+    * mirroring [[truncate]]'s contiguity rule. Deferred entirely if any
+    * retained commit is still unreadable (in-flight content write): a
+    * transient "unreadable" must never be frozen into the checkpoint. */
+  private def writeCheckpoint(
+      spark: SparkSession, table: String,
+      fs: FileSystem, dir: Path, upTo: Long): Unit =
+    try {
+      val retained = commitsSince(spark, table, 0L).filter(_.version <= upTo)
+      if (retained.exists(_.op == "unreadable")) return
+      val closed = retained.flatMap(_.ref).toSet
+      val oldestUnclosedBegin = retained
+        .filter(c => c.op.endsWith("-begin") && !closed.contains(c.version))
+        .map(_.version).sorted.headOption.getOrElse(Long.MaxValue)
+      val floor = math.min(upTo - CheckpointRetain, oldestUnclosedBegin)
+      val kept = retained.filter(_.version >= floor)
+      val body = kept.map(render).mkString(
+        s"""{"version":$upTo,"commits":[""", ",", """],"complete":true}""")
+      createExclusive(fs, ckptFile(dir, upTo), body)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def parseCheckpoint(txt: String): Option[Seq[Commit]] =
+    if (!txt.endsWith("""],"complete":true}""")) None
+    else scala.util.Try {
+      graft.http.Json.parse(txt).asObj("commits") match {
+        case graft.http.JArr(items) => items.map(j => commitFromJson(j.asObj))
+        case other => throw new IllegalArgumentException(s"bad checkpoint: $other")
+      }
+    }.toOption
 
   private def readCommit(fs: FileSystem, dir: Path, v: Long): Commit = {
     val p = vFile(dir, v)
@@ -238,7 +392,7 @@ object TxnLog {
         case None if waited < 2000 =>
           Thread.sleep(25); waited += 25
         case None =>
-          return Commit(v, "unreadable", Set("*"), 0L)
+          return Commit(v, "unreadable", Set.empty, 0L, all = true)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -253,25 +407,32 @@ object TxnLog {
     val parts = c.partitions.toSeq.sorted
       .map(graft.http.Json.quote).mkString("[", ",", "]")
     val refField = c.ref.map(r => s""""ref":$r,""").getOrElse("")
+    val allField = if (c.all) """"all":true,""" else ""
+    val txnField = c.txn.map(t => s""""txn":${graft.http.Json.quote(t)},""").getOrElse("")
     s"""{"version":${c.version},"op":${graft.http.Json.quote(c.op)},""" +
-      s""""partitions":$parts,"ts":${c.ts},$refField"complete":true}"""
+      s""""partitions":$parts,"ts":${c.ts},$refField$allField$txnField"complete":true}"""
   }
+
+  private def commitFromJson(op: Map[String, graft.http.JVal]): Commit =
+    Commit(
+      version = op.get("version").collect { case graft.http.JNum(n) => n.toLong }
+        .getOrElse(throw new IllegalArgumentException("commit without version")),
+      op = op("op").str,
+      partitions = op("partitions") match {
+        case graft.http.JArr(items) => items.map(_.str).toSet
+        case other => throw new IllegalArgumentException(s"bad partitions: $other")
+      },
+      ts = op.get("ts").collect { case graft.http.JNum(n) => n.toLong }.getOrElse(0L),
+      ref = op.get("ref").collect { case graft.http.JNum(n) => n.toLong },
+      all = op.get("all").contains(graft.http.JBool(true)),
+      txn = op.get("txn").map(_.str))
 
   private def parse(v: Long, txt: String): Option[Commit] =
     // "complete":true is the last byte group written — its presence proves
     // the content write finished
     if (!txt.contains("\"complete\":true")) None
     else scala.util.Try {
-      val op = graft.http.Json.parse(txt).asObj
-      Commit(
-        version = v,
-        op = op("op").str,
-        partitions = op("partitions") match {
-          case graft.http.JArr(items) => items.map(_.str).toSet
-          case other => throw new IllegalArgumentException(s"bad partitions: $other")
-        },
-        ts = op.get("ts").collect { case graft.http.JNum(n) => n.toLong }.getOrElse(0L),
-        ref = op.get("ref").collect { case graft.http.JNum(n) => n.toLong })
+      commitFromJson(graft.http.Json.parse(txt).asObj).copy(version = v)
     }.toOption
 
   /** Atomic create-if-absent — the CAS primitive. Local filesystems get a

@@ -121,8 +121,10 @@ object SinkCompaction {
     // renames detects the overlap and re-resolves instead of silently
     // falling back to a directory listing (which would see old small files
     // PLUS their compacted rewrites — a duplicate view).
+    // whole-table claim via the dedicated flag — never a magic partition
+    // value, which would collide with a real partition named "*"
     val claim = graft.core.TxnLog.begin(spark, tablePath, "compact",
-      Set("*"), graft.core.TxnLog.currentVersion(spark, tablePath))
+      Set.empty, graft.core.TxnLog.currentVersion(spark, tablePath), all = true)
     // a failed swap must release the claim (abort), or the next compaction
     // is refused for the staleness horizon and readers wait it out
     try {

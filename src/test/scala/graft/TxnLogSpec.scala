@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.TxnLog
+
+/** Manifest mechanics: checkpoint-compacted probes, contiguous truncation,
+  * honest wildcard semantics, and idempotence markers. */
+class TxnLogSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def vFile(table: String, v: Long) =
+    java.nio.file.Paths.get(table, "_graft_txn", f"v$v%020d.json")
+
+  test("probes read checkpoint + tail, not every commit file (O(tail), Delta checkpoint design)") {
+    val table = tmp("txn-ckpt")
+    (1 to 25).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    // every CheckpointInterval-th commit wrote a checkpoint summarizing the
+    // retained state ≤ its version
+    val dir = new java.io.File(table, "_graft_txn")
+    val ckpts = dir.list().filter(_.startsWith("checkpoint-v")).sorted
+    assert(ckpts.nonEmpty, s"expected checkpoints among ${dir.list().toSeq}")
+    assert(ckpts.last.contains(f"${20L}%020d"), s"latest checkpoint: ${ckpts.last}")
+
+    // delete every commit file the checkpoint covers: if probes still see
+    // the full history, they are reading the checkpoint, not the files
+    (1L to 20L).foreach(v => java.nio.file.Files.delete(vFile(table, v)))
+    val all = TxnLog.commitsSince(spark, table, 0L)
+    assert(all.map(_.version) == (1L to 25L),
+      s"checkpoint must carry the covered commits: ${all.map(_.version)}")
+    assert(all.map(_.partitions) == (1 to 25).map(i => Set(s"p$i")),
+      "checkpointed commits must round-trip content, not just versions")
+    assert(TxnLog.currentVersion(spark, table) == 25L)
+    // and the usual consumers still work on the mixed checkpoint+tail view
+    assert(TxnLog.readerState(spark, table)._1 == 25L)
+  }
+
+  test("truncate keeps the retained range contiguous: an unclosed begin pins the horizon") {
+    val table = tmp("txn-trunc")
+    TxnLog.commit(spark, table, "upsert-end", Set("p0"),
+      TxnLog.currentVersion(spark, table))
+    // v2: a begin that never ends (crashed writer)
+    val crashed = TxnLog.begin(spark, table, "upsert", Set("px"),
+      TxnLog.currentVersion(spark, table))
+    assert(crashed.version == 2L)
+    (3 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    // keep=5 would drop v<25 — but dropping the unclosed v2 begin (or any
+    // commit above it) would break snapshot resolution's floor soundness
+    TxnLog.truncate(spark, table, keep = 5)
+    val retained = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(retained.head <= 2L && retained.contains(2L),
+      s"unclosed begin must survive truncation: $retained")
+    // close it; now truncation proceeds past it
+    TxnLog.end(spark, table, crashed)
+    TxnLog.truncate(spark, table, keep = 5)
+    val after = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(after.head > 2L, s"closed begin no longer pins the horizon: $after")
+  }
+
+  test("a literal '*' partition value is a normal value, not a wildcard") {
+    val table = tmp("txn-star")
+    // writer A claims the partition whose VALUE is the string "*"
+    val a = TxnLog.begin(spark, table, "upsert", Set("*"),
+      TxnLog.currentVersion(spark, table))
+    // a different value is not blocked by it
+    val b = TxnLog.begin(spark, table, "upsert", Set("x"),
+      TxnLog.currentVersion(spark, table))
+    TxnLog.end(spark, table, b)
+    // the same value IS blocked
+    intercept[TxnLog.ConcurrentWriteException] {
+      TxnLog.begin(spark, table, "upsert", Set("*"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.end(spark, table, a)
+    // a whole-table claim (the dedicated flag) blocks every value — both
+    // the literal "*" and anything else
+    val sweep = TxnLog.begin(spark, table, "compact", Set.empty,
+      TxnLog.currentVersion(spark, table), all = true)
+    intercept[TxnLog.ConcurrentWriteException] {
+      TxnLog.begin(spark, table, "upsert", Set("*"),
+        TxnLog.currentVersion(spark, table))
+    }
+    intercept[TxnLog.ConcurrentWriteException] {
+      TxnLog.begin(spark, table, "upsert", Set("y"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.end(spark, table, sweep)
+  }
+
+  test("txn markers are pure ledger entries: conflict with nothing, found by txnApplied") {
+    val table = tmp("txn-marker")
+    // a marker lands even while a partition claim is open (it touches no
+    // partitions), and an open whole-table claim does not block it either
+    val open = TxnLog.begin(spark, table, "upsert", Set("p1"),
+      TxnLog.currentVersion(spark, table))
+    TxnLog.commitTxn(spark, table, "app:7")
+    assert(TxnLog.txnApplied(spark, table, "app:7"))
+    assert(!TxnLog.txnApplied(spark, table, "app:8"))
+    assert(!TxnLog.txnApplied(spark, table, "other:7"))
+    TxnLog.end(spark, table, open)
+    // markers do not make later partition claims conflict
+    val next = TxnLog.begin(spark, table, "upsert", Set("p2"),
+      TxnLog.currentVersion(spark, table))
+    TxnLog.end(spark, table, next)
+  }
+}
