@@ -25,10 +25,12 @@ import graft.core.{AtomicWrite, TxnLog}
   * is independent of total table size.
   *
   * Each touched partition directory is republished via
-  * [[graft.core.AtomicWrite.publish]], so a concurrent reader of the table
-  * observes complete-old or complete-new data per partition, never a
-  * half-written directory (same crash-safety contract as the batch result
-  * store).
+  * [[graft.core.AtomicWrite.publish]] in retain-first mode: the pre-image
+  * moves into `_graft_history` in the SAME rename that retires it, then the
+  * new tree installs — a concurrent reader observes complete-old or
+  * complete-new data per partition, never a half-written directory, and a
+  * snapshot reader never observes installed data whose pre-image is not yet
+  * findable in history.
   *
   * Concurrent WRITERS are serialized per partition by the table's
   * [[graft.core.TxnLog]] manifest (the Delta optimistic-concurrency analog):
@@ -71,7 +73,10 @@ object Upsert {
     * semantics under parallelism: every partition merge is atomic; on any
     * failure the remaining in-flight merges finish, unstarted ones are
     * skipped, and the first error propagates — completed partitions stay
-    * published (re-running the same merge is idempotent per key).
+    * published (re-running the same merge is idempotent per key). A
+    * partition whose merge fails AFTER its publish is rolled back to its
+    * pre-image before the claim aborts, so a failed merge never leaves its
+    * uncommitted data visible.
     */
   def mergeByKey(
       spark: SparkSession,
@@ -131,7 +136,10 @@ object Upsert {
     * checked against `snapshot`) → read existing + publish merged → end.
     * The begin precedes the partition's file-listing resolution, so a
     * successful claim guarantees no concurrent writer republishes this
-    * partition between our read and our install. */
+    * partition between our read and our install. Any failure between the
+    * claim and its end rolls an already-installed publish back to its
+    * pre-image and ABORTS the claim — the partition neither stays locked
+    * for the staleness horizon nor keeps the failed write's data. */
   private def mergeOnePartition(
       spark: SparkSession,
       table: String,
@@ -142,13 +150,15 @@ object Upsert {
       p: String,
       snapshot: Long): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
-    // any failure between the claim and its end must ABORT the claim —
-    // otherwise the partition stays locked for the full staleness horizon
-    // and an immediate retry after fixing the input is refused
     try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim)
     catch {
       case scala.util.control.NonFatal(e) =>
-        scala.util.Try(TxnLog.abort(spark, table, claim)) // never mask the cause
+        // rollback BEFORE the abort record: once the abort releases the
+        // claim, snapshot reads resolve the partition to the live dir — if
+        // our failed publish already installed, that live data must be the
+        // restored pre-image by then. Never mask the original cause.
+        scala.util.Try(rollbackFailedPublish(spark, table, partCol, p, claim))
+        scala.util.Try(TxnLog.abort(spark, table, claim))
         throw e
     }
   }
@@ -166,10 +176,14 @@ object Upsert {
     // (':' → %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
     // duplicate sibling that readers merge into old-AND-new rows.
-    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(p)
-    val dirName = s"$partCol=$escaped"
+    val dirName = s"$partCol=${escape(p)}"
     val partDir = s"$table/$dirName"
+    // a PRIOR writer that crashed mid-publish left either the live dir
+    // missing (died between retain and install) or uncommitted data live
+    // (died after install, before its end) — we hold the claim, so restore
+    // the committed pre-image before reading (the repair half of
+    // retain-first; crashed writes stay invisible to what we merge on)
+    repairCrashedWriter(spark, table, dirName, p, claim.version)
     val delta = updates.filter(col(partCol).cast("string") === p)
       .select(dataCols.map(col): _*)
     val existing = existingPartition(spark, partDir, dataCols, p)
@@ -194,8 +208,12 @@ object Upsert {
       val out = fs.create(marker, true)
       try out.write(Array.empty[Byte]) finally out.close()
     }
+    // retainFirst: the pre-image lands in history BEFORE the install, so a
+    // snapshot read can never observe installed data whose pre-image is not
+    // yet retained (the ms-wide race the after-install retention had)
     AtomicWrite.publish(spark, partDir,
-      retainOldTo = if (existing.isDefined) Some(s"$historyRoot/$dirName") else None) { tmp =>
+      retainOldTo = if (existing.isDefined) Some(s"$historyRoot/$dirName") else None,
+      retainFirst = true) { tmp =>
       merged.write.parquet(tmp)
     }
     TxnLog.end(spark, table, claim)
@@ -203,6 +221,96 @@ object Upsert {
 
   private val HistoryDir = "_graft_history"
   private val AbsentSuffix = ".ABSENT"
+  /** Claim ops whose publish retains a pre-image under the claim's version
+    * — the ops snapshot resolution and crash repair route through. */
+  private val RetainingBegins = Set("upsert-begin", "compact-begin")
+
+  private def escape(value: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
+  private def unescape(dirName: String, partCol: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.stripPrefix(s"$partCol="))
+
+  /** Undo an already-installed publish of a FAILED merge: if this claim
+    * retained a pre-image (or an ABSENT marker for a brand-new partition),
+    * the install happened — put the pre-image back (or remove the new
+    * partition) so the abort leaves the live tree at its committed state.
+    * Skipped if any commit after the claim touches the partition (a
+    * usurper past the staleness horizon owns it now — clobbering its data
+    * would be worse; its own retained pre-image keeps snapshots sound). */
+  private[graft] def rollbackFailedPublish(
+      spark: SparkSession, table: String, partCol: String,
+      p: String, claim: TxnLog.Commit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dirName = s"$partCol=${escape(p)}"
+    val genRoot = new org.apache.hadoop.fs.Path(s"$table/$HistoryDir/v${claim.version}")
+    val gen = new org.apache.hadoop.fs.Path(genRoot, dirName)
+    val marker = new org.apache.hadoop.fs.Path(genRoot, dirName + AbsentSuffix)
+    val live = new org.apache.hadoop.fs.Path(s"$table/$dirName")
+    val usurped = TxnLog.commitsSince(spark, table, claim.version)
+      .exists(c => c.all || c.partitions.contains(p))
+    if (usurped) return
+    if (fs.exists(gen)) {
+      // retire (and discard) whatever our failed install left, then restore
+      if (fs.exists(live)) fs.delete(live, true)
+      if (!fs.rename(gen, live))
+        throw new java.io.IOException(
+          s"rollback: failed to restore pre-image $gen -> $live")
+      fs.delete(genRoot, true) // consumed; drop the marker-less debris
+    } else if (fs.exists(marker)) {
+      // brand-new partition: restoring "did not exist" = removing our data
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.delete(genRoot, true)
+    }
+    // no gen and no marker: the publish never started installing — the live
+    // dir (if any) is the untouched pre-image; nothing to do
+  }
+
+  /** Repair half of retain-first publishing, run under our own claim (the
+    * claim serializes writers, so no concurrent race). A crashed writer —
+    * an `upsert-begin` after the partition's last committed end, never
+    * end-closed — may have died (a) between its retain and install renames
+    * (live dir missing, pre-image in history) or (b) after its install
+    * (live dir = uncommitted data, pre-image in history). Either way the
+    * COMMITTED state is the EARLIEST surviving pre-image in the crash
+    * chain (each later crashed writer read its predecessor's leavings and
+    * retained them): restore it over the live dir, or — when the chain
+    * began with an ABSENT marker — restore non-existence. Begins closed by
+    * a LATER end are excluded: that end committed the partition (e.g. a
+    * usurper past the staleness horizon), and the live dir is its data. */
+  private def repairCrashedWriter(
+      spark: SparkSession, table: String, dirName: String,
+      p: String, ourClaim: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$table/$dirName")
+    val commits = TxnLog.commitsSince(spark, table, 0L)
+    val endClosed = commits.filter(_.op.endsWith("-end")).flatMap(_.ref).toSet
+    val lastEndV = commits
+      .filter(c => c.op == "upsert-end" && c.ref.isDefined && c.partitions.contains(p))
+      .map(_.version).maxOption.getOrElse(-1L)
+    val crashed = commits
+      .filter(c => RetainingBegins.contains(c.op) && c.version != ourClaim &&
+        !endClosed.contains(c.version) && c.version > lastEndV &&
+        c.partitions.contains(p))
+      .sortBy(_.version)
+    def gen(v: Long) = new org.apache.hadoop.fs.Path(s"$table/$HistoryDir/v$v/$dirName")
+    def marker(v: Long) =
+      new org.apache.hadoop.fs.Path(s"$table/$HistoryDir/v$v/$dirName$AbsentSuffix")
+    crashed.find(c => fs.exists(gen(c.version)) || fs.exists(marker(c.version)))
+      .foreach { c =>
+        // a surviving retain proves the crashed chain got at least as far as
+        // its retire rename — whatever is live (if anything) is uncommitted
+        if (fs.exists(live)) fs.delete(live, true)
+        if (fs.exists(gen(c.version)) && !fs.rename(gen(c.version), live))
+          throw new java.io.IOException(
+            s"restore: failed to move crashed writer's pre-image ${gen(c.version)} -> $live")
+        // the chain's other retains are uncommitted intermediates — debris
+        crashed.foreach(cc => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$table/$HistoryDir/v${cc.version}"), true))
+      }
+  }
 
   /** Versioned snapshot read — the Delta `VERSION AS OF` analog
     * (ref `SparkManager.scala:36-37`: Delta gives the reference repeatable
@@ -213,22 +321,17 @@ object Upsert {
     * Partitions first created after `version` are excluded (their ABSENT
     * marker proves non-existence); a generation already removed by
     * [[vacuumHistory]] fails loudly — a snapshot must never be silently
-    * partial.
+    * partial. A version above the current tip or below the manifest
+    * truncation floor is refused loudly (Delta's VersionNotFound analog) —
+    * a typo'd version must never silently read as "latest".
     *
     * Semantics: "as of v" = the state produced by every write whose END
     * commit is ≤ v. A write in flight at v (begun, not ended) is not yet
-    * committed and resolves to its pre-image. Guarantees cover committed
-    * writes; a writer that crashed mid-merge leaves its partition visible
-    * to PLAIN readers but outside any committed version (same
-    * partial-application semantics as [[mergeByKey]] itself).
-    *
-    * One bounded race: the pre-image lands in history via a rename that
-    * FOLLOWS the install rename (reversing them would break crash repair —
-    * recoverSwap restores from `.old-` siblings, not from history), so a
-    * snapshot read racing that instant can transiently resolve an
-    * in-flight writer's partition to the live dir. The window is two
-    * metadata ops wide (milliseconds); a re-read after the writer commits
-    * is exact.
+    * committed and resolves to its pre-image — retain-first publishing
+    * guarantees the pre-image is findable in history from the instant the
+    * live dir stops being it. An ABORTED write's surviving generation (its
+    * rollback raced a crash) is consulted the same way: abort records do
+    * not certify the live dir for snapshot resolution, END records do.
     *
     * Scale shape: resolution is O(partitions) driver METADATA (one commit
     * scan + one directory listing); data reads group by generation, so the
@@ -240,9 +343,12 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(table)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val all = TxnLog.commitsSince(spark, table, 0L)
+    val tip = all.lastOption.map(_.version).getOrElse(0L)
+    if (version > tip)
+      throw new IllegalStateException(
+        s"time travel: version $version is beyond the current tip v$tip — " +
+          "nothing has committed it yet (mirroring Delta's VersionNotFound)")
     // TxnLog.truncate removes commits below the retention floor; a version
     // below it cannot be soundly reconstructed — commits in (version,
     // floor) may be GONE, and a missing end-commit would make a rewritten
@@ -253,14 +359,123 @@ object Upsert {
           s"(oldest retained commit is v$floor) — the snapshot is no longer " +
           "reconstructible")
     }
+    resolveSnapshot(spark, table, version, partCol, all)._1
+  }
+
+  /** The committed snapshot at the CURRENT version — cross-partition
+    * snapshot isolation for the default read path (the behavior the
+    * reference gets from Delta on every read, ref SparkManager.scala:36-37).
+    * A plain `spark.read.parquet` during a multi-partition [[mergeByKey]]
+    * can see partition A post-merge and partition B pre-merge (atomicity is
+    * per-partition); this read resolves every partition through the TxnLog:
+    * the result is always the full pre-merge state or a prefix of the
+    * merge's end-commits — never a torn mix.
+    *
+    * Tables without a TxnLog manifest (or without `partCol=` directories)
+    * read plainly — zero overhead until the first claimed write exists.
+    *
+    * Stability contract: partitions resolved through history generations
+    * are immutable files; partitions resolved to their live directory can
+    * race a LATER writer's install at execution time, which surfaces as a
+    * loud (retryable) missing-file error, never a silently torn result.
+    * The resolution itself re-probes the manifest and retries until stable
+    * (`maxAttempts` bounds the retries, 25 ms apart). */
+  def readCommitted(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      maxAttempts: Int = 80): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_txn")))
+      return spark.read.option("mergeSchema", "true").parquet(table)
+    if (!fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")))
+      return spark.read.option("mergeSchema", "true").parquet(table)
+    // honor an in-flight WHOLE-TABLE claim (compaction log swap) up to the
+    // mark's age: mid-swap listings can silently fall back to raw directory
+    // enumeration. Partition-level claims are NOT waited out — snapshot
+    // resolution reads through their retained pre-images.
+    val inFlightPatienceMs = 5000L
+    var attempt = 0
+    while (true) {
+      val probe = TxnLog.readerState(spark, table,
+        staleLockMs = inFlightPatienceMs, allClaimsOnly = true)
+      if (probe._2) Thread.sleep(25)
+      else {
+        attempt += 1
+        try {
+          val commits = TxnLog.commitsSince(spark, table, 0L)
+          val tip = commits.lastOption.map(_.version).getOrElse(0L)
+          val (df, liveResolved, ambiguous) =
+            resolveSnapshot(spark, table, tip, partCol, commits)
+          // Post-resolution stability checks, cheapest first:
+          //  (a) ambiguous partitions (live dir read as the pre-image of an
+          //      unclosed begin): if the writer's retain rename landed after
+          //      our listing, a generation/marker NOW exists and the live
+          //      dir is (or is becoming) the new data — re-resolve;
+          //  (b) any NEW commit touching a live-resolved partition means a
+          //      writer claimed it mid-resolution; its retire can race our
+          //      listing — re-resolve. Commits touching history-resolved
+          //      partitions are harmless (their files are immutable).
+          val ambiguousStable = ambiguous.forall { case (gen, marker) =>
+            !fs.exists(new org.apache.hadoop.fs.Path(gen)) &&
+              !fs.exists(new org.apache.hadoop.fs.Path(marker))
+          }
+          val newTouches = TxnLog.commitsSince(spark, table, tip)
+            .exists(c => c.all || c.partitions.exists(liveResolved))
+          if (ambiguousStable && !newTouches) return df
+        } catch {
+          case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+            Thread.sleep(25) // mid-swap listing instant — retry
+        }
+        if (attempt >= maxAttempts)
+          throw new IllegalStateException(
+            s"readCommitted: $table did not yield a stable snapshot in $maxAttempts attempts")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Shared resolution core of [[readAsOf]] / [[readCommitted]]: the state
+    * at `version` given one consistent read of the manifest. Returns
+    * (snapshot, live-resolved partition values, ambiguous live resolutions
+    * as (generation path, absent-marker path) — partitions held by an
+    * unclosed begin whose pre-image has not been retained yet, i.e. the
+    * live dir IS the pre-image unless the writer's retire lands). */
+  private def resolveSnapshot(
+      spark: SparkSession,
+      table: String,
+      version: Long,
+      partCol: String,
+      all: Seq[TxnLog.Commit]): (DataFrame, Set[String], Seq[(String, String)]) = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // upsert ends are the DATA-CHANGING commits that define version
+    // visibility; compaction ends close their claims (endClosed) but change
+    // no rows, so versions before a compaction resolve to the rewritten
+    // live dir — row-identical by the compaction contract
     val ends = all.filter(c => c.op == "upsert-end" && c.ref.isDefined)
-    val closed = all.flatMap(_.ref).toSet // ends AND aborts release claims
+    // END commits alone certify the live dir: an abort releases the claim
+    // for WRITERS, but if its rollback did not consume the retained
+    // generation (crash mid-rollback, usurped writer), the live dir may
+    // still hold the failed write — resolve through the pre-image.
+    val endClosed = all.filter(_.op.endsWith("-end")).flatMap(_.ref).toSet
     val liveDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .map(_.getPath.getName).sorted
-    require(liveDirs.nonEmpty, s"$table has no $partCol=* partitions")
+    // resolution domain: everything visible on disk PLUS every partition the
+    // manifest mentions — a partition mid-install (live dir transiently
+    // missing) still resolves through its retained generation
+    val mentioned = (ends ++ all.filter(c => RetainingBegins.contains(c.op)))
+      .flatMap(_.partitions).toSet
+    val values = (liveDirs.map(unescape(_, partCol)) ++ mentioned).distinct.sorted
+    require(values.nonEmpty, s"$table has no $partCol=* partitions")
+    val liveDirSet = liveDirs.toSet
 
     val liveVals = Seq.newBuilder[String]
+    val liveResolved = Set.newBuilder[String]
+    val ambiguous = Seq.newBuilder[(String, String)]
     val fromHistory = Seq.newBuilder[(Long, String)] // (begin version, dir name)
     // resolve through the retained generation of `begin`, live dir if the
     // pre-image was never retained (the write had not installed), absent
@@ -275,26 +490,45 @@ object Upsert {
           s"time travel: generation v$begin of $dirName was vacuumed — " +
             s"the snapshot at version $version is no longer reconstructible")
     }
-    liveDirs.foreach { dirName =>
-      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(dirName.stripPrefix(s"$partCol="))
+    values.foreach { value =>
+      val dirName = s"$partCol=${escape(value)}"
       val laterEnds = ends.filter(e => e.partitions.contains(value) && e.version > version)
-      // an UNCLOSED begin is a write that never committed (in flight or
-      // crashed): its publish may already sit in the live dir, so the live
+      // an UNCLOSED begin after the last committed end is a write that
+      // never committed (in flight, crashed, or aborted-without-consumed-
+      // rollback): its publish may already sit in the live dir, so the live
       // dir is NOT evidence of the committed state — resolve through the
-      // pre-image it retained (or the live dir only if it never installed,
-      // when no retained generation exists)
-      val unclosed = all.filter(c => c.op == "upsert-begin" &&
-        !closed.contains(c.version) && c.partitions.contains(value))
+      // EARLIEST surviving pre-image of the chain (each later member read
+      // its predecessor's uncommitted leavings and retained them), or the
+      // live dir only if nothing in the chain has installed yet
+      val lastEndV = ends.filter(e => e.partitions.contains(value) && e.version <= version)
+        .map(_.version).maxOption.getOrElse(-1L)
+      val unclosed = all.filter(c => RetainingBegins.contains(c.op) &&
+        !endClosed.contains(c.version) && c.version > lastEndV &&
+        c.partitions.contains(value)).sortBy(_.version)
+      def genOf(b: Long) = s"$table/$HistoryDir/v$b/$dirName"
       if (laterEnds.nonEmpty) resolveVia(laterEnds.minBy(_.version).ref.get, dirName)
       else if (unclosed.nonEmpty) {
-        val b = unclosed.minBy(_.version).version
-        val gen = s"$table/$HistoryDir/v$b/$dirName"
-        if (fs.exists(new org.apache.hadoop.fs.Path(gen + AbsentSuffix))) ()
-        else if (fs.exists(new org.apache.hadoop.fs.Path(gen))) fromHistory += ((b, dirName))
-        else liveVals += value // publish never installed: live IS the pre-image
+        unclosed.find(c => fs.exists(new org.apache.hadoop.fs.Path(genOf(c.version))) ||
+            fs.exists(new org.apache.hadoop.fs.Path(genOf(c.version) + AbsentSuffix))) match {
+          case Some(c) if fs.exists(
+              new org.apache.hadoop.fs.Path(genOf(c.version) + AbsentSuffix)) =>
+            () // did not exist at the committed state
+          case Some(c) =>
+            fromHistory += ((c.version, dirName))
+          case None if liveDirSet.contains(dirName) =>
+            // no retain landed yet: live IS the pre-image — but only until
+            // the writer's retire rename lands (the caller re-checks)
+            liveVals += value
+            ambiguous += ((genOf(unclosed.last.version),
+              genOf(unclosed.last.version) + AbsentSuffix))
+          case None => () // never existed; the in-flight writer has not installed
+        }
       }
-      else liveVals += value
+      else if (liveDirSet.contains(dirName)) {
+        liveVals += value
+        liveResolved += value
+      } // else: mentioned historically but gone from disk with nothing
+        // after `version` rewriting it — nothing to read for this value
     }
     val live = liveVals.result()
     val reads = Seq.newBuilder[DataFrame]
@@ -307,9 +541,71 @@ object Upsert {
         .parquet(dirs.map(d => s"$base/${d._2}"): _*)
     }
     val parts = reads.result()
-    if (parts.isEmpty)
-      spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val df =
+      if (parts.isEmpty)
+        spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    (df, liveResolved.result(), ambiguous.result())
+  }
+
+  /** Small-file compaction for upsert tables (the OPTIMIZE analog, ref
+    * SparkManager.scala:36-37's Delta giving it via `OPTIMIZE`): rewrite
+    * each partition holding more than `targetFiles` data files into
+    * `targetFiles` files, row-identically. Runs under per-partition
+    * `compact` claims in the same TxnLog, so it serializes against
+    * concurrent merges of the same partition (loud
+    * [[TxnLog.ConcurrentWriteException]]) while disjoint partitions
+    * proceed; the replaced file set is retained in `_graft_history` under
+    * the claim's version (retain-first), so a crash at any instant is
+    * repaired by the next claim holder ([[repairCrashedWriter]]) and the
+    * retired files ride the normal [[vacuumHistory]] grace period.
+    *
+    * Time travel is unaffected BY DESIGN: `compact-end` commits close
+    * their claims but are not version-defining (snapshot resolution
+    * consults `upsert-end` only), so `readAsOf(v)` for any v before the
+    * compaction resolves the partition to the rewritten live dir — the
+    * same rows, fewer files. At 100 TB this is the maintenance pass that
+    * keeps merge-heavy partitions from degenerating into thousands of
+    * micro-files; each partition rewrite is one distributed job, cost
+    * bounded by the partitions actually crowded. Returns the number of
+    * partitions compacted. */
+  def compactPartitions(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val crowded = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter { st =>
+        fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > targetFiles
+      }
+      .map(_.getPath.getName).sorted
+    crowded.foreach { dirName =>
+      val value = unescape(dirName, partCol)
+      val claim = TxnLog.begin(spark, table, "compact", Set(value),
+        TxnLog.currentVersion(spark, table))
+      try {
+        repairCrashedWriter(spark, table, dirName, value, claim.version)
+        val partDir = s"$table/$dirName"
+        val rows = spark.read.parquet(partDir)
+        AtomicWrite.publish(spark, partDir,
+          retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
+          retainFirst = true) { tmp =>
+          rows.repartition(targetFiles).write.parquet(tmp)
+        }
+        TxnLog.end(spark, table, claim)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))
+          scala.util.Try(TxnLog.abort(spark, table, claim))
+          throw e
+      }
+    }
+    crowded.length
   }
 
   /** Remove retained generations older than `minAgeMs` (age since

@@ -28,10 +28,13 @@ object AtomicWrite {
     * `retainOldTo`: instead of deleting the retired tree after a successful
     * install, rename it to this path — the hook that lets callers keep
     * PRIOR GENERATIONS for versioned snapshot reads (Delta time-travel
-    * analog, see [[graft.batch.Upsert.readAsOf]]). Retention is
+    * analog, see [[graft.batch.Upsert.readAsOf]]). By default retention is
     * best-effort-after-success: the swap's atomicity guarantees are
     * unchanged, and a failed retention rename surfaces as an error AFTER
-    * the new tree is live.
+    * the new tree is live. With `retainFirst = true` the retention rename
+    * IS the retire step (pre-image lands in history BEFORE the install),
+    * closing the window where a snapshot reader could observe installed
+    * data whose pre-image is not yet retained.
     *
     * Failure behavior: if the install rename fails AFTER the live tree was
     * retired, the old tree is renamed back into place before the error
@@ -41,7 +44,8 @@ object AtomicWrite {
     * on the next maintenance entry. */
   def publish(
       spark: SparkSession, target: String,
-      retainOldTo: Option[String] = None)(write: String => Unit): Unit = {
+      retainOldTo: Option[String] = None,
+      retainFirst: Boolean = false)(write: String => Unit): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val live = new Path(target)
     val fs = live.getFileSystem(conf)
@@ -50,6 +54,52 @@ object AtomicWrite {
     fs.mkdirs(parent)
     def side(prefix: String) =
       new Path(parent, s".$prefix-${live.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
+    def gcStrandedSiblings(tmp: Path, old: Path): Unit =
+      fs.listStatus(parent).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n != tmp.getName && n != old.getName &&
+            (n.startsWith(s".old-${live.getName}-") || n.startsWith(s".tmp-${live.getName}-"))
+        }
+        .foreach(fs.delete(_, true))
+    if (retainFirst && retainOldTo.isDefined) {
+      // RETAIN-BEFORE-INSTALL mode (snapshot writers — see Upsert): the
+      // pre-image moves to its retention home in the SAME rename that
+      // retires it, so there is no instant where the new tree is live but
+      // the pre-image is not yet findable in history. A snapshot read
+      // racing the publish therefore resolves either (pre-retire) the live
+      // pre-image, or (post-retire) the retained generation — never the
+      // in-flight writer's data. A crash between the two renames leaves
+      // the pre-image IN HISTORY (not at an `.old-` sibling), which the
+      // claim-holding writer repairs on its next merge of the partition
+      // (Upsert.restoreCrashedInstall); recoverSwap does not apply here.
+      val tmp = side("tmp")
+      try {
+        write(tmp.toString)
+        val keep = new Path(retainOldTo.get)
+        val retired = fs.exists(live)
+        if (retired) {
+          Option(keep.getParent).foreach(fs.mkdirs)
+          if (!fs.rename(live, keep))
+            throw new java.io.IOException(
+              s"atomic publish: failed to retain $live at $keep")
+          // rename does NOT update the moved tree's own mtime — retention
+          // vacuums age generations by mtime, which must mean "age since
+          // REPLACEMENT", not "age since the data was first written"
+          scala.util.Try(fs.setTimes(keep, System.currentTimeMillis(), -1))
+        }
+        if (!fs.rename(tmp, live)) {
+          // roll the retention back so readers still have a live tree
+          if (retired && !fs.exists(live) && !fs.rename(new Path(retainOldTo.get), live))
+            throw new java.io.IOException(
+              s"atomic publish: install failed AND rollback failed — " +
+                s"live tree is at ${retainOldTo.get}")
+          throw new java.io.IOException(s"atomic publish: failed to install $tmp -> $live")
+        }
+        gcStrandedSiblings(tmp, tmp)
+      } finally fs.delete(tmp, true)
+      return
+    }
     val tmp = side("tmp")
     try {
       write(tmp.toString)
@@ -110,13 +160,7 @@ object AtomicWrite {
       // candidate for a FUTURE recoverSwap to resurrect. Publishers are
       // single-flight per target (registry/maintenance contracts), so no
       // concurrent publish owns these names.
-      fs.listStatus(parent).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n != tmp.getName && n != old.getName &&
-            (n.startsWith(s".old-${live.getName}-") || n.startsWith(s".tmp-${live.getName}-"))
-        }
-        .foreach(fs.delete(_, true))
+      gcStrandedSiblings(tmp, old)
     } finally {
       fs.delete(tmp, true) // no-op on success (renamed away); cleanup on failure
     }

@@ -149,6 +149,95 @@ class TimeTravelSpec extends SparkSpec {
     assert(got == Set(("2026-01-01", "k1", 1.0), ("2026-01-02", "k2", 2.0)))
   }
 
+  test("a version beyond the current tip is refused, not silently read as latest") {
+    import spark.implicits._
+    val table = tmp("tt-future")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val tip = TxnLog.currentVersion(spark, table)
+    val e = intercept[IllegalStateException](stateAsOf(table, tip + 5))
+    assert(e.getMessage.contains("beyond the current tip"), e.getMessage)
+    assert(stateAsOf(table, tip) == state(table)) // the tip itself reads
+  }
+
+  test("the retain-to-install window resolves the pre-image deterministically") {
+    import spark.implicits._
+    val table = tmp("tt-window")
+    Seq(("2026-01-01", "k1", 1.0), ("2026-01-02", "k2", 2.0))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 5.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val committed = state(table)
+    val vCommitted = TxnLog.currentVersion(spark, table)
+    // a writer exactly between its two renames: pre-image retained in
+    // history, install not yet landed — the live dir is MISSING. With the
+    // old after-install retention order this state was impossible and the
+    // corresponding race window (installed, retention pending) resolved a
+    // snapshot to the in-flight writer's data; retain-first makes the
+    // pre-image findable from the instant the live dir stops being it.
+    val claim = TxnLog.begin(spark, table, "upsert", Set("2026-01-01"), vCommitted)
+    val gen = java.nio.file.Paths.get(
+      table, "_graft_history", s"v${claim.version}", "day=2026-01-01")
+    java.nio.file.Files.createDirectories(gen.getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(table, "day=2026-01-01"), gen)
+    // snapshot at the committed tip: full committed state, no missing
+    // partition, no in-flight data
+    assert(stateAsOf(table, vCommitted) == committed)
+    // the default read path agrees
+    val viaCommitted = Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(viaCommitted == committed)
+    // writer completes: install + end (this simulated writer installs the
+    // unchanged tree, so the committed state is unchanged too)
+    java.nio.file.Files.move(gen, java.nio.file.Paths.get(table, "day=2026-01-01"))
+    TxnLog.end(spark, table, claim)
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == committed)
+  }
+
+  test("time travel across compaction generations returns identical rows") {
+    import spark.implicits._
+    val table = tmp("tt-compact")
+    // several files per partition so compaction has something to do
+    Seq(("2026-01-01", "k1", 1.0), ("2026-01-01", "k2", 2.0),
+        ("2026-01-01", "k3", 3.0), ("2026-01-02", "k4", 4.0),
+        ("2026-01-02", "k5", 5.0))
+      .toDF("day", "k", "v").repartition(3)
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val s0 = state(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 111.0), ("2026-01-02", "k9", 90.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val s1 = state(table)
+    val v1 = TxnLog.currentVersion(spark, table)
+
+    def dataFiles(day: String): Int =
+      new java.io.File(table, s"day=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val filesBefore = dataFiles("2026-01-01")
+    assert(filesBefore > 1, s"need a crowded partition: $filesBefore files")
+    val compacted = Upsert.compactPartitions(spark, table, "day", targetFiles = 1)
+    assert(compacted >= 1)
+    assert(dataFiles("2026-01-01") == 1, "compaction must reduce the file count")
+
+    // row-identical across the rewrite: every version reconstructs exactly
+    assert(state(table) == s1, "compaction must not change visible rows")
+    assert(stateAsOf(table, v0) == s0, "pre-merge snapshot across compaction")
+    assert(stateAsOf(table, v1) == s1, "post-merge snapshot across compaction")
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) == s1)
+    // and a compaction claim serializes against a concurrent merge
+    val open = TxnLog.begin(spark, table, "compact", Set("2026-01-02"),
+      TxnLog.currentVersion(spark, table))
+    intercept[TxnLog.ConcurrentWriteException] {
+      Upsert.mergeByKey(spark, table,
+        Seq(("2026-01-02", "k4", 44.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    }
+    TxnLog.end(spark, table, open)
+  }
+
   test("vacuumed generations fail loudly, never a silently-partial snapshot") {
     import spark.implicits._
     val table = tmp("tt-vac")

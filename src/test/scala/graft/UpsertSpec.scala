@@ -244,6 +244,125 @@ class UpsertSpec extends SparkSpec {
       ("2026-01-01", "k1", 10.0, "keepme"), ("2026-01-01", "k2", 2.0, "x")))
   }
 
+  test("readCommitted during an 8-partition backfill: full pre-merge or a prefix of commits, never torn") {
+    import spark.implicits._
+    val table = tmp("upsert-snapshot")
+    val days = (1 to 8).map(i => f"2026-03-$i%02d")
+    days.flatMap(d => Seq((d, "a", 1.0), (d, "b", 2.0)))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val updates = days.map(d => (d, "a", 10.0)).toDF("day", "k", "v")
+
+    // reader hammer: snapshot the table while the backfill runs. A snapshot
+    // either resolves consistently or surfaces a LOUD retryable error (the
+    // documented execution-race contract) — it must never return a state
+    // that is not a prefix of the merge's end-commits.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = Upsert.readCommitted(spark, table, "day")
+            .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+          // every partition must hold exactly {a, b} with b untouched
+          val byDay = rows.groupBy(_._1)
+          if (byDay.keySet != days.toSet ||
+              byDay.exists { case (_, rs) => rs.size != 2 } ||
+              rows.exists(r => r._2 == "b" && r._3 != 2.0) ||
+              rows.exists(r => r._2 == "a" && r._3 != 1.0 && r._3 != 10.0))
+            torn.add(s"inconsistent rows: $rows")
+          else observed.add(rows.filter(r => r._2 == "a" && r._3 == 10.0).map(_._1))
+        } catch { case _: Throwable => () } // loud execution race — retry
+      }
+    })
+    reader.start()
+    try Upsert.mergeByKey(spark, table, updates, "day", Seq("k"), parallelism = 4)
+    finally { stop.set(true); reader.join() }
+    assert(torn.isEmpty, s"torn snapshot: ${torn.peek()}")
+    assert(!observed.isEmpty, "the hammer must complete at least one snapshot")
+
+    // prefix check: merged-day sets must follow the actual end-commit order
+    val endOrder = graft.core.TxnLog.commitsSince(spark, table, 0L)
+      .filter(_.op == "upsert-end").sortBy(_.version).map(_.partitions.head)
+    val prefixes = (0 to endOrder.size).map(endOrder.take(_).toSet).toSet
+    observed.forEach { b =>
+      assert(prefixes.contains(b),
+        s"snapshot $b is not a prefix of the end-commit order $endOrder")
+    }
+  }
+
+  test("a writer crashed between its retain and install renames is repaired by the next merge") {
+    import spark.implicits._
+    val table = tmp("upsert-crash-install")
+    seed(table)
+    // "crash": claim the partition, then do exactly what retain-first does
+    // up to the install — retire the live dir into history — and die
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-01"), graft.core.TxnLog.currentVersion(spark, table))
+    val live = java.nio.file.Paths.get(table, "day=2026-01-01")
+    val gen = java.nio.file.Paths.get(
+      table, "_graft_history", s"v${claim.version}", "day=2026-01-01")
+    java.nio.file.Files.createDirectories(gen.getParent)
+    java.nio.file.Files.move(live, gen)
+    // snapshots already resolve the pre-image through the retained gen
+    val committed = Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(committed.contains(("2026-01-01", "k1", 10.0)), s"snapshot: $committed")
+    // age the crashed claim past the staleness horizon so a fresh writer
+    // takes over (rewrite its ts — the commit file is plain JSON)
+    val claimFile = java.nio.file.Paths.get(
+      table, "_graft_txn", f"v${claim.version}%020d.json")
+    val txt = java.nio.file.Files.readString(claimFile)
+    java.nio.file.Files.writeString(claimFile,
+      txt.replace(s""""ts":${claim.ts}""", s""""ts":${claim.ts - 31L * 60 * 1000}"""))
+    // the next merge restores the pre-image first, then merges on top of it
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k9", 90.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("2026-01-01", "k1", 10.0), ("2026-01-01", "k2", 20.0),
+      ("2026-01-01", "k9", 90.0),
+      ("2026-01-02", "k3", 30.0), ("2026-01-02", "k4", 40.0),
+      ("2026-01-03", "k5", 50.0)), s"restored + merged: $after")
+  }
+
+  test("a merge failing AFTER its install rolls the partition back before aborting") {
+    import spark.implicits._
+    val table = tmp("upsert-rollback")
+    seed(table)
+    val committed = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    // simulate a merge that claimed, retained, installed — then failed
+    // before its end commit (e.g. the end raced a manifest error)
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-02"), graft.core.TxnLog.currentVersion(spark, table))
+    graft.core.AtomicWrite.publish(spark, s"$table/day=2026-01-02",
+      retainOldTo = Some(s"$table/_graft_history/v${claim.version}/day=2026-01-02"),
+      retainFirst = true) { tmpDir =>
+      Seq(("k3", 999.0)).toDF("k", "v").write.parquet(tmpDir)
+    }
+    assert(spark.read.parquet(s"$table/day=2026-01-02").count() == 1,
+      "failed write's data is live before the rollback")
+    // the failure path: rollback, then abort (what mergeOnePartition does)
+    Upsert.rollbackFailedPublish(spark, table, "day", "2026-01-02", claim)
+    graft.core.TxnLog.abort(spark, table, claim)
+    // plain readers AND snapshots see the committed state — the failed
+    // write's data is gone, the partition is not locked, history is clean
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == committed, s"rollback must restore the pre-image: $after")
+    assert(Upsert.readAsOf(spark, table,
+      graft.core.TxnLog.currentVersion(spark, table), "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet == committed)
+    // an immediate retry lands (the abort released the claim)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", "k3", 333.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(spark.read.parquet(table).filter(col("k") === "k3")
+      .select("v").as[Double].head() == 333.0)
+  }
+
   test("mergeByKey: 8-partition backfill merges in parallel with exact results") {
     import spark.implicits._
     val table = tmp("upsert-backfill")
