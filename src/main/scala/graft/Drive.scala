@@ -106,6 +106,10 @@ object Drive {
     val vac = graft.streaming.SinkCompaction.vacuum(spark, table, minAgeMs = 0L)
     val afterMaint = StreamingIngest.readTable(spark, table).count()
     assert(afterMaint == n, s"maintenance must not change visible rows: $afterMaint")
+    // the default BATCH read path resolves through the TxnLog manifest the
+    // compaction left behind (committed-snapshot read — same row count)
+    val committed = graft.batch.Upsert.readCommitted(spark, table, "event_date").count()
+    assert(committed == n, s"readCommitted must see the full table: $committed")
     println(s"DRIVE maintenance: ${rep.filesBefore}->${rep.filesAfter} files " +
       s"(${rep.partitionsCompacted} partitions), vacuumed ${vac.filesRemoved} orphans, " +
       "readers consistent throughout")

@@ -66,7 +66,12 @@ final class BatchService(
       registry.update(batchId)(_.copy(
         status = BatchStatus.Running, startedAt = Some(System.currentTimeMillis())))
 
-      val source = spark.read.parquet(sourcePath)
+      // Committed-snapshot read (the Delta behavior the reference gets on
+      // every read): during a concurrent multi-partition mergeByKey the job
+      // sees the full pre-merge state or a prefix of its commits, never
+      // partition A post-merge and partition B pre-merge. Tables without a
+      // TxnLog manifest read plainly (zero overhead).
+      val source = Upsert.readCommitted(spark, sourcePath, "event_date")
       val cols = source.columns.toSet
       val badFilters = req.filters.keys.filterNot(cols.contains)
       require(badFilters.isEmpty,
