@@ -393,6 +393,58 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("t1", "t2"), s"no loss, no replay across the repair: $ids")
   }
 
+  test("foreachBatch upsert: exactly-once across a restart replay (txn marker skip)") {
+    import spark.implicits._
+    val (drop, table, ckpt) = (tmp("udrop"), tmp("utable"), tmp("uckpt"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "day STRING, k STRING, v DOUBLE")
+    def startStream() =
+      spark.readStream.schema(schema).json(drop)
+        .writeStream
+        .foreachBatch(
+          StreamingUpsert.mergeBatch(spark, table, "day", Seq("k"), "ingest-upsert") _)
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    Files.write(java.nio.file.Paths.get(drop, "w1.json"),
+      Seq("""{"day":"2026-01-01","k":"a","v":1.0}""",
+          """{"day":"2026-01-01","k":"b","v":2.0}""").mkString("\n").getBytes)
+    val q1 = startStream()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(table).count() == 2)
+    val vAfterBatch0 = graft.core.TxnLog.currentVersion(spark, table)
+
+    // a restart after a crash BETWEEN the foreachBatch body and the
+    // checkpoint acknowledgment replays the whole batch: simulate by
+    // removing the batch's commit record, the standard Structured
+    // Streaming at-least-once shape
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // the local-FS checksum sibling must go too, or the replayed commit's
+    // rename-into-place fails on the stale .crc
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = startStream()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(table).count() == 2, "replayed batch must not duplicate")
+    assert(graft.core.TxnLog.currentVersion(spark, table) == vAfterBatch0,
+      "an absorbed batch must be SKIPPED on replay — no new versions, no file churn")
+
+    // crash BEFORE the marker (merge applied, marker not yet committed):
+    // the replay re-merges; MERGE idempotence makes the effect exactly-once
+    val batch1 = Seq(("2026-01-01", "a", 10.0), ("2026-01-02", "c", 3.0))
+      .toDF("day", "k", "v")
+    graft.batch.Upsert.mergeByKey(spark, table, batch1, "day", Seq("k")) // crashed attempt
+    StreamingUpsert.mergeBatch(spark, table, "day", Seq("k"), "ingest-upsert")(batch1, 1L)
+    val rows = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(rows == Set(
+      ("2026-01-01", "a", 10.0), ("2026-01-01", "b", 2.0), ("2026-01-02", "c", 3.0)),
+      s"re-merged batch must converge to exactly-once effect: $rows")
+    // and now that batch 1 is marked, a further replay is a pure no-op
+    val vMarked = graft.core.TxnLog.currentVersion(spark, table)
+    StreamingUpsert.mergeBatch(spark, table, "day", Seq("k"), "ingest-upsert")(batch1, 1L)
+    assert(graft.core.TxnLog.currentVersion(spark, table) == vMarked)
+  }
+
   test("dashboard: complete-mode equivalent via foreachBatch atomic publish") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
