@@ -92,12 +92,19 @@ object StreamingIngest {
     * generations instead of a footer-dependent subset. */
   def readTable(spark: SparkSession, tablePath: String, maxAttempts: Int = 80): DataFrame = {
     val logDir = s"$tablePath/_spark_metadata"
-    val start = System.currentTimeMillis()
     // how long to honor an unclosed swap mark before treating its owner as
     // crashed: the mark brackets only the milliseconds-long log publish
     // (failure paths abort their claims), so seconds of persistence means
     // a hard-killed maintenance job — readers then repair and proceed
-    // instead of serving errors for the full TxnLog staleness horizon
+    // instead of serving errors for the full TxnLog staleness horizon.
+    // The patience is keyed on the MARK'S OWN AGE (readerState ages marks
+    // by now - mark.ts), not on how long this call has been running: a
+    // fresh LIVE swap that begins after a reader has already spent seconds
+    // retrying through earlier contention is still honored — treating it
+    // as crashed would repair/read mid-swap, and a swap bracketing the
+    // whole resolution window is invisible to the before/after version
+    // probe (the raw directory-listing fallback would be returned
+    // undetected, a ~2× duplicate view).
     val inFlightPatienceMs = 5000L
     var attempt = 0
     while (true) {
@@ -105,13 +112,13 @@ object StreamingIngest {
       // log belongs to the live publisher — a reader restoring it
       // mid-publish would hijack the swap (the publisher recovers, but
       // there is no reason to race it)
-      val probe = graft.core.TxnLog.readerState(spark, tablePath)
-      val inFlight = probe._2 &&
-        System.currentTimeMillis() - start < inFlightPatienceMs
-      // past the patience window the mark is a crashed publisher's
-      // leftover: fall through, repair, and read (the version check below
-      // still guards against a LIVE swap racing the resolution — every
-      // swap's begin mark bumps the version)
+      val probe = graft.core.TxnLog.readerState(
+        spark, tablePath, staleLockMs = inFlightPatienceMs)
+      val inFlight = probe._2
+      // a mark older than the patience window is a crashed publisher's
+      // leftover (readerState already ages it out): fall through, repair,
+      // and read (the version check below still guards against a LIVE swap
+      // racing the resolution — every swap's begin mark bumps the version)
       if (inFlight) {
         // bounded by construction: after inFlightPatienceMs the flag
         // computes false and the read proceeds (crashed-publisher path), so
