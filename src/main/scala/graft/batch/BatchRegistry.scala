@@ -63,12 +63,16 @@ final class BatchRegistry(persistDir: Option[String] = None) {
   /** Retention sweep: drop TERMINAL records older than `horizonMs` from
     * memory and disk (active PENDING/RUNNING records are never touched).
     * Bounds registry growth across restarts — without it, disk [[recover]]
-    * accumulates every job ever finished. Returns the number removed. */
+    * accumulates every job ever finished. Age is measured from the record's
+    * LAST transition (completion), not submission: a job submitted before
+    * the horizon but completed minutes ago is a fresh terminal record a
+    * restart may still want — it must ride out the full retention.
+    * Returns the number removed. */
   def prune(horizonMs: Long, now: Long = System.currentTimeMillis()): Int = {
     val cutoff = now - horizonMs
     val victims = records.values().asScala.toSeq.filter { r =>
       (r.status == BatchStatus.Completed || r.status == BatchStatus.Failed) &&
-        r.submittedAt < cutoff
+        math.max(r.submittedAt, r.completedAt.getOrElse(0L)) < cutoff
     }
     victims.foreach { r =>
       records.remove(r.batchId)
@@ -101,7 +105,8 @@ final class BatchRegistry(persistDir: Option[String] = None) {
         s"""{"batchId":"${esc(r.batchId)}","status":"${r.status}",
             |"analysisType":"${esc(r.request.analysisType)}",
             |"startDate":"${esc(r.request.startDate)}","endDate":"${esc(r.request.endDate)}",
-            |"submittedAt":${r.submittedAt},"rowCount":${r.rowCount.getOrElse(-1L)},
+            |"submittedAt":${r.submittedAt},"completedAt":${r.completedAt.getOrElse(-1L)},
+            |"rowCount":${r.rowCount.getOrElse(-1L)},
             |"rawPath":"${esc(r.rawPath.getOrElse(""))}",
             |"aggregatedPath":"${esc(r.aggregatedPath.getOrElse(""))}",
             |"error":"${esc(r.error.getOrElse(""))}"}""".stripMargin.replaceAll("\n", "")
@@ -146,6 +151,7 @@ final class BatchRegistry(persistDir: Option[String] = None) {
               field("analysisType").getOrElse("")),
             status = BatchStatus.withName(st),
             submittedAt = num("submittedAt").getOrElse(0L),
+            completedAt = num("completedAt").filter(_ >= 0),
             rowCount = num("rowCount").filter(_ >= 0),
             rawPath = field("rawPath").filter(_.nonEmpty),
             aggregatedPath = field("aggregatedPath").filter(_.nonEmpty),
