@@ -78,6 +78,21 @@ object Bench {
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
 
+    // Recorded per-query baseline medians (quiet-host run, committed as
+    // bench_baseline.json and referenced from BASELINE.md): lets the
+    // artifact self-adjudicate — `outliers` marks queries whose BEST round
+    // is >3× baseline (contention the rounds never escaped, or a real
+    // regression), and `trusted_total` (sum of per-query MINIMUM across
+    // rounds) stays usable when contention junk inflates the medians.
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+        graft.http.Json.parse(txt).asObj("queries").asObj.collect {
+          case (k, graft.http.JNum(n)) => k -> n.toDouble
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     // medians-so-far over the completed rounds (the final call is the
     // report; in-loop calls checkpoint it to disk)
     def detailJson(): String = {
@@ -90,7 +105,10 @@ object Bench {
       val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
       val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"queries":$qs,"sf":"$sfDir"}"""
+      val trusted = BenchGuard.trustedTotal(byRound)
+      val outs = BenchGuard.outliers(byRound, baseline)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"queries":$qs,"sf":"$sfDir"}"""
     }
     def writeDetail(): Unit =
       try {
@@ -151,8 +169,16 @@ object Bench {
     // variance (co-tenant CPU waves distort single rounds up to 10× —
     // BASELINE.md): a reader can tell a contended round from a code
     // regression without re-running, and a contended run reports medians
-    // across extra rounds instead of one inflated round.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // across extra rounds instead of one inflated round. trusted_total
+    // (per-query min across rounds) is the number to compare against
+    // BASELINE.md when contended=true; outliers lists queries whose BEST
+    // round is >3× their recorded baseline median (capped to 8 names here —
+    // the full list is in the detail file).
+    val trusted = BenchGuard.trustedTotal(byRound)
+    val outliers = BenchGuard.outliers(byRound, baseline)
+    val outsJson = (outliers.take(8).map("\"" + _ + "\"") ++
+      (if (outliers.size > 8) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

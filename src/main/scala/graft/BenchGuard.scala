@@ -27,6 +27,33 @@ object BenchGuard {
       (roundTotalsSec.size >= 2 &&
         roundTotalsSec.max / math.max(roundTotalsSec.min, 1e-9) > SpreadLimit)
 
+  /** A query's best round must beat [[OutlierRatio]] × its recorded
+    * baseline median or the query is flagged as an outlier — even its
+    * LEAST contended measurement is off, so either the host never quieted
+    * for it or the code regressed. */
+  val OutlierRatio = 3.0
+
+  /** Sum over queries of the MINIMUM across rounds. The median is the
+    * primary number, but under one-sided contention noise (rounds only ever
+    * get SLOWER than truth, never faster) the per-query minimum is the
+    * robust estimator — a usable total even when every round was touched by
+    * a different part of a contention wave. */
+  def trustedTotal(rounds: Seq[Map[String, Double]]): Double =
+    if (rounds.isEmpty) 0.0
+    else rounds.head.keys.toSeq.map(q => rounds.flatMap(_.get(q)).min).sum
+
+  /** Queries whose best (minimum) round exceeds [[OutlierRatio]] × the
+    * recorded per-query baseline median. Queries absent from the baseline
+    * (newly added this round) are never flagged. */
+  def outliers(
+      rounds: Seq[Map[String, Double]],
+      baseline: Map[String, Double]): Seq[String] =
+    if (rounds.isEmpty) Seq.empty
+    else rounds.head.keys.toSeq.sorted.filter { q =>
+      baseline.get(q).exists(b =>
+        b > 0 && rounds.flatMap(_.get(q)).min > OutlierRatio * b)
+    }
+
   /** Decide whether to start another round.
     *
     * @param roundTotalsSec totals of completed rounds, in seconds

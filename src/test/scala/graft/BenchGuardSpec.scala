@@ -59,4 +59,44 @@ class BenchGuardSpec extends AnyFunSuite {
     val totals = Seq(100.0, 380.0, 95.0)
     assert(!BenchGuard.shouldRunAnother(totals, 2 * budget, 95000, 3, budget, 5))
   }
+
+  // --- self-adjudication: trusted_total + per-query outlier marks ---
+
+  /** The BENCH_r07 shape in miniature: a contention wave inflates a
+    * DIFFERENT subset of queries in each round (ana_revenue 116x in round
+    * 1, dedup 40x in round 2), so the per-query MEDIAN carries junk — but
+    * every query has at least one quiet measurement, and min-of-rounds
+    * recovers it. */
+  private val quiet = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 0.5)
+  private val r07Shape = Seq(
+    Map("q1" -> 116.0, "q2" -> 2.1, "q3" -> 0.55), // wave hits q1
+    Map("q1" -> 1.05, "q2" -> 80.0, "q3" -> 0.5),  // wave hits q2
+    Map("q1" -> 30.0, "q2" -> 2.0, "q3" -> 12.0))  // wave hits q1+q3
+
+  test("trusted_total recovers a usable number from contention-junk rounds") {
+    val trusted = BenchGuard.trustedTotal(r07Shape)
+    val quietTotal = quiet.values.sum // 3.5
+    assert(trusted == 1.05 + 2.0 + 0.5, s"per-query minimum: $trusted")
+    assert(trusted <= 1.5 * quietTotal,
+      s"trusted_total $trusted must land within 1.5x of the quiet baseline $quietTotal")
+    // while the medians over the same rounds are junk (30 + 2.1 + 0.55)
+    assert(r07Shape.map(_("q1")).sorted.apply(1) == 30.0)
+  }
+
+  test("outliers flag only queries whose BEST round misses the baseline by >3x") {
+    // q1's best round is 1.05x baseline -> clean; a query that never saw a
+    // quiet round (best 4x) is flagged; a new query with no baseline never is
+    val rounds = Seq(
+      Map("q1" -> 116.0, "slow" -> 4.0, "fresh" -> 9.0),
+      Map("q1" -> 1.05, "slow" -> 4.2, "fresh" -> 9.1))
+    val base = Map("q1" -> 1.0, "slow" -> 1.0)
+    assert(BenchGuard.outliers(rounds, base) == Seq("slow"))
+    // a 2x miss is within normal host variance -> not flagged
+    assert(BenchGuard.outliers(Seq(Map("slow" -> 2.0)), base).isEmpty)
+  }
+
+  test("trusted_total and outliers are total on empty input") {
+    assert(BenchGuard.trustedTotal(Nil) == 0.0)
+    assert(BenchGuard.outliers(Nil, Map("q" -> 1.0)).isEmpty)
+  }
 }
