@@ -87,6 +87,41 @@ class ScalingStressSpec extends SparkSpec {
       s"cc rounds $rounds1 -> $rounds10")
   }
 
+  test("10x corpus: sharded packing stays ≲ linear and bit-identical to windowed", Slow) {
+    import graft.operators.TextQueries
+    val dir1 = gen(5000L)
+    val dir10 = gen(50000L)
+
+    // a canonical checksum of the full packing output — equality proves the
+    // two-phase offsets reproduce the windowed cumulative sum bit-for-bit
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.selectExpr(
+        "count(1) AS n",
+        "sum(hash(source, seq_id, n_docs, n_full_docs, n_tokens, first_doc, last_doc)) AS h")
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val (win1, tw1) = minTime(checksum(TextQueries.packSequences(spark, dir1))._1)
+    val (sh1, ts1) = minTime(checksum(TextQueries.packSequencesSharded(spark, dir1))._1)
+    val (win10, tw10) = minTime(checksum(TextQueries.packSequences(spark, dir10))._1)
+    val (sh10, ts10) = minTime(checksum(TextQueries.packSequencesSharded(spark, dir10))._1)
+    assert(win1 == sh1 && win10 == sh10, "row counts must match between variants")
+    assert(checksum(TextQueries.packSequences(spark, dir10)) ==
+      checksum(TextQueries.packSequencesSharded(spark, dir10)),
+      "sharded offsets must be bit-identical to the windowed cumulative sum at 10x")
+
+    // the sharded variant must scale ≲ linearly (generous 3x-of-linear
+    // slack for host variance — the deterministic equality above is the
+    // primary gate; the structural argument is that its widest window
+    // partition is G=500 docs at ANY corpus size, where the windowed
+    // variant's is corpus/5 and grows 10x here)
+    assert(ts10 / ts1 < 30.0, f"sharded packing 10x slope ${ts10 / ts1}%.1f")
+    info(f"packing 1x: windowed ${tw1}%.2f s vs sharded ${ts1}%.2f s; " +
+      f"10x: windowed ${tw10}%.2f s (x${tw10 / tw1}%.1f) vs " +
+      f"sharded ${ts10}%.2f s (x${ts10 / ts1}%.1f)")
+  }
+
   test("connected components: chain of depth 2048 converges in O(log d) rounds", Slow) {
     import spark.implicits._
     // a single path graph is the worst case for label propagation: plain
