@@ -86,8 +86,12 @@ object Bench {
     // rounds) stays usable when contention junk inflates the medians.
     val baseline: Map[String, Double] =
       try {
+        // resolved from the working directory (the driver runs sbt from the
+        // repo root, same as bench_detail.json); SPARK_GRAFT_BASELINE
+        // overrides for launchers with a different cwd
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_baseline.json")), "UTF-8")
+          java.nio.file.Paths.get(sys.env.getOrElse(
+            "SPARK_GRAFT_BASELINE", "bench_baseline.json"))), "UTF-8")
         graft.http.Json.parse(txt).asObj("queries").asObj.collect {
           case (k, graft.http.JNum(n)) => k -> n.toDouble
         }

@@ -248,8 +248,12 @@ object Upsert {
     val gen = new org.apache.hadoop.fs.Path(genRoot, dirName)
     val marker = new org.apache.hadoop.fs.Path(genRoot, dirName + AbsentSuffix)
     val live = new org.apache.hadoop.fs.Path(s"$table/$dirName")
+    // "unreadable" is the conservative touches-all placeholder for a commit
+    // file whose content write never finished — a dead sibling's debris,
+    // not a usurper of a claim we still hold; counting it would silently
+    // skip the rollback and leave the failed merge's data live
     val usurped = TxnLog.commitsSince(spark, table, claim.version)
-      .exists(c => c.all || c.partitions.contains(p))
+      .exists(c => c.op != "unreadable" && (c.all || c.partitions.contains(p)))
     if (usurped) return
     if (fs.exists(gen)) {
       // retire (and discard) whatever our failed install left, then restore
@@ -387,22 +391,42 @@ object Upsert {
       maxAttempts: Int = 80): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // fast path — plain read with the PRE-EXISTING semantics (no
+    // mergeSchema: that would widen the schema to the union across files
+    // and scan every footer) when the manifest cannot affect resolution:
+    // no manifest at all, or no partition dirs AND no commit that ever
+    // touched a partition (pure txn-marker ledgers). A table whose ONLY
+    // partition is mid-install or crashed-between-renames has claims but
+    // no partCol= dirs — that one must go through resolution, where the
+    // manifest's mentions recover the committed state from history.
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_txn")))
-      return spark.read.option("mergeSchema", "true").parquet(table)
+      return spark.read.parquet(table)
     if (!fs.listStatus(root).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")))
-      return spark.read.option("mergeSchema", "true").parquet(table)
+          st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")) &&
+        !TxnLog.commitsSince(spark, table, 0L).exists(c => c.all || c.partitions.nonEmpty))
+      return spark.read.parquet(table)
     // honor an in-flight WHOLE-TABLE claim (compaction log swap) up to the
     // mark's age: mid-swap listings can silently fall back to raw directory
     // enumeration. Partition-level claims are NOT waited out — snapshot
-    // resolution reads through their retained pre-images.
+    // resolution reads through their retained pre-images. Back-to-back
+    // fresh claims (a tight maintenance loop) could starve a reader
+    // forever on per-mark patience alone, so a generous overall wall cap
+    // turns starvation into a loud error rather than a silent hang.
     val inFlightPatienceMs = 5000L
+    val waitCapMs = 120000L
+    val waitStart = System.currentTimeMillis()
     var attempt = 0
+    var lastErr: Throwable = null
     while (true) {
       val probe = TxnLog.readerState(spark, table,
         staleLockMs = inFlightPatienceMs, allClaimsOnly = true)
-      if (probe._2) Thread.sleep(25)
-      else {
+      if (probe._2) {
+        if (System.currentTimeMillis() - waitStart > waitCapMs)
+          throw new IllegalStateException(
+            s"readCommitted: $table has had whole-table claims in flight for " +
+              s"over $waitCapMs ms — maintenance is starving readers")
+        Thread.sleep(25)
+      } else {
         attempt += 1
         try {
           val commits = TxnLog.commitsSince(spark, table, 0L)
@@ -426,12 +450,15 @@ object Upsert {
             .exists(c => c.all || c.partitions.exists(liveResolved))
           if (ambiguousStable && !newTouches) return df
         } catch {
-          case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
-            Thread.sleep(25) // mid-swap listing instant — retry
+          case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
+            lastErr = e
+            Thread.sleep(25) // mid-swap/mid-install instant — retry
         }
         if (attempt >= maxAttempts)
           throw new IllegalStateException(
-            s"readCommitted: $table did not yield a stable snapshot in $maxAttempts attempts")
+            s"readCommitted: $table did not yield a stable snapshot in " +
+              s"$maxAttempts attempts (last error attached — a persistent " +
+              "failure here is a broken table, not contention)", lastErr)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -506,6 +533,17 @@ object Upsert {
         !endClosed.contains(c.version) && c.version > lastEndV &&
         c.partitions.contains(value)).sortBy(_.version)
       def genOf(b: Long) = s"$table/$HistoryDir/v$b/$dirName"
+      // a value with a committed end ≤ `version` EXISTED at the snapshot:
+      // failing to resolve it to anything must be loud, never a silently
+      // missing partition (the unreachable-by-design case is a writer
+      // whose begin postdates our manifest read and whose retire rename
+      // preceded our listing — a retry re-reads both)
+      def mustResolveLoudly(): Unit =
+        if (ends.exists(e => e.partitions.contains(value) && e.version <= version))
+          throw new IllegalStateException(
+            s"snapshot resolution: partition $value has committed state at " +
+              s"v$version but no resolvable directory — a concurrent writer " +
+              "is mid-install; re-resolve")
       if (laterEnds.nonEmpty) resolveVia(laterEnds.minBy(_.version).ref.get, dirName)
       else if (unclosed.nonEmpty) {
         unclosed.find(c => fs.exists(new org.apache.hadoop.fs.Path(genOf(c.version))) ||
@@ -521,14 +559,18 @@ object Upsert {
             liveVals += value
             ambiguous += ((genOf(unclosed.last.version),
               genOf(unclosed.last.version) + AbsentSuffix))
-          case None => () // never existed; the in-flight writer has not installed
+          case None =>
+            // no live dir and no retain: nothing existed — unless an end
+            // says otherwise, in which case this is the mid-install instant
+            mustResolveLoudly()
         }
       }
       else if (liveDirSet.contains(dirName)) {
         liveVals += value
         liveResolved += value
-      } // else: mentioned historically but gone from disk with nothing
-        // after `version` rewriting it — nothing to read for this value
+      }
+      else mustResolveLoudly() // else: mentioned only by never-committed
+                               // begins — nothing to read for this value
     }
     val live = liveVals.result()
     val reads = Seq.newBuilder[DataFrame]

@@ -73,12 +73,11 @@ object TxnLog {
 
   private val Pad = 20
   /** Compact the retained manifest into one checkpoint file every this many
-    * commits (Delta defaults to 10). */
+    * commits (Delta defaults to 10). A checkpoint always carries EVERY
+    * retained commit ≤ its version — no inner retention window, or commits
+    * whose version files still exist would silently vanish from probes;
+    * [[truncate]] is the single authority on what drops out of history. */
   private[graft] val CheckpointInterval = 10
-  /** Commits retained inside a checkpoint: generous relative to
-    * [[truncate]]'s default keep=100 so the checkpoint never drops history
-    * that the version files still carry. */
-  private[graft] val CheckpointRetain = 1000
   private def logDir(table: String) = new Path(table, "_graft_txn")
   private def vFile(dir: Path, v: Long) = new Path(dir, f"v$v%020d.json")
   private def ckptFile(dir: Path, v: Long) = new Path(dir, f"checkpoint-v$v%020d.json")
@@ -111,6 +110,15 @@ object TxnLog {
     while (true) {
       attempt += 1
       try {
+        // fast path: when `after` is at or above the newest checkpoint, its
+        // whole content would be filtered out anyway — skip the (possibly
+        // large) checkpoint read entirely and walk only the tail files.
+        // This is the shape of every hot probe (conflict checks against a
+        // near-tip snapshot, readCommitted's newTouches re-probe).
+        val newestCkpt = checkpointVersions(fs, dir).lastOption.getOrElse(Long.MinValue)
+        if (after >= newestCkpt)
+          return versionsIn(fs, dir).filter(_ > after)
+            .map(v => readCommit(fs, dir, v)).sortBy(_.version)
         val base = latestCheckpoint(fs, dir)
         val floor = base.map(_._1).getOrElse(0L)
         val fromCkpt = base.map(_._2).getOrElse(Seq.empty).filter(_.version > after)
@@ -281,27 +289,38 @@ object TxnLog {
     (allCommits.lastOption.map(_.version).getOrElse(0L), inFlight)
   }
 
+  /** The oldest commit version that must survive truncation for snapshot
+    * soundness: an unclosed `*-begin` pins itself and everything above it
+    * (snapshot resolution routes partitions through unresolved begins'
+    * retained pre-images, and the retained range must stay CONTIGUOUS for
+    * the reconstruction-floor check) — UNLESS a later `*-end` committed an
+    * overlapping partition, after which the begin is inert for resolution
+    * (the later-ends path rules above that end, and the `> lastEnd` filter
+    * excludes it below). A crashed writer therefore pins the horizon only
+    * until the next successful write of its partition — bounded growth
+    * without a reaper, and never silent mis-resolution. */
+  private def pinnedBeginFloor(all: Seq[Commit]): Long = {
+    val closed = all.flatMap(_.ref).toSet
+    val ends = all.filter(c => c.op.endsWith("-end") && c.ref.isDefined)
+    all.filter(c => c.op.endsWith("-begin") && !closed.contains(c.version) &&
+        !ends.exists(e => e.version > c.version &&
+          (e.all || c.all || e.partitions.exists(c.partitions))))
+      .map(_.version).minOption.getOrElse(Long.MaxValue)
+  }
+
   /** Drop manifest entries older than `keep` versions below the current tip
     * (maintenance; the manifest is append-only otherwise). Never removes
-    * the tip (version numbering must stay monotone) and never drops an
-    * UNCLOSED `*-begin` or anything above it: snapshot resolution routes
-    * partitions through unresolved begins' retained pre-images, and the
-    * retained range must stay CONTIGUOUS for the reconstruction-floor
-    * check to be sound. A permanently crashed begin therefore pins the
-    * horizon until maintenance aborts it — bounded-growth over silent
-    * mis-resolution. Checkpoints older than the newest are swept too. */
+    * the tip (version numbering must stay monotone) and never drops a
+    * pinning begin or anything above it — see [[pinnedBeginFloor]].
+    * Checkpoints older than the newest are swept too. */
   def truncate(spark: SparkSession, table: String, keep: Int = 100): Int = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     if (!fs.exists(dir)) return 0
     val all = commitsSince(spark, table, 0L)
-    val closed = all.flatMap(_.ref).toSet
-    val oldestUnclosedBegin = all
-      .filter(c => c.op.endsWith("-begin") && !closed.contains(c.version))
-      .map(_.version).sorted.headOption.getOrElse(Long.MaxValue)
     val vs = versionsIn(fs, dir)
     val horizon = math.min(
-      vs.lastOption.getOrElse(0L) - keep.toLong.max(1), oldestUnclosedBegin)
+      vs.lastOption.getOrElse(0L) - keep.toLong.max(1), pinnedBeginFloor(all))
     val victims = vs.filter(_ < horizon)
     victims.foreach(v => fs.delete(vFile(dir, v), false))
     // checkpoints carrying commits below the horizon would resurrect what
@@ -349,9 +368,8 @@ object TxnLog {
 
   /** Compact the retained manifest state ≤ `upTo` into one checkpoint file.
     * Best-effort: a failure leaves probes on the previous checkpoint. The
-    * checkpoint applies its own retention window ([[CheckpointRetain]]),
-    * clamped so no unclosed begin (or anything above it) is dropped —
-    * mirroring [[truncate]]'s contiguity rule. Deferred entirely if any
+    * checkpoint carries EVERY retained commit ≤ `upTo` — [[truncate]] is
+    * the only thing that shrinks logical history. Deferred entirely if any
     * retained commit is still unreadable (in-flight content write): a
     * transient "unreadable" must never be frozen into the checkpoint. */
   private def writeCheckpoint(
@@ -360,13 +378,7 @@ object TxnLog {
     try {
       val retained = commitsSince(spark, table, 0L).filter(_.version <= upTo)
       if (retained.exists(_.op == "unreadable")) return
-      val closed = retained.flatMap(_.ref).toSet
-      val oldestUnclosedBegin = retained
-        .filter(c => c.op.endsWith("-begin") && !closed.contains(c.version))
-        .map(_.version).sorted.headOption.getOrElse(Long.MaxValue)
-      val floor = math.min(upTo - CheckpointRetain, oldestUnclosedBegin)
-      val kept = retained.filter(_.version >= floor)
-      val body = kept.map(render).mkString(
+      val body = retained.map(render).mkString(
         s"""{"version":$upTo,"commits":[""", ",", """],"complete":true}""")
       createExclusive(fs, ckptFile(dir, upTo), body)
       ()

@@ -106,6 +106,12 @@ object StreamingIngest {
     // probe (the raw directory-listing fallback would be returned
     // undetected, a ~2× duplicate view).
     val inFlightPatienceMs = 5000L
+    // back-to-back fresh swap marks (a tight maintenance loop) could
+    // starve a reader forever on per-mark patience alone; a generous
+    // overall cap turns that into a loud error instead of a silent hang —
+    // never into a mid-swap read
+    val waitCapMs = 120000L
+    val waitStart = System.currentTimeMillis()
     var attempt = 0
     while (true) {
       // probe BEFORE any repair: while a swap is in flight the "missing"
@@ -120,9 +126,12 @@ object StreamingIngest {
       // and read (the version check below still guards against a LIVE swap
       // racing the resolution — every swap's begin mark bumps the version)
       if (inFlight) {
-        // bounded by construction: after inFlightPatienceMs the flag
-        // computes false and the read proceeds (crashed-publisher path), so
-        // this wait needs no attempt cap of its own
+        // a single crashed mark ages out of the flag after
+        // inFlightPatienceMs; the wall cap bounds SEQUENCES of live marks
+        if (System.currentTimeMillis() - waitStart > waitCapMs)
+          throw new IllegalStateException(
+            s"readTable: $tablePath has had swap marks in flight for over " +
+              s"$waitCapMs ms — maintenance is starving readers")
         Thread.sleep(25)
       } else {
         // resolution attempts only — the in-flight wait above is bounded

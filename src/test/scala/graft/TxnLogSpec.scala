@@ -65,6 +65,30 @@ class TxnLogSpec extends SparkSpec {
     assert(after.head > 2L, s"closed begin no longer pins the horizon: $after")
   }
 
+  test("a crashed begin stops pinning truncation once a later end supersedes it") {
+    val table = tmp("txn-supersede")
+    // v1: a begin that never closes (hard-killed writer on partition px)
+    val crashed = TxnLog.begin(spark, table, "upsert", Set("px"),
+      TxnLog.currentVersion(spark, table))
+    assert(crashed.version == 1L)
+    // px is later merged successfully (the repair-then-merge path): the
+    // crashed begin is now inert for snapshot resolution — a later end
+    // rules every version at or above itself, and the > lastEnd filter
+    // excludes the old begin below it
+    TxnLog.commit(spark, table, "upsert-begin", Set("px"),
+      TxnLog.currentVersion(spark, table))
+    TxnLog.commit(spark, table, "upsert-end", Set("px"),
+      TxnLog.currentVersion(spark, table), ref = Some(2L))
+    (4 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.truncate(spark, table, keep = 5)
+    val retained = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(retained.head > crashed.version,
+      s"a superseded crashed begin must not pin the manifest forever: $retained")
+  }
+
   test("a literal '*' partition value is a normal value, not a wildcard") {
     val table = tmp("txn-star")
     // writer A claims the partition whose VALUE is the string "*"

@@ -328,6 +328,26 @@ class UpsertSpec extends SparkSpec {
       ("2026-01-03", "k5", 50.0)), s"restored + merged: $after")
   }
 
+  test("readCommitted resolves a single-partition table whose only dir is mid-install") {
+    import spark.implicits._
+    val table = tmp("upsert-lonely")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    // crash between the retain and install renames: the table has a
+    // manifest and claims but ZERO partCol= dirs — the plain-read fast
+    // path would throw schema inference; resolution must recover the
+    // committed rows from the retained generation
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-01"), graft.core.TxnLog.currentVersion(spark, table))
+    val gen = java.nio.file.Paths.get(
+      table, "_graft_history", s"v${claim.version}", "day=2026-01-01")
+    java.nio.file.Files.createDirectories(gen.getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(table, "day=2026-01-01"), gen)
+    val got = Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(got == Set(("2026-01-01", "k1", 1.0)), s"committed view: $got")
+  }
+
   test("a merge failing AFTER its install rolls the partition back before aborting") {
     import spark.implicits._
     val table = tmp("upsert-rollback")
