@@ -328,6 +328,30 @@ class UpsertSpec extends SparkSpec {
       ("2026-01-03", "k5", 50.0)), s"restored + merged: $after")
   }
 
+  test("readCommitted composes with partition pruning — a day filter scans one partition") {
+    import spark.implicits._
+    val table = tmp("upsert-prune")
+    seed(table)
+    // create a manifest so the resolution path (not the plain fast path) runs
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 11.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val df = Upsert.readCommitted(spark, table, "day")
+      .filter(col("day") === "2026-01-02")
+    // the resolution's isin(<live values>) must not defeat partition
+    // pruning: composed with the user's equality the scan should touch
+    // exactly one partition directory — the property that keeps the
+    // default read path delta-scaled on a 100 TB table
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      s"expected exactly one partition scanned, got " +
+        scans.map(_.selectedPartitions.partitionCount).mkString("+"))
+    val rows = df.select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(rows == Set(("2026-01-02", "k3", 30.0), ("2026-01-02", "k4", 40.0)))
+  }
+
   test("readCommitted resolves a single-partition table whose only dir is mid-install") {
     import spark.implicits._
     val table = tmp("upsert-lonely")
