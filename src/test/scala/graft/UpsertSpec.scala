@@ -345,6 +345,13 @@ class UpsertSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    // the resolution path genuinely ran: its isin membership predicate is
+    // IN the scan's partition filters (a fast-path plain read would carry
+    // only the user's equality) — guards against the probe going vacuous
+    // if the fast-path condition is ever loosened
+    assert(scans.exists(_.partitionFilters.exists(e =>
+        e.toString.contains("IN") || e.toString.contains("INSET"))),
+      scans.map(_.partitionFilters.mkString(";")).mkString(" | "))
     assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
       s"expected exactly one partition scanned, got " +
         scans.map(_.selectedPartitions.partitionCount).mkString("+"))
