@@ -13,14 +13,20 @@ import graft.streaming.SinkCompaction
   * the ingest query is stopped (same contract as the reference's scheduled
   * OPTIMIZE); both ops begin by repairing any crashed prior swap.
   *
-  * Usage: `runMain graft.Maintain [tablePath]` — defaults to the config
-  * tree's stream table. Prints one JSON line per op for the scheduler's
-  * log scraper; exits non-zero on failure.
+  * Usage: `runMain graft.Maintain [tablePath] [mode]` — defaults to the
+  * config tree's stream table. `mode = stream` (default) runs the
+  * streaming-sink compact/vacuum pair; `mode = upsert <partCol>` runs the
+  * upsert-table small-file compaction ([[graft.batch.Upsert
+  * .compactPartitions]]) instead — sink tables have a commit log to
+  * rewrite, upsert tables have partition dirs to coalesce; both then share
+  * the manifest/history/registry sweeps. Prints one JSON line per op for
+  * the scheduler's log scraper; exits non-zero on failure.
   */
 object Maintain {
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.load()
     val table = args.headOption.getOrElse(cfg.stream.tableDir)
+    val mode = args.drop(1).headOption.getOrElse("stream")
     val m = cfg.maintenance
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_SPARK_MASTER", cfg.spark.master))
@@ -34,17 +40,25 @@ object Maintain {
     // log scraper
     val tableJson = graft.http.Json.quote(table)
     try {
-      val rep = SinkCompaction.compact(spark, table,
-        targetBytes = m.targetBytes,
-        minFilesToCompact = m.minFilesToCompact,
-        compactInterval = m.compactInterval)
-      println(s"""{"op":"compact","table":$tableJson,"partitions":${rep.partitionsCompacted},""" +
-        s""""filesBefore":${rep.filesBefore},"filesAfter":${rep.filesAfter},""" +
-        s""""bytesRewritten":${rep.bytesRewritten}}""")
-      val vac = SinkCompaction.vacuum(spark, table,
-        minAgeMs = m.minAgeMs, compactInterval = m.compactInterval)
-      println(s"""{"op":"vacuum","table":$tableJson,"filesRemoved":${vac.filesRemoved},""" +
-        s""""bytesRemoved":${vac.bytesRemoved},"dirsRemoved":${vac.dirsRemoved}}""")
+      if (mode == "upsert") {
+        val partCol = args.drop(2).headOption.getOrElse(
+          sys.error("Maintain: upsert mode needs the partition column " +
+            "(runMain graft.Maintain <table> upsert <partCol>)"))
+        val n = graft.batch.Upsert.compactPartitions(spark, table, partCol)
+        println(s"""{"op":"compact-upsert","table":$tableJson,"partitions":$n}""")
+      } else {
+        val rep = SinkCompaction.compact(spark, table,
+          targetBytes = m.targetBytes,
+          minFilesToCompact = m.minFilesToCompact,
+          compactInterval = m.compactInterval)
+        println(s"""{"op":"compact","table":$tableJson,"partitions":${rep.partitionsCompacted},""" +
+          s""""filesBefore":${rep.filesBefore},"filesAfter":${rep.filesAfter},""" +
+          s""""bytesRewritten":${rep.bytesRewritten}}""")
+        val vac = SinkCompaction.vacuum(spark, table,
+          minAgeMs = m.minAgeMs, compactInterval = m.compactInterval)
+        println(s"""{"op":"vacuum","table":$tableJson,"filesRemoved":${vac.filesRemoved},""" +
+          s""""bytesRemoved":${vac.bytesRemoved},"dirsRemoved":${vac.dirsRemoved}}""")
+      }
       // bound the table's OCC manifest (metadata, one small file per commit)
       val truncated = graft.core.TxnLog.truncate(spark, table)
       println(s"""{"op":"txn-truncate","table":$tableJson,"removed":$truncated}""")
