@@ -119,6 +119,55 @@ class TxnLogSpec extends SparkSpec {
     TxnLog.end(spark, table, sweep)
   }
 
+  test("probes stay consistent under concurrent writers, checkpoints, and truncation") {
+    val table = tmp("txn-hammer")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (0 until 8).map { t =>
+      new Thread(() => {
+        try (0 until 25).foreach { _ =>
+          val c = TxnLog.begin(spark, table, "upsert", Set(s"p$t"),
+            TxnLog.currentVersion(spark, table))
+          TxnLog.end(spark, table, c)
+        } catch { case e: Throwable => errs.add(s"writer $t: $e") }
+      })
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // checkpoint + tail must union into a duplicate-free, ordered,
+          // gap-free-above-the-floor view at every instant — including
+          // while a checkpoint write or a truncation is mid-flight
+          val vs = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+          if (vs != vs.sorted) errs.add(s"unordered: $vs")
+          if (vs.distinct.size != vs.size) errs.add(s"duplicates: $vs")
+          if (vs.nonEmpty && vs != (vs.head to vs.last))
+            errs.add(s"gap in retained range: $vs")
+        } catch { case e: Throwable => errs.add(s"reader: $e") }
+      }
+    })
+    val truncater = new Thread(() => {
+      while (!stop.get()) {
+        try { TxnLog.truncate(spark, table, keep = 50); Thread.sleep(20) }
+        catch { case e: Throwable => errs.add(s"truncater: $e") }
+      }
+    })
+    reader.start(); truncater.start()
+    writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); reader.join(); truncater.join()
+    assert(errs.isEmpty, s"hammer anomalies: ${errs.peek()}")
+    // every begin got its end (disjoint partitions never conflict), the
+    // tip reflects all 400 commits, and the retained window is bounded
+    assert(TxnLog.currentVersion(spark, table) == 400L)
+    val retained = TxnLog.commitsSince(spark, table, 0L)
+    val closed = retained.flatMap(_.ref).toSet
+    // truncation is contiguous from the bottom and an end always outranks
+    // its begin, so a retained begin implies its end is retained too
+    val openBegins = retained.filter(c =>
+      c.op == "upsert-begin" && !closed.contains(c.version))
+    assert(openBegins.isEmpty, s"unclosed begins after quiesce: $openBegins")
+  }
+
   test("txn markers are pure ledger entries: conflict with nothing, found by txnApplied") {
     val table = tmp("txn-marker")
     // a marker lands even while a partition claim is open (it touches no
