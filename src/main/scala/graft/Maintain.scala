@@ -40,11 +40,22 @@ object Maintain {
     // log scraper
     val tableJson = graft.http.Json.quote(table)
     try {
+      require(mode == "stream" || mode == "upsert",
+        s"Maintain: unknown mode '$mode' (expected 'stream' or 'upsert') — " +
+          "refusing to guess which maintenance to run")
       if (mode == "upsert") {
         val partCol = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: upsert mode needs the partition column " +
             "(runMain graft.Maintain <table> upsert <partCol>)"))
-        val n = graft.batch.Upsert.compactPartitions(spark, table, partCol)
+        // a streaming-sink table's visible file set is its commit log, not
+        // the directory tree — rewriting its partition files here would
+        // orphan every logged path; the sink gets the `stream` mode
+        val logDir = new org.apache.hadoop.fs.Path(table, "_spark_metadata")
+        require(!logDir.getFileSystem(spark.sessionState.newHadoopConf()).exists(logDir),
+          s"$table is a streaming file-sink table (has _spark_metadata) — " +
+            "use the default stream mode, not upsert")
+        val n = graft.batch.Upsert.compactPartitions(spark, table, partCol,
+          targetBytes = m.targetBytes, minFilesToCompact = m.minFilesToCompact)
         println(s"""{"op":"compact-upsert","table":$tableJson,"partitions":$n}""")
       } else {
         val rep = SinkCompaction.compact(spark, table,

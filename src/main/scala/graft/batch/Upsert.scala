@@ -592,8 +592,10 @@ object Upsert {
 
   /** Small-file compaction for upsert tables (the OPTIMIZE analog, ref
     * SparkManager.scala:36-37's Delta giving it via `OPTIMIZE`): rewrite
-    * each partition holding more than `targetFiles` data files into
-    * `targetFiles` files, row-identically. Runs under per-partition
+    * each partition holding at least `minFilesToCompact` data files — and
+    * more files than its bytes justify at `targetBytes` per output file —
+    * into ceil(bytes / targetBytes) files, row-identically. Runs under
+    * per-partition
     * `compact` claims in the same TxnLog, so it serializes against
     * concurrent merges of the same partition (loud
     * [[TxnLog.ConcurrentWriteException]]) while disjoint partitions
@@ -615,18 +617,29 @@ object Upsert {
       spark: SparkSession,
       table: String,
       partCol: String,
-      targetFiles: Int = 1): Int = {
-    require(targetFiles >= 1, "targetFiles must be >= 1")
+      targetBytes: Long = 128L * 1024 * 1024,
+      minFilesToCompact: Int = 2): Int = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    require(minFilesToCompact >= 2, "compacting fewer than 2 files is a no-op")
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // size-aware selection (the OPTIMIZE sizing contract): output file
+    // count follows the partition's BYTES (never collapse 10 GB into one
+    // file — that kills read parallelism on the partition), and partitions
+    // already at or under both thresholds are untouched bytes
     val crowded = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-      .filter { st =>
-        fs.listStatus(st.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > targetFiles
+      .flatMap { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val nOut = math.max(1L,
+          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+        if (files.length >= minFilesToCompact && files.length > nOut)
+          Some((st.getPath.getName, nOut))
+        else None
       }
-      .map(_.getPath.getName).sorted
-    crowded.foreach { dirName =>
+      .sortBy(_._1).toSeq
+    crowded.foreach { case (dirName, nOut) =>
       val value = unescape(dirName, partCol)
       val claim = TxnLog.begin(spark, table, "compact", Set(value),
         TxnLog.currentVersion(spark, table))
@@ -637,7 +650,7 @@ object Upsert {
         AtomicWrite.publish(spark, partDir,
           retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
           retainFirst = true) { tmp =>
-          rows.repartition(targetFiles).write.parquet(tmp)
+          rows.repartition(nOut).write.parquet(tmp)
         }
         TxnLog.end(spark, table, claim)
       } catch {

@@ -126,7 +126,10 @@ object TxnLog {
           .map(v => readCommit(fs, dir, v))
         return (fromCkpt ++ tail).sortBy(_.version)
       } catch {
-        case _: java.io.FileNotFoundException if attempt < 5 => // truncate race
+        // a concurrent truncate deleted a listed file mid-read; generous
+        // budget — a tight maintenance loop can race several listings in a
+        // row, and each retry is cheap (one re-list)
+        case _: java.io.FileNotFoundException if attempt < 20 =>
       }
     }
     throw new IllegalStateException("unreachable")
@@ -401,7 +404,12 @@ object TxnLog {
     while (true) {
       parse(v, readFully(fs, p)) match {
         case Some(c) => return c
-        case None if waited < 2000 =>
+        // 5 s before the conservative fallback: the gap between a claim's
+        // create and its content write is microseconds of code, but a GC
+        // pause or CPU stall can stretch it — and the touches-all
+        // placeholder makes every concurrent writer back off, so patience
+        // here is much cheaper than a spurious conflict
+        case None if waited < 5000 =>
           Thread.sleep(25); waited += 25
         case None =>
           return Commit(v, "unreadable", Set.empty, 0L, all = true)

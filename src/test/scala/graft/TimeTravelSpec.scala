@@ -219,7 +219,7 @@ class TimeTravelSpec extends SparkSpec {
         .count(_.getName.endsWith(".parquet"))
     val filesBefore = dataFiles("2026-01-01")
     assert(filesBefore > 1, s"need a crowded partition: $filesBefore files")
-    val compacted = Upsert.compactPartitions(spark, table, "day", targetFiles = 1)
+    val compacted = Upsert.compactPartitions(spark, table, "day")
     assert(compacted >= 1)
     assert(dataFiles("2026-01-01") == 1, "compaction must reduce the file count")
 

@@ -148,7 +148,7 @@ class TxnLogSpec extends SparkSpec {
     })
     val truncater = new Thread(() => {
       while (!stop.get()) {
-        try { TxnLog.truncate(spark, table, keep = 50); Thread.sleep(20) }
+        try { TxnLog.truncate(spark, table, keep = 50); Thread.sleep(100) }
         catch { case e: Throwable => errs.add(s"truncater: $e") }
       }
     })
