@@ -11,6 +11,37 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen startup cost is not charged to the first query.
   */
 object Bench {
+
+  /** One bench round over `queries`: timings for the queries that ran,
+    * `errors` (exception class + message) for the ones that threw. A broken
+    * query must NEVER surface as a fast "timing" — time-to-fail is not a
+    * measurement — so it contributes no entry to the timing map at all.
+    * Factored out of [[main]] so the failure path is unit-testable. */
+  def runRound(queries: Seq[(String, () => Unit)])
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val times = queries.flatMap { case (name, run) =>
+      val t0 = System.nanoTime()
+      try { run(); Some(name -> (System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+      }
+    }
+    (times, errs.toMap)
+  }
+
+  /** Minimal JSON string escape for builder-controlled keys/messages. */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -29,9 +60,10 @@ object Bench {
     // Parquet footer/metadata warm-up so the alphabetically-first query isn't
     // charged the one-time corpus discovery cost (count() reads row-group
     // stats only, no data pages — steady-state throughput is the metric).
-    // events.parquet is TIMESTAMP(NANOS): schema inference needs this flag
-    // (otherwise its warm-up silently fails and the first events query pays
-    // the discovery cost the warm-up exists to remove).
+    // Older corpus generations wrote events.parquet as TIMESTAMP(NANOS):
+    // schema inference needs this flag there (otherwise that warm-up
+    // silently fails and the first events query pays the discovery cost the
+    // warm-up exists to remove). No-op on the current timestamp[us] corpus.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.core.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
@@ -97,22 +129,43 @@ object Bench {
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+    // Errors across all rounds: name -> "ExceptionClass: message". A query
+    // in here is EXCLUDED from every total/median (its partial timings, if
+    // any round succeeded, are discarded too — a flaky query is not a
+    // measurement either) and surfaces in the "errors" field of BOTH JSON
+    // lines, so a consumer reading the artifact alone sees the failure.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // Baseline comparison restricted to queries BOTH runs cover, so newly
+    // added queries don't inflate the blown-baseline contention trigger.
+    def comparable(round: Map[String, Double]): Double =
+      round.collect { case (q, t) if baseline.contains(q) => t }.sum
+    lazy val baselineComparableTotal =
+      selected.flatMap { case (n, _) => baseline.get(n) }.sum
+
+    def errorsJson(): String =
+      errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
+
     // medians-so-far over the completed rounds (the final call is the
     // report; in-loop calls checkpoint it to disk)
     def detailJson(): String = {
       val byRound = rounds.toSeq.map(_.toMap)
-      val results = selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
+      val results = selected.flatMap { case (name, _) =>
+        val xs = byRound.flatMap(_.get(name))
+        if (errors.contains(name) || xs.isEmpty) None else Some(name -> med(xs))
+      }
       val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
       val roundTotals = rounds.map(_.map(_._2).sum)
       val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-      val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
+      val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs) ||
+        BenchGuard.baselineBlown(byRound.map(comparable), baselineComparableTotal)
       val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
       val total = results.map(_._2).sum
-      val trusted = BenchGuard.trustedTotal(byRound)
+      val trusted = BenchGuard.trustedTotal(byRound.map(_.filterNot(kv => errors.contains(kv._1))))
       val outs = BenchGuard.outliers(byRound, baseline)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"queries":$qs,"sf":"$sfDir"}"""
     }
     def writeDetail(): Unit =
       try {
@@ -121,18 +174,20 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => () }
 
     var lastRoundMs = 0L
+    def roundTotalsSoFar = rounds.toSeq.map(_.map(_._2).sum)
     while (BenchGuard.shouldRunAnother(
-        rounds.toSeq.map(_.map(_._2).sum),
+        roundTotalsSoFar,
         System.currentTimeMillis() - benchStart, lastRoundMs,
-        repeat, budgetMs, maxRounds)) {
+        repeat, budgetMs, maxRounds,
+        extraContended = BenchGuard.baselineBlown(
+          rounds.toSeq.map(r => comparable(r.toMap)), baselineComparableTotal))) {
       val r0 = System.currentTimeMillis()
       loads += loadAvg
-      rounds += selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      val (times, errs) = runRound(selected.map { case (name, fn) =>
+        name -> (() => { fn(spark, sfDir).count(); () })
+      })
+      errs.foreach { case (n, e) => errors(n) = e }
+      rounds += times
       lastRoundMs = System.currentTimeMillis() - r0
       // checkpoint after EVERY round: a contended run may legally exceed
       // the soft budget, and an external timeout kill must still leave the
@@ -141,11 +196,14 @@ object Bench {
     }
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size
-    val results: Seq[(String, Double)] =
-      selected.map { case (name, _) => name -> med(byRound.map(_(name))) }
+    val results: Seq[(String, Double)] = selected.flatMap { case (name, _) =>
+      val xs = byRound.flatMap(_.get(name))
+      if (errors.contains(name) || xs.isEmpty) None else Some(name -> med(xs))
+    }
     val roundTotals = rounds.map(_.map(_._2).sum)
     val roundsJson = roundTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs)
+    val contended = BenchGuard.isContended(roundTotals.toSeq, budgetMs) ||
+      BenchGuard.baselineBlown(byRound.map(comparable), baselineComparableTotal)
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Full per-query detail: one stdout line (for humans/BASELINE.md) plus
@@ -178,11 +236,11 @@ object Bench {
     // BASELINE.md when contended=true; outliers lists queries whose BEST
     // round is >3× their recorded baseline median (capped to 8 names here —
     // the full list is in the detail file).
-    val trusted = BenchGuard.trustedTotal(byRound)
+    val trusted = BenchGuard.trustedTotal(byRound.map(_.filterNot(kv => errors.contains(kv._1))))
     val outliers = BenchGuard.outliers(byRound, baseline)
     val outsJson = (outliers.take(8).map("\"" + _ + "\"") ++
       (if (outliers.size > 8) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${results.size},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,22 @@ object BenchGuard {
       (roundTotalsSec.size >= 2 &&
         roundTotalsSec.max / math.max(roundTotalsSec.min, 1e-9) > SpreadLimit)
 
+  /** The r9 guard miss: round totals 192/195/115 s spread only 1.69× —
+    * under [[SpreadLimit]] — yet even the BEST round was ~2.6× the committed
+    * baseline total on byte-identical code that had measured 1.02× the round
+    * before. A run whose best round can't get near the recorded baseline is
+    * inside one long contention wave (or a global regression — either way
+    * the artifact must not read as clean). */
+  val BaselineRatio = 2.0
+
+  /** True when every completed round total exceeds [[BaselineRatio]] × the
+    * committed baseline total. Callers must restrict both sides to the
+    * baseline-covered query set so newly added queries don't inflate the
+    * comparison. A zero/absent baseline never triggers. */
+  def baselineBlown(comparableRoundTotalsSec: Seq[Double], baselineTotalSec: Double): Boolean =
+    baselineTotalSec > 0 && comparableRoundTotalsSec.nonEmpty &&
+      comparableRoundTotalsSec.min > BaselineRatio * baselineTotalSec
+
   /** A query's best round must beat [[OutlierRatio]] × its recorded
     * baseline median or the query is flagged as an outlier — even its
     * LEAST contended measurement is off, so either the host never quieted
@@ -38,9 +54,16 @@ object BenchGuard {
     * get SLOWER than truth, never faster) the per-query minimum is the
     * robust estimator — a usable total even when every round was touched by
     * a different part of a contention wave. */
-  def trustedTotal(rounds: Seq[Map[String, Double]]): Double =
-    if (rounds.isEmpty) 0.0
-    else rounds.head.keys.toSeq.map(q => rounds.flatMap(_.get(q)).min).sum
+  def trustedTotal(rounds: Seq[Map[String, Double]]): Double = {
+    // union of keys, not round-1's: a query that errored in round 1 but ran
+    // later still contributes; one with no successful round contributes 0
+    // (it is carried in the errors field instead).
+    val keys = rounds.flatMap(_.keys).distinct
+    keys.map { q =>
+      val xs = rounds.flatMap(_.get(q))
+      if (xs.isEmpty) 0.0 else xs.min
+    }.sum
+  }
 
   /** Queries whose best (minimum) round exceeds [[OutlierRatio]] × the
     * recorded per-query baseline median. Queries absent from the baseline
@@ -48,10 +71,10 @@ object BenchGuard {
   def outliers(
       rounds: Seq[Map[String, Double]],
       baseline: Map[String, Double]): Seq[String] =
-    if (rounds.isEmpty) Seq.empty
-    else rounds.head.keys.toSeq.sorted.filter { q =>
-      baseline.get(q).exists(b =>
-        b > 0 && rounds.flatMap(_.get(q)).min > OutlierRatio * b)
+    rounds.flatMap(_.keys).distinct.sorted.filter { q =>
+      val xs = rounds.flatMap(_.get(q))
+      xs.nonEmpty && baseline.get(q).exists(b =>
+        b > 0 && xs.min > OutlierRatio * b)
     }
 
   /** Decide whether to start another round.
@@ -69,12 +92,27 @@ object BenchGuard {
       lastRoundMs: Long,
       repeat: Int,
       budgetMs: Long,
-      maxRounds: Int): Boolean = {
+      maxRounds: Int): Boolean =
+    shouldRunAnother(roundTotalsSec, elapsedMs, lastRoundMs, repeat, budgetMs,
+      maxRounds, extraContended = false)
+
+  /** @param extraContended an additional contention signal computed by the
+    *  caller (e.g. [[baselineBlown]] over baseline-comparable totals) that
+    *  buys extra rounds exactly like the in-run spread/budget triggers. */
+  def shouldRunAnother(
+      roundTotalsSec: Seq[Double],
+      elapsedMs: Long,
+      lastRoundMs: Long,
+      repeat: Int,
+      budgetMs: Long,
+      maxRounds: Int,
+      extraContended: Boolean): Boolean = {
     val n = roundTotalsSec.size
     if (n == 0) true // round 1 always runs
     else if (n >= maxRounds) false
     else if (n < repeat && elapsedMs + lastRoundMs < budgetMs) true
-    else if (isContended(roundTotalsSec, budgetMs) && elapsedMs < 2 * budgetMs) true
+    else if ((isContended(roundTotalsSec, budgetMs) || extraContended) &&
+      elapsedMs < 2 * budgetMs) true
     else false
   }
 }

@@ -27,16 +27,33 @@ object Tables {
   // documents) DO widen at their own entry points — DedupQueries.docs,
   // TextQueries.docs — where the same guard was measured 2-5x faster.
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    * `nanosAsLong` reads it as epoch-nanos LongType. All corpus values are
-    * µs-aligned (ns%1000==0, verified), so `timestamp_micros(ts div 1000)` is
-    * a lossless conversion matching DuckDB's `CAST(ts AS TIMESTAMP)`. Integer
-    * `div` is load-bearing: double division loses precision at ~1.7e18.
+  /** `events.ts` has shipped in two physical types across corpus generations:
+    * parquet TIMESTAMP(NANOS) (read as epoch-nanos LongType via `nanosAsLong`)
+    * and plain `timestamp[us]` (read natively as TIMESTAMP / TIMESTAMP_NTZ).
+    * Dispatch on the LOADED dtype so both generations normalize to the same
+    * session-UTC `ts_ts` TimestampType column:
+    *  - LongType: all nanos-corpus values are µs-aligned (ns%1000==0,
+    *    verified), so `timestamp_micros(ts div 1000)` is lossless and matches
+    *    DuckDB's `CAST(ts AS TIMESTAMP)`. Integer `div` is load-bearing:
+    *    double division loses precision at ~1.7e18.
+    *  - TimestampNTZType: wall-clock micros; a cast under the UTC session
+    *    timezone (all graft sessions pin `spark.sql.session.timeZone=UTC`)
+    *    is identity on the underlying micros.
+    *  - TimestampType: already the target type.
     */
   def eventsWithTs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts_ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // no-op unless the file is TIMESTAMP(NANOS)
+    val df = load(s, d, "events")
+    val tsTs = df.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other; expected int64-nanos, timestamp, or timestamp_ntz")
+    }
+    df.withColumn("ts_ts", tsTs)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

@@ -99,4 +99,55 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.trustedTotal(Nil) == 0.0)
     assert(BenchGuard.outliers(Nil, Map("q" -> 1.0)).isEmpty)
   }
+
+  test("trusted_total and outliers survive rounds with missing queries") {
+    // a query that errored in round 1 (no entry) but ran in round 2 still
+    // contributes its one good measurement; one that never ran contributes 0
+    val rounds = Seq(Map("q2" -> 2.0), Map("q1" -> 1.0, "q2" -> 2.2))
+    assert(BenchGuard.trustedTotal(rounds) == 3.0)
+    assert(BenchGuard.outliers(rounds, Map("q1" -> 1.0, "q2" -> 0.5)) == Seq("q2"))
+  }
+
+  // --- r9 guard miss: blown baseline with an under-limit spread ---
+
+  test("r9 replay: best round 2.6x the committed baseline total is contended") {
+    // BENCH_r09: round totals 192/195/115 s (spread 1.69x, under SpreadLimit)
+    // against a committed 44 s baseline total, with load rising 2.9 -> 9.2.
+    // The old guard said contended=false; the best round never getting
+    // within 2x of baseline must now trigger it and buy extra rounds.
+    val totals = Seq(192.1, 195.5, 115.4)
+    val baselineTotal = 44.05
+    assert(!BenchGuard.isContended(totals, budget)) // the r9 miss, preserved
+    assert(BenchGuard.baselineBlown(totals, baselineTotal))
+    assert(BenchGuard.shouldRunAnother(totals, 503000, 115400, 3, budget, 5,
+      extraContended = BenchGuard.baselineBlown(totals, baselineTotal)))
+  }
+
+  test("blown-baseline trigger: quiet runs and absent baselines never fire") {
+    assert(!BenchGuard.baselineBlown(Seq(45.0, 46.0, 44.0), 44.05)) // at baseline
+    assert(!BenchGuard.baselineBlown(Seq(80.0, 200.0), 44.05)) // one round escaped
+    assert(!BenchGuard.baselineBlown(Seq(500.0), 0.0)) // no baseline recorded
+    assert(!BenchGuard.baselineBlown(Nil, 44.05)) // no rounds yet
+  }
+
+  // --- loud failures: a throwing query must never become a "timing" ---
+
+  test("a throwing query lands in errors, not in the timing map") {
+    val queries: Seq[(String, () => Unit)] = Seq(
+      "ok_a" -> (() => ()),
+      "boom" -> (() => throw new IllegalStateException("ts column \"broke\"\nbadly")),
+      "ok_b" -> (() => ()))
+    val (times, errs) = Bench.runRound(queries)
+    assert(times.map(_._1) == Seq("ok_a", "ok_b")) // 2 of 3 measured
+    assert(errs.keySet == Set("boom"))
+    assert(errs("boom").startsWith("IllegalStateException:"))
+    assert(!errs("boom").contains("\n"), "message must be single-line for the JSON artifact")
+    // and the artifact fields derived from this shape stay honest:
+    // n_queries_ok = total - errors
+    assert(queries.size - errs.size == 2)
+    // the error text survives JSON escaping as a parseable string
+    val json = s"""{"errors":{${Bench.jstr("boom")}: ${Bench.jstr(errs("boom"))}}}"""
+    val parsed = graft.http.Json.parse(json).asObj("errors").asObj
+    assert(parsed.keySet == Set("boom"))
+  }
 }
