@@ -35,7 +35,12 @@ final class BatchService(
     spark: SparkSession,
     registry: BatchRegistry,
     outputRoot: String,
-    poolSize: Int = 8) {
+    poolSize: Int = 8,
+    /** partition column of the source tables this service reads — both the
+      * committed-snapshot resolution and the date-range prune key on. The
+      * default matches the reference's transactions layout; a service over
+      * tables partitioned on another column passes its own. */
+    partCol: String = "event_date") {
 
   // Daemon threads: job workers must not keep the JVM alive after the
   // owning application exits (a non-daemon pool hangs standalone drivers).
@@ -71,7 +76,7 @@ final class BatchService(
       // sees the full pre-merge state or a prefix of its commits, never
       // partition A post-merge and partition B pre-merge. Tables without a
       // TxnLog manifest read plainly (zero overhead).
-      val source = Upsert.readCommitted(spark, sourcePath, "event_date")
+      val source = Upsert.readCommitted(spark, sourcePath, partCol)
       val cols = source.columns.toSet
       val badFilters = req.filters.keys.filterNot(cols.contains)
       require(badFilters.isEmpty,
@@ -79,7 +84,7 @@ final class BatchService(
 
       // P4 partition-pruned date range + P5 dynamic equality filters + P6 stamps
       val filtered = req.filters.foldLeft(
-        source.filter(col("event_date").between(req.startDate, req.endDate))) {
+        source.filter(col(partCol).between(req.startDate, req.endDate))) {
         case (df, (k, v)) => df.filter(col(k) === v)
       }
         .withColumn("batch_id", lit(batchId))

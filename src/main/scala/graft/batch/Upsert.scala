@@ -59,6 +59,14 @@ object Upsert {
     *                 (so timestamps with ':' etc. match the layout on disk);
     *                 null values are refused
     * @param keyCols  match key within a partition
+    * @param deleteWhen name of a BOOLEAN column of `updates`: rows where it
+    *                 is true are DELETES (matched rows removed, unmatched
+    *                 no-ops — Delta's `WHEN MATCHED THEN DELETE`), rows
+    *                 where it is false merge as usual; the column itself is
+    *                 never written. Null markers are refused. When EVERY
+    *                 row is a delete, `updates` needs only `partCol` +
+    *                 `keyCols` (no coverage requirement — nothing is
+    *                 unioned into the survivors); see [[deleteByKey]].
     * @param parallelism max partitions merging at once. Each partition
     *                 merge is one distributed job; running a bounded number
     *                 of them concurrently keeps a many-partition backfill
@@ -84,9 +92,18 @@ object Upsert {
       updates: DataFrame,
       partCol: String,
       keyCols: Seq[String],
-      parallelism: Int = 4): Seq[String] = {
+      parallelism: Int = 4,
+      deleteWhen: Option[String] = None): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
+    deleteWhen.foreach { m =>
+      require(updates.columns.contains(m), s"deleteWhen column $m not in updates")
+      require(updates.schema(m).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+        s"deleteWhen column $m must be boolean")
+      require(!(keyCols :+ partCol).contains(m),
+        s"deleteWhen column $m cannot be a key or partition column")
+    }
 
     // OCC snapshot BEFORE any table read: commits that land after this
     // version and touch our partitions invalidate what we are about to read
@@ -99,18 +116,34 @@ object Upsert {
     // (2 + 2×partitions replays on a backfill).
     updates.persist()
     try {
-      // both sanity probes ride one tiny job: ambiguous matches and null
-      // partition values are silent data bugs if they reach the write
+      // all sanity probes ride one tiny job: ambiguous matches, null
+      // partition values, and null delete markers are silent data bugs if
+      // they reach the write (a duplicate covers the ambiguous
+      // update-AND-delete of one key too — Delta MERGE refuses the same way)
+      val delMarker = deleteWhen.map(col)
       val bad = updates.groupBy(partCol, keyCols: _*)
-        .count().filter(col("count") > 1 || col(partCol).isNull).limit(1).collect()
+        .agg(count(lit(1)).as("count"),
+          sum(delMarker.map(m => m.isNull.cast("int")).getOrElse(lit(0)))
+            .as("null_markers"))
+        .filter(col("count") > 1 || col(partCol).isNull || col("null_markers") > 0)
+        .limit(1).collect()
       if (bad.nonEmpty)
         throw new IllegalArgumentException(
-          s"updates contain a duplicate key or null $partCol (first: ${bad.head}); " +
-            "MERGE matches must be unambiguous and partition values non-null")
+          s"updates contain a duplicate key, null $partCol, or null " +
+            s"${deleteWhen.getOrElse("delete")} marker (first: ${bad.head}); " +
+            "MERGE matches must be unambiguous, partition values non-null, " +
+            "and delete markers two-valued")
 
-      val dataCols = updates.columns.filterNot(_ == partCol).toSeq
+      val dataCols = updates.columns
+        .filterNot(_ == partCol).filterNot(deleteWhen.contains).toSeq
       val touched = updates.select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+
+      // A merge with NO upsert rows anywhere relaxes schema discipline:
+      // deletes need only the key columns, and surviving rows keep the
+      // table's own (full) schema — there is no union to align.
+      val deletesOnly = deleteWhen.exists(m =>
+        updates.filter(!col(m)).limit(1).isEmpty)
 
       // Bounded-parallel partition merges: Spark schedules concurrent jobs
       // fine from multiple submitter threads; the pool only bounds how many
@@ -119,7 +152,8 @@ object Upsert {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val merges = touched.map { p =>
-          Future(mergeOnePartition(spark, table, updates, partCol, keyCols, dataCols, p, snapshot))
+          Future(mergeOnePartition(spark, table, updates, partCol, keyCols, dataCols, p,
+            snapshot, deleteWhen, deletesOnly))
         }
         // surface the FIRST failure but let in-flight merges complete first
         // (each is atomic; cancelling a distributed write mid-flight buys
@@ -129,6 +163,28 @@ object Upsert {
       } finally pool.shutdown()
       touched
     } finally updates.unpersist()
+  }
+
+  /** Row-level DELETE by key — the `WHEN MATCHED THEN DELETE`-only MERGE
+    * (Delta's `DELETE FROM t WHERE key IN (...)` / takedown-workflow shape,
+    * ref SparkManager.scala:36-37's Delta write path). `keys` needs ONLY
+    * `partCol` + `keyCols`; matched rows are removed, unmatched keys are
+    * no-ops, untouched partitions are untouched bytes, and each partition
+    * rewrite is atomic + retained for time travel exactly like an upsert
+    * (the pre-delete version still returns the deleted rows until
+    * [[vacuumHistory]] ages it out — GDPR erasure completes at vacuum, as
+    * in Delta). Returns the touched partition values. */
+  def deleteByKey(
+      spark: SparkSession,
+      table: String,
+      keys: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      parallelism: Int = 4): Seq[String] = {
+    val marker = "_graft_delete"
+    require(!keys.columns.contains(marker), s"keys must not contain $marker")
+    mergeByKey(spark, table, keys.withColumn(marker, lit(true)),
+      partCol, keyCols, parallelism, deleteWhen = Some(marker))
   }
 
   /** Merge one partition under a two-phase TxnLog claim:
@@ -148,9 +204,12 @@ object Upsert {
       keyCols: Seq[String],
       dataCols: Seq[String],
       p: String,
-      snapshot: Long): Unit = {
+      snapshot: Long,
+      deleteWhen: Option[String],
+      deletesOnly: Boolean): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
-    try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim)
+    try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim,
+      deleteWhen, deletesOnly)
     catch {
       case scala.util.control.NonFatal(e) =>
         // rollback BEFORE the abort record: once the abort releases the
@@ -171,7 +230,9 @@ object Upsert {
       keyCols: Seq[String],
       dataCols: Seq[String],
       p: String,
-      claim: TxnLog.Commit): Unit = {
+      claim: TxnLog.Commit,
+      deleteWhen: Option[String],
+      deletesOnly: Boolean): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
     // (':' → %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
@@ -184,16 +245,34 @@ object Upsert {
     // the committed pre-image before reading (the repair half of
     // retain-first; crashed writes stay invisible to what we merge on)
     repairCrashedWriter(spark, table, dirName, p, claim.version)
-    val delta = updates.filter(col(partCol).cast("string") === p)
+    val rawDelta = updates.filter(col(partCol).cast("string") === p)
+    // every delta key leaves the old partition (anti-join); upsert rows
+    // come back via the union, delete-marked rows do not — exactly Delta's
+    // WHEN MATCHED THEN UPDATE / WHEN MATCHED THEN DELETE /
+    // WHEN NOT MATCHED THEN INSERT on a per-partition rewrite. A
+    // delete-marked key with no match is a no-op, as in Delta.
+    val deltaKeys = rawDelta.select(keyCols.map(col): _*)
+    val upserts = deleteWhen.fold(rawDelta)(m => rawDelta.filter(!col(m)))
       .select(dataCols.map(col): _*)
-    val existing = existingPartition(spark, partDir, dataCols, p)
+    // deletes-only merges skip the column-coverage discipline: survivors
+    // keep the table's own schema, nothing is unioned in
+    val existing = existingPartition(spark, partDir,
+      dataCols, p, requireCoverage = !deletesOnly)
+    if (existing.isEmpty && (deletesOnly ||
+        (deleteWhen.isDefined && upserts.limit(1).isEmpty))) {
+      // deleting keys from a partition that does not exist is a no-op
+      // (Delta: an unmatched WHEN MATCHED THEN DELETE touches nothing);
+      // crucially it must not commit an END — an end with no retained
+      // pre-image/marker would poison later snapshot resolution — and an
+      // empty-partition publish would leave dir debris. Abort the claim.
+      TxnLog.abort(spark, table, claim)
+      return
+    }
     val merged = existing match {
       case Some(old) =>
-        // matched → update wins; join only on keys, so changed non-key
-        // columns replace the old values
-        old.join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(delta)
-      case None => delta // brand-new partition: pure insert
+        val survivors = old.join(deltaKeys, keyCols, "left_anti")
+        if (deletesOnly) survivors else survivors.unionByName(upserts)
+      case None => upserts // brand-new partition: pure insert
     }
     // Time travel: the replaced generation is retained under the claim's
     // version (underscore prefix — invisible to plain readers). A
@@ -449,10 +528,16 @@ object Upsert {
           val newTouches = TxnLog.commitsSince(spark, table, tip)
             .exists(c => c.all || c.partitions.exists(liveResolved))
           if (ambiguousStable && !newTouches) return df
+          // resolution SUCCEEDED but was unstable (a writer landed mid-read):
+          // back off with linearly growing sleeps before re-resolving — a
+          // tight retry loop against a busy writer burns the whole attempt
+          // budget inside one merge's install window and turns transient
+          // contention into the loud maxAttempts failure below
+          Thread.sleep(math.min(25L * attempt, 400L))
         } catch {
           case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
             lastErr = e
-            Thread.sleep(25) // mid-swap/mid-install instant — retry
+            Thread.sleep(math.min(25L * attempt, 400L)) // mid-swap/mid-install instant — retry
         }
         if (attempt >= maxAttempts)
           throw new IllegalStateException(
@@ -666,16 +751,42 @@ object Upsert {
   /** Remove retained generations older than `minAgeMs` (age since
     * REPLACEMENT — the retention rename sets the directory mtime), bounding
     * history growth; the time-travel horizon is exactly this retention,
-    * like Delta's. Returns the number of generation roots removed. */
+    * like Delta's. Returns the number of generation roots removed.
+    *
+    * SOUNDNESS: age alone must never delete the generation of an
+    * END-unclosed retaining begin. That generation is the only findable
+    * pre-image of a write that never committed (crashed mid-publish, in
+    * flight, or aborted with its rollback unconsumed): [[resolveSnapshot]]'s
+    * unclosed-begin path and [[repairCrashedWriter]] both route through it,
+    * and with it gone the live dir's UNCOMMITTED data would read back as
+    * committed — exactly the hole [[graft.core.TxnLog]]'s pinnedBeginFloor
+    * exists to prevent on the manifest side. A begin is released for
+    * vacuum only once a LATER end commits every partition it touched
+    * (the same supersession rule resolution uses: the later-ends path then
+    * rules, and the crashed generation is plain time-travel history).
+    * Abort-closed begins stay pinned: abort records release the claim for
+    * writers but do not certify the live dir for snapshot resolution. */
   def vacuumHistory(
       spark: SparkSession, table: String,
       minAgeMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val hist = new org.apache.hadoop.fs.Path(s"$table/$HistoryDir")
     val fs = hist.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hist)) return 0
+    val commits = TxnLog.commitsSince(spark, table, 0L)
+    val ends = commits.filter(c => c.op.endsWith("-end") && c.ref.isDefined)
+    val endClosed = ends.flatMap(_.ref).toSet
+    def superseded(c: TxnLog.Commit): Boolean =
+      if (c.all) ends.exists(e => e.version > c.version && e.all)
+      else c.partitions.forall(pv => ends.exists(e =>
+        e.version > c.version && (e.all || e.partitions.contains(pv))))
+    val pinned = commits.filter(c => RetainingBegins.contains(c.op) &&
+      !endClosed.contains(c.version) && !superseded(c)).map(_.version).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = fs.listStatus(hist)
-      .filter(st => st.getPath.getName.matches("v\\d+") && st.getModificationTime < cutoff)
+      .filter { st =>
+        st.getPath.getName.matches("v\\d+") && st.getModificationTime < cutoff &&
+          !pinned.contains(st.getPath.getName.stripPrefix("v").toLong)
+      }
     victims.foreach(st => fs.delete(st.getPath, true))
     victims.length
   }
@@ -689,10 +800,11 @@ object Upsert {
     * be loud). */
   private def existingPartition(
       spark: SparkSession, partDir: String, dataCols: Seq[String],
-      partValue: String): Option[DataFrame] = {
+      partValue: String, requireCoverage: Boolean = true): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
+    else if (!requireCoverage) Some(spark.read.parquet(partDir))
     else {
       val old = spark.read.parquet(partDir)
       val uncovered = old.columns.toSet -- dataCols.toSet

@@ -301,11 +301,20 @@ object TxnLog {
     * (the later-ends path rules above that end, and the `> lastEnd` filter
     * excludes it below). A crashed writer therefore pins the horizon only
     * until the next successful write of its partition — bounded growth
-    * without a reaper, and never silent mis-resolution. */
+    * without a reaper, and never silent mis-resolution.
+    *
+    * Closure here keys on END records ONLY, mirroring snapshot resolution
+    * (`Upsert.resolveSnapshot` certifies the live dir with `*-end` refs,
+    * never aborts): an ABORT-closed begin whose rollback raced a crash can
+    * still be the route to the committed pre-image, so truncating it away
+    * would make readers fall back to the live dir's failed write. Such a
+    * begin pins exactly like an unclosed one, until a later overlapping
+    * end supersedes it. (Writer-side claim release — `begin`'s closed set —
+    * still counts aborts; only history retention is stricter.) */
   private def pinnedBeginFloor(all: Seq[Commit]): Long = {
-    val closed = all.flatMap(_.ref).toSet
     val ends = all.filter(c => c.op.endsWith("-end") && c.ref.isDefined)
-    all.filter(c => c.op.endsWith("-begin") && !closed.contains(c.version) &&
+    val endClosed = ends.flatMap(_.ref).toSet
+    all.filter(c => c.op.endsWith("-begin") && !endClosed.contains(c.version) &&
         !ends.exists(e => e.version > c.version &&
           (e.all || c.all || e.partitions.exists(c.partitions))))
       .map(_.version).minOption.getOrElse(Long.MaxValue)
@@ -380,12 +389,36 @@ object TxnLog {
       fs: FileSystem, dir: Path, upTo: Long): Unit =
     try {
       val retained = commitsSince(spark, table, 0L).filter(_.version <= upTo)
-      if (retained.exists(_.op == "unreadable")) return
-      val body = retained.map(render).mkString(
-        s"""{"version":$upTo,"commits":[""", ",", """],"complete":true}""")
-      createExclusive(fs, ckptFile(dir, upTo), body)
-      ()
+      writeCheckpointFrom(fs, dir, upTo, retained)
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Create + validate half of [[writeCheckpoint]], taking the already-read
+    * retained state (split out so the truncate race below is testable with
+    * an injected stale read).
+    *
+    * RACE with [[truncate]]: it may delete version files and sweep stale
+    * checkpoints between the caller's commitsSince read and our create — a
+    * checkpoint landing after the sweep would RESURRECT the truncated
+    * commits for every future probe. Outside truncation, every retained
+    * commit has a live version file (truncate deletes files and
+    * below-horizon checkpoints together), so re-list AFTER the create:
+    * truncate deletes version files BEFORE its sweep, hence either our
+    * checkpoint existed by the sweep's listing (truncate removes it) or
+    * this re-list observes the deletions (we remove it ourselves). Deleting
+    * a checkpoint is always safe — probes fall back to the previous
+    * checkpoint + version files. */
+  private[graft] def writeCheckpointFrom(
+      fs: FileSystem, dir: Path, upTo: Long, retained: Seq[Commit]): Unit = {
+    if (retained.exists(_.op == "unreadable")) return
+    val body = retained.map(render).mkString(
+      s"""{"version":$upTo,"commits":[""", ",", """],"complete":true}""")
+    if (createExclusive(fs, ckptFile(dir, upTo), body)) {
+      val existing = versionsIn(fs, dir).toSet
+      if (retained.exists(c => !existing.contains(c.version)))
+        fs.delete(ckptFile(dir, upTo), false)
+    }
+    ()
+  }
 
   private def parseCheckpoint(txt: String): Option[Seq[Commit]] =
     if (!txt.endsWith("""],"complete":true}""")) None

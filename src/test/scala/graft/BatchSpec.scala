@@ -51,6 +51,32 @@ class BatchSpec extends SparkSpec {
     (new BatchService(spark, reg, Files.createTempDirectory("batches").toString), reg)
   }
 
+  test("the partition column is a service parameter, not a hardcoded name") {
+    // identical data partitioned by `ds` instead of `event_date`: a service
+    // constructed with partCol = "ds" must snapshot-resolve and date-prune
+    // on it (the old hardcoded "event_date" threw an analysis error here)
+    val p = Files.createTempDirectory("txsource-ds").toString
+    val rows = (1 to 60).map { i =>
+      row(id = s"t$i", customerId = s"C${i % 5}",
+        category = Seq("electronics", "books", "grocery")(i % 3),
+        totalAmount = 10.0 * (i % 7 + 1),
+        eventTs = ts(f"2026-01-${i % 10 + 1}%02d 10:00:00"))
+    }
+    df(spark, rows: _*)
+      .withColumn("ds", to_date(col("event_timestamp")))
+      .write.partitionBy("ds").mode("overwrite").parquet(p)
+    val reg = new BatchRegistry(None)
+    val svc = new BatchService(spark, reg,
+      Files.createTempDirectory("batches-ds").toString, partCol = "ds")
+    val Right(id) = svc.submit(p,
+      BatchRequest("2026-01-01", "2026-01-05", "revenue_by_category"))
+    awaitCompleted(svc, id)
+    val rec = svc.status(id).get
+    val expected = spark.read.parquet(p)
+      .filter(col("ds").between("2026-01-01", "2026-01-05")).count()
+    assert(expected > 0 && rec.rowCount.contains(expected), s"rec=$rec expected=$expected")
+  }
+
   test("lifecycle: submit -> COMPLETED with correct count, snapshot and aggregates") {
     val (svc, _) = newService()
     val Right(id) = svc.submit(sourcePath,

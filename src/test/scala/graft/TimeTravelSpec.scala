@@ -60,6 +60,33 @@ class TimeTravelSpec extends SparkSpec {
     assert(state(table) == s2, "plain readers are unaffected by history")
   }
 
+  test("the pre-delete version still returns the deleted rows") {
+    import spark.implicits._
+    val table = tmp("tt-delete")
+    Seq(("2026-01-01", "k1", 10.0), ("2026-01-01", "k2", 20.0),
+        ("2026-01-02", "k3", 30.0))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    val s0 = state(table)
+    Upsert.deleteByKey(spark, table,
+      Seq(("2026-01-01", "k1")).toDF("day", "k"), "day", Seq("k"))
+    val v1 = TxnLog.currentVersion(spark, table)
+    // post-delete: the row is gone from the live table and from as-of(tip)
+    assert(state(table) == s0 - (("2026-01-01", "k1", 10.0)))
+    assert(stateAsOf(table, v1) == state(table))
+    // pre-delete: time travel resurrects it until vacuum ages it out
+    assert(stateAsOf(table, v0) == s0, "as-of pre-delete must include the deleted row")
+    // and a mixed update+delete merge keeps every version reconstructible
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k2", 222.0, false), ("2026-01-02", "k3", 0.0, true))
+        .toDF("day", "k", "v", "is_del"), "day", Seq("k"),
+      deleteWhen = Some("is_del"))
+    assert(state(table) == Set(("2026-01-01", "k2", 222.0)))
+    assert(stateAsOf(table, v1) == s0 - (("2026-01-01", "k1", 10.0)))
+    assert(stateAsOf(table, v0) == s0)
+  }
+
   test("a version mid-merge resolves to the pre-image (end commit defines visibility)") {
     import spark.implicits._
     val table = tmp("tt-mid")

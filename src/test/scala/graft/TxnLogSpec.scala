@@ -89,6 +89,59 @@ class TxnLogSpec extends SparkSpec {
       s"a superseded crashed begin must not pin the manifest forever: $retained")
   }
 
+  test("an abort-closed begin pins truncation until a later end supersedes it") {
+    val table = tmp("txn-abort-pin")
+    // v1 begin, v2 abort: the claim is released for WRITERS, but snapshot
+    // resolution certifies the live dir with END refs only — if the abort's
+    // rollback crashed before consuming the retained pre-image, readers
+    // still route through the v1 generation. Truncating v1 away would make
+    // them fall back to the live dir's failed write.
+    val b = TxnLog.begin(spark, table, "upsert", Set("px"),
+      TxnLog.currentVersion(spark, table))
+    assert(b.version == 1L)
+    TxnLog.abort(spark, table, b)
+    (3 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.truncate(spark, table, keep = 5)
+    val retained = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(retained.contains(1L),
+      s"abort-closed begin must survive truncation: $retained")
+    // a later committed end of px supersedes it — resolution now routes
+    // through that end, and the old begin stops pinning
+    val u = TxnLog.begin(spark, table, "upsert", Set("px"),
+      TxnLog.currentVersion(spark, table))
+    TxnLog.end(spark, table, u)
+    TxnLog.truncate(spark, table, keep = 5)
+    val after = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(after.head > 1L, s"superseded abort-closed begin no longer pins: $after")
+  }
+
+  test("a checkpoint whose read raced truncate cannot resurrect truncated commits") {
+    val table = tmp("txn-ckpt-race")
+    (1 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    // the racing checkpointer reads the retained state BEFORE the truncate…
+    val stale = TxnLog.commitsSince(spark, table, 0L)
+    assert(stale.map(_.version) == (1L to 30L))
+    // …truncate then drops v<25 (and sweeps every checkpoint carrying them)…
+    TxnLog.truncate(spark, table, keep = 5)
+    assert(TxnLog.commitsSince(spark, table, 0L).map(_.version).head == 25L)
+    // …and the checkpointer's create lands AFTER the sweep. Without the
+    // post-create validation this resurrects v1-v24 for every future probe.
+    val dir = new org.apache.hadoop.fs.Path(table, "_graft_txn")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    TxnLog.writeCheckpointFrom(fs, dir, 30L, stale)
+    val all = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(all == (25L to 30L),
+      s"stale checkpoint must not resurrect truncated commits: $all")
+    assert(!new java.io.File(table, "_graft_txn").list()
+      .exists(_.startsWith("checkpoint-")), "the stale checkpoint must self-delete")
+  }
+
   test("a literal '*' partition value is a normal value, not a wildcard") {
     val table = tmp("txn-star")
     // writer A claims the partition whose VALUE is the string "*"

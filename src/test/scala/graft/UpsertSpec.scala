@@ -440,4 +440,189 @@ class UpsertSpec extends SparkSpec {
       d1 != d2 && beginV(d2) > beginV(d1) && beginV(d2) < endV(d1)))
     assert(interleaved, s"claims serialized — expected overlap: begins=$beginV ends=$endV")
   }
+
+  // ------------------------------------------------- MERGE delete clause
+
+  test("deleteByKey: matched rows go, unmatched keys no-op, siblings untouched bytes") {
+    import spark.implicits._
+    val table = tmp("upsert-delete")
+    seed(table)
+    val before = fileIndex(table)
+    val touched = Upsert.deleteByKey(spark, table,
+      Seq(("2026-01-01", "k1"), ("2026-01-01", "kGhost")).toDF("day", "k"),
+      "day", Seq("k"))
+    assert(touched == Seq("2026-01-01"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("2026-01-01", "k2", 20.0), // k1 deleted, ghost no-op
+      ("2026-01-02", "k3", 30.0), ("2026-01-02", "k4", 40.0),
+      ("2026-01-03", "k5", 50.0)))
+    // deletes keep the survivors' full schema (no coverage requirement)
+    assert(spark.read.parquet(table).columns.toSet == Set("day", "k", "v"))
+    // untouched partitions: identical files on disk
+    val afterIdx = fileIndex(table)
+    before.filter(_._1.contains("day=2026-01-02")).foreach { case (path, mtime) =>
+      assert(afterIdx.get(path).contains(mtime), s"sibling rewritten: $path")
+    }
+  }
+
+  test("mergeByKey with deleteWhen: update, insert, and delete in one merge") {
+    import spark.implicits._
+    val table = tmp("upsert-mixed-delete")
+    seed(table)
+    val changes = Seq(
+      ("2026-01-01", "k1", 111.0, false), // matched → update
+      ("2026-01-01", "k2", 0.0, true),    // matched → DELETE (v ignored)
+      ("2026-01-02", "k9", 90.0, false),  // unmatched → insert
+      ("2026-01-02", "kZ", 0.0, true))    // unmatched delete → no-op
+      .toDF("day", "k", "v", "is_del")
+    Upsert.mergeByKey(spark, table, changes, "day", Seq("k"),
+      deleteWhen = Some("is_del"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after == Set(
+      ("2026-01-01", "k1", 111.0),
+      ("2026-01-02", "k3", 30.0), ("2026-01-02", "k4", 40.0),
+      ("2026-01-02", "k9", 90.0),
+      ("2026-01-03", "k5", 50.0)), s"mixed merge: $after")
+    // the marker column is never written to the table
+    assert(!spark.read.parquet(table).columns.contains("is_del"))
+  }
+
+  test("deleteByKey on a partition that does not exist is a clean no-op") {
+    import spark.implicits._
+    val table = tmp("upsert-delete-noop")
+    seed(table)
+    val touched = Upsert.deleteByKey(spark, table,
+      Seq(("2026-09-09", "kX")).toDF("day", "k"), "day", Seq("k"))
+    assert(touched == Seq("2026-09-09")) // claimed, then aborted
+    assert(!new java.io.File(s"$table/day=2026-09-09").exists(), "no dir debris")
+    // no END commit lands (an end without a retained pre-image would poison
+    // snapshot resolution); the claim is abort-released
+    val commits = graft.core.TxnLog.commitsSince(spark, table, 0L)
+    assert(!commits.exists(_.op == "upsert-end"), s"commits: ${commits.map(_.op)}")
+    assert(commits.map(_.op).count(_ == "upsert-abort") == 1)
+    // and time travel across the no-op still works
+    assert(Upsert.readCommitted(spark, table, "day").count() == 5)
+  }
+
+  test("deletes conflict with in-flight claims like any other write") {
+    import spark.implicits._
+    val table = tmp("upsert-delete-conflict")
+    seed(table)
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-01"), graft.core.TxnLog.currentVersion(spark, table))
+    intercept[graft.core.TxnLog.ConcurrentWriteException] {
+      Upsert.deleteByKey(spark, table,
+        Seq(("2026-01-01", "k1")).toDF("day", "k"), "day", Seq("k"))
+    }
+    graft.core.TxnLog.end(spark, table, claim)
+    // released → the same delete lands
+    Upsert.deleteByKey(spark, table,
+      Seq(("2026-01-01", "k1")).toDF("day", "k"), "day", Seq("k"))
+    assert(spark.read.parquet(table).filter(col("k") === "k1").isEmpty)
+  }
+
+  test("mergeByKey refuses a null delete marker and an update+delete of one key") {
+    import spark.implicits._
+    val table = tmp("upsert-delete-bad")
+    seed(table)
+    val nullMarker = Seq(("2026-01-01", "k1", 1.0, null.asInstanceOf[java.lang.Boolean]))
+      .toDF("day", "k", "v", "is_del")
+      .withColumn("is_del", col("is_del").cast("boolean"))
+    intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, nullMarker, "day", Seq("k"),
+        deleteWhen = Some("is_del"))
+    }
+    val ambiguous = Seq(
+      ("2026-01-01", "k1", 1.0, false),
+      ("2026-01-01", "k1", 0.0, true))
+      .toDF("day", "k", "v", "is_del")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, table, ambiguous, "day", Seq("k"),
+        deleteWhen = Some("is_del"))
+    }
+  }
+
+  private def ageDir(dir: java.nio.file.Path, byMs: Long): Unit =
+    new java.io.File(dir.toString).setLastModified(System.currentTimeMillis() - byMs)
+
+  private def ageClaim(table: String, claim: graft.core.TxnLog.Commit, byMs: Long): Unit = {
+    val claimFile = java.nio.file.Paths.get(
+      table, "_graft_txn", f"v${claim.version}%020d.json")
+    val txt = java.nio.file.Files.readString(claimFile)
+    java.nio.file.Files.writeString(claimFile,
+      txt.replace(s""""ts":${claim.ts}""", s""""ts":${claim.ts - byMs}"""))
+  }
+
+  test("vacuumHistory never deletes the pre-image of an end-unclosed begin — " +
+      "a crashed install stays repairable and unserved") {
+    import spark.implicits._
+    val table = tmp("upsert-vacuum-pin")
+    seed(table)
+    // crash AFTER install: retain the pre-image into history, publish
+    // uncommitted data into the live dir, never end the claim
+    val claim = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-01"), graft.core.TxnLog.currentVersion(spark, table))
+    val live = java.nio.file.Paths.get(table, "day=2026-01-01")
+    val gen = java.nio.file.Paths.get(
+      table, "_graft_history", s"v${claim.version}", "day=2026-01-01")
+    java.nio.file.Files.createDirectories(gen.getParent)
+    java.nio.file.Files.move(live, gen)
+    Seq(("2026-01-01", "kX", 666.0)).toDF("day", "k", "v")
+      .write.parquet(live.toString) // the uncommitted install
+    // age the generation far past the retention window, then vacuum: the
+    // mtime says "delete", the manifest says "pinned" — the manifest wins
+    ageDir(gen.getParent, byMs = 10L * 24 * 3600 * 1000)
+    val removed = Upsert.vacuumHistory(spark, table, minAgeMs = 1000L)
+    assert(removed == 0, s"vacuum deleted a pinned generation ($removed)")
+    assert(java.nio.file.Files.exists(gen), "pinned pre-image must survive vacuum")
+    // committed reads still resolve the pre-image, never the crashed install
+    val committed = Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(committed.contains(("2026-01-01", "k1", 10.0)), s"snapshot: $committed")
+    assert(!committed.exists(_._2 == "kX"), s"uncommitted row served: $committed")
+    // and the next writer can still repair: restore pre-image, merge on top
+    ageClaim(table, claim, byMs = 31L * 60 * 1000)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k9", 90.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val after = spark.read.parquet(table)
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(after.contains(("2026-01-01", "k1", 10.0)) &&
+      after.contains(("2026-01-01", "k9", 90.0)) && !after.exists(_._2 == "kX"),
+      s"repair after vacuum: $after")
+  }
+
+  test("vacuumHistory reaps ordinary and superseded generations by age") {
+    import spark.implicits._
+    val table = tmp("upsert-vacuum-reap")
+    seed(table)
+    // (a) a normal committed merge: its retained generation is plain
+    // time-travel history — closed by its end, vacuumable once aged
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", "k3", 333.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    // (b) a crashed retain (never ended) on another partition, later
+    // SUPERSEDED by a committed end of the same partition (hand-driven
+    // begin/end so no repair consumes the crashed gen, as a usurper whose
+    // repair raced a second crash would leave it): resolution routes
+    // through the later end, so the crashed gen is vacuumable history too
+    val crashed = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-03"), graft.core.TxnLog.currentVersion(spark, table))
+    val gen = java.nio.file.Paths.get(
+      table, "_graft_history", s"v${crashed.version}", "day=2026-01-03")
+    java.nio.file.Files.createDirectories(gen.getParent)
+    spark.read.parquet(s"$table/day=2026-01-03").write.parquet(gen.toString)
+    ageClaim(table, crashed, byMs = 31L * 60 * 1000)
+    val usurper = graft.core.TxnLog.begin(spark, table, "upsert",
+      Set("2026-01-03"), graft.core.TxnLog.currentVersion(spark, table))
+    graft.core.TxnLog.end(spark, table, usurper)
+    // age both generations past retention and vacuum: both must go
+    val hist = new java.io.File(s"$table/_graft_history")
+    hist.listFiles().foreach(d => ageDir(d.toPath, byMs = 10L * 24 * 3600 * 1000))
+    val nGens = hist.listFiles().count(_.getName.matches("v\\d+"))
+    val removed = Upsert.vacuumHistory(spark, table, minAgeMs = 60000L)
+    assert(removed == nGens, s"aged unpinned generations must go: $removed/$nGens")
+    assert(!java.nio.file.Files.exists(gen.getParent))
+  }
 }
