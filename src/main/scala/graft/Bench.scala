@@ -146,6 +146,12 @@ object Bench {
     def errorsJson(): String =
       errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
 
+    // storage-layer micro-bench results (merge/compact/read-under-churn),
+    // populated once after the query rounds; empty until then
+    var storageResults: Seq[(String, Double)] = Nil
+    def storageJson(): String = storageResults
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+
     // medians-so-far over the completed rounds (the final call is the
     // report; in-loop calls checkpoint it to disk)
     def detailJson(): String = {
@@ -165,7 +171,7 @@ object Bench {
       val trusted = BenchGuard.trustedTotal(byRound.map(_.filterNot(kv => errors.contains(kv._1))))
       val outs = BenchGuard.outliers(byRound, baseline)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"queries":$qs,"sf":"$sfDir"}"""
     }
     def writeDetail(): Unit =
       try {
@@ -194,6 +200,23 @@ object Bench {
       // latest medians on disk rather than no artifact at all
       writeDetail()
     }
+    // Storage-layer micro-bench AFTER the query rounds (never inside them —
+    // its writes would contend with the query timings): two runs, per-op
+    // minimum, reported in the separate "storage" field so query totals stay
+    // comparable against bench_baseline.json's query envelope. A failure is
+    // a loud errors entry, not a silent absence.
+    storageResults =
+      try {
+        val runs = Seq.fill(2)(StorageBench.run(spark))
+        runs.head.map { case (k, _) => k -> runs.flatMap(_.toMap.get(k)).min }
+      } catch {
+        case e: Throwable =>
+          errors("storage_bench") = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+          System.err.println(s"[bench] storage bench FAILED: ${e.getMessage}")
+          Nil
+      }
+
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size
     val results: Seq[(String, Double)] = selected.flatMap { case (name, _) =>
@@ -208,6 +231,7 @@ object Bench {
     val total = results.map(_._2).sum
     // Full per-query detail: one stdout line (for humans/BASELINE.md) plus
     // the file written above. It is ~2.5 KB for 80+ queries.
+    writeDetail() // re-write with the storage results included
     println(detailJson())
     // The LAST stdout line is the machine-readable one the external driver
     // parses — and the driver keeps only the final 2000 characters of output
@@ -240,7 +264,7 @@ object Bench {
     val outliers = BenchGuard.outliers(byRound, baseline)
     val outsJson = (outliers.take(8).map("\"" + _ + "\"") ++
       (if (outliers.size > 8) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

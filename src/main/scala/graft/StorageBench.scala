@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.batch.Upsert
+
+/** Micro-benchmarks of the storage layer — the write-path costs the query
+  * bench can't see: MERGE throughput, small-file compaction, and committed
+  * snapshot reads under concurrent writer churn. Run by [[Bench]] after the
+  * query rounds on a throwaway local table; results land in the `storage`
+  * field of bench_detail.json (and the final stdout line) next to their
+  * committed baseline entries in bench_baseline.json, so a storage-layer
+  * regression is as visible round-over-round as a query regression.
+  *
+  * Sizes are deliberately modest (the point is RELATIVE drift of the
+  * claim/retain/publish machinery, not data throughput — that is what the
+  * query bench measures): the timings are dominated by the per-partition
+  * commit protocol, which is exactly the part unique to this engine. */
+object StorageBench {
+
+  /** Run the three micro-benchmarks; returns (name, seconds) pairs.
+    * `rowsPerPartition`/`partitions` size the table; the spec runs tiny. */
+  def run(
+      spark: SparkSession,
+      partitions: Int = 8,
+      rowsPerPartition: Int = 25000,
+      churnMerges: Int = 4): Seq[(String, Double)] = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-storage-bench").toString
+    val table = s"$root/table"
+    val days = (1 to partitions).map(i => f"2026-06-$i%02d")
+    def frame(vOffset: Double, rows: Int) =
+      spark.range(rows.toLong * partitions).select(
+        element_at(typedLit(days), (col("id") % partitions + 1).cast("int")).as("day"),
+        concat(lit("k"), (col("id") / partitions).cast("long").cast("string")).as("k"),
+        (col("id").cast("double") + vOffset).as("v"))
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    frame(0.0, rowsPerPartition).write.partitionBy("day").parquet(table)
+
+    // MERGE: update half the keys + insert a fresh quarter, every partition
+    val updates = frame(0.5, rowsPerPartition / 2)
+      .unionByName(frame(0.0, rowsPerPartition)
+        .withColumn("k", concat(lit("new"), col("k")))
+        .limit(partitions * rowsPerPartition / 4))
+    val tMerge = time {
+      Upsert.mergeByKey(spark, table, updates, "day", Seq("k"), parallelism = 4)
+    }
+
+    // COMPACT: the merge above left ≥2 file sets per partition; force a
+    // low-target compaction so every partition qualifies
+    val tCompact = time {
+      Upsert.compactPartitions(spark, table, "day",
+        targetBytes = 512L * 1024 * 1024, minFilesToCompact = 2)
+    }
+
+    // readCommitted UNDER CHURN: a writer merges small deltas in the
+    // background while the reader takes committed snapshots — the
+    // contention shape of a serving table being continuously upserted
+    val churnErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val churn = new Thread(() => {
+      try (1 to churnMerges).foreach { i =>
+        Upsert.mergeByKey(spark, table,
+          Seq((days(i % partitions), s"churn$i", i.toDouble)).toDF("day", "k", "v"),
+          "day", Seq("k"))
+      } catch { case t: Throwable => churnErr.set(t) }
+    }, "storage-bench-churn")
+    var reads = 0
+    var retries = 0
+    val tRead = time {
+      churn.start()
+      while (churn.isAlive) { // read continuously for the churn window
+        // a live-resolved partition can race a writer's install at
+        // EXECUTION time — the documented contract is a loud retryable
+        // missing-file error, never a torn result; a real consumer
+        // retries, so the bench reader does too (and the retry cost is
+        // part of what this measures)
+        try { Upsert.readCommitted(spark, table, "day").count(); reads += 1 }
+        catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(_.contains("FILE_NOT_EXIST")) &&
+                retries < 50 =>
+            retries += 1
+        }
+      }
+      churn.join()
+    }
+    if (churnErr.get != null) throw churnErr.get
+    require(reads > 0, "no committed read completed during churn")
+
+    // best-effort cleanup; timings are already taken
+    scala.util.Try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+    Seq(
+      "storage_merge" -> tMerge,
+      "storage_compact" -> tCompact,
+      "storage_read_committed_churn" -> tRead / reads)
+  }
+}

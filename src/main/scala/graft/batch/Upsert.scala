@@ -563,6 +563,52 @@ object Upsert {
       all: Seq[TxnLog.Commit]): (DataFrame, Set[String], Seq[(String, String)]) = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val liveDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath.getName).sorted.toSeq
+    val r = resolveDirs(fs, table, version, partCol, all, liveDirs)
+    val live = r.liveVals
+    val reads = Seq.newBuilder[DataFrame]
+    if (live.nonEmpty)
+      reads += spark.read.option("mergeSchema", "true").parquet(table)
+        .filter(col(partCol).cast("string").isin(live: _*))
+    r.fromHistory.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
+      val base = s"$table/$HistoryDir/v$begin"
+      reads += spark.read.option("mergeSchema", "true").option("basePath", base)
+        .parquet(dirs.map(d => s"$base/${d._2}"): _*)
+    }
+    val parts = reads.result()
+    val df =
+      if (parts.isEmpty)
+        spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    (df, r.liveResolved, r.ambiguous)
+  }
+
+  /** Result of the METADATA half of snapshot resolution: partition values
+    * reading from the live tree (`liveVals`, with `liveResolved` the subset
+    * certified by a committed end), (generation, dir) pairs reading from
+    * history, and the ambiguous live resolutions the caller must re-check. */
+  private[graft] final case class ResolvedDirs(
+      liveVals: Seq[String],
+      liveResolved: Set[String],
+      ambiguous: Seq[(String, String)],
+      fromHistory: Seq[(Long, String)])
+
+  /** Metadata half of [[resolveSnapshot]] — manifest math plus generation
+    * listings, NO data reads. Filesystem cost is the contract here, and it
+    * is what keeps resolution viable against an object store at 10k+
+    * partitions: exactly ONE cached listStatus per generation root actually
+    * consulted (plus the root listing the caller already did) — never a
+    * per-partition `fs.exists` round trip. Package-private so a spec can
+    * drive it against a call-counting FileSystem. */
+  private[graft] def resolveDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: String,
+      version: Long,
+      partCol: String,
+      all: Seq[TxnLog.Commit],
+      liveDirs: Seq[String]): ResolvedDirs = {
     // upsert ends are the DATA-CHANGING commits that define version
     // visibility; compaction ends close their claims (endClosed) but change
     // no rows, so versions before a compaction resolve to the rewritten
@@ -573,9 +619,6 @@ object Upsert {
     // generation (crash mid-rollback, usurped writer), the live dir may
     // still hold the failed write — resolve through the pre-image.
     val endClosed = all.filter(_.op.endsWith("-end")).flatMap(_.ref).toSet
-    val liveDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-      .map(_.getPath.getName).sorted
     // resolution domain: everything visible on disk PLUS every partition the
     // manifest mentions — a partition mid-install (live dir transiently
     // missing) still resolves through its retained generation
@@ -589,13 +632,25 @@ object Upsert {
     val liveResolved = Set.newBuilder[String]
     val ambiguous = Seq.newBuilder[(String, String)]
     val fromHistory = Seq.newBuilder[(Long, String)] // (begin version, dir name)
+    // Generation probes are ONE listStatus per generation root, cached —
+    // never a per-partition fs.exists. The difference is decisive on object
+    // stores: resolving 10k partitions through a handful of generations is
+    // a handful of LIST round trips, not 20k sequential HEADs on the
+    // driver. (A listing is also one consistent view of the generation —
+    // the caller's post-resolution stability re-probe covers changes that
+    // land mid-resolution, same as before.)
+    val genCache = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def genContents(begin: Long): Set[String] = genCache.getOrElseUpdate(begin,
+      try fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/$HistoryDir/v$begin"))
+        .map(_.getPath.getName).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty })
+    def genHas(begin: Long, name: String): Boolean = genContents(begin).contains(name)
     // resolve through the retained generation of `begin`, live dir if the
     // pre-image was never retained (the write had not installed), absent
     // if the marker proves the partition postdates the snapshot
     def resolveVia(begin: Long, dirName: String): Unit = {
-      val gen = s"$table/$HistoryDir/v$begin/$dirName"
-      if (fs.exists(new org.apache.hadoop.fs.Path(gen + AbsentSuffix))) ()
-      else if (fs.exists(new org.apache.hadoop.fs.Path(gen)))
+      if (genHas(begin, dirName + AbsentSuffix)) ()
+      else if (genHas(begin, dirName))
         fromHistory += ((begin, dirName))
       else
         throw new IllegalStateException(
@@ -631,10 +686,9 @@ object Upsert {
               "is mid-install; re-resolve")
       if (laterEnds.nonEmpty) resolveVia(laterEnds.minBy(_.version).ref.get, dirName)
       else if (unclosed.nonEmpty) {
-        unclosed.find(c => fs.exists(new org.apache.hadoop.fs.Path(genOf(c.version))) ||
-            fs.exists(new org.apache.hadoop.fs.Path(genOf(c.version) + AbsentSuffix))) match {
-          case Some(c) if fs.exists(
-              new org.apache.hadoop.fs.Path(genOf(c.version) + AbsentSuffix)) =>
+        unclosed.find(c => genHas(c.version, dirName) ||
+            genHas(c.version, dirName + AbsentSuffix)) match {
+          case Some(c) if genHas(c.version, dirName + AbsentSuffix) =>
             () // did not exist at the committed state
           case Some(c) =>
             fromHistory += ((c.version, dirName))
@@ -657,22 +711,8 @@ object Upsert {
       else mustResolveLoudly() // else: mentioned only by never-committed
                                // begins — nothing to read for this value
     }
-    val live = liveVals.result()
-    val reads = Seq.newBuilder[DataFrame]
-    if (live.nonEmpty)
-      reads += spark.read.option("mergeSchema", "true").parquet(table)
-        .filter(col(partCol).cast("string").isin(live: _*))
-    fromHistory.result().groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
-      val base = s"$table/$HistoryDir/v$begin"
-      reads += spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(dirs.map(d => s"$base/${d._2}"): _*)
-    }
-    val parts = reads.result()
-    val df =
-      if (parts.isEmpty)
-        spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
-      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    (df, liveResolved.result(), ambiguous.result())
+    ResolvedDirs(liveVals.result(), liveResolved.result(),
+      ambiguous.result(), fromHistory.result())
   }
 
   /** Small-file compaction for upsert tables (the OPTIMIZE analog, ref

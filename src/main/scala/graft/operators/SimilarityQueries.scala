@@ -142,8 +142,13 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** Spherical k-means coarse quantizer for IVF: the modulo subset
-    * (vec_id % 50 == 3, ≈2% of the corpus) seeds the centroids, then
-    * [[IvfIters]] Lloyd iterations refine them. Centroids are kept as
+    * (vec_id % 51 == 3, ≈2% of the corpus) seeds the centroids, then
+    * [[IvfIters]] Lloyd iterations refine them. The stride is COPRIME to
+    * the 10-component mixture geometry of the [[clustered]] corpus on
+    * purpose: a multiple-of-10 stride seeds every centroid from ONE
+    * component (all ids ≡ 3 mod 10), which Lloyd recovers from at 2k
+    * vectors but not at 20k — measured 42% candidate scan at 10× vs ~7%
+    * with coprime seeding, identical recall. Centroids are kept as
     * elementwise integer SUM vectors, never means — cosine is
     * scale-invariant, so argmax cos(x, Σ) = argmax cos(x, Σ/|cell|), and
     * integer sums keep every similarity a deterministic double of exact
@@ -244,7 +249,7 @@ object SimilarityQueries extends QueryModule {
     }
   }
 
-  private def centroidsDf(s: SparkSession, rows: Seq[(Long, Seq[Long])]): DataFrame = {
+  private[operators] def centroidsDf(s: SparkSession, rows: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
     s.createDataset(rows).toDF("cid", "cqv")
       .withColumn("cnrm", expr("graft_dot(cqv, cqv)"))
@@ -258,7 +263,7 @@ object SimilarityQueries extends QueryModule {
     // 3-run medians) to buy nothing — the build cost is the per-iteration
     // window/partial-sum shuffles, not the trivial re-scans — and a
     // corpus-sized cache is exactly what must not exist at 100 TB.
-    var cent = q.filter(col("vec_id") % 50 === 3)
+    var cent = q.filter(col("vec_id") % 51 === 3)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"))
     for (_ <- 0 until IvfIters) {
       val c = broadcast(cent.withColumn("cnrm", expr("graft_dot(cqv, cqv)")))
@@ -326,6 +331,16 @@ object SimilarityQueries extends QueryModule {
         (col("crk") <= nprobe || col("ccos") >= col("cbest") - lit(margin)))
       .select(col("a.vec_id").as("query_id"), col("cid").as("cell"),
         col("a.qv").as("pqv"), col("a.nrm").as("pnrm"))
+    ivfProbeTail(probeCells, assign)
+  }
+
+  /** Scan-and-rank tail shared by the in-query IVF probe and the
+    * persisted-index probe ([[IvfIndex]]): join the probe's cells against
+    * the (cell-keyed) assignment, exact-score the candidates, keep the
+    * top-5. Any change here changes both paths together — the hash-parity
+    * spec between them guards the contract. */
+  private[operators] def ivfProbeTail(
+      probeCells: DataFrame, assign: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
     val cand = probeCells.join(assign, "cell")
       .filter(col("query_id") =!= col("vec_id"))
@@ -557,6 +572,15 @@ object SimilarityQueries extends QueryModule {
     "sim_topk_brute" -> (topkBrute _),
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
+    "sim_topk_ivf_indexed" -> ((s: SparkSession, d: String) => {
+      // build-then-probe through the persisted cell-partitioned index; the
+      // result is row-identical with sim_topk_ivf (shared codebook + tail),
+      // so the two share one oracle — what the index adds is the SCAN
+      // shape (partition-pruned cells), probed by IvfIndexSpec
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      IvfIndex.build(s, d, idx)
+      IvfIndex.topk(s, d, idx)
+    }),
     "sim_range_count" -> (rangeCount _),
     "sim_label_affinity" -> (labelAffinity _),
   )
@@ -618,7 +642,7 @@ object SimilarityQueries extends QueryModule {
              SELECT cid, p, CAST(SUM(qv[p + 1]) AS BIGINT) AS sv
              FROM a$i CROSS JOIN range(64) r(p) GROUP BY 1, 2) GROUP BY cid)"""
     val chain = (0 until IvfIters).map(i => step(s"cent$i", i)).mkString(",\n       ")
-    s"""cent0 AS (SELECT vec_id AS cid, qv AS cqv FROM n WHERE vec_id % 50 = 3),
+    s"""cent0 AS (SELECT vec_id AS cid, qv AS cqv FROM n WHERE vec_id % 51 = 3),
        $chain,
        cent AS (SELECT cid, cqv,
          list_sum(list_transform(range(1, len(cqv) + 1), i -> cqv[i] * cqv[i])) AS cnrm
@@ -717,7 +741,12 @@ object SimilarityQueries extends QueryModule {
               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
        FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    // the indexed probe is row-identical with the in-query IVF by contract
+    // (shared codebook, nprobe/margin, and scoring tail) — same oracle
+    ("sim_topk_ivf_indexed" -> oracleSqlBase("sim_topk_ivf"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "sim_clustered_recall" -> s"""WITH $clusteredCte,
        mtb AS ($sqlMultiTb),
        bscored AS (

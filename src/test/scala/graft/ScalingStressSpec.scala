@@ -122,6 +122,41 @@ class ScalingStressSpec extends SparkSpec {
       f"sharded ${ts10}%.2f s (x${ts10 / ts1}%.1f)")
   }
 
+  /** Deterministic 10× embeddings corpus (the sf0.1 table is 2 000
+    * vectors → 10× = 20 000): 64-dim unit-scale floats. The recall
+    * evaluation runs on the separable mixture built from it (the
+    * `clustered` transform — 10 components), the corpus family the
+    * multi-probe configuration is tuned for. */
+  private def genEmbeddings(n: Long): String = {
+    val dir = Files.createTempDirectory(s"stress-emb$n").toString
+    spark.range(n).selectExpr(
+      "id AS vec_id",
+      "concat('L', CAST(id % 10 AS STRING)) AS label",
+      """transform(sequence(0, 63), i ->
+           CAST(sin(CAST(id * 64 + i AS DOUBLE)) AS FLOAT)) AS embedding""")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("10x ANN: IVF multi-probe holds recall@5 >= 0.95 at <= 12% scan", Slow) {
+    import graft.operators.SimilarityQueries
+    val dir10 = genEmbeddings(20000L)
+    val n = 20000L
+    val (recallDf, cand) = SimilarityQueries.ivfClusteredRecallWith(
+      spark, dir10, SimilarityQueries.IvfClusteredNprobe,
+      SimilarityQueries.IvfProbeMargin)
+    val recalls = recallDf.select("recall_at_5")
+      .collect().map(_.getDouble(0))
+    assert(recalls.length == 20, s"expected 20 probes: ${recalls.length}")
+    val mean = recalls.sum / recalls.length
+    val scanned = cand.count()
+    val scanFrac = scanned.toDouble / (20.0 * n)
+    info(f"10x ANN: mean recall@5 $mean%.3f at ${scanFrac * 100}%.1f%% scan " +
+      f"($scanned%d candidates / ${20 * n}%d brute pairs)")
+    assert(mean >= 0.95, f"recall@5 degraded at 10x: $mean%.3f")
+    assert(scanFrac <= 0.12, f"scan fraction blew up at 10x: ${scanFrac * 100}%.1f%%")
+  }
+
   test("connected components: chain of depth 2048 converges in O(log d) rounds", Slow) {
     import spark.implicits._
     // a single path graph is the worst case for label propagation: plain

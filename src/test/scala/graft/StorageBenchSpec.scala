@@ -1,0 +1,12 @@
+package graft
+
+/** The storage micro-bench must produce a timing for every op (tiny sizes —
+  * the spec checks mechanics, the bench run measures). */
+class StorageBenchSpec extends SparkSpec {
+  test("storage micro-bench returns positive timings for all three ops") {
+    val r = StorageBench.run(spark, partitions = 2, rowsPerPartition = 200, churnMerges = 2)
+    assert(r.map(_._1) == Seq(
+      "storage_merge", "storage_compact", "storage_read_committed_churn"))
+    assert(r.forall(_._2 > 0), s"timings: $r")
+  }
+}
