@@ -78,6 +78,11 @@ object TxnLog {
     * whose version files still exist would silently vanish from probes;
     * [[truncate]] is the single authority on what drops out of history. */
   private[graft] val CheckpointInterval = 10
+  /** Root of the retained pre-image generations, owned by `Upsert`'s
+    * retain-first publish path (`<table>/_graft_history/v<begin>/...`).
+    * Named here too because [[truncate]]'s pinning exemption must probe a
+    * generation's contents — single source of truth for the layout. */
+  private[graft] val HistoryDir = "_graft_history"
   private def logDir(table: String) = new Path(table, "_graft_txn")
   private def vFile(dir: Path, v: Long) = new Path(dir, f"v$v%020d.json")
   private def ckptFile(dir: Path, v: Long) = new Path(dir, f"checkpoint-v$v%020d.json")
@@ -310,13 +315,35 @@ object TxnLog {
     * would make readers fall back to the live dir's failed write. Such a
     * begin pins exactly like an unclosed one, until a later overlapping
     * end supersedes it. (Writer-side claim release — `begin`'s closed set —
-    * still counts aborts; only history retention is stricter.) */
-  private def pinnedBeginFloor(all: Seq[Commit]): Long = {
+    * still counts aborts; only history retention is stricter.)
+    *
+    * EXCEPT: an abort-closed begin whose generation directory retained
+    * NOTHING is inert and does not pin. The abort proves the writer
+    * finished (it will never install later), and retain-first publishing
+    * orders every install after its retention — so an empty (or absent)
+    * generation means either nothing was ever installed, or the rollback
+    * restored the pre-image to the live dir and consumed the generation.
+    * Either way the live dir IS the committed state and resolution never
+    * routes through this begin. Without the exemption a no-op operation
+    * that aborts its claim (e.g. `deleteByKey` on a partition that does
+    * not exist — no later end will EVER cover that value) would pin the
+    * truncation horizon forever. Unclosed begins get no such exemption:
+    * an empty generation there may be a live writer that has not retained
+    * YET. Cost: one LIST per abort-closed otherwise-pinning begin, paid
+    * only inside maintenance. */
+  private def pinnedBeginFloor(
+      fs: FileSystem, table: String, all: Seq[Commit]): Long = {
     val ends = all.filter(c => c.op.endsWith("-end") && c.ref.isDefined)
     val endClosed = ends.flatMap(_.ref).toSet
+    val abortClosed = all.filter(c => c.op.endsWith("-abort") && c.ref.isDefined)
+      .flatMap(_.ref).toSet
+    def retainedNothing(v: Long): Boolean =
+      try fs.listStatus(new Path(s"$table/$HistoryDir/v$v")).isEmpty
+      catch { case _: java.io.FileNotFoundException => true }
     all.filter(c => c.op.endsWith("-begin") && !endClosed.contains(c.version) &&
         !ends.exists(e => e.version > c.version &&
-          (e.all || c.all || e.partitions.exists(c.partitions))))
+          (e.all || c.all || e.partitions.exists(c.partitions))) &&
+        !(abortClosed.contains(c.version) && retainedNothing(c.version)))
       .map(_.version).minOption.getOrElse(Long.MaxValue)
   }
 
@@ -332,7 +359,8 @@ object TxnLog {
     val all = commitsSince(spark, table, 0L)
     val vs = versionsIn(fs, dir)
     val horizon = math.min(
-      vs.lastOption.getOrElse(0L) - keep.toLong.max(1), pinnedBeginFloor(all))
+      vs.lastOption.getOrElse(0L) - keep.toLong.max(1),
+      pinnedBeginFloor(fs, table, all))
     val victims = vs.filter(_ < horizon)
     victims.foreach(v => fs.delete(vFile(dir, v), false))
     // checkpoints carrying commits below the horizon would resurrect what

@@ -91,14 +91,18 @@ class TxnLogSpec extends SparkSpec {
 
   test("an abort-closed begin pins truncation until a later end supersedes it") {
     val table = tmp("txn-abort-pin")
-    // v1 begin, v2 abort: the claim is released for WRITERS, but snapshot
-    // resolution certifies the live dir with END refs only — if the abort's
-    // rollback crashed before consuming the retained pre-image, readers
-    // still route through the v1 generation. Truncating v1 away would make
-    // them fall back to the live dir's failed write.
+    // v1 begin, v2 abort WITH a surviving retained generation: the claim is
+    // released for WRITERS, but snapshot resolution certifies the live dir
+    // with END refs only — the abort's rollback crashed before consuming
+    // the retained pre-image, so readers still route through the v1
+    // generation. Truncating v1 away would make them fall back to the live
+    // dir's failed write.
     val b = TxnLog.begin(spark, table, "upsert", Set("px"),
       TxnLog.currentVersion(spark, table))
     assert(b.version == 1L)
+    val gen = java.nio.file.Paths.get(table, "_graft_history", "v1", "part=px")
+    java.nio.file.Files.createDirectories(gen)
+    java.nio.file.Files.write(gen.resolve("data.parquet"), Array[Byte](1))
     TxnLog.abort(spark, table, b)
     (3 to 30).foreach { i =>
       TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
@@ -116,6 +120,74 @@ class TxnLogSpec extends SparkSpec {
     TxnLog.truncate(spark, table, keep = 5)
     val after = TxnLog.commitsSince(spark, table, 0L).map(_.version)
     assert(after.head > 1L, s"superseded abort-closed begin no longer pins: $after")
+  }
+
+  test("an abort-closed begin that retained nothing does not pin truncation") {
+    val table = tmp("txn-abort-noop")
+    // v1 begin, v2 abort, NO generation directory: the writer finished
+    // without ever retaining — retain-first ordering proves nothing was
+    // installed, so the live dir is the committed state and resolution
+    // never routes through v1. This is the no-op deleteByKey shape: no
+    // later end will EVER cover a partition value that does not exist, so
+    // without the emptiness exemption this begin pins the horizon forever.
+    val b = TxnLog.begin(spark, table, "upsert", Set("never-exists"),
+      TxnLog.currentVersion(spark, table))
+    assert(b.version == 1L)
+    TxnLog.abort(spark, table, b)
+    (3 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"p$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.truncate(spark, table, keep = 5)
+    val retained = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(retained.head > 1L,
+      s"a nothing-retained aborted begin must not pin the horizon: $retained")
+    // an EMPTY generation directory (rollback consumed its contents but
+    // crashed before removing the dir) is equally inert
+    val b2 = TxnLog.begin(spark, table, "upsert", Set("also-never"),
+      TxnLog.currentVersion(spark, table))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(table, "_graft_history", s"v${b2.version}"))
+    TxnLog.abort(spark, table, b2)
+    (1 to 10).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"q$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    TxnLog.truncate(spark, table, keep = 5)
+    val after = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(after.head > b2.version,
+      s"an empty-generation aborted begin must not pin the horizon: $after")
+  }
+
+  test("recurring no-op deleteByKey runs do not ratchet the truncation horizon") {
+    import graft.batch.Upsert
+    import org.apache.spark.sql.functions._
+    val table = tmp("txn-noop-delete")
+    val spark2 = spark
+    import spark2.implicits._
+    // a real table with one committed partition
+    Upsert.mergeByKey(spark, table,
+      Seq(("a", 1L, 10.0)).toDF("day", "id", "v"), "day", Seq("day", "id"))
+    // a recurring GDPR-style delete job keeps naming a partition that does
+    // not exist (typo, or data already gone): each run is a no-op abort
+    (1 to 3).foreach { _ =>
+      Upsert.deleteByKey(spark, table,
+        Seq(("zzz", 99L)).toDF("day", "id"), "day", Seq("day", "id"))
+    }
+    // pad the log, then truncate: the no-op aborts must not pin
+    (1 to 30).foreach { i =>
+      TxnLog.commit(spark, table, "upsert-end", Set(s"pad$i"),
+        TxnLog.currentVersion(spark, table))
+    }
+    val tip = TxnLog.currentVersion(spark, table)
+    TxnLog.truncate(spark, table, keep = 5)
+    val retained = TxnLog.commitsSince(spark, table, 0L).map(_.version)
+    assert(retained.head >= tip - 6,
+      s"no-op delete aborts must not pin truncation (tip $tip): $retained")
+    // and the table still reads correctly after truncation
+    val rows = Upsert.readCommitted(spark, table, "day")
+      .select("day", "id", "v").as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 1L, 10.0)))
   }
 
   test("a checkpoint whose read raced truncate cannot resurrect truncated commits") {
