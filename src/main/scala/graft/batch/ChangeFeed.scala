@@ -18,25 +18,49 @@ import graft.core.TxnLog
   * `_change_type = "insert"`, rows present before but not after tag
   * `"delete"`, both stamped `_commit_version`. An update surfaces as
   * delete + insert of the full row (no key specification is needed — the
-  * feed is exact multiset arithmetic via `exceptAll`). The defining
-  * invariant, and the consumer contract:
+  * feed is exact multiset arithmetic). The defining invariant, and the
+  * consumer contract:
   *
   *   snapshot(fromVersion) − deletes + inserts ≡ snapshot(toVersion)
   *
   * applied per commit in version order (or all at once after netting
   * insert/delete pairs that cancel across commits).
   *
-  * Scale shape: one pre/post snapshot-resolution pair per commit in the
-  * range — driver cost O(commits × metadata) with the listing-cached
-  * resolution, executor cost bounded by the TOUCHED partitions only (the
-  * partition filter prunes both the live scan and the history generation
-  * reads), never a full-table diff. The feed reads retained history, so its
-  * horizon is [[Upsert.vacuumHistory]]'s retention — a range reaching below
-  * it fails loudly via readAsOf, never returns a silently partial feed. */
+  * Scale shape — two read paths per commit, cheapest first:
+  *
+  *   1. PERSISTED change files: `mergeByKey` materializes each commit's
+  *      exact row delta under `_graft_changes/v<begin>/` in the same claim
+  *      that publishes the data (Delta writes its `_change_data` files the
+  *      same way). The feed then reads O(changed rows) — one scan of the
+  *      change files, no snapshot resolution, no diff.
+  *   2. SNAPSHOT DIFF fallback, for commits that predate the feature (or
+  *      merges run with `graft.changeFeed.enabled=false`): one pre/post
+  *      snapshot-resolution pair per commit — driver cost
+  *      O(commits × metadata), executor cost bounded by the TOUCHED
+  *      partitions (the partition filter prunes both the live scan and the
+  *      history generation reads), never a full-table diff.
+  *
+  * Schema evolution: a commit that widens the table's schema (a new
+  * partition carrying extra columns) yields per-commit frames of differing
+  * width; frames are aligned by name with missing columns null-filled, both
+  * across commits and inside the diff path's multiset subtraction — a feed
+  * range spanning a widening commit is valid, not an AnalysisException.
+  *
+  * Horizon: change files are vacuumed together with their commit's history
+  * generation ([[Upsert.vacuumHistory]]), so the feed's retention equals
+  * time travel's — a range reaching below it fails loudly via readAsOf,
+  * never returns a silently partial feed. */
 object ChangeFeed {
 
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  /** Root of the persisted per-commit change files, keyed by the BEGIN
+    * version of the claim that wrote them (`v<begin>/c_<partition>/…`) —
+    * the `upsert-end`'s `ref` points there. Subdirectories deliberately do
+    * NOT use `col=value` naming: the partition column travels INSIDE the
+    * files (the published table's hive layout strips it, so change files
+    * must carry it), and a `=` dir name would make the reader re-infer it. */
+  private[batch] val ChangesDir = "_graft_changes"
 
   /** Row-level changes committed after `fromVersion`, up to `toVersion`
     * (default: the current tip). `fromVersion = 0` feeds from the table's
@@ -55,24 +79,78 @@ object ChangeFeed {
         s"change feed: toVersion $to is beyond the current tip v$tip")
     require(fromVersion <= to,
       s"change feed: fromVersion $fromVersion must be <= toVersion $to")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val dataEnds = all.filter(c => c.op == "upsert-end" && c.ref.isDefined &&
       c.version > fromVersion && c.version <= to)
-    val feeds = dataEnds.map { e =>
-      val touched = e.partitions.toSeq.sorted
-      def at(v: Long): DataFrame = Upsert.readAsOf(spark, table, v, partCol)
-        .filter(col(partCol).cast("string").isin(touched: _*))
-      val pre = at(e.version - 1)
-      val post = at(e.version)
-      post.exceptAll(pre).withColumn(ChangeTypeCol, lit("insert"))
-        .unionByName(pre.exceptAll(post).withColumn(ChangeTypeCol, lit("delete")))
-        .withColumn(CommitVersionCol, lit(e.version))
+    val feeds = dataEnds.flatMap { e =>
+      persistedChanges(spark, fs, table, e.ref.get) match {
+        case Some(df) => Some(df.withColumn(CommitVersionCol, lit(e.version)))
+        case None => diffChanges(spark, table, partCol, e)
+      }
     }
-    feeds.reduceOption(_.unionByName(_)).getOrElse(
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse(
       // empty range: an empty frame with the table's schema + feed columns,
       // so consumers can union/apply it unconditionally
       spark.read.parquet(table).filter(lit(false))
         .withColumn(ChangeTypeCol, lit("insert"))
         .withColumn(CommitVersionCol, lit(0L)))
+  }
+
+  /** The persisted change files of the claim begun at `beginV`, or None if
+    * that commit predates the feature (diff fallback). A change directory
+    * holding zero data files (an upsert rewriting identical rows can write
+    * no part files) also returns None — the diff fallback then computes the
+    * same empty delta, so correctness never depends on how the writer
+    * serialized emptiness. */
+  private def persistedChanges(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: String,
+      beginV: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$table/$ChangesDir/v$beginV")
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    val withData = dirs.filter(d =>
+      fs.listStatus(d).exists(f => f.isFile && f.getLen > 0 &&
+        f.getPath.getName.endsWith(".parquet")))
+    if (withData.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(withData.map(_.toString).toIndexedSeq: _*))
+  }
+
+  /** Snapshot-diff fallback for commits without persisted change files:
+    * exact multiset arithmetic over the touched partitions of the pre/post
+    * snapshots. None when the diff is structurally empty. */
+  private def diffChanges(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      e: TxnLog.Commit): Option[DataFrame] = {
+    val touched = e.partitions.toSeq.sorted
+    def at(v: Long): DataFrame = Upsert.readAsOf(spark, table, v, partCol)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    // align the pre/post schemas by name (missing columns null-filled):
+    // a schema-widening commit reads pre narrower than post, and exceptAll
+    // demands identical shapes
+    val (pre, post) = aligned(at(e.version - 1), at(e.version))
+    Some(post.exceptAll(pre).withColumn(ChangeTypeCol, lit("insert"))
+      .unionByName(pre.exceptAll(post).withColumn(ChangeTypeCol, lit("delete")))
+      .withColumn(CommitVersionCol, lit(e.version)))
+  }
+
+  /** Widen both frames to the NAME-UNION of their columns (missing ones
+    * null-filled with the other side's type), so multiset ops line up
+    * across schema evolution. Column order follows `a` then `b`'s extras. */
+  private def aligned(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val cols = a.columns.toSeq ++ b.columns.toSeq.filterNot(a.columns.contains)
+    def widen(df: DataFrame, other: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(cols.map(c =>
+        if (have(c)) col(c)
+        else lit(null).cast(other.schema(c).dataType).as(c)): _*)
+    }
+    (widen(a, b), widen(b, a))
   }
 
   /** Apply a change feed to a base snapshot: multiset-subtract the deletes,
@@ -81,14 +159,19 @@ object ChangeFeed {
     * (a row inserted at v3 and deleted at v5 must not survive a one-shot
     * application to a pre-v3 base). This is the consumer-side half of the
     * CDF contract: `applyChanges(snapshot(v0), readChanges(v0)) ≡
-    * snapshot(tip)`. */
+    * snapshot(tip)`. Base and changes are aligned by name first, so a feed
+    * spanning a schema-widening commit applies to a pre-widening base (the
+    * result carries the widened schema, old rows null-filled). */
   def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
     val ins = changes.filter(col(ChangeTypeCol) === "insert")
       .drop(ChangeTypeCol, CommitVersionCol)
     val del = changes.filter(col(ChangeTypeCol) === "delete")
       .drop(ChangeTypeCol, CommitVersionCol)
-    val netIns = ins.exceptAll(del)
-    val netDel = del.exceptAll(ins)
-    base.exceptAll(netDel).unionByName(netIns)
+    val (alignedIns, alignedDel) = aligned(ins, del)
+    val netIns = alignedIns.exceptAll(alignedDel)
+    val netDel = alignedDel.exceptAll(alignedIns)
+    val (alignedBase, netDelB) = aligned(base, netDel)
+    alignedBase.exceptAll(netDelB)
+      .unionByName(netIns, allowMissingColumns = true)
   }
 }

@@ -274,6 +274,30 @@ object Upsert {
         if (deletesOnly) survivors else survivors.unionByName(upserts)
       case None => upserts // brand-new partition: pure insert
     }
+    // Persisted change feed (Delta writes `_change_data` files inside the
+    // same commit): the merge already knows the exact row delta — matched
+    // rows leave, upsert rows enter, and identical-row rewrites cancel via
+    // exceptAll — so record it under the claim's version for ChangeFeed to
+    // read at O(changed rows). Written BEFORE the publish: the old files
+    // are still live to diff against, and a crash after this write but
+    // before the END leaves an orphan directory no feed ever reads (only
+    // END refs are consulted). The published table's hive layout strips
+    // the partition column, so change rows re-carry it as a data column.
+    if (changeFeedEnabled(spark)) {
+      val (inserted, deleted) = existing match {
+        case None => (upserts, upserts.filter(lit(false)))
+        case Some(old) =>
+          val matched = old.join(deltaKeys, keyCols, "left_semi")
+          if (deletesOnly) (matched.filter(lit(false)), matched)
+          else (upserts.exceptAll(matched), matched.exceptAll(upserts))
+      }
+      val partValue = lit(p).cast(updates.schema(partCol).dataType)
+      inserted.withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
+        .unionByName(deleted.withColumn(ChangeFeed.ChangeTypeCol, lit("delete")))
+        .withColumn(partCol, partValue)
+        .write.mode("overwrite")
+        .parquet(s"$table/${ChangeFeed.ChangesDir}/v${claim.version}/c_${escape(p)}")
+    }
     // Time travel: the replaced generation is retained under the claim's
     // version (underscore prefix — invisible to plain readers). A
     // brand-new partition retains an ABSENT marker instead, so [[readAsOf]]
@@ -298,7 +322,14 @@ object Upsert {
     TxnLog.end(spark, table, claim)
   }
 
-  private val HistoryDir = "_graft_history"
+  private val HistoryDir = TxnLog.HistoryDir
+
+  /** Change-file recording rides every merge unless explicitly disabled
+    * (Delta's `delta.enableChangeDataFeed`, default-on here because the
+    * write amplification is one extra scan of the touched partition while
+    * the saving is the feed's whole-table diff). */
+  private def changeFeedEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("graft.changeFeed.enabled", "true").toBoolean
   private val AbsentSuffix = ".ABSENT"
   /** Claim ops whose publish retains a pre-image under the claim's version
     * — the ops snapshot resolution and crash repair route through. */
@@ -331,6 +362,10 @@ object Upsert {
     // file whose content write never finished — a dead sibling's debris,
     // not a usurper of a claim we still hold; counting it would silently
     // skip the rollback and leave the failed merge's data live
+    // the failed merge's change files are never read (no END will ref this
+    // claim) — drop them so aborted runs leave no debris
+    scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$table/${ChangeFeed.ChangesDir}/v${claim.version}"), true))
     val usurped = TxnLog.commitsSince(spark, table, claim.version)
       .exists(c => c.op != "unreadable" && (c.all || c.partitions.contains(p)))
     if (usurped) return
@@ -828,6 +863,11 @@ object Upsert {
           !pinned.contains(st.getPath.getName.stripPrefix("v").toLong)
       }
     victims.foreach(st => fs.delete(st.getPath, true))
+    // change files age out WITH their commit's generation (keyed by the
+    // same begin version), so the feed's horizon stays exactly the time
+    // travel horizon — one retention policy, one loud-failure boundary.
+    victims.foreach(st => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$table/${ChangeFeed.ChangesDir}/${st.getPath.getName}"), true))
     victims.length
   }
 

@@ -88,6 +88,101 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.readChanges(spark, table, "day", tip).isEmpty)
   }
 
+  test("persisted change files reproduce the snapshot-diff feed exactly") {
+    val (table, v0, _) = history()
+    // every merge in history() persisted change files; read the feed, then
+    // hide the change dirs and read again — the diff fallback must produce
+    // the same multiset of (row, change type, commit version)
+    def collectFeed(): Set[(String, String, Double, String, Long)] = {
+      import spark.implicits._
+      ChangeFeed.readChanges(spark, table, "day", v0)
+        .select("day", "k", "v", ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
+        .as[(String, String, Double, String, Long)].collect().toSet
+    }
+    val persisted = collectFeed()
+    val changesDir = new java.io.File(s"$table/_graft_changes")
+    assert(changesDir.isDirectory && changesDir.list().nonEmpty,
+      "merges must have persisted change files")
+    val hidden = new java.io.File(s"$table/_graft_changes_hidden")
+    assert(changesDir.renameTo(hidden))
+    val diffed = collectFeed()
+    assert(hidden.renameTo(changesDir))
+    assert(persisted == diffed,
+      s"persisted feed must equal the diff feed:\n  persisted $persisted\n  diffed $diffed")
+  }
+
+  test("the persisted feed reads only change files: no snapshot diff in the plan") {
+    val (table, v0, _) = history()
+    val feed = ChangeFeed.readChanges(spark, table, "day", v0)
+    val plan = feed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Except"),
+      s"persisted feed must not diff snapshots:\n$plan")
+    // every file scan in the plan roots under _graft_changes — the touched
+    // partitions' live/history data is never read, which is what makes the
+    // feed O(changed rows) instead of O(touched partitions) per commit
+    val scans = feed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("_graft_changes")),
+      s"feed scans must read change files only: $scans")
+  }
+
+  test("merges with the feed disabled fall back to the diff path, same answer") {
+    import spark.implicits._
+    val table = tmp("cdf-off")
+    Seq(("2026-01-01", "k1", 10.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    spark.conf.set("graft.changeFeed.enabled", "false")
+    try {
+      Upsert.mergeByKey(spark, table,
+        Seq(("2026-01-01", "k1", 11.0), ("2026-01-02", "k2", 20.0))
+          .toDF("day", "k", "v"), "day", Seq("k"))
+    } finally spark.conf.unset("graft.changeFeed.enabled")
+    assert(!new java.io.File(s"$table/_graft_changes").exists(),
+      "disabled feed must write no change files")
+    val changes = ChangeFeed.readChanges(spark, table, "day", v0)
+    val replayed = ChangeFeed.applyChanges(
+      Upsert.readAsOf(spark, table, v0, "day"), changes)
+    assert(rows(replayed) == rows(spark.read.parquet(table)),
+      "diff fallback must still satisfy the CDF contract")
+  }
+
+  test("a feed range spanning a schema-widening commit stays readable and applies") {
+    import spark.implicits._
+    val table = tmp("cdf-widen")
+    Seq(("2026-01-01", "k1", 10.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    // commit 1: same-width update
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 11.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    // commit 2: a NEW partition carrying an extra column widens the table
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", "k2", 20.0, "eu")).toDF("day", "k", "v", "region"),
+      "day", Seq("k"))
+    val changes = ChangeFeed.readChanges(spark, table, "day", v0)
+    assert(changes.columns.contains("region"),
+      s"the feed must carry the widened schema: ${changes.columns.toSeq}")
+    val replayed = ChangeFeed.applyChanges(
+      Upsert.readAsOf(spark, table, v0, "day"), changes)
+    val expect = Upsert.readCommitted(spark, table, "day")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("day", "k", "v", "region")
+        .as[(String, String, Double, Option[String])].collect().toSet
+    assert(tuples(replayed) == tuples(expect),
+      "a widening feed must apply onto a pre-widening base")
+    // the diff fallback crosses the widening commit too (regression: this
+    // threw AnalysisException on mismatched exceptAll shapes)
+    val changesDir = new java.io.File(s"$table/_graft_changes")
+    val hidden = new java.io.File(s"$table/_graft_changes_hidden")
+    assert(changesDir.renameTo(hidden))
+    val diffed = ChangeFeed.readChanges(spark, table, "day", v0)
+    assert(tuples(ChangeFeed.applyChanges(
+      Upsert.readAsOf(spark, table, v0, "day"), diffed)) == tuples(expect))
+  }
+
   test("a feed range reaching below the vacuum horizon fails loudly") {
     val (table, v0, _) = history()
     // vacuum everything regardless of age: pre-images below tip are gone
