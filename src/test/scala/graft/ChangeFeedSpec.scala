@@ -183,6 +183,48 @@ class ChangeFeedSpec extends SparkSpec {
       Upsert.readAsOf(spark, table, v0, "day"), diffed)) == tuples(expect))
   }
 
+  test("the diff fallback prunes table scans to the touched partitions (typed partCol)") {
+    import spark.implicits._
+    val table = tmp("cdf-prune")
+    // a DATE-typed partition column: the diff path filters through
+    // cast(day as string) IN (...), which must still reach the scan as a
+    // partition filter — pruning by typed value, not a full-table read
+    Seq("2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04")
+      .map(d => (java.sql.Date.valueOf(d), s"k$d", 1.0))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq((java.sql.Date.valueOf("2026-01-02"), "kx", 9.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    // force the diff path
+    assert(new java.io.File(s"$table/_graft_changes")
+      .renameTo(new java.io.File(s"$table/_graft_changes_hidden")))
+    val feed = ChangeFeed.readChanges(spark, table, "day", v0)
+    // the exceptAll plan is AQE-wrapped: traverse into adaptive subtrees
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val tableScans = scans(feed.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p => !p.toString.contains("_graft_history")))
+    assert(tableScans.nonEmpty, "expected live-table scans in the diff plan")
+    // the post-snapshot live scan prunes 4 partitions down to the 1 touched;
+    // the pre-snapshot live scan prunes to 0 (its touched partition resolves
+    // from history) — either way, never the untouched siblings
+    tableScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 1,
+        s"diff scan must prune to at most the 1 touched partition of 4, " +
+          s"got ${s.selectedPartitions.partitionCount}:\n${s.toString}")
+    }
+    assert(tableScans.exists(_.selectedPartitions.partitionCount == 1),
+      "the post-snapshot scan must read the touched partition")
+    import org.apache.spark.sql.functions.col
+    assert(feed.filter(col("k") === "kx").count() == 1L)
+  }
+
   test("a feed range reaching below the vacuum horizon fails loudly") {
     val (table, v0, _) = history()
     // vacuum everything regardless of age: pre-images below tip are gone
