@@ -823,6 +823,60 @@ object Upsert {
     crowded.length
   }
 
+  /** `OPTIMIZE ... ZORDER BY (cols)` for upsert tables (the reference
+    * schedules exactly this over its Delta sink, ref AGENTS.md:1162-1171):
+    * rewrite EVERY partition's files multi-dimensionally clustered via
+    * [[graft.core.LayoutOps.zOrderBy]], under the same per-partition
+    * compaction claim + retain-first publish as [[compactPartitions]] —
+    * row-identical by contract, atomic per partition, time-travelable to
+    * the pre-layout generation. Unlike compaction this is a LAYOUT op: it
+    * rewrites regardless of file count (the point is bit-interleaved key
+    * locality, not file sizing), with output file count still following
+    * partition bytes. Returns the number of partitions rewritten. */
+  def optimizeZOrder(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      zCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .flatMap { st =>
+        val bytes = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        if (bytes == 0L) None // nothing to lay out
+        else Some((st.getPath.getName,
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt))
+      }
+      .sortBy(_._1).toSeq
+    parts.foreach { case (dirName, nOut) =>
+      val value = unescape(dirName, partCol)
+      val claim = TxnLog.begin(spark, table, "compact", Set(value),
+        TxnLog.currentVersion(spark, table))
+      try {
+        repairCrashedWriter(spark, table, dirName, value, claim.version)
+        val partDir = s"$table/$dirName"
+        val rows = spark.read.parquet(partDir)
+        AtomicWrite.publish(spark, partDir,
+          retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
+          retainFirst = true) { tmp =>
+          graft.core.LayoutOps.zOrderBy(rows, zCols, nOut).write.parquet(tmp)
+        }
+        TxnLog.end(spark, table, claim)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))
+          scala.util.Try(TxnLog.abort(spark, table, claim))
+          throw e
+      }
+    }
+    parts.length
+  }
+
   /** Remove retained generations older than `minAgeMs` (age since
     * REPLACEMENT — the retention rename sets the directory mtime), bounding
     * history growth; the time-travel horizon is exactly this retention,

@@ -61,4 +61,124 @@ class LayoutSpec extends SparkSpec {
       .filter(col("k").between(lo, hi)).count()
     assert(got == hi - lo + 1)
   }
+
+  test("zOrderBy: a predicate on the SECOND key alone prunes; prefix sort cannot") {
+    import spark.implicits._
+    // two independent uniform keys — the classic two-predicate serving
+    // table (e.g. customer_id × event_day)
+    val n = 60000L
+    val dom = 1000L
+    val df = spark.range(n)
+      .withColumn("a", (col("id") * 2477L) % dom)
+      .withColumn("b", (col("id") * 3163L) % dom)
+      .withColumn("payload", md5(col("id").cast("string")))
+    val files = 16
+
+    val prefix = tmp("layout-prefix")
+    LayoutOps.clusterBy(df, Seq("a", "b"), files).write.mode("overwrite").parquet(prefix)
+    val zed = tmp("layout-z")
+    LayoutOps.zOrderBy(df, Seq("a", "b"), files).write.mode("overwrite").parquet(zed)
+
+    // identical content either way
+    assert(spark.read.parquet(zed).count() == n)
+    assert(spark.read.parquet(zed).agg(sum("b")).head.getLong(0) ==
+      spark.read.parquet(prefix).agg(sum("b")).head.getLong(0))
+
+    // a 1%-of-domain range on b ALONE: the lexicographic layout has b
+    // interleaved within every a-run — every file intersects; the z-order
+    // layout gives b its own bit positions — at most ~sqrt coverage
+    val (lo, hi) = (500L, 509L)
+    val prefixFrac = LayoutOps.scanFraction(
+      LayoutOps.longColumnBounds(prefix, "b"), lo, hi)
+    val zFrac = LayoutOps.scanFraction(
+      LayoutOps.longColumnBounds(zed, "b"), lo, hi)
+    info(f"b-only range scan fraction: prefix $prefixFrac%.2f vs z-order $zFrac%.2f")
+    assert(prefixFrac >= 0.9,
+      s"prefix sort should have ~no pruning power on b: $prefixFrac")
+    assert(zFrac <= 1.0 / 3.0,
+      s"z-order must skip >= 2/3 of files on a second-key predicate: $zFrac")
+
+    // the FIRST key keeps real pruning power too (z-order trades a little
+    // per-key locality for locality on every key; the first key sits at
+    // the lower interleave positions, so its runs are shorter — the bound
+    // is looser than the second key's, and both are far from the prefix
+    // layout's 1.0)
+    val zFracA = LayoutOps.scanFraction(
+      LayoutOps.longColumnBounds(zed, "a"), lo, hi)
+    assert(zFracA <= 0.5,
+      s"z-order must also prune on the first key: $zFracA")
+
+    // filtered reads stay correct
+    assert(spark.read.parquet(zed).filter(col("b").between(lo, hi)).count() ==
+      df.filter(col("b").between(lo, hi)).count())
+  }
+
+  test("zOrderBy: quantile bucketing keeps pruning power under heavy skew") {
+    import spark.implicits._
+    // 90% of rows concentrate in 1% of the a-domain: linear min/max
+    // normalization would waste nearly every bucket on the empty range;
+    // quantile bucketing spreads the dense region across buckets
+    val n = 40000L
+    val df = spark.range(n)
+      .withColumn("a",
+        when(col("id") % 10 =!= 0, (col("id") * 7919L) % 10L)
+          .otherwise((col("id") * 7919L) % 1000000L))
+      .withColumn("b", (col("id") * 3163L) % 1000L)
+    val zed = tmp("layout-z-skew")
+    LayoutOps.zOrderBy(df, Seq("a", "b"), 16).write.mode("overwrite").parquet(zed)
+    // a narrow predicate inside the DENSE region must still prune on a
+    val aFrac = LayoutOps.scanFraction(
+      LayoutOps.longColumnBounds(zed, "a"), 3L, 3L)
+    assert(aFrac <= 0.5, s"skewed dense-region point lookup must prune: $aFrac")
+    // and the sparse tail prunes hard (few files hold any tail values)
+    val tailFrac = LayoutOps.scanFraction(
+      LayoutOps.longColumnBounds(zed, "a"), 500000L, 600000L)
+    assert(tailFrac <= 0.5, s"sparse tail range must prune: $tailFrac")
+    assert(spark.read.parquet(zed).filter(col("a") === 3L).count() ==
+      df.filter(col("a") === 3L).count())
+  }
+
+  test("optimizeZOrder: scheduled layout rewrite under claims, time-travelable, prunes") {
+    import spark.implicits._
+    import graft.batch.Upsert
+    import graft.core.TxnLog
+    val table = tmp("layout-optimize")
+    val n = 20000
+    // one partition, two serving keys, arrival-order interleaved
+    (0 until n).map(i => ("2026-01-01", i.toLong, (i.toLong * 2477L) % 500L,
+        (i.toLong * 3163L) % 500L))
+      .toDF("day", "id", "x", "y")
+      .repartition(8)
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    val before = spark.read.parquet(table)
+      .agg(sum("x"), sum("y"), count("*")).head
+
+    assert(Upsert.optimizeZOrder(spark, table, "day", Seq("x", "y"),
+      targetBytes = 24L * 1024) == 1)
+
+    // row-identical
+    val after = spark.read.parquet(table)
+      .agg(sum("x"), sum("y"), count("*")).head
+    assert(after == before, s"layout rewrite must not change rows: $before -> $after")
+    // the partition's files now prune on the SECOND key alone
+    val bounds = LayoutOps.longColumnBounds(s"$table/day=2026-01-01", "y")
+    assert(bounds.size >= 4, s"want multiple files, got ${bounds.size}")
+    val frac = LayoutOps.scanFraction(bounds, 100L, 104L)
+    info(f"post-OPTIMIZE y-only scan fraction: $frac%.2f over ${bounds.size} files")
+    assert(frac <= 0.5, s"z-ordered partition must prune on y: $frac")
+    // the pre-layout generation is retained: time travel still serves it
+    assert(Upsert.readAsOf(spark, table, v0, "day").count() == n.toLong)
+  }
+
+  test("zOrderBy refuses string keys and degenerate arity") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 2L)).toDF("a", "s", "b")
+    intercept[IllegalArgumentException] {
+      LayoutOps.zOrderBy(df, Seq("a", "s"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.zOrderBy(df, Seq("a"), 4)
+    }
+  }
 }
