@@ -146,11 +146,16 @@ object Bench {
     def errorsJson(): String =
       errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
 
-    // storage-layer micro-bench results (merge/compact/read-under-churn),
-    // populated once after the query rounds; empty until then
+    // storage-layer micro-bench results (merge/compact/read-under-churn,
+    // IVF index build/probe), populated once after the query rounds; empty
+    // until then. Failures go to storageError, NOT the query `errors` map:
+    // n_queries_ok counts queries only, and consumers of `errors` must see
+    // query names only.
     var storageResults: Seq[(String, Double)] = Nil
+    var storageError: Option[String] = None
     def storageJson(): String = storageResults
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    def storageErrJson(): String = storageError.fold("null")(jstr)
 
     // medians-so-far over the completed rounds (the final call is the
     // report; in-loop calls checkpoint it to disk)
@@ -171,7 +176,7 @@ object Bench {
       val trusted = BenchGuard.trustedTotal(byRound.map(_.filterNot(kv => errors.contains(kv._1))))
       val outs = BenchGuard.outliers(byRound, baseline)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeat":${rounds.size},"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"outliers":$outs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"storage_error":${storageErrJson()},"queries":$qs,"sf":"$sfDir"}"""
     }
     def writeDetail(): Unit =
       try {
@@ -204,18 +209,44 @@ object Bench {
     // its writes would contend with the query timings): two runs, per-op
     // minimum, reported in the separate "storage" field so query totals stay
     // comparable against bench_baseline.json's query envelope. A failure is
-    // a loud errors entry, not a silent absence.
+    // a loud storage_error entry, not a silent absence — and not a query
+    // `errors` entry, which would under-count n_queries_ok.
+    def recordStorageFailure(what: String, e: Throwable): Unit = {
+      val msg = s"$what: ${e.getClass.getSimpleName}: " +
+        Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+      storageError = Some(storageError.fold(msg)(prev => s"$prev; $msg"))
+      System.err.println(s"[bench] $what FAILED: ${e.getMessage}")
+    }
     storageResults =
       try {
         val runs = Seq.fill(2)(StorageBench.run(spark))
         runs.head.map { case (k, _) => k -> runs.flatMap(_.toMap.get(k)).min }
       } catch {
-        case e: Throwable =>
-          errors("storage_bench") = s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
-          System.err.println(s"[bench] storage bench FAILED: ${e.getMessage}")
-          Nil
+        case e: Throwable => recordStorageFailure("storage bench", e); Nil
       }
+    // IVF index economics, split so the headline is honest: the BUILD is a
+    // once-per-corpus-state cost (full assignment + partitioned write), the
+    // PROBE is the steady-state per-batch cost — the number that argues the
+    // 100 TB story. A fresh directory isolates the build timing from the
+    // query rounds' memoized index; min of two probes, like the storage ops.
+    storageResults = storageResults ++ (
+      try {
+        val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+        val t0 = System.nanoTime()
+        graft.operators.IvfIndex.build(spark, sfDir, idx)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val tProbe = (1 to 2).map { _ =>
+          val p0 = System.nanoTime()
+          graft.operators.IvfIndex.topk(spark, sfDir, idx).count()
+          (System.nanoTime() - p0) / 1e9
+        }.min
+        val p = new org.apache.hadoop.fs.Path(idx)
+        scala.util.Try(
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true))
+        Seq("ivf_index_build" -> tBuild, "ivf_index_probe" -> tProbe)
+      } catch {
+        case e: Throwable => recordStorageFailure("ivf index bench", e); Nil
+      })
 
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size
@@ -264,7 +295,7 @@ object Bench {
     val outliers = BenchGuard.outliers(byRound, baseline)
     val outsJson = (outliers.take(8).map("\"" + _ + "\"") ++
       (if (outliers.size > 8) Seq("\"…\"") else Nil)).mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hs,"n_queries":${selected.size},"n_queries_ok":${selected.size - errors.size},"errors":${errorsJson()},"storage":${storageJson()},"storage_error":${storageErrJson()},"repeat":$actualRounds,"round_totals":$roundsJson,"contended":$contended,"load":$loadsJson,"trusted_total":$trusted%.3f,"n_outliers":${outliers.size},"outliers":$outsJson,"median_sec":$median%.3f,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -219,7 +219,7 @@ object SimilarityQueries extends QueryModule {
     * parquet rewrite replaces files directly under the root (new names /
     * lengths / mtimes), and adding or removing entries inside a nested
     * subdirectory updates that subdirectory's own mtime. */
-  private def corpusFingerprint(s: SparkSession, d: String): String = {
+  private[operators] def corpusFingerprint(s: SparkSession, d: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(root)
@@ -573,13 +573,15 @@ object SimilarityQueries extends QueryModule {
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
     "sim_topk_ivf_indexed" -> ((s: SparkSession, d: String) => {
-      // build-then-probe through the persisted cell-partitioned index; the
-      // result is row-identical with sim_topk_ivf (shared codebook + tail),
-      // so the two share one oracle — what the index adds is the SCAN
-      // shape (partition-pruned cells), probed by IvfIndexSpec
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-      IvfIndex.build(s, d, idx)
-      IvfIndex.topk(s, d, idx)
+      // probe through the persisted cell-partitioned index (built once per
+      // corpus state via the fingerprint memo — repeated invocations reuse
+      // it, so bench rounds past the first measure the PROBE, and nothing
+      // leaks a corpus-sized copy per run). Row-identical with
+      // sim_topk_ivf (shared codebook + tail), so the two share one
+      // oracle — what the index adds is the SCAN shape (partition-pruned
+      // cells), probed by IvfIndexSpec; build vs probe cost is reported
+      // separately by the bench's ivf_index_build / ivf_index_probe.
+      IvfIndex.topk(s, d, IvfIndex.ensureBuilt(s, d))
     }),
     "sim_range_count" -> (rangeCount _),
     "sim_label_affinity" -> (labelAffinity _),
