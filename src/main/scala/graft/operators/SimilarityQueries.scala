@@ -258,7 +258,7 @@ object SimilarityQueries extends QueryModule {
   private def ivfCentroids(s: SparkSession, d: String): DataFrame =
     centroidsDf(s, codebookRows(s, d))
 
-  private def trainCentroidsOn(q: DataFrame): Seq[(Long, Seq[Long])] = {
+  private[operators] def trainCentroidsOn(q: DataFrame): Seq[(Long, Seq[Long])] = {
     // The quantized corpus is NOT cached on purpose: measured (sf0.1,
     // 3-run medians) to buy nothing — the build cost is the per-iteration
     // window/partial-sum shuffles, not the trivial re-scans — and a
