@@ -72,7 +72,11 @@ class LayoutSpec extends SparkSpec {
       .withColumn("a", (col("id") * 2477L) % dom)
       .withColumn("b", (col("id") * 3163L) % dom)
       .withColumn("payload", md5(col("id").cast("string")))
-    val files = 16
+    // 32 files: range-partition boundaries come from seeded sampling whose
+    // seed varies with session history (rdd ids), wobbling each file's key
+    // rectangle by a file or two — finer granularity keeps the pruning
+    // assertions far from that noise
+    val files = 32
 
     val prefix = tmp("layout-prefix")
     LayoutOps.clusterBy(df, Seq("a", "b"), files).write.mode("overwrite").parquet(prefix)
@@ -155,7 +159,7 @@ class LayoutSpec extends SparkSpec {
       .agg(sum("x"), sum("y"), count("*")).head
 
     assert(Upsert.optimizeZOrder(spark, table, "day", Seq("x", "y"),
-      targetBytes = 24L * 1024) == 1)
+      targetBytes = 12L * 1024) == 1)
 
     // row-identical
     val after = spark.read.parquet(table)
