@@ -18,8 +18,11 @@ import graft.streaming.SinkCompaction
   * streaming-sink compact/vacuum pair; `mode = upsert <partCol>` runs the
   * upsert-table small-file compaction ([[graft.batch.Upsert
   * .compactPartitions]]) instead — sink tables have a commit log to
-  * rewrite, upsert tables have partition dirs to coalesce; both then share
-  * the manifest/history/registry sweeps. Prints one JSON line per op for
+  * rewrite, upsert tables have partition dirs to coalesce;
+  * `mode = zorder <partCol> <col,col[,col]>` runs the multi-dimensional
+  * layout rewrite ([[graft.batch.Upsert.optimizeZOrder]], the scheduled
+  * `OPTIMIZE … ZORDER BY` form). All modes then share the
+  * manifest/history/registry sweeps. Prints one JSON line per op for
   * the scheduler's log scraper; exits non-zero on failure.
   */
 object Maintain {
@@ -40,10 +43,20 @@ object Maintain {
     // log scraper
     val tableJson = graft.http.Json.quote(table)
     try {
-      require(mode == "stream" || mode == "upsert",
-        s"Maintain: unknown mode '$mode' (expected 'stream' or 'upsert') — " +
-          "refusing to guess which maintenance to run")
-      if (mode == "upsert") {
+      require(mode == "stream" || mode == "upsert" || mode == "zorder",
+        s"Maintain: unknown mode '$mode' (expected 'stream', 'upsert', or " +
+          "'zorder') — refusing to guess which maintenance to run")
+      if (mode == "zorder") {
+        val partCol = args.drop(2).headOption.getOrElse(
+          sys.error("Maintain: zorder mode needs the partition column " +
+            "(runMain graft.Maintain <table> zorder <partCol> <col,col>)"))
+        val zCols = args.drop(3).headOption.map(_.split(",").toSeq)
+          .getOrElse(sys.error("Maintain: zorder mode needs the cluster " +
+            "columns (runMain graft.Maintain <table> zorder <partCol> <col,col>)"))
+        val n = graft.batch.Upsert.optimizeZOrder(spark, table, partCol, zCols,
+          targetBytes = m.targetBytes)
+        println(s"""{"op":"optimize-zorder","table":$tableJson,"partitions":$n}""")
+      } else if (mode == "upsert") {
         val partCol = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: upsert mode needs the partition column " +
             "(runMain graft.Maintain <table> upsert <partCol>)"))
