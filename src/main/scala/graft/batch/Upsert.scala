@@ -276,25 +276,41 @@ object Upsert {
     }
     // Persisted change feed (Delta writes `_change_data` files inside the
     // same commit): the merge already knows the exact row delta — matched
-    // rows leave, upsert rows enter, and identical-row rewrites cancel via
-    // exceptAll — so record it under the claim's version for ChangeFeed to
-    // read at O(changed rows). Written BEFORE the publish: the old files
-    // are still live to diff against, and a crash after this write but
-    // before the END leaves an orphan directory no feed ever reads (only
-    // END refs are consulted). The published table's hive layout strips
-    // the partition column, so change rows re-carry it as a data column.
+    // rows leave, upsert rows enter, identical-row rewrites cancel — so
+    // record it under the claim's version for ChangeFeed to read at
+    // O(changed rows). Written BEFORE the publish: the old files are still
+    // live to diff against, and a crash after this write but before the
+    // END leaves an orphan directory no feed ever reads (only END refs are
+    // consulted). The published table's hive layout strips the partition
+    // column, so change rows re-carry it as a data column.
+    //
+    // The delta is multiset arithmetic (≡ upserts.exceptAll(matched) ∪
+    // matched.exceptAll(upserts)) computed as ONE net-multiplicity hash
+    // aggregation over the full row — a single shuffle where the twin
+    // exceptAll form costs two, which measurably matters on the merge
+    // micro-bench since this rides every partition merge.
     if (changeFeedEnabled(spark)) {
-      val (inserted, deleted) = existing match {
-        case None => (upserts, upserts.filter(lit(false)))
+      val changes = existing match {
+        case None => upserts.withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
         case Some(old) =>
           val matched = old.join(deltaKeys, keyCols, "left_semi")
-          if (deletesOnly) (matched.filter(lit(false)), matched)
-          else (upserts.exceptAll(matched), matched.exceptAll(upserts))
+          if (deletesOnly) matched.withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
+          else {
+            val outCols = upserts.columns.toSeq
+            upserts.withColumn("_graft_side", lit(1L))
+              .unionByName(matched.withColumn("_graft_side", lit(-1L)))
+              .groupBy(outCols.map(col): _*)
+              .agg(sum(col("_graft_side")).as("_graft_net"))
+              .filter(col("_graft_net") =!= 0L)
+              .withColumn(ChangeFeed.ChangeTypeCol,
+                when(col("_graft_net") > 0, lit("insert")).otherwise(lit("delete")))
+              .withColumn("_graft_copy",
+                explode(sequence(lit(1L), abs(col("_graft_net")))))
+              .drop("_graft_net", "_graft_copy")
+          }
       }
-      val partValue = lit(p).cast(updates.schema(partCol).dataType)
-      inserted.withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
-        .unionByName(deleted.withColumn(ChangeFeed.ChangeTypeCol, lit("delete")))
-        .withColumn(partCol, partValue)
+      changes
+        .withColumn(partCol, lit(p).cast(updates.schema(partCol).dataType))
         .write.mode("overwrite")
         .parquet(s"$table/${ChangeFeed.ChangesDir}/v${claim.version}/c_${escape(p)}")
     }
