@@ -179,6 +179,34 @@ object SqlQueries extends QueryModule {
          WHERE c_nationkey = n_nationkey
          ORDER BY c_acctbal DESC, c_name LIMIT 2) AS t"""
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`, same text in DuckDB): the
+    * length distribution of each customer's strictly-increasing spend
+    * streak from their first order — a recursive successor join whose
+    * depth is data-bounded (P(streak ≥ k) falls factorially), exercising
+    * the anchor/step/column-list surface plus a plain CTE and a window
+    * inside one recursive WITH clause. */
+  private val qRecursive =
+    """WITH RECURSIVE ord AS (
+         SELECT o_custkey, o_totalprice,
+                ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       chain(o_custkey, rn, o_totalprice, len) AS (
+         SELECT o_custkey, rn, o_totalprice, 1 FROM ord WHERE rn = 1
+         UNION ALL
+         SELECT nxt.o_custkey, nxt.rn, nxt.o_totalprice, c.len + 1
+         FROM chain c
+         JOIN ord nxt
+           ON nxt.o_custkey = c.o_custkey
+          AND nxt.rn = c.rn + 1
+          AND nxt.o_totalprice > c.o_totalprice)
+       SELECT streak_len, COUNT(*) AS n_customers
+       FROM (SELECT o_custkey, MAX(len) AS streak_len
+             FROM chain GROUP BY o_custkey)
+       GROUP BY streak_len
+       ORDER BY streak_len"""
+
   private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
     views(s, d)
     s.sql(sql)
@@ -194,6 +222,7 @@ object SqlQueries extends QueryModule {
     "sql_topk_over_agg" -> (run(q3) _),
     "sql_not_in_anti" -> (run(q16) _),
     "sql_in_having" -> (run(q18) _),
+    "sql_recursive_chain" -> (run(qRecursive) _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -206,5 +235,6 @@ object SqlQueries extends QueryModule {
     "sql_topk_over_agg" -> q3,
     "sql_not_in_anti" -> q16,
     "sql_in_having" -> q18,
+    "sql_recursive_chain" -> qRecursive,
   )
 }
