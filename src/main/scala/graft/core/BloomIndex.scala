@@ -1,0 +1,142 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file Bloom-filter index for point lookups on NON-layout columns —
+  * the Delta Lake bloom-filter-index analog (Delta stores one filter per
+  * data file and consults it before scheduling the file for scan).
+  *
+  * [[graft.core.LayoutOps]] makes range/equality predicates on the CLUSTER
+  * keys cheap via footer min/max, but a high-cardinality column that is
+  * not in the sort order gets no help: every file's [min,max] spans the
+  * domain and a needle-in-haystack lookup (a GDPR subject id, a trace id)
+  * reads the whole table. A Bloom filter per file answers "definitely not
+  * here" from kilobytes of sidecar metadata, so the lookup schedules only
+  * the files that MIGHT contain the key — false positives cost one extra
+  * file scan each, never a wrong answer (membership may over-approximate,
+  * never under-approximate).
+  *
+  * Build shape: one pass over the table; each task folds its rows into
+  * per-file partial filters keyed by `input_file_name()` (Spark's
+  * mergeable `BloomFilter` sketch), and the driver merges partials —
+  * driver state is O(files × filterBytes), never rows. The sidecar lives
+  * beside the table (`_graft_bloom/<column>/`) as parquet (file, filter
+  * bytes), so it ships with the table like Delta's index files.
+  *
+  * Lookup shape: read the sidecar (KBs), test the key against each file's
+  * filter (driver math), then `spark.read.parquet(candidates)` — the scan
+  * plan never mentions the skipped files at all, which on an object store
+  * also skips their LIST/HEAD traffic. Files created AFTER the index was
+  * built are unknown to it and are conservatively INCLUDED (scanned), so
+  * a stale index degrades to a slower-but-correct lookup; [[build]] is
+  * idempotent and cheap to re-run from maintenance.
+  */
+object BloomIndex {
+
+  private def indexDir(table: String, column: String) =
+    s"$table/_graft_bloom/$column"
+
+  /** Build (or rebuild) the per-file filter sidecar for `column`.
+    * `fpp` is the per-file false-positive probability at
+    * `expectedPerFile` distinct values; both size the filter (Spark's
+    * sketch picks optimal bits/hashes). Returns the number of files
+    * indexed. */
+  def build(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01): Long = {
+    val df = spark.read.parquet(table)
+    require(df.columns.contains(column), s"bloom index: no column $column")
+    // fold rows into per-file partial filters inside each task, merge by
+    // file: mapPartitions is justified here — the sketch is an imperative
+    // accumulator with no Column-expression form, and the alternative
+    // (groupBy file + collect_list) would shuffle every VALUE instead of
+    // shipping one filter per (task, file)
+    val partials = df.select(input_file_name().as("_f"),
+        col(column).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+      .rdd.mapPartitions { rows =>
+        val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
+        rows.foreach { r =>
+          // normalize to the URI path: input_file_name() renders
+          // `file:///x` where Hadoop listings render `file:/x`
+          val key = new java.net.URI(r.getString(0)).getPath
+          val bf = acc.getOrElseUpdate(key,
+            BloomFilter.create(expectedPerFile, fpp))
+          bf.putString(r.getString(1))
+        }
+        acc.iterator.map { case (f, bf) =>
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          (f, out.toByteArray)
+        }
+      }
+      .reduceByKey { (a, b) =>
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+        bf.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      }
+    import spark.implicits._
+    val sidecar = partials.toDF("file", "filter")
+    // tiny (O(files) rows): one sidecar file keeps the lookup read to a
+    // single open
+    sidecar.coalesce(1).write.mode("overwrite").parquet(indexDir(table, column))
+    spark.read.parquet(indexDir(table, column)).count()
+  }
+
+  /** The table filtered to `column = value`, scanning ONLY files whose
+    * filter admits the value (plus any file newer than the index, included
+    * conservatively). Returns (result, candidate files, skipped files) —
+    * the file lists expose the pruning for callers and specs. */
+  def lookup(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: String): (DataFrame, Seq[String], Seq[String]) = {
+    val filters = spark.read.parquet(indexDir(table, column))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = listDataFiles(fs, root)
+    val (known, unknown) = dataFiles.partition(f => filters.contains(f))
+    val admitted = known.filter { f =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filters(f)))
+        .mightContainString(value)
+    }
+    val candidates = (admitted ++ unknown).sorted
+    val skipped = known.filterNot(admitted.contains).sorted
+    val result =
+      if (candidates.isEmpty)
+        spark.read.parquet(table).filter(lit(false))
+      else
+        spark.read.parquet(candidates: _*).filter(col(column) === value)
+    (result, candidates, skipped)
+  }
+
+  /** All `*.parquet` data files under the table root (recursive through
+    * partition dirs; `_graft_*` sidecars and `_spark_metadata` excluded),
+    * keyed by URI PATH — the normalization the build side applies to
+    * `input_file_name()`, so sidecar keys and listings always align. */
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath)
+        } else if (name.endsWith(".parquet")) {
+          out += st.getPath.toUri.getPath
+        }
+      }
+    walk(root)
+    out.result()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.BloomIndex
+
+/** The per-file Bloom sidecar: point lookups on a non-layout column skip
+  * most files, never lose rows, and degrade conservatively (new files are
+  * scanned, absent keys may cost a false-positive file but return empty). */
+class BloomIndexSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** 16 files, each holding a DISJOINT slice of user ids — the
+    * needle-in-haystack shape (a given id lives in exactly one file). */
+  private def buildTable(): (String, Long) = {
+    val n = 40000L
+    val table = tmp("bloom-table")
+    spark.range(n)
+      .withColumn("user_id", concat(lit("u"), col("id").cast("string")))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .repartitionByRange(16, col("id")) // 16 disjoint, non-empty slices
+      .write.mode("overwrite").parquet(table)
+    (table, n)
+  }
+
+  test("point lookup scans a small candidate set and finds exactly the row") {
+    val (table, n) = buildTable()
+    val files = BloomIndex.build(spark, table, "user_id",
+      expectedPerFile = 4000L, fpp = 0.01)
+    assert(files >= 12L, s"expected many data files, got $files")
+    val (result, candidates, skipped) =
+      BloomIndex.lookup(spark, table, "user_id", "u31337")
+    assert(result.count() == 1L)
+    assert(result.select("id").head.getLong(0) == 31337L)
+    info(s"candidates ${candidates.size}, skipped ${skipped.size} of ${files}")
+    // the key lives in one file; 1% fpp over ~16 filters admits at most a
+    // couple of false positives — the lookup must skip >= 2/3 of the table
+    assert(candidates.size + skipped.size == files)
+    assert(skipped.size.toDouble / files >= 2.0 / 3.0,
+      s"bloom lookup must skip most files: ${skipped.size} of $files")
+    // and the pruned result equals the full-scan filter
+    val full = spark.read.parquet(table).filter(col("user_id") === "u31337")
+    assert(result.collect().toSet == full.collect().toSet)
+    // an absent key returns empty (false positives may scan a file or two,
+    // but membership over-approximates — it never invents rows)
+    val (miss, _, _) = BloomIndex.lookup(spark, table, "user_id", "no-such-user")
+    assert(miss.count() == 0L)
+  }
+
+  test("files newer than the index are scanned conservatively") {
+    val (table, _) = buildTable()
+    BloomIndex.build(spark, table, "user_id", expectedPerFile = 4000L)
+    // a late-arriving file the index has never seen
+    spark.range(1).select(
+        lit(999999L).as("id"), lit("u-late").as("user_id"),
+        md5(lit("x")).as("payload"))
+      .coalesce(1).write.mode("append").parquet(table)
+    val (result, candidates, _) =
+      BloomIndex.lookup(spark, table, "user_id", "u-late")
+    assert(result.count() == 1L,
+      "a stale index must degrade to scanning unknown files, not lose rows")
+    assert(candidates.nonEmpty)
+    // rebuilding absorbs the new file and restores full pruning
+    val files = BloomIndex.build(spark, table, "user_id", expectedPerFile = 4000L)
+    val (r2, c2, s2) = BloomIndex.lookup(spark, table, "user_id", "u-late")
+    assert(r2.count() == 1L)
+    assert(c2.size + s2.size == files)
+    assert(s2.size.toDouble / files >= 2.0 / 3.0)
+  }
+}
