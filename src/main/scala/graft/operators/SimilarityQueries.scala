@@ -258,14 +258,17 @@ object SimilarityQueries extends QueryModule {
   private def ivfCentroids(s: SparkSession, d: String): DataFrame =
     centroidsDf(s, codebookRows(s, d))
 
-  private[operators] def trainCentroidsOn(q: DataFrame): Seq[(Long, Seq[Long])] = {
+  private[operators] def trainCentroidsOn(
+      q: DataFrame,
+      seedWhere: org.apache.spark.sql.Column = col("vec_id") % 51 === 3,
+      iters: Int = IvfIters): Seq[(Long, Seq[Long])] = {
     // The quantized corpus is NOT cached on purpose: measured (sf0.1,
     // 3-run medians) to buy nothing — the build cost is the per-iteration
     // window/partial-sum shuffles, not the trivial re-scans — and a
     // corpus-sized cache is exactly what must not exist at 100 TB.
-    var cent = q.filter(col("vec_id") % 51 === 3)
+    var cent = q.filter(seedWhere)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"))
-    for (_ <- 0 until IvfIters) {
+    for (_ <- 0 until iters) {
       val c = broadcast(cent.withColumn("cnrm", expr("graft_dot(cqv, cqv)")))
       val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("sim"), col("cid"))
       val assign = q.select("vec_id", "qv").as("a").join(c)
@@ -547,6 +550,118 @@ object SimilarityQueries extends QueryModule {
     (recall, cand)
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of [[PqSub]] dims
+    * each (64 = 4×16), per-subspace codebooks from the same seeded
+    * spherical k-means as the IVF coarse quantizer. A vector compresses to
+    * m small code ints — the 100 TB ADC scan reads CODES plus a broadcast
+    * (queries × m × k) lookup table of integer partial dots, never the
+    * vectors: ~64 longs → 4 ints per corpus row, with the recall cost
+    * measured (and oracle-replayed) rather than assumed. */
+  private[operators] val PqM = 4
+  private[operators] val PqSub = 16
+  /** Sub-codebook size (fixed, corpus-independent): k=64 sample codewords
+    * per subspace give codes of m log2(k) = 24 bits while the ADC table
+    * stays (probes x m x 64) ints. The codebook is the first k vectors'
+    * sub-slices (a sample codebook, no Lloyd iterations: iterating over a
+    * mixture collapses codewords onto the component means and destroys
+    * within-cluster variety), deterministic and replayable at any corpus
+    * size. */
+  private[operators] val PqK = 64
+  /** ADC shortlist size for the exact re-rank: production PQ retrieves a
+    * candidate shortlist by compressed-domain score and re-ranks ONLY
+    * those with full vectors — recall@5 then requires the true neighbors
+    * to be IN the shortlist, not exactly ordered by lossy scores. The
+    * fixed size means the full-vector read shrinks relative to the corpus
+    * as it grows (10% at n=500, 1% at n=5000). */
+  private[operators] val PqShortlist = 50
+
+  /** PQ-ADC recall@5 vs brute ground truth: compressed-domain shortlist
+    * ([[PqShortlist]] by ADC score), then exact re-rank of the shortlist
+    * with full vectors — the deployed PQ shape (the lossy score RETRIEVES,
+    * the exact score RANKS). ADC scoring is exact integer arithmetic
+    * (sub-dots of quantized ints summed across subspaces), the re-rank is
+    * the brute cosine with the same tiebreaks, so the Spark and DuckDB
+    * results agree bit-for-bit. */
+  def pqRecall(s: SparkSession, d: String): DataFrame =
+    pqRecallOn(s, quantized(s, d))
+
+  /** PQ-ADC on the SEPARABLE mixture corpus ([[clustered]]) — like the
+    * LSH/IVF families, the near-random corpus floors ANY lossy-distance
+    * scheme (neighbors ~ orthogonal, quantization error swamps the cosine
+    * gaps), while the mixture shows the method's real ceiling: sub-
+    * codewords align with the mixture components. */
+  def pqClusteredRecall(s: SparkSession, d: String): DataFrame =
+    pqRecallOn(s, clustered(s, d))
+
+  private def pqRecallOn(s: SparkSession, q: DataFrame): DataFrame = {
+    val parts = (0 until PqM).map { j =>
+      val off = j * PqSub
+      val subQ = q.select(col("vec_id"),
+        expr(s"slice(qv, ${off + 1}, $PqSub)").as("qv"))
+      val cent = broadcast(centroidsDf(s,
+        trainCentroidsOn(subQ, col("vec_id") < PqK, iters = 0)))
+      // encode: nearest sub-centroid (argmax cosine, cid tiebreak) — the
+      // identical assignment rule the trainer and the oracle replay use
+      val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("sim"), col("cid"))
+      val codes = subQ.as("a").join(cent)
+        .withColumn("sim", expr("graft_dot(a.qv, cqv)").cast("double") /
+          sqrt(col("cnrm").cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a.vec_id").as("neighbor_id"), col("cid").as("code"))
+      // ADC lookup table: per (query, sub-centroid) integer partial dot —
+      // (probes × k) rows, broadcast; the corpus side touches codes only
+      val lut = broadcast(subQ.filter(col("vec_id") < 20).as("p").join(cent)
+        .select(col("p.vec_id").as("query_id"), col("cid"),
+          expr("graft_dot(p.qv, cqv)").as("pdot")))
+      codes.join(lut, col("code") === col("cid"))
+        .select(col("query_id"), col("neighbor_id"), col("pdot"))
+    }
+    val ascore = parts.reduce(_.unionByName(_))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pdot").as("adc"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
+    val shortlist = ascore.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= PqShortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the shortlist: full vectors for PqShortlist rows
+    // per probe, never the whole corpus
+    val probesAll = q.filter(col("vec_id") < 20)
+    val wR = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    val ptop = shortlist
+      .join(probesAll.select(col("vec_id").as("query_id"),
+        col("qv").as("pqv"), col("nrm").as("pnrm")), "query_id")
+      .join(q.select(col("vec_id").as("neighbor_id"),
+        col("qv").as("xqv"), col("nrm").as("xnrm")), "neighbor_id")
+      .withColumn("dot", expr("graft_dot(pqv, xqv)"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("pnrm").cast("double")) * sqrt(col("xnrm").cast("double"))))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id")
+    // brute ground truth over the SAME corpus, full vectors
+    val probes = q.filter(col("vec_id") < 20)
+    val wB = Window.partitionBy(col("a.vec_id")).orderBy(desc("cosine"), col("b.vec_id"))
+    val brute = probes.as("a")
+      .join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", expr("graft_dot(a.qv, b.qv)"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= 5)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+    val hits = brute.join(ptop
+          .select(col("query_id").as("q2"), col("neighbor_id").as("n2")),
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("k").cast("double"))
+          .as("recall_at_5"))
+  }
+
   private[graft] def ivfRecallWithMargin(
       s: SparkSession, d: String, margin: Double): DataFrame = {
     val brute = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
@@ -585,6 +700,8 @@ object SimilarityQueries extends QueryModule {
     }),
     "sim_range_count" -> (rangeCount _),
     "sim_label_affinity" -> (labelAffinity _),
+    "sim_pq_recall" -> (pqRecall _),
+    "sim_pq_clustered_recall" -> (pqClusteredRecall _),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -743,10 +860,93 @@ object SimilarityQueries extends QueryModule {
               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
        FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
 
+  /** Per-subspace PQ replay for the oracle: slice the quantized vectors,
+    * rerun the seeded k-means chain on the slice, encode the corpus, and
+    * emit the probe-side ADC lookup table — the DuckDB mirror of one
+    * `j`-iteration of [[pqRecall]]'s loop. */
+  private def sqlPqChain(j: Int): String = {
+    val off = j * PqSub
+    def step(centName: String, i: Int): String =
+      s"""a${j}_$i AS (
+           SELECT vec_id, qv, cid FROM (
+             SELECT nn.vec_id, nn.qv, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY nn.vec_id ORDER BY
+                      CAST(list_sum(list_transform(range(1, len(nn.qv) + 1), i -> nn.qv[i] * c.cqv[i])) AS DOUBLE) /
+                      SQRT(CAST(list_sum(list_transform(range(1, len(c.cqv) + 1), i -> c.cqv[i] * c.cqv[i])) AS DOUBLE)) DESC,
+                      c.cid) AS rk
+             FROM n$j nn CROSS JOIN $centName c) WHERE rk = 1),
+         cent${j}_${i + 1} AS (
+           SELECT cid, list(sv ORDER BY p) AS cqv FROM (
+             SELECT cid, p, CAST(SUM(qv[p + 1]) AS BIGINT) AS sv
+             FROM a${j}_$i CROSS JOIN range($PqSub) r(p) GROUP BY 1, 2) GROUP BY cid)"""
+    s"""n$j AS (SELECT vec_id, qv[${off + 1}:${off + PqSub}] AS qv FROM n),
+       cent${j}_0 AS (SELECT vec_id AS cid, qv AS cqv FROM n$j WHERE vec_id < $PqK),
+       pcent$j AS (SELECT cid, cqv,
+         list_sum(list_transform(range(1, len(cqv) + 1), i -> cqv[i] * cqv[i])) AS cnrm
+         FROM cent${j}_0),
+       code$j AS (
+         SELECT vec_id, cid AS code FROM (
+           SELECT nn.vec_id, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY nn.vec_id ORDER BY
+                    CAST(list_sum(list_transform(range(1, len(nn.qv) + 1), i -> nn.qv[i] * c.cqv[i])) AS DOUBLE) /
+                    SQRT(CAST(cnrm AS DOUBLE)) DESC, c.cid) AS rk
+           FROM n$j nn CROSS JOIN pcent$j c) WHERE rk = 1),
+       lut$j AS (
+         SELECT p.vec_id AS query_id, c.cid,
+                list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * c.cqv[i])) AS pdot
+         FROM n$j p CROSS JOIN pcent$j c WHERE p.vec_id < 20)"""
+  }
+
+  private lazy val sqlPqBody: String = s"""${(0 until PqM).map(sqlPqChain).mkString(",\n       ")},
+       ascore AS (
+         SELECT query_id, neighbor_id, SUM(pdot) AS adc FROM (
+           ${(0 until PqM).map(j =>
+             s"SELECT l.query_id, x.vec_id AS neighbor_id, l.pdot FROM code$j x JOIN lut$j l ON l.cid = x.code")
+             .mkString("\n           UNION ALL ")}
+         ) WHERE query_id <> neighbor_id GROUP BY 1, 2),
+       shortlist AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id) AS rank
+           FROM ascore) WHERE rank <= $PqShortlist),
+       rescored AS (
+         SELECT sl.query_id, sl.neighbor_id, $cosSql AS cosine
+         FROM shortlist sl
+         JOIN n a ON a.vec_id = sl.query_id
+         JOIN n b ON b.vec_id = sl.neighbor_id),
+       ptop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rescored) WHERE rank <= 5),
+       bscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       btop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM bscored) WHERE rank <= 5),
+       hits AS (
+         SELECT b.query_id, COUNT(*) AS n_hits
+         FROM btop b JOIN ptop p
+           ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         GROUP BY 1),
+       base AS (SELECT query_id, COUNT(*) AS k FROM btop GROUP BY 1)
+       SELECT base.query_id,
+              CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
+       FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
+
   val oracleSql: Map[String, String] = oracleSqlBase +
     // the indexed probe is row-identical with the in-query IVF by contract
     // (shared codebook, nprobe/margin, and scoring tail) — same oracle
-    ("sim_topk_ivf_indexed" -> oracleSqlBase("sim_topk_ivf"))
+    ("sim_topk_ivf_indexed" -> oracleSqlBase("sim_topk_ivf")) +
+    ("sim_pq_recall" -> s"WITH $qCte,\n       $sqlPqBody") +
+    ("sim_pq_clustered_recall" -> s"WITH $clusteredCte,\n       $sqlPqBody")
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "sim_clustered_recall" -> s"""WITH $clusteredCte,
