@@ -21,8 +21,11 @@ import graft.streaming.SinkCompaction
   * rewrite, upsert tables have partition dirs to coalesce;
   * `mode = zorder <partCol> <col,col[,col]>` runs the multi-dimensional
   * layout rewrite ([[graft.batch.Upsert.optimizeZOrder]], the scheduled
-  * `OPTIMIZE … ZORDER BY` form). All modes then share the
-  * manifest/history/registry sweeps. Prints one JSON line per op for
+  * `OPTIMIZE … ZORDER BY` form); `mode = bloom <col>` rebuilds the
+  * per-file Bloom sidecar ([[graft.core.BloomIndex]] — merges republish
+  * partition files under new names, so the scheduled rebuild is what
+  * restores point-lookup pruning after write churn). All modes then share
+  * the manifest/history/registry sweeps. Prints one JSON line per op for
   * the scheduler's log scraper; exits non-zero on failure.
   */
 object Maintain {
@@ -43,10 +46,16 @@ object Maintain {
     // log scraper
     val tableJson = graft.http.Json.quote(table)
     try {
-      require(mode == "stream" || mode == "upsert" || mode == "zorder",
-        s"Maintain: unknown mode '$mode' (expected 'stream', 'upsert', or " +
-          "'zorder') — refusing to guess which maintenance to run")
-      if (mode == "zorder") {
+      require(Set("stream", "upsert", "zorder", "bloom").contains(mode),
+        s"Maintain: unknown mode '$mode' (expected 'stream', 'upsert', " +
+          "'zorder', or 'bloom') — refusing to guess which maintenance to run")
+      if (mode == "bloom") {
+        val column = args.drop(2).headOption.getOrElse(
+          sys.error("Maintain: bloom mode needs the indexed column " +
+            "(runMain graft.Maintain <table> bloom <col>)"))
+        val n = graft.core.BloomIndex.build(spark, table, column)
+        println(s"""{"op":"bloom-rebuild","table":$tableJson,"files":$n}""")
+      } else if (mode == "zorder") {
         val partCol = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: zorder mode needs the partition column " +
             "(runMain graft.Maintain <table> zorder <partCol> <col,col>)"))

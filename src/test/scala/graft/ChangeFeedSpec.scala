@@ -225,6 +225,58 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feed.filter(col("k") === "kx").count() == 1L)
   }
 
+  test("feed reads racing live merges stay consistent: apply(feed@tip) == snapshot@tip") {
+    import spark.implicits._
+    val table = tmp("cdf-hammer")
+    Seq(("p0", "seed", 0.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // 3 writers churn DISJOINT partitions (no claim conflicts) while a
+    // reader replays the feed against a pinned tip: every probe must land
+    // exactly on the snapshot at that tip — never a torn or partial feed
+    val writers = (0 until 3).map { t =>
+      new Thread(() => {
+        try (0 until 12).foreach { i =>
+          Upsert.mergeByKey(spark, table,
+            Seq((s"w$t", s"k${i % 4}", i.toDouble)).toDF("day", "k", "v"),
+            "day", Seq("k"))
+        } catch { case e: Throwable => errs.add(s"writer $t: $e") }
+      })
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val tip = TxnLog.currentVersion(spark, table)
+          val feed = ChangeFeed.readChanges(spark, table, "day", v0, Some(tip))
+          val replayed = ChangeFeed.applyChanges(
+            Upsert.readAsOf(spark, table, v0, "day"), feed)
+          val want = rows(Upsert.readAsOf(spark, table, tip, "day"))
+          val got = rows(replayed)
+          if (got != want)
+            errs.add(s"probe at v$tip: feed replay diverged " +
+              s"(missing ${want -- got}, extra ${got -- want})")
+          probes.incrementAndGet()
+        } catch {
+          // loud retryable races (mid-install listings) are allowed; torn
+          // RESULTS are not — only add silent divergence above
+          case _: Throwable => ()
+        }
+      }
+    })
+    reader.start(); writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); reader.join()
+    assert(errs.isEmpty, s"hammer anomalies: ${errs.peek()}")
+    assert(probes.get() >= 3, s"reader must complete probes mid-churn: ${probes.get()}")
+    // quiesced: the full feed lands exactly on the committed state
+    val finalReplay = ChangeFeed.applyChanges(
+      Upsert.readAsOf(spark, table, v0, "day"),
+      ChangeFeed.readChanges(spark, table, "day", v0))
+    assert(rows(finalReplay) == rows(Upsert.readCommitted(spark, table, "day")))
+  }
+
   test("a feed range reaching below the vacuum horizon fails loudly") {
     val (table, v0, _) = history()
     // vacuum everything regardless of age: pre-images below tip are gone
