@@ -191,7 +191,8 @@ object SqlQueries extends QueryModule {
                 ROW_NUMBER() OVER (
                   PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS rn
-         FROM orders),
+         FROM orders
+         WHERE o_custkey % 10 = 0),
        chain(o_custkey, rn, o_totalprice, len) AS (
          SELECT o_custkey, rn, o_totalprice, 1 FROM ord WHERE rn = 1
          UNION ALL
