@@ -39,35 +39,43 @@ object BloomIndex {
   private def indexDir(table: String, column: String) =
     s"$table/_graft_bloom/$column"
 
-  /** Build (or rebuild) the per-file filter sidecar for `column`.
-    * `fpp` is the per-file false-positive probability at
-    * `expectedPerFile` distinct values; both size the filter (Spark's
-    * sketch picks optimal bits/hashes). Returns the number of files
-    * indexed. */
+  /** Build (or rebuild) the per-file filter sidecar for `column`. Each
+    * file's filter is sized to that file's MEASURED row count (one cheap
+    * metadata-ish pre-pass), so the sidecar is proportional to the data —
+    * a fixed "expected items" would give a 100k-file table a
+    * 100k × max-size sidecar. `fpp` is the per-file false-positive
+    * probability at that size. Returns the number of files indexed. */
   def build(
       spark: SparkSession,
       table: String,
       column: String,
-      expectedPerFile: Long = 1000000L,
       fpp: Double = 0.01): Long = {
     val df = spark.read.parquet(table)
     require(df.columns.contains(column), s"bloom index: no column $column")
+    val keyed = df.select(input_file_name().as("_f"),
+        col(column).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    // per-file row counts size the filters; the map is O(files) driver
+    // state, broadcast into the fold below
+    val sizes = keyed.groupBy("_f").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
+      .toMap
+    val sizesB = spark.sparkContext.broadcast(sizes)
     // fold rows into per-file partial filters inside each task, merge by
     // file: mapPartitions is justified here — the sketch is an imperative
     // accumulator with no Column-expression form, and the alternative
     // (groupBy file + collect_list) would shuffle every VALUE instead of
     // shipping one filter per (task, file)
-    val partials = df.select(input_file_name().as("_f"),
-        col(column).cast("string").as("_v"))
-      .filter(col("_v").isNotNull)
+    val partials = keyed
       .rdd.mapPartitions { rows =>
         val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
         rows.foreach { r =>
           // normalize to the URI path: input_file_name() renders
           // `file:///x` where Hadoop listings render `file:/x`
           val key = new java.net.URI(r.getString(0)).getPath
-          val bf = acc.getOrElseUpdate(key,
-            BloomFilter.create(expectedPerFile, fpp))
+          val bf = acc.getOrElseUpdate(key, BloomFilter.create(
+            math.max(64L, sizesB.value.getOrElse(key, 1024L)), fpp))
           bf.putString(r.getString(1))
         }
         acc.iterator.map { case (f, bf) =>

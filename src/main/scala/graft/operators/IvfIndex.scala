@@ -200,6 +200,14 @@ object IvfIndex {
     val tip = graft.core.TxnLog.currentVersion(s, table)
     if (tip <= meta.version)
       return RefreshStats(rebuilt = false, 0L, 0L, meta.version, tip)
+    // a refresh that crashed mid-swap leaves staging debris; sweep it
+    // before (not after) the work so a crash between swap and sweep is
+    // self-healing on the next run
+    val idxFs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    idxFs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(_.getPath.getName.startsWith(".refresh-"))
+      .foreach(st => idxFs.delete(st.getPath, true))
     val changes = ChangeFeed.readChanges(s, table, partCol,
       meta.version, Some(tip)).cache()
     try {

@@ -30,7 +30,7 @@ class BloomIndexSpec extends SparkSpec {
   test("point lookup scans a small candidate set and finds exactly the row") {
     val (table, n) = buildTable()
     val files = BloomIndex.build(spark, table, "user_id",
-      expectedPerFile = 4000L, fpp = 0.01)
+      fpp = 0.01)
     assert(files >= 12L, s"expected many data files, got $files")
     val (result, candidates, skipped) =
       BloomIndex.lookup(spark, table, "user_id", "u31337")
@@ -53,7 +53,7 @@ class BloomIndexSpec extends SparkSpec {
 
   test("files newer than the index are scanned conservatively") {
     val (table, _) = buildTable()
-    BloomIndex.build(spark, table, "user_id", expectedPerFile = 4000L)
+    BloomIndex.build(spark, table, "user_id")
     // a late-arriving file the index has never seen
     spark.range(1).select(
         lit(999999L).as("id"), lit("u-late").as("user_id"),
@@ -65,7 +65,7 @@ class BloomIndexSpec extends SparkSpec {
       "a stale index must degrade to scanning unknown files, not lose rows")
     assert(candidates.nonEmpty)
     // rebuilding absorbs the new file and restores full pruning
-    val files = BloomIndex.build(spark, table, "user_id", expectedPerFile = 4000L)
+    val files = BloomIndex.build(spark, table, "user_id")
     val (r2, c2, s2) = BloomIndex.lookup(spark, table, "user_id", "u-late")
     assert(r2.count() == 1L)
     assert(c2.size + s2.size == files)
