@@ -593,7 +593,17 @@ object SimilarityQueries extends QueryModule {
   def pqClusteredRecall(s: SparkSession, d: String): DataFrame =
     pqRecallOn(s, clustered(s, d))
 
-  private def pqRecallOn(s: SparkSession, q: DataFrame): DataFrame = {
+  private def pqRecallOn(s: SparkSession, q: DataFrame): DataFrame =
+    pqRecallFromScores(s, q, pqAdcScores(s, q))
+
+  /** The compressed-domain half on its own: per (probe, corpus vector)
+    * ADC scores. Package-visible so the plan spec can assert its scale
+    * shape (corpus rows join only BROADCAST tables — sub-codebooks and
+    * the per-probe lookup table — never shuffle against each other). */
+  private[graft] def pqAdcScores(s: SparkSession, d: String): DataFrame =
+    pqAdcScores(s, quantized(s, d))
+
+  private[graft] def pqAdcScores(s: SparkSession, q: DataFrame): DataFrame = {
     val parts = (0 until PqM).map { j =>
       val off = j * PqSub
       val subQ = q.select(col("vec_id"),
@@ -617,9 +627,15 @@ object SimilarityQueries extends QueryModule {
       codes.join(lut, col("code") === col("cid"))
         .select(col("query_id"), col("neighbor_id"), col("pdot"))
     }
-    val ascore = parts.reduce(_.unionByName(_))
+    parts.reduce(_.unionByName(_))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id").agg(sum("pdot").as("adc"))
+  }
+
+  /** Shortlist + exact re-rank + recall-vs-brute tail over precomputed
+    * ADC scores. */
+  private def pqRecallFromScores(
+      s: SparkSession, q: DataFrame, ascore: DataFrame): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
     val shortlist = ascore.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= PqShortlist)

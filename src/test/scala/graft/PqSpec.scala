@@ -24,6 +24,23 @@ class PqSpec extends SparkSpec {
     assert(m >= 0.9, f"PQ must recover separable-corpus neighbors: $m%.3f")
   }
 
+  test("the ADC corpus pass joins only against broadcast tables") {
+    // the scale claim: corpus rows meet (a) the sub-codebook during encode
+    // and (b) the per-probe ADC lookup table — both driver-small and
+    // BROADCAST, so the compressed-domain scoring never shuffles the
+    // corpus against anything
+    val ascore = SimilarityQueries.pqAdcScores(spark, dir)
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        joins(a.executedPlan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => Seq(j.nodeName)
+    }.flatten
+    val js = joins(ascore.queryExecution.executedPlan)
+    assert(js.nonEmpty, "expected joins in the ADC plan")
+    assert(js.forall(_.contains("Broadcast")),
+      s"every ADC-path join must be broadcast: $js")
+  }
+
   test("near-random corpus: recall floored by geometry but well above chance") {
     // measured 0.82: the 50-of-500 shortlist carries most true neighbors
     // even when ADC ordering is noise-limited; chance would be ~0.1
