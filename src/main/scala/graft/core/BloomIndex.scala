@@ -1,8 +1,13 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Per-file Bloom-filter index for point lookups on NON-layout columns —
@@ -19,32 +24,49 @@ import org.apache.spark.util.sketch.BloomFilter
   * file scan each, never a wrong answer (membership may over-approximate,
   * never under-approximate).
   *
-  * Build shape: one pass over the table; each task folds its rows into
-  * per-file partial filters keyed by `input_file_name()` (Spark's
-  * mergeable `BloomFilter` sketch), and the driver merges partials —
-  * driver state is O(files × filterBytes), never rows. The sidecar lives
-  * beside the table (`_graft_bloom/<column>/`) as parquet (file, filter
-  * bytes), so it ships with the table like Delta's index files.
+  * Build shape: ONE pass over the data; filters are pre-sized from parquet
+  * FOOTER metadata (row count minus the column's null count, a KB-scale
+  * read per file that never touches row groups), then each task folds its
+  * rows into per-file partial filters keyed by `input_file_name()`
+  * (Spark's mergeable `BloomFilter` sketch) and the driver merges
+  * partials — driver state is O(files × filterBytes), never rows. The
+  * sidecar lives beside the table (`_graft_bloom/<column>/`) as parquet
+  * (file, filter bytes), so it ships with the table like Delta's index
+  * files.
   *
   * Lookup shape: read the sidecar (KBs), test the key against each file's
-  * filter (driver math), then `spark.read.parquet(candidates)` — the scan
-  * plan never mentions the skipped files at all, which on an object store
-  * also skips their LIST/HEAD traffic. Files created AFTER the index was
-  * built are unknown to it and are conservatively INCLUDED (scanned), so
-  * a stale index degrades to a slower-but-correct lookup; [[build]] is
+  * filter (driver math), then read ONLY the admitted files — with
+  * `basePath` set to the table root so Hive partition-dir columns
+  * (`event_date=…`) survive exactly as a full-table scan would produce
+  * them, and with the files' ORIGINAL scheme-qualified paths so the read
+  * targets the table's filesystem, not the session default. The scan plan
+  * never mentions the skipped files at all, which on an object store also
+  * skips their LIST/HEAD traffic. Files created AFTER the index was built
+  * are unknown to it and are conservatively INCLUDED (scanned), so a
+  * stale index degrades to a slower-but-correct lookup; [[build]] is
   * idempotent and cheap to re-run from maintenance.
+  *
+  * Sidecar keys are scheme-stripped URI paths ONLY because
+  * `input_file_name()` renders `file:///x` where Hadoop listings render
+  * `file:/x` — the normalized form is a join key, never a read path.
   */
 object BloomIndex {
 
   private def indexDir(table: String, column: String) =
     s"$table/_graft_bloom/$column"
 
+  /** `input_file_name()` ⇄ Hadoop-listing normalization: both sides key
+    * the sidecar by the scheme-stripped URI path. */
+  private def normKey(p: String): String = new java.net.URI(p).getPath
+
   /** Build (or rebuild) the per-file filter sidecar for `column`. Each
-    * file's filter is sized to that file's MEASURED row count (one cheap
-    * metadata-ish pre-pass), so the sidecar is proportional to the data —
-    * a fixed "expected items" would give a 100k-file table a
-    * 100k × max-size sidecar. `fpp` is the per-file false-positive
-    * probability at that size. Returns the number of files indexed. */
+    * file's filter is sized to that file's non-null count read from the
+    * parquet FOOTER (row count − column null count; falls back to row
+    * count when a chunk lacks null stats), so the sidecar is proportional
+    * to the data without a counting pre-scan — a fixed "expected items"
+    * would give a 100k-file table a 100k × max-size sidecar. `fpp` is the
+    * per-file false-positive probability at that size. Returns the number
+    * of files indexed. */
   def build(
       spark: SparkSession,
       table: String,
@@ -52,16 +74,13 @@ object BloomIndex {
       fpp: Double = 0.01): Long = {
     val df = spark.read.parquet(table)
     require(df.columns.contains(column), s"bloom index: no column $column")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val sizes = footerCounts(spark, listDataFiles(fs, root), column)
+    val sizesB = spark.sparkContext.broadcast(sizes)
     val keyed = df.select(input_file_name().as("_f"),
         col(column).cast("string").as("_v"))
       .filter(col("_v").isNotNull)
-    // per-file row counts size the filters; the map is O(files) driver
-    // state, broadcast into the fold below
-    val sizes = keyed.groupBy("_f").agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
-      .toMap
-    val sizesB = spark.sparkContext.broadcast(sizes)
     // fold rows into per-file partial filters inside each task, merge by
     // file: mapPartitions is justified here — the sketch is an imperative
     // accumulator with no Column-expression form, and the alternative
@@ -71,8 +90,6 @@ object BloomIndex {
       .rdd.mapPartitions { rows =>
         val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
         rows.foreach { r =>
-          // normalize to the URI path: input_file_name() renders
-          // `file:///x` where Hadoop listings render `file:/x`
           val key = new java.net.URI(r.getString(0)).getPath
           val bf = acc.getOrElseUpdate(key, BloomFilter.create(
             math.max(64L, sizesB.value.getOrElse(key, 1024L)), fpp))
@@ -99,10 +116,53 @@ object BloomIndex {
     spark.read.parquet(indexDir(table, column)).count()
   }
 
+  /** Per-file expected insertion counts from parquet footers only: row
+    * count minus the column's null count when every row group carries
+    * null stats, plain row count otherwise (over-sizing is safe; an
+    * under-sized filter would raise the effective fpp). Footer reads are
+    * distributed over executors — O(files) KB-scale metadata reads, no
+    * row-group IO — and the result is O(files) driver state, keyed by the
+    * same normalized path the fold pass uses. */
+  private[core] def footerCounts(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val confB = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .map { full =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(full), confB.value.value))
+        try {
+          var rows = 0L
+          var nulls = 0L
+          var statsOk = true
+          reader.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column) match {
+              case Some(c) if c.getStatistics != null &&
+                  c.getStatistics.isNumNullsSet =>
+                nulls += c.getStatistics.getNumNulls
+              case _ => statsOk = false
+            }
+          }
+          normKey(full) -> (if (statsOk) math.max(0L, rows - nulls) else rows)
+        } finally reader.close()
+      }
+      .collect().toMap
+  }
+
   /** The table filtered to `column = value`, scanning ONLY files whose
     * filter admits the value (plus any file newer than the index, included
-    * conservatively). Returns (result, candidate files, skipped files) —
-    * the file lists expose the pruning for callers and specs. */
+    * conservatively). The candidate read pins `basePath` to the table
+    * root, so Hive partition columns are recovered exactly as a full
+    * scan's — lookup is schema-equivalent to
+    * `spark.read.parquet(table).filter(col === value)`, just cheaper.
+    * Returns (result, candidate files, skipped files) — full
+    * scheme-qualified paths, exposing the pruning for callers and specs. */
   def lookup(
       spark: SparkSession,
       table: String,
@@ -113,9 +173,10 @@ object BloomIndex {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
-    val (known, unknown) = dataFiles.partition(f => filters.contains(f))
+    val (known, unknown) = dataFiles.partition(f => filters.contains(normKey(f)))
     val admitted = known.filter { f =>
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(filters(f)))
+      BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(filters(normKey(f))))
         .mightContainString(value)
     }
     val candidates = (admitted ++ unknown).sorted
@@ -124,14 +185,16 @@ object BloomIndex {
       if (candidates.isEmpty)
         spark.read.parquet(table).filter(lit(false))
       else
-        spark.read.parquet(candidates: _*).filter(col(column) === value)
+        spark.read.option("basePath", table)
+          .parquet(candidates: _*).filter(col(column) === value)
     (result, candidates, skipped)
   }
 
   /** All `*.parquet` data files under the table root (recursive through
-    * partition dirs; `_graft_*` sidecars and `_spark_metadata` excluded),
-    * keyed by URI PATH — the normalization the build side applies to
-    * `input_file_name()`, so sidecar keys and listings always align. */
+    * partition dirs; `_graft_*` sidecars and `_spark_metadata` excluded)
+    * as FULL scheme-qualified path strings — safe to hand to
+    * `spark.read.parquet` on any filesystem. Normalize with [[normKey]]
+    * only when joining against sidecar keys. */
   private def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -141,7 +204,7 @@ object BloomIndex {
         if (st.isDirectory) {
           if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath)
         } else if (name.endsWith(".parquet")) {
-          out += st.getPath.toUri.getPath
+          out += st.getPath.toString
         }
       }
     walk(root)

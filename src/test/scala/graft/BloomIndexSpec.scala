@@ -51,6 +51,85 @@ class BloomIndexSpec extends SparkSpec {
     assert(miss.count() == 0L)
   }
 
+  /** Sum of Spark input bytesRead across all jobs run by `body`, polled
+    * until the listener bus drains (value stable for 500 ms). */
+  private def bytesReadDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && acc.get() != last) {
+        last = acc.get()
+        Thread.sleep(500)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("lookup on a Hive-partitioned table keeps partition columns " +
+      "and matches the full scan") {
+    val table = tmp("bloom-part")
+    // 4 event_date partitions × 4 files each: the engine's primary table
+    // shape (date-partitioned fact table)
+    spark.range(40000)
+      .withColumn("event_date",
+        date_add(lit("2024-01-01").cast("date"), (col("id") % 4).cast("int")))
+      .withColumn("user_id", concat(lit("u"), col("id").cast("string")))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .repartitionByRange(16, col("event_date"), col("id"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(table)
+    val files = BloomIndex.build(spark, table, "user_id")
+    assert(files >= 12L, s"expected many data files, got $files")
+    val (result, candidates, skipped) =
+      BloomIndex.lookup(spark, table, "user_id", "u31337")
+    val full = spark.read.parquet(table).filter(col("user_id") === "u31337")
+    // schema parity: the partition column must survive the file-list read
+    assert(result.columns.sorted.sameElements(full.columns.sorted),
+      s"lookup schema ${result.columns.mkString(",")} != " +
+        s"full-scan schema ${full.columns.mkString(",")}")
+    assert(result.columns.contains("event_date"),
+      "partition column lost by candidate-file read")
+    // row parity, including the partition column's VALUE
+    val cols = full.columns.sorted.map(col).toSeq
+    assert(result.select(cols: _*).collect().toSet ==
+      full.select(cols: _*).collect().toSet)
+    assert(result.count() == 1L)
+    assert(candidates.size + skipped.size == files)
+    assert(skipped.size.toDouble / files >= 2.0 / 3.0,
+      s"bloom lookup must skip most files: ${skipped.size} of $files")
+  }
+
+  test("build reads the data once (footer-sized filters, no counting pre-scan)") {
+    val (table, _) = buildTable()
+    // baseline: exactly one scan of the two columns the fold pass reads
+    val baseline = bytesReadDuring {
+      spark.read.parquet(table)
+        .select(input_file_name().as("_f"), col("user_id").cast("string"))
+        .filter(col("user_id").isNotNull)
+        .rdd.foreach(_ => ())
+    }
+    val built = bytesReadDuring {
+      BloomIndex.build(spark, table, "user_id")
+    }
+    info(s"baseline one-scan bytes $baseline, build bytes $built")
+    // the old implementation pre-counted with groupBy(file) — a second full
+    // scan, ~2× baseline. Footer reads are KB-scale and untracked by input
+    // metrics; 1.5× leaves headroom for sidecar-write re-reads.
+    assert(built < (baseline * 1.5).toLong,
+      s"build must be one data pass: $built vs one-scan $baseline")
+    // and the sized filters still prune: disjoint needle skips >= 2/3
+    val (_, c, s) = BloomIndex.lookup(spark, table, "user_id", "u31337")
+    assert(s.size.toDouble / (c.size + s.size) >= 2.0 / 3.0)
+  }
+
   test("files newer than the index are scanned conservatively") {
     val (table, _) = buildTable()
     BloomIndex.build(spark, table, "user_id")
