@@ -79,6 +79,20 @@ object ChangeFeed {
         s"change feed: toVersion $to is beyond the current tip v$tip")
     require(fromVersion <= to,
       s"change feed: fromVersion $fromVersion must be <= toVersion $to")
+    // manifest-horizon check: TxnLog.truncate drops the oldest commit
+    // files, and a fromVersion below the retained range would silently
+    // skip the truncated commits (the filter below only sees survivors).
+    // Mirror readAsOf's contract: fail loudly instead of feeding a partial
+    // delta — a lagging consumer must re-bootstrap from a snapshot.
+    // fromVersion = 0 stays valid by definition ("from the first retained
+    // commit"); any positive cursor must cover every truncated version.
+    val oldest = all.headOption.map(_.version).getOrElse(0L)
+    if (fromVersion > 0 && fromVersion < oldest - 1)
+      throw new IllegalStateException(
+        s"change feed: fromVersion $fromVersion predates the manifest " +
+          s"horizon (oldest retained commit is v$oldest after log " +
+          "truncation) — intervening commits are gone; re-bootstrap the " +
+          "consumer from a snapshot")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val dataEnds = all.filter(c => c.op == "upsert-end" && c.ref.isDefined &&

@@ -198,16 +198,37 @@ object IvfIndex {
     import graft.batch.ChangeFeed
     val meta = readMeta(s, indexDir)
     val tip = graft.core.TxnLog.currentVersion(s, table)
-    if (tip <= meta.version)
-      return RefreshStats(rebuilt = false, 0L, 0L, meta.version, tip)
-    // a refresh that crashed mid-swap leaves staging debris; sweep it
-    // before (not after) the work so a crash between swap and sweep is
-    // self-healing on the next run
+    // staging-debris triage BEFORE any early return: `.refresh-v<N>` dirs
+    // exist only while a swap is in flight, and meta.version advances only
+    // AFTER every affected cell is installed and the staging dir deleted.
+    // So debris with N > meta.version means the previous refresh may have
+    // died MID-SWAP — a live cell dir may already be deleted with the
+    // staged copy its ONLY surviving pre-image. Sweeping it would destroy
+    // rows the change feed can never restore (unchanged vectors are not in
+    // the feed): recover by a full rebuild from the source table (pinned
+    // to the surviving codebook so refresh≡rebuild parity holds), THEN
+    // sweep. Debris at or below meta.version (or unparsable) can only be
+    // from a fully-installed swap and sweeps safely.
     val idxFs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    idxFs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+    val debris = idxFs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
       .filter(_.getPath.getName.startsWith(".refresh-"))
-      .foreach(st => idxFs.delete(st.getPath, true))
+    val suspectSwap = debris.exists { st =>
+      scala.util.Try(st.getPath.getName.stripPrefix(".refresh-v").toLong)
+        .toOption.forall(_ > meta.version)
+    }
+    if (suspectSwap) {
+      val pinned = scala.util.Try(
+        s.read.parquet(codebookDir(indexDir)).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+      ).toOption
+      buildFromTable(s, table, partCol, indexDir, pinned)
+      debris.foreach(st => idxFs.delete(st.getPath, true))
+      return RefreshStats(rebuilt = true, 0L, 0L, meta.version, tip)
+    }
+    debris.foreach(st => idxFs.delete(st.getPath, true))
+    if (tip <= meta.version)
+      return RefreshStats(rebuilt = false, 0L, 0L, meta.version, tip)
     val changes = ChangeFeed.readChanges(s, table, partCol,
       meta.version, Some(tip)).cache()
     try {

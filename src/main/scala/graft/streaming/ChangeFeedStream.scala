@@ -39,16 +39,34 @@ object ChangeFeedStream {
 
   /** The persisted cursor: the newest version whose changes are fully
     * consumed. 0 before the first batch (feed from the table's first
-    * retained commit). */
+    * retained commit).
+    *
+    * Stored as VERSIONED files (`cursor-v<N>`, read the max): an advance
+    * only ever ADDS a file and sweeps superseded ones after the new file
+    * is durable, so there is no instant at which a crash leaves no cursor
+    * — a delete-then-rename scheme would, and a restart would then replay
+    * from version 0 (full replay at best, a wedged stream once the range
+    * has been vacuumed/truncated). A crash mid-sweep leaves extra files;
+    * max-wins makes them harmless debris. Legacy single-file `cursor`
+    * checkpoints are still read when no versioned file exists. */
   def cursor(spark: SparkSession, checkpointDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(checkpointDir, "cursor")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0L
+    val versioned = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("cursor-v"))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("cursor-v").toLong).toOption)
+    if (versioned.nonEmpty) versioned.max
     else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLong
-      finally in.close()
+      val p = new org.apache.hadoop.fs.Path(dir, "cursor")
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
     }
   }
 
@@ -61,10 +79,18 @@ object ChangeFeedStream {
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val p = new org.apache.hadoop.fs.Path(dir, "cursor")
-    fs.delete(p, false)
+    val p = new org.apache.hadoop.fs.Path(dir, s"cursor-v$v")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"cursor advance to $v failed at $p")
+    // sweep superseded cursors (and any legacy unversioned file) only
+    // AFTER the new one is durable — best-effort, max-wins covers a crash
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = n == "cursor" || (n.startsWith("cursor-v") &&
+        scala.util.Try(n.stripPrefix("cursor-v").toLong)
+          .toOption.exists(_ < v))
+      if (superseded) scala.util.Try(fs.delete(st.getPath, false))
+    }
   }
 
   /** One micro-batch: if committed versions exist past the cursor, hand

@@ -277,6 +277,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(rows(finalReplay) == rows(Upsert.readCommitted(spark, table, "day")))
   }
 
+  test("a cursor lagging below a log truncation fails loudly, never a partial feed") {
+    import spark.implicits._
+    val (table, _, _) = history()
+    // pad the log so truncate has commits to drop
+    (0 until 4).foreach { i =>
+      Upsert.mergeByKey(spark, table,
+        Seq(("2026-01-01", "k1", 100.0 + i)).toDF("day", "k", "v"),
+        "day", Seq("k"))
+    }
+    assert(TxnLog.truncate(spark, table, keep = 3) > 0)
+    val oldest = TxnLog.commitsSince(spark, table, 0L).head.version
+    assert(oldest > 2, s"fixture: truncation must drop early commits (oldest v$oldest)")
+    // a cursor below the manifest horizon cannot enumerate the dropped
+    // commits — the feed must throw, not return whatever survived (a
+    // silent partial feed would diverge a ChangeFeedStream mirror)
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.readChanges(spark, table, "day", 1L)
+    }
+    assert(e.getMessage.contains("horizon"), e.getMessage)
+    // at or above the horizon the feed still serves…
+    ChangeFeed.readChanges(spark, table, "day", oldest - 1).count()
+    // …and fromVersion 0 keeps its "first retained commit" meaning
+    ChangeFeed.readChanges(spark, table, "day", 0L).count()
+  }
+
   test("a feed range reaching below the vacuum horizon fails loudly") {
     val (table, v0, _) = history()
     // vacuum everything regardless of age: pre-images below tip are gone

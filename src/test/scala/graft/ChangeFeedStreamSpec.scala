@@ -92,6 +92,41 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"the marker must skip the already-applied merge: $endsBefore -> $endsAfter")
   }
 
+  test("cursor storage is versioned: an advance never leaves the cursor absent, " +
+      "max wins over debris, legacy files still read") {
+    import spark.implicits._
+    val src = tmp("cdfs-cur-src")
+    val ckpt = tmp("cdfs-cur-ckpt")
+    val dir = new org.apache.hadoop.fs.Path(ckpt)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, v: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // a legacy (pre-versioned) checkpoint holds a single `cursor` file
+    fs.mkdirs(dir)
+    put("cursor", 0L)
+    assert(ChangeFeedStream.cursor(spark, ckpt) == 0L)
+    // a real advance writes cursor-v<tip> and sweeps the legacy file — at
+    // no point is the directory cursor-less (add-then-sweep, never
+    // delete-then-rename)
+    Upsert.mergeByKey(spark, src,
+      Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(ChangeFeedStream.pollOnce(spark, src, "day", ckpt)((c, _, _) =>
+      c.count(): Unit))
+    val tip = TxnLog.currentVersion(spark, src)
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+    assert(names.contains(s"cursor-v$tip"), s"versioned cursor expected: $names")
+    assert(!names.contains("cursor"), s"legacy file must be swept: $names")
+    assert(ChangeFeedStream.cursor(spark, ckpt) == tip)
+    // crash-mid-sweep debris: stale versioned files alongside — max wins,
+    // so debris can only ever hold the cursor back to a REPLAY (absorbed
+    // by idempotent consumers), never jump it forward or lose it
+    put("cursor-v1", 1L)
+    assert(ChangeFeedStream.cursor(spark, ckpt) == tip,
+      "newest versioned cursor wins over stale debris")
+  }
+
   test("commits landing mid-drain are included before drain returns") {
     import spark.implicits._
     val src = tmp("cdfs-mid-src")

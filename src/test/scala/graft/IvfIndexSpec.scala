@@ -134,6 +134,41 @@ class IvfIndexSpec extends SparkSpec {
     assert((1500 until 1510).forall(id => cellsOf(idx1).exists(_._1 == id.toLong)))
   }
 
+  test("a refresh that crashed mid-swap is detected and rebuilt, never swept") {
+    import spark.implicits._
+    val table = vectorTable(800)
+    val idxDir = Files.createTempDirectory("ivf-crash").toString
+    IvfIndex.buildFromTable(spark, table, "shard", idxDir)
+    val codebook = spark.read.parquet(s"$idxDir/codebook")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+    // new commits arrive, and a refresh of them dies BETWEEN deleting a
+    // live cell dir and renaming its staged replacement in: the staged
+    // copy is the ONLY surviving image of that cell's unchanged vectors
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(800 until 805, 0.0), "shard", Seq("vec_id"))
+    val tip = graft.core.TxnLog.currentVersion(spark, table)
+    val cellsRoot = new java.io.File(s"$idxDir/cells")
+    val victim = cellsRoot.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val staging = new java.io.File(s"$idxDir/.refresh-v$tip")
+    assert(staging.mkdirs())
+    assert(victim.renameTo(new java.io.File(staging, victim.getName)),
+      "fixture: move the live cell into the staging dir (torn swap state)")
+    // the next refresh must NOT sweep the staging dir (that would destroy
+    // the cell — its rows are not in the change feed); it must detect the
+    // torn swap and rebuild from the source table with the pinned codebook
+    val stats = IvfIndex.refresh(spark, table, "shard", idxDir)
+    assert(stats.rebuilt, s"torn swap must force a rebuild: $stats")
+    assert(!new java.io.File(s"$idxDir/.refresh-v$tip").exists(),
+      "staging debris is swept after the rebuild")
+    val idx2 = Files.createTempDirectory("ivf-crash-ref").toString
+    IvfIndex.buildFromTable(spark, table, "shard", idx2, Some(codebook))
+    assert(cellsOf(idxDir) == cellsOf(idx2),
+      "recovered index must equal a clean same-codebook rebuild — no lost vectors")
+    // and the index is caught up: a subsequent refresh is a no-op
+    assert(IvfIndex.refresh(spark, table, "shard", idxDir).changedRows == 0L)
+  }
+
   test("refresh is a no-op at the tip and rebuilds past the drift threshold") {
     import spark.implicits._
     val table = vectorTable(100)
