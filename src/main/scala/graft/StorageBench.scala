@@ -59,6 +59,20 @@ object StorageBench {
         targetBytes = 512L * 1024 * 1024, minFilesToCompact = 2)
     }
 
+    // DELETION VECTORS: scattered single-row deletes, one per partition —
+    // the merge-on-read shape whose whole point is writing a KB sidecar
+    // instead of rewriting `partitions` × `rowsPerPartition` rows; the
+    // paired read measures the broadcast-anti-join subtraction a DV'd
+    // table pays until the next rewrite materializes
+    val dvKeys = days.map(d => (d, "k7")).toDF("day", "k")
+    val tDvDelete = time {
+      graft.batch.DeletionVectors.deleteVectored(
+        spark, table, dvKeys, "day", Seq("k"))
+    }
+    val tDvRead = time {
+      require(Upsert.readCommitted(spark, table, "day").count() > 0)
+    }
+
     // readCommitted UNDER CHURN: a writer merges small deltas in the
     // background while the reader takes committed snapshots — the
     // contention shape of a serving table being continuously upserted
@@ -93,6 +107,17 @@ object StorageBench {
     if (churnErr.get != null) throw churnErr.get
     require(reads > 0, "no committed read completed during churn")
 
+    // BLOOM SIDECAR: full build, then a merge on the INDEXED table — the
+    // merge now pays the O(new files) incremental refresh; the delta vs
+    // storage_merge above is the cost of keeping the index current
+    val tBloomBuild = time {
+      require(graft.core.BloomIndex.build(spark, table, "k") > 0)
+    }
+    val tMergeIndexed = time {
+      Upsert.mergeByKey(spark, table, frame(0.25, rowsPerPartition / 2),
+        "day", Seq("k"), parallelism = 4)
+    }
+
     // best-effort cleanup; timings are already taken
     scala.util.Try {
       def rm(f: java.io.File): Unit = {
@@ -103,6 +128,10 @@ object StorageBench {
     Seq(
       "storage_merge" -> tMerge,
       "storage_compact" -> tCompact,
-      "storage_read_committed_churn" -> tRead / reads)
+      "storage_dv_delete" -> tDvDelete,
+      "storage_dv_read" -> tDvRead,
+      "storage_read_committed_churn" -> tRead / reads,
+      "storage_bloom_build" -> tBloomBuild,
+      "storage_merge_indexed" -> tMergeIndexed)
   }
 }

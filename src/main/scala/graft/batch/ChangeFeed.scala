@@ -95,7 +95,11 @@ object ChangeFeed {
           "consumer from a snapshot")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val dataEnds = all.filter(c => c.op == "upsert-end" && c.ref.isDefined &&
+    // upsert-end commits rewrite partitions; dv-end commits delete rows
+    // merge-on-read ([[DeletionVectors]]) — both change the row set, both
+    // persist change files in-claim, both feed
+    val dataEnds = all.filter(c =>
+      (c.op == "upsert-end" || c.op == "dv-end") && c.ref.isDefined &&
       c.version > fromVersion && c.version <= to)
     val feeds = dataEnds.flatMap { e =>
       persistedChanges(spark, fs, table, e.ref.get) match {

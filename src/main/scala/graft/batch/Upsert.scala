@@ -255,9 +255,15 @@ object Upsert {
     val upserts = deleteWhen.fold(rawDelta)(m => rawDelta.filter(!col(m)))
       .select(dataCols.map(col): _*)
     // deletes-only merges skip the column-coverage discipline: survivors
-    // keep the table's own schema, nothing is unioned in
+    // keep the table's own schema, nothing is unioned in. The read is the
+    // EFFECTIVE state — deletion vectors subtracted — so a DV-deleted row
+    // neither survives the rewrite (the merge MATERIALIZES pending
+    // deletes, like Delta's OPTIMIZE over DV'd files) nor re-enters the
+    // change feed as a matched row.
+    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
     val existing = existingPartition(spark, partDir,
-      dataCols, p, requireCoverage = !deletesOnly)
+      dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs)
     if (existing.isEmpty && (deletesOnly ||
         (deleteWhen.isDefined && upserts.limit(1).isEmpty))) {
       // deleting keys from a partition that does not exist is a no-op
@@ -353,6 +359,16 @@ object Upsert {
 
   private def escape(value: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
+  // shared with DeletionVectors (same package-internal machinery: dv claims
+  // repair crashed writers, escape partition values, and honor the change
+  // feed toggle exactly as merges do)
+  private[batch] def escapeValue(value: String): String = escape(value)
+  private[batch] def changeFeedOn(spark: SparkSession): Boolean =
+    changeFeedEnabled(spark)
+  private[batch] def repairCrashed(
+      spark: SparkSession, table: String, dirName: String,
+      p: String, ourClaim: Long): Unit =
+    repairCrashedWriter(spark, table, dirName, p, ourClaim)
   private def unescape(dirName: String, partCol: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(dirName.stripPrefix(s"$partCol="))
@@ -619,14 +635,20 @@ object Upsert {
       .map(_.getPath.getName).sorted.toSeq
     val r = resolveDirs(fs, table, version, partCol, all, liveDirs)
     val live = r.liveVals
+    // deletion vectors in force at `version`: subtracted per leg (the
+    // `_metadata` identity columns are per-scan, so the anti-join must sit
+    // below the union). None — the common case — costs nothing.
+    val dv = DeletionVectors.pairsAsOf(spark, table, version, all)
     val reads = Seq.newBuilder[DataFrame]
     if (live.nonEmpty)
-      reads += spark.read.option("mergeSchema", "true").parquet(table)
-        .filter(col(partCol).cast("string").isin(live: _*))
+      reads += DeletionVectors.applyTo(
+        spark.read.option("mergeSchema", "true").parquet(table)
+          .filter(col(partCol).cast("string").isin(live: _*)), dv)
     r.fromHistory.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
       val base = s"$table/$HistoryDir/v$begin"
-      reads += spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(dirs.map(d => s"$base/${d._2}"): _*)
+      reads += DeletionVectors.applyTo(
+        spark.read.option("mergeSchema", "true").option("basePath", base)
+          .parquet(dirs.map(d => s"$base/${d._2}"): _*), dv)
     }
     val parts = reads.result()
     val df =
@@ -803,6 +825,9 @@ object Upsert {
     // count follows the partition's BYTES (never collapse 10 GB into one
     // file — that kills read parallelism on the partition), and partitions
     // already at or under both thresholds are untouched bytes
+    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+    val dvFiles = dvTargetFiles(dvPairs)
     val crowded = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .flatMap { st =>
@@ -810,33 +835,60 @@ object Upsert {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         val nOut = math.max(1L,
           (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+        val materializes = files.exists(f => dvFiles(f.getPath.getName))
         if (files.length >= minFilesToCompact && files.length > nOut)
-          Some((st.getPath.getName, nOut))
+          Some((st.getPath.getName, nOut, materializes))
         else None
       }
       .sortBy(_._1).toSeq
-    crowded.foreach { case (dirName, nOut) =>
-      val value = unescape(dirName, partCol)
-      val claim = TxnLog.begin(spark, table, "compact", Set(value),
-        TxnLog.currentVersion(spark, table))
-      try {
-        repairCrashedWriter(spark, table, dirName, value, claim.version)
-        val partDir = s"$table/$dirName"
-        val rows = spark.read.parquet(partDir)
-        AtomicWrite.publish(spark, partDir,
-          retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
-          retainFirst = true) { tmp =>
-          rows.repartition(nOut).write.parquet(tmp)
-        }
-        TxnLog.end(spark, table, claim)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))
-          scala.util.Try(TxnLog.abort(spark, table, claim))
-          throw e
+    crowded.foreach { case (dirName, nOut, materializes) =>
+      compactOne(spark, table, partCol, dirName, materializes, dvPairs) {
+        rows => rows.repartition(nOut)
       }
     }
     crowded.length
+  }
+
+  /** File basenames any deletion pair targets — bounded driver state
+    * (distinct FILES carrying deletes, not rows), used to decide whether a
+    * rewrite changes the effective row set. */
+  private def dvTargetFiles(dvPairs: Option[DataFrame]): Set[String] =
+    dvPairs.map(_.select(DeletionVectors.FileCol).distinct()
+      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+
+  /** One partition rewrite under a claim, shared by [[compactPartitions]]
+    * and [[optimizeZOrder]]. `materializes` = the rewrite subtracts
+    * pending deletion vectors, so its output is NOT row-identical to its
+    * input files: the claim must then be VERSION-DEFINING (`upsert`, not
+    * `compact`), or time travel to versions before the pending DVs would
+    * read the materialized (rows-missing) live files. A plain `compact`
+    * claim stays invisible to snapshot resolution, preserving the
+    * "compaction never affects time travel" contract when nothing is
+    * materialized. */
+  private def compactOne(
+      spark: SparkSession, table: String, partCol: String, dirName: String,
+      materializes: Boolean, dvPairs: Option[DataFrame])(
+      shape: DataFrame => DataFrame): Unit = {
+    val value = unescape(dirName, partCol)
+    val op = if (materializes) "upsert" else "compact"
+    val claim = TxnLog.begin(spark, table, op, Set(value),
+      TxnLog.currentVersion(spark, table))
+    try {
+      repairCrashedWriter(spark, table, dirName, value, claim.version)
+      val partDir = s"$table/$dirName"
+      val rows = DeletionVectors.applyTo(spark.read.parquet(partDir), dvPairs)
+      AtomicWrite.publish(spark, partDir,
+        retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
+        retainFirst = true) { tmp =>
+        shape(rows).write.parquet(tmp)
+      }
+      TxnLog.end(spark, table, claim)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))
+        scala.util.Try(TxnLog.abort(spark, table, claim))
+        throw e
+    }
   }
 
   /** `OPTIMIZE ... ZORDER BY (cols)` for upsert tables (the reference
@@ -858,36 +910,24 @@ object Upsert {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+    val dvFiles = dvTargetFiles(dvPairs)
     val parts = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .flatMap { st =>
-        val bytes = fs.listStatus(st.getPath)
+        val files = fs.listStatus(st.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getLen).sum
+        val bytes = files.map(_.getLen).sum
         if (bytes == 0L) None // nothing to lay out
         else Some((st.getPath.getName,
-          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt))
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt,
+          files.exists(f => dvFiles(f.getPath.getName))))
       }
       .sortBy(_._1).toSeq
-    parts.foreach { case (dirName, nOut) =>
-      val value = unescape(dirName, partCol)
-      val claim = TxnLog.begin(spark, table, "compact", Set(value),
-        TxnLog.currentVersion(spark, table))
-      try {
-        repairCrashedWriter(spark, table, dirName, value, claim.version)
-        val partDir = s"$table/$dirName"
-        val rows = spark.read.parquet(partDir)
-        AtomicWrite.publish(spark, partDir,
-          retainOldTo = Some(s"$table/$HistoryDir/v${claim.version}/$dirName"),
-          retainFirst = true) { tmp =>
-          graft.core.LayoutOps.zOrderBy(rows, zCols, nOut).write.parquet(tmp)
-        }
-        TxnLog.end(spark, table, claim)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))
-          scala.util.Try(TxnLog.abort(spark, table, claim))
-          throw e
+    parts.foreach { case (dirName, nOut, materializes) =>
+      compactOne(spark, table, partCol, dirName, materializes, dvPairs) {
+        rows => graft.core.LayoutOps.zOrderBy(rows, zCols, nOut)
       }
     }
     parts.length
@@ -938,6 +978,9 @@ object Upsert {
     // travel horizon — one retention policy, one loud-failure boundary.
     victims.foreach(st => fs.delete(new org.apache.hadoop.fs.Path(
       s"$table/${ChangeFeed.ChangesDir}/${st.getPath.getName}"), true))
+    // deletion-vector sidecars share the policy but have their own
+    // liveness rule (a DV binds to FILE NAMES, not to one generation)
+    DeletionVectors.vacuumDvSidecars(spark, table, cutoff, commits)
     victims.length
   }
 
@@ -950,13 +993,15 @@ object Upsert {
     * be loud). */
   private def existingPartition(
       spark: SparkSession, partDir: String, dataCols: Seq[String],
-      partValue: String, requireCoverage: Boolean = true): Option[DataFrame] = {
+      partValue: String, requireCoverage: Boolean = true,
+      dv: Option[DataFrame] = None): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
-    else if (!requireCoverage) Some(spark.read.parquet(partDir))
+    else if (!requireCoverage)
+      Some(DeletionVectors.applyTo(spark.read.parquet(partDir), dv))
     else {
-      val old = spark.read.parquet(partDir)
+      val old = DeletionVectors.applyTo(spark.read.parquet(partDir), dv)
       val uncovered = old.columns.toSet -- dataCols.toSet
       if (uncovered.nonEmpty)
         throw new IllegalArgumentException(

@@ -347,6 +347,23 @@ object TxnLog {
       .map(_.version).minOption.getOrElse(Long.MaxValue)
   }
 
+  /** A `dv-end` (merge-on-read delete, `graft.batch.DeletionVectors`)
+    * still governing live reads pins the truncation horizon: readers
+    * locate its position sidecar THROUGH this record, and truncating it
+    * would silently resurrect the deleted rows at the tip. The pin
+    * releases once every partition the dv touched has been rewritten by a
+    * later version-defining end — the rewrite materialized the deletes
+    * into new files, so only sub-horizon time travel could still want the
+    * record, and sub-horizon reads are refused loudly anyway. Pure
+    * manifest math, no filesystem probes. */
+  private def pinnedDvFloor(all: Seq[Commit]): Long = {
+    val rewrites = all.filter(c => c.op == "upsert-end" && c.ref.isDefined)
+    all.filter(c => c.op == "dv-end" && c.ref.isDefined &&
+        !c.partitions.forall(pv => rewrites.exists(r =>
+          r.version > c.version && (r.all || r.partitions.contains(pv)))))
+      .map(_.version).minOption.getOrElse(Long.MaxValue)
+  }
+
   /** Drop manifest entries older than `keep` versions below the current tip
     * (maintenance; the manifest is append-only otherwise). Never removes
     * the tip (version numbering must stay monotone) and never drops a
@@ -360,7 +377,7 @@ object TxnLog {
     val vs = versionsIn(fs, dir)
     val horizon = math.min(
       vs.lastOption.getOrElse(0L) - keep.toLong.max(1),
-      pinnedBeginFloor(fs, table, all))
+      math.min(pinnedBeginFloor(fs, table, all), pinnedDvFloor(all)))
     val victims = vs.filter(_ < horizon)
     victims.foreach(v => fs.delete(vFile(dir, v), false))
     // checkpoints carrying commits below the horizon would resurrect what

@@ -3,10 +3,12 @@ package graft
 /** The storage micro-bench must produce a timing for every op (tiny sizes —
   * the spec checks mechanics, the bench run measures). */
 class StorageBenchSpec extends SparkSpec {
-  test("storage micro-bench returns positive timings for all three ops") {
+  test("storage micro-bench returns positive timings for every op") {
     val r = StorageBench.run(spark, partitions = 2, rowsPerPartition = 200, churnMerges = 2)
     assert(r.map(_._1) == Seq(
-      "storage_merge", "storage_compact", "storage_read_committed_churn"))
+      "storage_merge", "storage_compact", "storage_dv_delete",
+      "storage_dv_read", "storage_read_committed_churn",
+      "storage_bloom_build", "storage_merge_indexed"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
 }
