@@ -161,9 +161,28 @@ object Upsert {
         val results = merges.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
         results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
       } finally pool.shutdown()
+      refreshBloomSidecars(spark, table)
       touched
     } finally updates.unpersist()
   }
+
+  /** Catch any per-file Bloom sidecars up to the files this write just
+    * published — reads ONLY the replacement files (still page-hot), so a
+    * merge on an indexed table keeps point-lookup pruning without a
+    * scheduled Maintain rebuild. Runs AFTER the data commits: a refresh
+    * failure leaves the sidecar stale, which [[graft.core.BloomIndex
+    * .lookup]] handles conservatively (unknown files are scanned) — so it
+    * must not fail the already-committed write. */
+  private def refreshBloomSidecars(spark: SparkSession, table: String): Unit =
+    graft.core.BloomIndex.indexedColumns(spark, table).foreach { c =>
+      try graft.core.BloomIndex.refresh(spark, table, c)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft: bloom sidecar refresh for $table/$c failed (lookups " +
+              s"degrade to scanning the new files until Maintain bloom): $e")
+      }
+    }
 
   /** Row-level DELETE by key — the `WHEN MATCHED THEN DELETE`-only MERGE
     * (Delta's `DELETE FROM t WHERE key IN (...)` / takedown-workflow shape,
@@ -846,6 +865,7 @@ object Upsert {
         rows => rows.repartition(nOut)
       }
     }
+    if (crowded.nonEmpty) refreshBloomSidecars(spark, table)
     crowded.length
   }
 
@@ -930,6 +950,7 @@ object Upsert {
         rows => graft.core.LayoutOps.zOrderBy(rows, zCols, nOut)
       }
     }
+    if (parts.nonEmpty) refreshBloomSidecars(spark, table)
     parts.length
   }
 

@@ -43,8 +43,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * never mentions the skipped files at all, which on an object store also
   * skips their LIST/HEAD traffic. Files created AFTER the index was built
   * are unknown to it and are conservatively INCLUDED (scanned), so a
-  * stale index degrades to a slower-but-correct lookup; [[build]] is
-  * idempotent and cheap to re-run from maintenance.
+  * stale index degrades to a slower-but-correct lookup; [[refresh]]
+  * restores full pruning by reading ONLY the new files (data files are
+  * immutable, so existing filters never go stale in place), and
+  * [[graft.batch.Upsert]]'s merge/compact/Z-order paths call it inline
+  * after replacing files — the sidecar tracks write churn without waiting
+  * for a scheduled Maintain rebuild. On a table with pending DELETION
+  * VECTORS the lookup result is the pre-subtraction row set (same as a
+  * raw `spark.read.parquet(table)`); DV-aware callers subtract pairs from
+  * the result exactly as they would from a raw scan.
   *
   * Sidecar keys are scheme-stripped URI paths ONLY because
   * `input_file_name()` renders `file:///x` where Hadoop listings render
@@ -65,55 +72,155 @@ object BloomIndex {
     * count when a chunk lacks null stats), so the sidecar is proportional
     * to the data without a counting pre-scan — a fixed "expected items"
     * would give a 100k-file table a 100k × max-size sidecar. `fpp` is the
-    * per-file false-positive probability at that size. Returns the number
-    * of files indexed. */
+    * per-file false-positive probability at that size. Files with zero
+    * non-null values get an EMPTY filter (a non-null lookup value cannot
+    * live there, so they are skippable, not unknown). The sidecar is
+    * swapped in atomically, so a crashed rebuild never leaves a
+    * half-written index for [[lookup]] to read. Returns the number of
+    * files indexed. */
   def build(
       spark: SparkSession,
       table: String,
       column: String,
       fpp: Double = 0.01): Long = {
-    val df = spark.read.parquet(table)
-    require(df.columns.contains(column), s"bloom index: no column $column")
+    require(spark.read.parquet(table).columns.contains(column),
+      s"bloom index: no column $column")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val sizes = footerCounts(spark, listDataFiles(fs, root), column)
+    val entries = filterEntries(spark, table, listDataFiles(fs, root), column, fpp)
+    writeSidecar(spark, table, column, entries)
+    entries.size.toLong
+  }
+
+  /** Per-file filters for exactly `files` — the shared data pass of
+    * [[build]] (all files) and [[refresh]] (new files only). Rows fold
+    * into per-file partial filters inside each task, merged by file:
+    * mapPartitions is justified here — the sketch is an imperative
+    * accumulator with no Column-expression form, and the alternative
+    * (groupBy file + collect_list) would shuffle every VALUE instead of
+    * shipping one filter per (task, file). Driver state is
+    * O(files × filterBytes) — the same bound [[lookup]] already pays to
+    * test the key. The read pins `basePath` so a filter on a PARTITION
+    * column still sees its values, and merges schemas so files predating
+    * a widening evolution fold as all-null (→ empty filter, skippable). */
+  private def filterEntries(
+      spark: SparkSession,
+      table: String,
+      files: Seq[String],
+      column: String,
+      fpp: Double): Seq[(String, Array[Byte])] = {
+    if (files.isEmpty) return Seq.empty
+    val sizes = footerCounts(spark, files, column)
     val sizesB = spark.sparkContext.broadcast(sizes)
-    val keyed = df.select(input_file_name().as("_f"),
-        col(column).cast("string").as("_v"))
-      .filter(col("_v").isNotNull)
-    // fold rows into per-file partial filters inside each task, merge by
-    // file: mapPartitions is justified here — the sketch is an imperative
-    // accumulator with no Column-expression form, and the alternative
-    // (groupBy file + collect_list) would shuffle every VALUE instead of
-    // shipping one filter per (task, file)
-    val partials = keyed
-      .rdd.mapPartitions { rows =>
-        val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
-        rows.foreach { r =>
-          val key = new java.net.URI(r.getString(0)).getPath
-          val bf = acc.getOrElseUpdate(key, BloomFilter.create(
-            math.max(64L, sizesB.value.getOrElse(key, 1024L)), fpp))
-          bf.putString(r.getString(1))
+    val df = spark.read.option("basePath", table)
+      .option("mergeSchema", "true").parquet(files: _*)
+    val folded: Map[String, Array[Byte]] =
+      if (!df.columns.contains(column)) Map.empty
+      else df.select(input_file_name().as("_f"),
+          col(column).cast("string").as("_v"))
+        .filter(col("_v").isNotNull)
+        .rdd.mapPartitions { rows =>
+          val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
+          rows.foreach { r =>
+            val key = new java.net.URI(r.getString(0)).getPath
+            val bf = acc.getOrElseUpdate(key, BloomFilter.create(
+              math.max(64L, sizesB.value.getOrElse(key, 1024L)), fpp))
+            bf.putString(r.getString(1))
+          }
+          acc.iterator.map { case (f, bf) =>
+            val out = new java.io.ByteArrayOutputStream()
+            bf.writeTo(out)
+            (f, out.toByteArray)
+          }
         }
-        acc.iterator.map { case (f, bf) =>
+        .reduceByKey { (a, b) =>
+          val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+          bf.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
           val out = new java.io.ByteArrayOutputStream()
           bf.writeTo(out)
-          (f, out.toByteArray)
+          out.toByteArray
         }
-      }
-      .reduceByKey { (a, b) =>
-        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
-        bf.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        .collect().toMap
+    files.map { f =>
+      val k = normKey(f)
+      k -> folded.getOrElse(k, {
+        // no non-null values folded from this file → empty filter: lookups
+        // (always non-null) skip it outright
+        val bf = BloomFilter.create(math.max(64L, sizes.getOrElse(k, 64L)), fpp)
         val out = new java.io.ByteArrayOutputStream()
         bf.writeTo(out)
         out.toByteArray
-      }
+      })
+    }
+  }
+
+  /** Atomic sidecar replacement: the complete new (file, filter) set lands
+    * via [[AtomicWrite.publish]], so a concurrent or crash-interrupted
+    * [[lookup]] sees the whole old index, the whole new one, or a clean
+    * retryable miss — never a partial parquet directory. Tiny (O(files)
+    * rows); one output file keeps the lookup read to a single open. */
+  private def writeSidecar(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      entries: Seq[(String, Array[Byte])]): Unit = {
     import spark.implicits._
-    val sidecar = partials.toDF("file", "filter")
-    // tiny (O(files) rows): one sidecar file keeps the lookup read to a
-    // single open
-    sidecar.coalesce(1).write.mode("overwrite").parquet(indexDir(table, column))
-    spark.read.parquet(indexDir(table, column)).count()
+    val sidecar = entries.toDF("file", "filter")
+    AtomicWrite.publish(spark, indexDir(table, column)) { tmp =>
+      sidecar.coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Incremental maintenance outcome: how much of the table the refresh
+    * actually had to read. */
+  final case class RefreshStats(
+      filesIndexed: Long, entriesDropped: Long, filesTotal: Long)
+
+  /** Catch the sidecar up to the table's current file set WITHOUT a full
+    * rebuild: files already indexed keep their filters untouched (their
+    * bytes are immutable — merges replace files, never edit them), filters
+    * of files that no longer exist are dropped, and ONLY the new files are
+    * read to build their filters. After a merge that rewrote k of n
+    * partitions this reads k partitions' worth of freshly-written (still
+    * page-cached) data instead of the whole table — the reason
+    * [[graft.batch.Upsert]] can afford to call it inline after every
+    * merge/compaction instead of waiting for a scheduled Maintain run.
+    * A missing sidecar falls back to [[build]]. */
+  def refresh(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      fpp: Double = 0.01): RefreshStats = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val idx = new Path(indexDir(table, column))
+    AtomicWrite.recoverSwap(spark, idx.toString)
+    if (!fs.exists(idx)) {
+      val n = build(spark, table, column, fpp)
+      return RefreshStats(n, 0L, n)
+    }
+    val old = spark.read.parquet(idx.toString)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val current = listDataFiles(fs, root)
+    val currentKeys = current.map(normKey).toSet
+    val newFiles = current.filterNot(f => old.contains(normKey(f)))
+    val kept = old.view.filterKeys(currentKeys).toSeq
+    val dropped = old.size - kept.size
+    if (newFiles.isEmpty && dropped == 0)
+      return RefreshStats(0L, 0L, current.size.toLong)
+    writeSidecar(spark, table, column,
+      kept ++ filterEntries(spark, table, newFiles, column, fpp))
+    RefreshStats(newFiles.size.toLong, dropped.toLong, current.size.toLong)
+  }
+
+  /** Columns with a filter sidecar under this table — what write paths
+    * consult to know which indexes to [[refresh]] after replacing files. */
+  def indexedColumns(spark: SparkSession, table: String): Seq[String] = {
+    val dir = new Path(s"$table/_graft_bloom")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.toSeq
   }
 
   /** Per-file expected insertion counts from parquet footers only: row
@@ -168,6 +275,9 @@ object BloomIndex {
       table: String,
       column: String,
       value: String): (DataFrame, Seq[String], Seq[String]) = {
+    // read-path repair of a builder crashed between its swap renames; must
+    // not GC .tmp- siblings that may belong to a LIVE in-flight rebuild
+    AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
     val filters = spark.read.parquet(indexDir(table, column))
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
     val root = new Path(table)

@@ -130,6 +130,82 @@ class BloomIndexSpec extends SparkSpec {
     assert(s.size.toDouble / (c.size + s.size) >= 2.0 / 3.0)
   }
 
+  test("refresh reads only files the sidecar has never seen") {
+    val (table, _) = buildTable()
+    BloomIndex.build(spark, table, "user_id")
+    // one full-scan's worth of bytes, for scale
+    val fullScan = bytesReadDuring {
+      spark.read.parquet(table).select("user_id").rdd.foreach(_ => ())
+    }
+    // a late-arriving file the index has never seen
+    spark.range(1).select(
+        lit(999999L).as("id"), lit("u-late").as("user_id"),
+        md5(lit("x")).as("payload"))
+      .coalesce(1).write.mode("append").parquet(table)
+    var st: BloomIndex.RefreshStats = null
+    val refreshBytes = bytesReadDuring {
+      st = BloomIndex.refresh(spark, table, "user_id")
+    }
+    assert(st.filesIndexed == 1L, s"one new file, got $st")
+    assert(st.entriesDropped == 0L)
+    info(s"full scan $fullScan bytes, refresh $refreshBytes bytes")
+    // refresh read the 1-row new file + the KB sidecar — nothing close to
+    // a table scan (the old build-from-scratch path would pay fullScan)
+    assert(refreshBytes < fullScan / 4,
+      s"refresh must not rescan the table: $refreshBytes vs $fullScan")
+    // pruning is restored without a rebuild
+    val (r, c, s) = BloomIndex.lookup(spark, table, "user_id", "u-late")
+    assert(r.count() == 1L)
+    assert(c.size + s.size == st.filesTotal)
+    assert(s.size.toDouble / st.filesTotal >= 2.0 / 3.0)
+    // an up-to-date sidecar makes refresh a metadata-only no-op
+    val st2 = BloomIndex.refresh(spark, table, "user_id")
+    assert(st2 == BloomIndex.RefreshStats(0L, 0L, st.filesTotal))
+  }
+
+  test("mergeByKey keeps the sidecar fresh: post-merge lookup prunes " +
+      "with no Maintain run") {
+    import spark.implicits._
+    val table = tmp("bloom-merge")
+    // a partitioned UPSERT table: 4 day partitions × ~4 files, user ids
+    // disjoint across partitions (id % 4 fixes the day)
+    spark.range(40000)
+      .withColumn("day", concat(lit("2026-01-0"),
+        ((col("id") % 4) + 1).cast("string")))
+      .withColumn("user_id", concat(lit("u"), col("id").cast("string")))
+      .withColumn("v", col("id").cast("double"))
+      .repartitionByRange(16, col("day"), col("id"))
+      .select("day", "user_id", "v") // merge updates must cover data cols
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    BloomIndex.build(spark, table, "user_id")
+
+    // a merge rewrites day=2026-01-02 (all-new file names); the write path
+    // must refresh the sidecar inline
+    graft.batch.Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", "u5", 999.5), ("2026-01-02", "u-fresh", 1.0))
+        .toDF("day", "user_id", "v"),
+      "day", Seq("user_id"))
+
+    // the merged row is found through the index, value updated
+    val (upd, cU, sU) = BloomIndex.lookup(spark, table, "user_id", "u5")
+    assert(upd.select("v").head.getDouble(0) == 999.5)
+    assert(upd.count() == 1L)
+    val total = cU.size + sU.size
+    assert(sU.size.toDouble / total >= 2.0 / 3.0,
+      s"post-merge lookup must still prune: skipped ${sU.size} of $total")
+    // an absent key admits at most false positives — a STALE sidecar would
+    // have to scan every rewritten file as unknown instead
+    val (miss, cM, _) = BloomIndex.lookup(spark, table, "user_id", "no-such")
+    assert(miss.count() == 0L)
+    assert(cM.size <= 2, s"stale sidecar? absent key scans ${cM.size} files")
+    // row parity with the committed read (untouched partitions included)
+    val full = graft.batch.Upsert.readCommitted(spark, table, "day")
+      .filter(col("user_id") === "u4")
+    val (r4, _, _) = BloomIndex.lookup(spark, table, "user_id", "u4")
+    assert(r4.select("day", "user_id", "v").collect().toSet ==
+      full.select("day", "user_id", "v").collect().toSet)
+  }
+
   test("files newer than the index are scanned conservatively") {
     val (table, _) = buildTable()
     BloomIndex.build(spark, table, "user_id")
