@@ -21,10 +21,11 @@ import graft.streaming.SinkCompaction
   * rewrite, upsert tables have partition dirs to coalesce;
   * `mode = zorder <partCol> <col,col[,col]>` runs the multi-dimensional
   * layout rewrite ([[graft.batch.Upsert.optimizeZOrder]], the scheduled
-  * `OPTIMIZE … ZORDER BY` form); `mode = bloom <col>` rebuilds the
-  * per-file Bloom sidecar ([[graft.core.BloomIndex]] — merges republish
-  * partition files under new names, so the scheduled rebuild is what
-  * restores point-lookup pruning after write churn). All modes then share
+  * `OPTIMIZE … ZORDER BY` form); `mode = bloom <col>` refreshes the
+  * per-file Bloom sidecar incrementally ([[graft.core.BloomIndex.refresh]]
+  * — only files the sidecar has never seen are read; the upsert write
+  * paths already refresh inline after replacing files, so this run mostly
+  * catches external appends and builds the first sidecar). All modes then share
   * the manifest/history/registry sweeps. Prints one JSON line per op for
   * the scheduler's log scraper; exits non-zero on failure.
   */
@@ -53,8 +54,13 @@ object Maintain {
         val column = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: bloom mode needs the indexed column " +
             "(runMain graft.Maintain <table> bloom <col>)"))
-        val n = graft.core.BloomIndex.build(spark, table, column)
-        println(s"""{"op":"bloom-rebuild","table":$tableJson,"files":$n}""")
+        // incremental: existing filters are reused (data files are
+        // immutable), only files the sidecar has never seen are read —
+        // builds from scratch when no sidecar exists yet
+        val st = graft.core.BloomIndex.refresh(spark, table, column)
+        println(s"""{"op":"bloom-refresh","table":$tableJson,""" +
+          s""""filesIndexed":${st.filesIndexed},"entriesDropped":${st.entriesDropped},""" +
+          s""""filesTotal":${st.filesTotal}}""")
       } else if (mode == "zorder") {
         val partCol = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: zorder mode needs the partition column " +
@@ -83,7 +89,9 @@ object Maintain {
         val rep = SinkCompaction.compact(spark, table,
           targetBytes = m.targetBytes,
           minFilesToCompact = m.minFilesToCompact,
-          compactInterval = m.compactInterval)
+          compactInterval = m.compactInterval,
+          layoutCols = m.layoutCols,
+          layoutMode = m.layoutMode)
         println(s"""{"op":"compact","table":$tableJson,"partitions":${rep.partitionsCompacted},""" +
           s""""filesBefore":${rep.filesBefore},"filesAfter":${rep.filesAfter},""" +
           s""""bytesRewritten":${rep.bytesRewritten}}""")

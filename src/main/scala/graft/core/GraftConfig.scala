@@ -45,7 +45,8 @@ object GraftConfig {
     * fileSink log compact interval the log surgery must agree with. */
   final case class Maintenance(
       targetBytes: Long, minAgeMs: Long, compactInterval: Int,
-      minFilesToCompact: Int, registryRetentionMs: Long)
+      minFilesToCompact: Int, registryRetentionMs: Long,
+      layoutCols: Seq[String], layoutMode: String)
 
   /** The engine's defaults — the analog of the reference's
     * conf/application.conf (same numbers where the semantics carried over:
@@ -108,6 +109,12 @@ object GraftConfig {
         # registry sweep: terminal job records older than this are pruned
         # from the recovery mirror (30 days)
         registry-retention-ms = 2592000000
+        # comma-separated columns the compaction rewrite clusters each
+        # partition's rows by (empty = plain coalesce, no layout shuffle);
+        # layout-mode 'cluster' sorts on a key prefix, 'zorder'
+        # bit-interleaves 2-4 numeric keys
+        layout-cols = ""
+        layout-mode = "cluster"
       }
     }
   """
@@ -149,7 +156,10 @@ object GraftConfig {
         minAgeMs = resolver.long("graft.maintenance.min-age-ms"),
         compactInterval = resolver.int("graft.maintenance.compact-interval"),
         minFilesToCompact = resolver.int("graft.maintenance.min-files-to-compact"),
-        registryRetentionMs = resolver.long("graft.maintenance.registry-retention-ms")))
+        registryRetentionMs = resolver.long("graft.maintenance.registry-retention-ms"),
+        layoutCols = resolver.string("graft.maintenance.layout-cols")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        layoutMode = resolver.string("graft.maintenance.layout-mode")))
   }
 
   // ------------------------------------------------------------- parsing

@@ -58,13 +58,30 @@ object SinkCompaction {
     *
     * `compactInterval` must equal the writer's
     * `spark.sql.streaming.fileSink.log.compactInterval` (Spark default 10) —
-    * the log's compact-boundary arithmetic depends on it. */
+    * the log's compact-boundary arithmetic depends on it.
+    *
+    * `layoutCols` folds DATA LAYOUT into the rewrite (Delta's
+    * optimized-write analog: the compaction is already reading and
+    * rewriting every crowded partition's rows, so clustering them costs
+    * one extra shuffle instead of a whole separate OPTIMIZE pass over the
+    * same bytes): `layoutMode = "cluster"` range-partitions + sorts on the
+    * columns ([[graft.core.LayoutOps.clusterBy]] — single/prefix-key
+    * locality), `"zorder"` bit-interleaves 2-4 numeric keys
+    * ([[graft.core.LayoutOps.zOrderBy]]). Either way each output file's
+    * footer [min,max] covers a narrow key slice, so pushed predicates on
+    * the layout keys prune most files of the compacted sink — rows are
+    * identical, only their placement changes. Empty `layoutCols` keeps the
+    * plain shuffle-free `coalesce`. */
   def compact(
       spark: SparkSession,
       tablePath: String,
       targetBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2,
-      compactInterval: Int = 10): Report = {
+      compactInterval: Int = 10,
+      layoutCols: Seq[String] = Seq.empty,
+      layoutMode: String = "cluster"): Report = {
+    require(Set("cluster", "zorder").contains(layoutMode),
+      s"layoutMode must be 'cluster' or 'zorder', got '$layoutMode'")
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(tablePath, "_spark_metadata")
     val fs = logDir.getFileSystem(conf)
@@ -93,8 +110,15 @@ object SinkCompaction {
         // evolution; resolving from one footer would silently DROP the added
         // columns from the rewrite (and step 4 then deletes the originals).
         val df = spark.read.option("mergeSchema", "true").parquet(es.map(_.path): _*)
+        layoutCols.foreach(c => require(df.columns.contains(c),
+          s"layout column $c not in sink schema ${df.columns.mkString(",")}"))
+        val shaped =
+          if (layoutCols.isEmpty) df.coalesce(nOut) // shuffle-free
+          else if (layoutMode == "zorder")
+            graft.core.LayoutOps.zOrderBy(df, layoutCols, nOut)
+          else graft.core.LayoutOps.clusterBy(df, layoutCols, nOut)
         val tmpOut = new Path(dir, s".compact-${java.util.UUID.randomUUID.toString.take(8)}")
-        df.coalesce(nOut).write.parquet(tmpOut.toString)
+        shaped.write.parquet(tmpOut.toString)
         val parts = fs.listStatus(tmpOut)
           .filter(s => s.getPath.getName.startsWith("part-"))
         rewritten ++= parts.zipWithIndex.map { case (s, i) =>

@@ -109,6 +109,60 @@ class StreamingSpec extends SparkSpec {
     assert(after == before + "t7a", s"resume must append exactly t7a: $after")
   }
 
+  test("sink compaction folds layout in: clustered rewrite prunes by footer " +
+      "bounds, rows identical") {
+    val (drop, table, ckpt) = (tmp("ldrop"), tmp("ltable"), tmp("lckpt"))
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(drop, name),
+        String.join("\n", lines: _*).getBytes)
+    def tx(id: String, amount: Double) =
+      s"""{"transaction_id":"$id","event_timestamp":"2026-03-01 10:00:00","customer_id":"C1",
+          "product_id":"P1","product_name":"W","category":"electronics",
+          "quantity":1,"unit_price":$amount,"total_amount":$amount,"currency":"USD",
+          "payment_method":"upi","transaction_status":"completed",
+          "channel":"web","region":"west","city":"Pune"}""".replaceAll("\n\\s*", "")
+
+    // 8 micro-batches into ONE date partition, each interleaving a low and
+    // a high amount — arrival order gives the files NO amount locality, so
+    // every small file's [min,max] spans the whole domain
+    (1 to 8).foreach { b =>
+      writeFile(s"w$b.json", Seq(
+        tx(s"lo$b", b.toDouble), tx(s"hi$b", 100.0 + b)))
+    }
+    val q = StreamingIngest.start(spark, drop, table, ckpt, maxFilesPerTrigger = 1)
+    q.processAllAvailable(); q.stop()
+
+    val partDir = new java.io.File(table).listFiles()
+      .find(_.getName.startsWith("event_date=")).get
+    def dataFiles() = partDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(dataFiles().size == 8)
+    def idSet(): Set[String] = StreamingIngest.readTable(spark, table)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+    val before = idSet()
+    assert(before.size == 16)
+
+    // target ~half the partition's bytes per file → 2 clustered outputs
+    val target = dataFiles().map(_.length).sum / 2 + 1
+    val report = SinkCompaction.compact(spark, table,
+      targetBytes = target, minFilesToCompact = 2,
+      layoutCols = Seq("total_amount"))
+    assert(report.partitionsCompacted == 1)
+    SinkCompaction.vacuum(spark, table, minAgeMs = 0)
+    assert(idSet() == before, "layout rewrite must be row-identical")
+
+    // footer-stats probe: range clustering gives each output file a
+    // DISJOINT amount slice — a pushed predicate on either half reads one
+    // file where the pre-compaction layout read all 8
+    val bounds = graft.core.LayoutOps
+      .longColumnBounds(partDir.toString, "total_amount")
+      .sortBy(_._2)
+    assert(bounds.size == 2, s"expected 2 clustered files: $bounds")
+    assert(bounds(0)._3 < bounds(1)._2,
+      s"clustered files must cover disjoint amount ranges: $bounds")
+    assert(graft.core.LayoutOps.scanFraction(bounds, 0L, 50L) == 0.5)
+  }
+
   test("readers never observe a duplicate or partial view while the log swaps") {
     // Table with 12 small files across 2 partitions, compacted WITHOUT
     // vacuum: 12 orphan files + 2 rewrites sit on disk while the commit log
