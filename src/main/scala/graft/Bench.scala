@@ -247,6 +247,27 @@ object Bench {
       } catch {
         case e: Throwable => recordStorageFailure("ivf index bench", e); Nil
       })
+    // PQ index economics, same split: BUILD = train + encode the corpus
+    // once; PROBE = broadcast-LUT ADC over the persisted codes table plus
+    // the fixed-size exact re-rank — the steady-state compressed-ANN cost.
+    storageResults = storageResults ++ (
+      try {
+        val idx = java.nio.file.Files.createTempDirectory("graft-bench-pq").toString
+        val t0 = System.nanoTime()
+        graft.operators.PqIndex.build(spark, sfDir, idx)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val tProbe = (1 to 2).map { _ =>
+          val p0 = System.nanoTime()
+          graft.operators.PqIndex.recall(spark, sfDir, idx).count()
+          (System.nanoTime() - p0) / 1e9
+        }.min
+        val p = new org.apache.hadoop.fs.Path(idx)
+        scala.util.Try(
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true))
+        Seq("pq_index_build" -> tBuild, "pq_index_probe" -> tProbe)
+      } catch {
+        case e: Throwable => recordStorageFailure("pq index bench", e); Nil
+      })
 
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size

@@ -134,7 +134,7 @@ object IvfIndex {
   /** Quantize vector-table rows (`vec_id`, `embedding`) with the exact
     * transform the directory path uses, so table- and dir-backed indexes
     * share one scoring domain. */
-  private def quantizeRows(s: SparkSession, df: DataFrame): DataFrame = {
+  private[operators] def quantizeRows(s: SparkSession, df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     df.withColumn("qv",
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))

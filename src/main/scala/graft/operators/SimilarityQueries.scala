@@ -53,7 +53,7 @@ object SimilarityQueries extends QueryModule {
     * codegen'd [[graft.functions.QuantizedDot]] — measured 15-20x faster
     * than the equivalent `aggregate(zip_with(...))` higher-order plan on
     * 2.5M pair x 64-dim workloads (same exact values). */
-  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .withColumn("qv", expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
@@ -634,7 +634,7 @@ object SimilarityQueries extends QueryModule {
 
   /** Shortlist + exact re-rank + recall-vs-brute tail over precomputed
     * ADC scores. */
-  private def pqRecallFromScores(
+  private[operators] def pqRecallFromScores(
       s: SparkSession, q: DataFrame, ascore: DataFrame): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(desc("adc"), col("neighbor_id"))
     val shortlist = ascore.withColumn("rank", row_number().over(wTop))
@@ -718,6 +718,16 @@ object SimilarityQueries extends QueryModule {
     "sim_label_affinity" -> (labelAffinity _),
     "sim_pq_recall" -> (pqRecall _),
     "sim_pq_clustered_recall" -> (pqClusteredRecall _),
+    "sim_topk_pq_indexed" -> ((s: SparkSession, d: String) => {
+      // PQ through the PERSISTED index (codebook + codes table, built once
+      // per corpus state via the fingerprint memo): no retrain, no corpus
+      // re-encode at probe time — the ADC scan reads the codes table plus
+      // a broadcast LUT. Row-identical with sim_pq_recall by construction
+      // (shared trainer/encoder/scoring), so the two share one oracle;
+      // build vs probe cost is reported by the bench's pq_index_build /
+      // pq_index_probe split.
+      PqIndex.recall(s, d, PqIndex.ensureBuilt(s, d))
+    }),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -962,7 +972,11 @@ object SimilarityQueries extends QueryModule {
     // (shared codebook, nprobe/margin, and scoring tail) — same oracle
     ("sim_topk_ivf_indexed" -> oracleSqlBase("sim_topk_ivf")) +
     ("sim_pq_recall" -> s"WITH $qCte,\n       $sqlPqBody") +
-    ("sim_pq_clustered_recall" -> s"WITH $clusteredCte,\n       $sqlPqBody")
+    ("sim_pq_clustered_recall" -> s"WITH $clusteredCte,\n       $sqlPqBody") +
+    // the indexed PQ probe is row-identical with the in-query PQ pipeline
+    // by contract (persisted codebook/codes == the in-query trainer's and
+    // encoder's output) — same oracle
+    ("sim_topk_pq_indexed" -> s"WITH $qCte,\n       $sqlPqBody")
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "sim_clustered_recall" -> s"""WITH $clusteredCte,
