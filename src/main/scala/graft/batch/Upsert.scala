@@ -109,6 +109,16 @@ object Upsert {
     // version and touch our partitions invalidate what we are about to read
     val snapshot = TxnLog.currentVersion(spark, table)
 
+    // Deletion pairs in force at the snapshot, resolved ONCE for the whole
+    // merge (a full-manifest read + sidecar listing per PARTITION measurably
+    // taxed the merge micro-bench). Safe to share: each partition's claim
+    // begin fails loudly on ANY post-snapshot commit touching it — dv-ends
+    // included — so for every partition that proceeds these are exactly the
+    // pairs in force under its claim; other partitions' pairs are inert in
+    // the anti-join (file basenames are unique per partition publish).
+    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+
     // One materialization of the updates plan, populated by the FIRST
     // action (the validation probe): validation, the distinct partition
     // collect, and the per-partition delta/anti-join below would otherwise
@@ -153,7 +163,7 @@ object Upsert {
       try {
         val merges = touched.map { p =>
           Future(mergeOnePartition(spark, table, updates, partCol, keyCols, dataCols, p,
-            snapshot, deleteWhen, deletesOnly))
+            snapshot, deleteWhen, deletesOnly, dvPairs))
         }
         // surface the FIRST failure but let in-flight merges complete first
         // (each is atomic; cancelling a distributed write mid-flight buys
@@ -225,10 +235,11 @@ object Upsert {
       p: String,
       snapshot: Long,
       deleteWhen: Option[String],
-      deletesOnly: Boolean): Unit = {
+      deletesOnly: Boolean,
+      dvPairs: Option[DataFrame]): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
     try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim,
-      deleteWhen, deletesOnly)
+      deleteWhen, deletesOnly, dvPairs)
     catch {
       case scala.util.control.NonFatal(e) =>
         // rollback BEFORE the abort record: once the abort releases the
@@ -251,7 +262,8 @@ object Upsert {
       p: String,
       claim: TxnLog.Commit,
       deleteWhen: Option[String],
-      deletesOnly: Boolean): Unit = {
+      deletesOnly: Boolean,
+      dvPairs: Option[DataFrame]): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
     // (':' → %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
@@ -275,12 +287,11 @@ object Upsert {
       .select(dataCols.map(col): _*)
     // deletes-only merges skip the column-coverage discipline: survivors
     // keep the table's own schema, nothing is unioned in. The read is the
-    // EFFECTIVE state — deletion vectors subtracted — so a DV-deleted row
-    // neither survives the rewrite (the merge MATERIALIZES pending
-    // deletes, like Delta's OPTIMIZE over DV'd files) nor re-enters the
-    // change feed as a matched row.
-    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
-      TxnLog.commitsSince(spark, table, 0L))
+    // EFFECTIVE state — deletion vectors subtracted (`dvPairs`, resolved
+    // once at the merge snapshot) — so a DV-deleted row neither survives
+    // the rewrite (the merge MATERIALIZES pending deletes, like Delta's
+    // OPTIMIZE over DV'd files) nor re-enters the change feed as a
+    // matched row.
     val existing = existingPartition(spark, partDir,
       dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs)
     if (existing.isEmpty && (deletesOnly ||
@@ -829,15 +840,29 @@ object Upsert {
     * keeps merge-heavy partitions from degenerating into thousands of
     * micro-files; each partition rewrite is one distributed job, cost
     * bounded by the partitions actually crowded. Returns the number of
-    * partitions compacted. */
+    * partitions compacted.
+    *
+    * `layoutCols` folds data layout into the rewrite (the same
+    * optimized-write economics as [[graft.streaming.SinkCompaction
+    * .compact]]'s layout knob): crowded partitions come out range-
+    * clustered (`"cluster"`) or Z-ordered (`"zorder"`) on the given keys
+    * instead of arrival-ordered, so their footer [min,max] prune pushed
+    * predicates — without a separate [[optimizeZOrder]] pass over bytes
+    * this job already rewrote. Partitions NOT crowded keep their layout
+    * (this is still a compaction; [[optimizeZOrder]] is the
+    * rewrite-everything layout op). */
   def compactPartitions(
       spark: SparkSession,
       table: String,
       partCol: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      minFilesToCompact: Int = 2): Int = {
+      minFilesToCompact: Int = 2,
+      layoutCols: Seq[String] = Seq.empty,
+      layoutMode: String = "cluster"): Int = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     require(minFilesToCompact >= 2, "compacting fewer than 2 files is a no-op")
+    require(Set("cluster", "zorder").contains(layoutMode),
+      s"layoutMode must be 'cluster' or 'zorder', got '$layoutMode'")
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // size-aware selection (the OPTIMIZE sizing contract): output file
@@ -862,7 +887,15 @@ object Upsert {
       .sortBy(_._1).toSeq
     crowded.foreach { case (dirName, nOut, materializes) =>
       compactOne(spark, table, partCol, dirName, materializes, dvPairs) {
-        rows => rows.repartition(nOut)
+        rows =>
+          // layout folded into the rewrite (Delta optimized-write analog):
+          // the pass is already reading + rewriting these rows, so
+          // clustering them here replaces a whole separate OPTIMIZE over
+          // the same bytes with one extra shuffle
+          if (layoutCols.isEmpty) rows.repartition(nOut)
+          else if (layoutMode == "zorder")
+            graft.core.LayoutOps.zOrderBy(rows, layoutCols, nOut)
+          else graft.core.LayoutOps.clusterBy(rows, layoutCols, nOut)
       }
     }
     if (crowded.nonEmpty) refreshBloomSidecars(spark, table)
@@ -952,6 +985,28 @@ object Upsert {
     }
     if (parts.nonEmpty) refreshBloomSidecars(spark, table)
     parts.length
+  }
+
+  /** DV-aware needle-in-haystack point lookup: the table filtered to
+    * `column = value` through the per-file Bloom sidecar (only admitting
+    * files enter the scan, [[graft.core.BloomIndex.lookup]]) with any
+    * pending deletion-vector rows subtracted — the takedown-verification
+    * shape at 100 TB ("is this subject id really gone?"), which the raw
+    * Bloom lookup cannot answer (it returns the pre-subtraction row set)
+    * and a full `readCommitted` scan answers at O(table). Row-equivalent
+    * to `readCommitted(...).filter(col(column) === value)` on a quiescent
+    * table (the sidecar lookup resolves files by directory listing, not
+    * snapshot resolution — the same staleness contract BloomIndex
+    * documents). */
+  def pointLookup(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: String): DataFrame = {
+    val (raw, _, _) = graft.core.BloomIndex.lookup(spark, table, column, value)
+    val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+    DeletionVectors.applyTo(raw, dv)
   }
 
   /** Remove retained generations older than `minAgeMs` (age since

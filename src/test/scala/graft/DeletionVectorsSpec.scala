@@ -287,4 +287,23 @@ class DeletionVectorsSpec extends SparkSpec {
       "a dead dv sidecar must be vacuumed")
     assert(!committed(t).exists(_._2 == 8L), "tip state unaffected by the sweep")
   }
+
+  test("pointLookup: bloom-pruned candidate set with deletion vectors subtracted") {
+    val t = table(40000)
+    graft.core.BloomIndex.build(spark, t, "k")
+    DeletionVectors.deleteVectored(spark, t,
+      keysDf(("2026-01-01", 100L)), "day", Seq("k"))
+    // the raw bloom lookup sees the PRE-subtraction row set (documented) —
+    // pointLookup is the DV-aware answer a takedown verification needs
+    val (raw, cand, skip) = graft.core.BloomIndex.lookup(spark, t, "k", "100")
+    assert(raw.count() == 1L, "raw lookup returns the not-yet-materialized row")
+    assert(Upsert.pointLookup(spark, t, "k", "100").count() == 0L,
+      "pointLookup must subtract the deletion vector")
+    // a live key: found, row-equal to the committed filter
+    assert(rows(Upsert.pointLookup(spark, t, "k", "101")) ==
+      rows(Upsert.readCommitted(spark, t, "day").filter(col("k") === 101L)))
+    // and the lookup still prunes: the candidate set is not the table
+    assert(cand.size + skip.size >= 2 && skip.nonEmpty,
+      s"lookup must skip non-admitting files: cand=${cand.size} skip=${skip.size}")
+  }
 }

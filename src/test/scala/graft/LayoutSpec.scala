@@ -175,6 +175,48 @@ class LayoutSpec extends SparkSpec {
     assert(Upsert.readAsOf(spark, table, v0, "day").count() == n.toLong)
   }
 
+  test("compactPartitions folds layout in: clustered output prunes by footer bounds") {
+    import spark.implicits._
+    val table = tmp("upsert-layout")
+    // one crowded partition: 8 arrival files, each a hash-mixed slice of
+    // the v domain — every file's [min,max] spans nearly everything
+    spark.range(64)
+      .select(lit("2026-01-01").as("day"),
+        col("id").as("k"),
+        ((col("id") * 37) % 64).cast("double").as("v")) // 37 ⊥ 64: a permutation
+      .repartition(8)
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    // establish the txn log through the ordinary write path (sibling
+    // partition — the crowded one keeps its 8 arrival files)
+    graft.batch.Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-02", 999L, 1.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val partDir = s"$table/day=2026-01-01"
+    def files() = new java.io.File(partDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 8)
+    val before = graft.batch.Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+
+    // target half the partition's bytes -> 2 output files, clustered on v
+    val bytes = new java.io.File(partDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = graft.batch.Upsert.compactPartitions(spark, table, "day",
+      targetBytes = bytes / 2 + 1, layoutCols = Seq("v"))
+    assert(n >= 1)
+    assert(files() == 2, "compaction must hit the byte-derived file count")
+
+    // footer-stats probe: the two files cover DISJOINT v ranges — a pushed
+    // v predicate now prunes where the arrival layout scanned all 8 files
+    val bounds = LayoutOps.longColumnBounds(partDir, "v").sortBy(_._2)
+    assert(bounds.size == 2)
+    assert(bounds(0)._3 < bounds(1)._2,
+      s"clustered files must cover disjoint v ranges: $bounds")
+    // row-identical, including the untouched sibling partition
+    val after = graft.batch.Upsert.readCommitted(spark, table, "day")
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+    assert(after == before)
+  }
+
   test("zOrderBy refuses string keys and degenerate arity") {
     import spark.implicits._
     val df = Seq((1L, "x", 2L)).toDF("a", "s", "b")
