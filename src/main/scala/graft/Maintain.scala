@@ -25,7 +25,11 @@ import graft.streaming.SinkCompaction
   * per-file Bloom sidecar incrementally ([[graft.core.BloomIndex.refresh]]
   * — only files the sidecar has never seen are read; the upsert write
   * paths already refresh inline after replacing files, so this run mostly
-  * catches external appends and builds the first sidecar). All modes then share
+  * catches external appends and builds the first sidecar);
+  * `mode = ivf|pq <partCol> <indexDir>` keeps a persisted ANN index in
+  * step with its source vector table ([[graft.operators.IvfIndex.sync]] /
+  * [[graft.operators.PqIndex.sync]] — build when absent, else an
+  * O(changes) change-feed refresh). All modes then share
   * the manifest/history/registry sweeps. Prints one JSON line per op for
   * the scheduler's log scraper; exits non-zero on failure.
   */
@@ -47,10 +51,30 @@ object Maintain {
     // log scraper
     val tableJson = graft.http.Json.quote(table)
     try {
-      require(Set("stream", "upsert", "zorder", "bloom").contains(mode),
+      require(Set("stream", "upsert", "zorder", "bloom", "ivf", "pq").contains(mode),
         s"Maintain: unknown mode '$mode' (expected 'stream', 'upsert', " +
-          "'zorder', or 'bloom') — refusing to guess which maintenance to run")
-      if (mode == "bloom") {
+          "'zorder', 'bloom', 'ivf', or 'pq') — refusing to guess which " +
+          "maintenance to run")
+      if (mode == "ivf" || mode == "pq") {
+        // scheduled ANN-index maintenance: build the table-backed index if
+        // absent, else consume the change feed (O(changes) rewrite)
+        val partCol = args.drop(2).headOption.getOrElse(
+          sys.error(s"Maintain: $mode mode needs the partition column " +
+            s"(runMain graft.Maintain <table> $mode <partCol> <indexDir>)"))
+        val indexDir = args.drop(3).headOption.getOrElse(
+          sys.error(s"Maintain: $mode mode needs the index directory " +
+            s"(runMain graft.Maintain <table> $mode <partCol> <indexDir>)"))
+        val (rebuilt, changed, to) =
+          if (mode == "ivf") {
+            val s = graft.operators.IvfIndex.sync(spark, table, partCol, indexDir)
+            (s.rebuilt, s.changedRows, s.toVersion)
+          } else {
+            val s = graft.operators.PqIndex.sync(spark, table, partCol, indexDir)
+            (s.rebuilt, s.changedRows, s.toVersion)
+          }
+        println(s"""{"op":"$mode-sync","table":$tableJson,"rebuilt":$rebuilt,""" +
+          s""""changedRows":$changed,"toVersion":$to}""")
+      } else if (mode == "bloom") {
         val column = args.drop(2).headOption.getOrElse(
           sys.error("Maintain: bloom mode needs the indexed column " +
             "(runMain graft.Maintain <table> bloom <col>)"))
@@ -82,8 +106,15 @@ object Maintain {
         require(!logDir.getFileSystem(spark.sessionState.newHadoopConf()).exists(logDir),
           s"$table is a streaming file-sink table (has _spark_metadata) — " +
             "use the default stream mode, not upsert")
+        // optional 4th arg: comma-separated layout columns for the rewrite
+        // (falls back to the config tree's layout-cols; empty = plain
+        // repartition)
+        val layout = args.drop(3).headOption
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(m.layoutCols)
         val n = graft.batch.Upsert.compactPartitions(spark, table, partCol,
-          targetBytes = m.targetBytes, minFilesToCompact = m.minFilesToCompact)
+          targetBytes = m.targetBytes, minFilesToCompact = m.minFilesToCompact,
+          layoutCols = layout, layoutMode = m.layoutMode)
         println(s"""{"op":"compact-upsert","table":$tableJson,"partitions":$n}""")
       } else {
         val rep = SinkCompaction.compact(spark, table,

@@ -294,6 +294,22 @@ object IvfIndex {
     } finally changes.unpersist()
   }
 
+  /** Scheduled-maintenance entry ([[graft.Maintain]] `ivf` mode): build
+    * the table-backed index when none exists at `indexDir`, refresh it
+    * from the change feed otherwise. */
+  def sync(
+      s: SparkSession, table: String, partCol: String,
+      indexDir: String): RefreshStats = {
+    val p = metaFile(indexDir)
+    if (p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+      refresh(s, table, partCol, indexDir)
+    else {
+      buildFromTable(s, table, partCol, indexDir)
+      val m = readMeta(s, indexDir)
+      RefreshStats(rebuilt = true, 0L, 0L, 0L, m.version)
+    }
+  }
+
   /** Top-5 ANN over the persisted index: row-identical with
     * [[SimilarityQueries.topkIvf]] on the same corpus (same codebook, same
     * nprobe + boundary margin, same exact-scoring tail). */

@@ -247,6 +247,22 @@ object PqIndex {
     n
   }
 
+  /** Scheduled-maintenance entry ([[graft.Maintain]] `pq` mode): build
+    * the table-backed index when none exists at `indexDir`, refresh it
+    * from the change feed otherwise. */
+  def sync(
+      s: SparkSession, table: String, partCol: String,
+      indexDir: String): RefreshStats = {
+    val p = metaFile(indexDir)
+    if (p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+      refresh(s, table, partCol, indexDir)
+    else {
+      buildFromTable(s, table, partCol, indexDir)
+      val m = readMeta(s, indexDir)
+      RefreshStats(rebuilt = true, 0L, 0L, 0L, m.version)
+    }
+  }
+
   /** What a refresh read and rewrote; `rebuilt = true` means drift or a
     * suspected torn swap forced a full [[buildFromTable]] instead. */
   final case class RefreshStats(

@@ -153,6 +153,23 @@ class PqIndexSpec extends SparkSpec {
     assert(PqIndex.refresh(spark, table, "shard", idxDir).changedRows == 0L)
   }
 
+  test("sync builds a missing index, then refreshes it (the Maintain entry)") {
+    val table = vectorTable(200)
+    val idxDir = Files.createTempDirectory("pq-sync").toString
+    val s0 = PqIndex.sync(spark, table, "shard", idxDir)
+    assert(s0.rebuilt, s"no index yet → build: $s0")
+    assert(codesOf(idxDir).size == 200)
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(200 until 203, 0.0), "shard", Seq("vec_id"))
+    val s1 = PqIndex.sync(spark, table, "shard", idxDir)
+    assert(!s1.rebuilt && s1.changedRows == 3L, s"existing index → refresh: $s1")
+    assert(codesOf(idxDir).size == 203)
+    // same entry for the IVF index shape
+    val ivfDir = Files.createTempDirectory("ivf-sync").toString
+    assert(IvfIndex.sync(spark, table, "shard", ivfDir).rebuilt)
+    assert(IvfIndex.sync(spark, table, "shard", ivfDir).changedRows == 0L)
+  }
+
   test("refresh is a no-op at the tip and rebuilds past the drift threshold") {
     val table = vectorTable(100)
     val idxDir = Files.createTempDirectory("pq-drift").toString
