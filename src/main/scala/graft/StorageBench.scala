@@ -134,4 +134,23 @@ object StorageBench {
       "storage_bloom_build" -> tBloomBuild,
       "storage_merge_indexed" -> tMergeIndexed)
   }
+
+  /** Standalone entry (`runMain graft.StorageBench [repeats]`): the
+    * storage micro-bench alone on a fresh local session, one JSON line
+    * per run — for quiet-host regression checks without paying for the
+    * full query bench around it. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-storage-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = args.headOption.map(_.toInt).getOrElse(2)
+    try (1 to n).foreach { i =>
+      val r = run(spark)
+      println(r.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString(s"""{"run":$i,""", ",", "}"))
+    } finally spark.stop()
+  }
 }
