@@ -268,6 +268,27 @@ object Bench {
       } catch {
         case e: Throwable => recordStorageFailure("pq index bench", e); Nil
       })
+    // composed IVF-PQ index: the probe pays the coarse cell selection plus
+    // a compressed-domain scan of ONLY the probed cells — strictly less IO
+    // than either single index's probe at scale.
+    storageResults = storageResults ++ (
+      try {
+        val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivfpq").toString
+        val t0 = System.nanoTime()
+        graft.operators.IvfPqIndex.build(spark, sfDir, idx)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val tProbe = (1 to 2).map { _ =>
+          val p0 = System.nanoTime()
+          graft.operators.IvfPqIndex.recall(spark, sfDir, idx).count()
+          (System.nanoTime() - p0) / 1e9
+        }.min
+        val p = new org.apache.hadoop.fs.Path(idx)
+        scala.util.Try(
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true))
+        Seq("ivfpq_index_build" -> tBuild, "ivfpq_index_probe" -> tProbe)
+      } catch {
+        case e: Throwable => recordStorageFailure("ivfpq index bench", e); Nil
+      })
 
     val byRound = rounds.toSeq.map(_.toMap)
     val actualRounds = rounds.size

@@ -88,7 +88,7 @@ object IvfIndex {
     * math of [[build]], [[buildFromTable]], and [[refresh]] (one
     * assignment rule, or the incremental index would drift from a full
     * rebuild). */
-  private def assignTo(cent: DataFrame, q: DataFrame): DataFrame = {
+  private[operators] def assignTo(cent: DataFrame, q: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("a.vec_id")).orderBy(desc("ccos"), col("cid"))
     q.as("a").join(cent)
       .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))
@@ -335,16 +335,16 @@ object IvfIndex {
     probedWith(s,
       SimilarityQueries.quantized(s, d).filter(col("vec_id") < 20), indexDir)
 
-  private[graft] def probedWith(
-      s: SparkSession, probesIn: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
-    val rows = s.read.parquet(codebookDir(indexDir))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
-    val cent = broadcast(SimilarityQueries.centroidsDf(s, rows))
-    // probe scoring: query vectors only — K×probes centroid dots, no corpus
-    val probes = probesIn
+  /** The cells each probe searches — top-[[SimilarityQueries.IvfNprobe]]
+    * centroids plus the [[SimilarityQueries.IvfProbeMargin]] boundary
+    * band, as `(query_id, cell, pqv, pnrm)`. Probe-side math only
+    * (K×probes centroid dots, no corpus scan); shared by the plain IVF
+    * probe and [[IvfPqIndex]]'s coarse stage so both search the exact
+    * cells the oracle replays. */
+  private[operators] def probeCellsFor(probes: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("a.vec_id")).orderBy(desc("ccos"), col("cid"))
     val wBest = Window.partitionBy(col("a.vec_id"))
-    val probeCells = probes.as("a").join(cent)
+    probes.as("a").join(cent)
       .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("a.nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
@@ -354,6 +354,15 @@ object IvfIndex {
         col("ccos") >= col("cbest") - lit(SimilarityQueries.IvfProbeMargin))
       .select(col("a.vec_id").as("query_id"), col("cid").as("cell"),
         col("a.qv").as("pqv"), col("a.nrm").as("pnrm"))
+  }
+
+  private[graft] def probedWith(
+      s: SparkSession, probesIn: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
+    val rows = s.read.parquet(codebookDir(indexDir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+    val cent = broadcast(SimilarityQueries.centroidsDf(s, rows))
+    // probe scoring: query vectors only — K×probes centroid dots, no corpus
+    val probeCells = probeCellsFor(probesIn, cent)
     // probed cell ids: bounded by K (codebook size), NEVER corpus-sized —
     // this is the one collect, and it is what turns the index read into a
     // partition-pruned scan of only the probed cell directories

@@ -87,7 +87,7 @@ object PqIndex {
     * `trainCentroidsOn(subQ, vec_id < PqK, iters = 0)`): the first
     * [[SimilarityQueries.PqK]] vectors' sub-slices, no Lloyd iterations.
     * Returns (sub, cid, cqv) rows. */
-  private def trainCodebook(
+  private[operators] def trainCodebook(
       s: SparkSession, q: DataFrame): Seq[(Int, Long, Seq[Long])] =
     (0 until PqM).flatMap { j =>
       val subQ = q.select(col("vec_id"),
@@ -97,7 +97,7 @@ object PqIndex {
         .map { case (cid, cqv) => (j, cid, cqv) }
     }
 
-  private def codebookDf(
+  private[operators] def codebookDf(
       s: SparkSession, rows: Seq[(Int, Long, Seq[Long])]): DataFrame = {
     import s.implicits._
     s.createDataset(rows).toDF("sub", "cid", "cqv")
@@ -108,7 +108,7 @@ object PqIndex {
     * cosine against the sub-slice, cid tiebreak), folded to one
     * codes-array row per vector — one shuffle on vec_id, corpus-side
     * joins all broadcast. */
-  private def encode(s: SparkSession, cb: DataFrame, q: DataFrame): DataFrame = {
+  private[operators] def encode(s: SparkSession, cb: DataFrame, q: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val parts = (0 until PqM).map { j =>
       val subQ = q.select(col("vec_id"),

@@ -728,6 +728,15 @@ object SimilarityQueries extends QueryModule {
       // pq_index_probe split.
       PqIndex.recall(s, d, PqIndex.ensureBuilt(s, d))
     }),
+    "sim_topk_ivfpq_indexed" -> ((s: SparkSession, d: String) => {
+      // the composed large-scale shape (FAISS IndexIVFPQ): coarse cells
+      // prune the search space, PQ codes compress what remains — the
+      // probe reads m small ints per row of ONLY the probed cell dirs.
+      // The full two-stage pipeline (coarse training, cell probing, PQ
+      // encoding, cell-gated ADC, re-rank) is replayed by the oracle, so
+      // the stacked-lossiness recall cost is measured, not assumed.
+      IvfPqIndex.recall(s, d, IvfPqIndex.ensureBuilt(s, d))
+    }),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -967,6 +976,76 @@ object SimilarityQueries extends QueryModule {
               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
        FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
 
+  /** The composed IVF-PQ replay: the coarse chain's cell assignment and
+    * probed cells ([[sqlCentChain]] + the nprobe/margin rule) gate which
+    * (query, neighbor) pairs the PQ ADC ([[sqlPqChain]]) scores; the
+    * shortlist/re-rank/recall tail is [[sqlPqBody]]'s unchanged. Mirrors
+    * [[IvfPqIndex.probed]] stage for stage. */
+  private lazy val sqlIvfPqBody: String = s"""$sqlCentChain,
+       cscored AS (
+         SELECT a.vec_id, cid,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * cqv[i])) AS DOUBLE) /
+             (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(cnrm AS DOUBLE))) AS ccos
+         FROM n a CROSS JOIN cent),
+       cranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS crk,
+                MAX(ccos) OVER (PARTITION BY vec_id) AS cbest
+         FROM cscored),
+       assign AS (SELECT vec_id, cid AS cell FROM cranked WHERE crk = 1),
+       probecells AS (
+         SELECT vec_id AS query_id, cid AS cell FROM cranked
+         WHERE vec_id < 20 AND (crk <= $IvfNprobe OR ccos >= cbest - $IvfProbeMargin)),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probecells p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       ${(0 until PqM).map(sqlPqChain).mkString(",\n       ")},
+       ascore AS (
+         SELECT s.query_id, s.neighbor_id, SUM(s.pdot) AS adc FROM (
+           ${(0 until PqM).map(j =>
+             s"SELECT l.query_id, x.vec_id AS neighbor_id, l.pdot FROM code$j x JOIN lut$j l ON l.cid = x.code")
+             .mkString("\n           UNION ALL ")}
+         ) s JOIN cand c
+           ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+         GROUP BY 1, 2),
+       shortlist AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id) AS rank
+           FROM ascore) WHERE rank <= $PqShortlist),
+       rescored AS (
+         SELECT sl.query_id, sl.neighbor_id, $cosSql AS cosine
+         FROM shortlist sl
+         JOIN n a ON a.vec_id = sl.query_id
+         JOIN n b ON b.vec_id = sl.neighbor_id),
+       ptop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM rescored) WHERE rank <= 5),
+       bscored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cosine
+         FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       btop AS (
+         SELECT * FROM (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM bscored) WHERE rank <= 5),
+       hits AS (
+         SELECT b.query_id, COUNT(*) AS n_hits
+         FROM btop b JOIN ptop p
+           ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         GROUP BY 1),
+       base AS (SELECT query_id, COUNT(*) AS k FROM btop GROUP BY 1)
+       SELECT base.query_id,
+              CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
+       FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
+
   val oracleSql: Map[String, String] = oracleSqlBase +
     // the indexed probe is row-identical with the in-query IVF by contract
     // (shared codebook, nprobe/margin, and scoring tail) — same oracle
@@ -976,7 +1055,8 @@ object SimilarityQueries extends QueryModule {
     // the indexed PQ probe is row-identical with the in-query PQ pipeline
     // by contract (persisted codebook/codes == the in-query trainer's and
     // encoder's output) — same oracle
-    ("sim_topk_pq_indexed" -> s"WITH $qCte,\n       $sqlPqBody")
+    ("sim_topk_pq_indexed" -> s"WITH $qCte,\n       $sqlPqBody") +
+    ("sim_topk_ivfpq_indexed" -> s"WITH $qCte,\n       $sqlIvfPqBody")
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "sim_clustered_recall" -> s"""WITH $clusteredCte,
