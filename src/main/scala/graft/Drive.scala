@@ -125,7 +125,9 @@ object Drive {
     val api = new HttpApi(spark, svc, registry, sourcePath = table,
       defaultPageSize = cfg.batch.defaultPageSize,
       maxPageSize = cfg.batch.maxPageSize,
-      host = cfg.http.host, bindPort = cfg.http.port).start()
+      host = cfg.http.host, bindPort = cfg.http.port,
+      maintenance = Some(new graft.batch.MaintenanceService(spark, registry,
+        cfg.maintenance, s"$root/maint-ops", cfg.data.registryDir))).start()
     // client targets the configured bind host (loopback stays loopback; a
     // wildcard bind is reachable via loopback too)
     val apiHost = if (cfg.http.host == "0.0.0.0") "127.0.0.1" else cfg.http.host
@@ -186,6 +188,42 @@ object Drive {
       s"registry mirror must hold $id for restart recovery")
     println(s"DRIVE readback: $nCat categories, page(100,50) over HTTP ok, " +
       "registry mirror recoverable")
+
+    // 5. scheduled maintenance over the SAME API (the reference's
+    // AGENTS.md:1162-1171 scheduled-ops story, API-drivable): stream-mode
+    // compact/vacuum + the shared sweeps on the sink table, tracked through
+    // the same registry lifecycle as the batch job above. The ingest writer
+    // is stopped; step 2c already compacted, so this run mostly verifies
+    // the idempotent path end-to-end.
+    val (mc, mb) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://$apiHost:${api.port}/maintenance/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"mode":"stream","table":"$table"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    assert(mc == 202, s"maintenance submit: $mc $mb")
+    val mid = mb.asObj("maintenanceId").str
+    val mDeadline = System.currentTimeMillis() + 120000
+    var mStatus = "PENDING"
+    while (mStatus != "COMPLETED" && mStatus != "FAILED" &&
+        System.currentTimeMillis() < mDeadline) {
+      Thread.sleep(200)
+      mStatus = get(s"/maintenance/status/$mid")._2.asObj("status").str
+    }
+    assert(mStatus == "COMPLETED",
+      s"maintenance over HTTP: $mStatus ${get(s"/maintenance/status/$mid")._2}")
+    val mOps = get(s"/maintenance/status/$mid")._2.asObj("ops") match {
+      case JArr(items) => items.map(_.asObj("op").str)
+      case other       => sys.error(s"ops: $other")
+    }
+    assert(mOps == Vector("compact", "vacuum", "txn-truncate", "history-vacuum",
+      "registry-sweep"), s"maintenance ops: $mOps")
+    val afterApiMaint = StreamingIngest.readTable(spark, table).count()
+    assert(afterApiMaint == n,
+      s"API maintenance must not change visible rows: $afterApiMaint")
+    println(s"DRIVE maintenance-api: $mid completed over HTTP, ops=${mOps.mkString(",")}")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()

@@ -1,0 +1,129 @@
+package graft.batch
+
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftConfig
+
+/** Maintenance runs as first-class registry jobs — the API form of the
+  * reference's "scheduled ops" story (ref AGENTS.md:1162-1171): the same
+  * OPTIMIZE/VACUUM/index-sync ops `graft.Maintain` runs from cron become
+  * drivable over `POST /maintenance/run`, tracked through the SAME
+  * [[BatchRegistry]] lifecycle (PENDING → RUNNING → COMPLETED/FAILED,
+  * crash-persisted terminal records, `/batch/list` visibility, retention
+  * pruning) as batch analytics jobs — one job surface, not a parallel one.
+  *
+  * The record reuses the batch shape: `analysisType` is
+  * `maintenance:<mode>`, `filters` carries the mode options verbatim,
+  * `rawPath` points at the ops report (one JSON object per op, the same
+  * lines the CLI prints, published atomically), `rowCount` is the op
+  * count. Ops execute [[graft.Maintain.runMode]] + [[graft.Maintain
+  * .runSweeps]] against the LIVE registry, so an API-triggered sweep
+  * prunes exactly what a restart would reload.
+  *
+  * Single-flight PER TABLE: maintenance rewrites files under OCC claims,
+  * and two concurrent runs on one table would just abort each other
+  * mid-claim — so a second submit while one is active is refused loudly
+  * (409 at the route) instead of queueing a guaranteed conflict. Distinct
+  * tables maintain concurrently on the pool. Ops run on daemon threads
+  * tagged into the `batch` FAIR scheduler pool so streaming queries keep
+  * their share while a compaction rewrites.
+  */
+final class MaintenanceService(
+    spark: SparkSession,
+    registry: BatchRegistry,
+    m: GraftConfig.Maintenance,
+    outputRoot: String,
+    registryDir: String = "",
+    poolSize: Int = 2) {
+
+  private val executor = Executors.newFixedThreadPool(poolSize, r => {
+    val t = new Thread(r, "maintenance-worker")
+    t.setDaemon(true)
+    t
+  })
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(executor)
+
+  /** table → active maintenance id (single-flight guard). */
+  private val active = new ConcurrentHashMap[String, String]()
+
+  /** Validate and launch. `opts` are the mode's named options
+    * (`partCol`, `cols`, `column`, `indexDir`); they map onto
+    * [[graft.Maintain.runMode]]'s positional args. Left = client error
+    * (unknown mode / missing option → 400), Right(Left(activeId)) =
+    * single-flight refusal (409), Right(Right(id)) = accepted. */
+  def submit(
+      table: String,
+      mode: String,
+      opts: Map[String, String]): Either[String, Either[String, String]] = {
+    if (!graft.Maintain.modes.contains(mode))
+      return Left(s"Unknown mode: $mode; valid: " +
+        graft.Maintain.modes.toSeq.sorted.mkString(", "))
+    if (table.trim.isEmpty) return Left("Missing required field: table")
+    def need(k: String): Either[String, String] =
+      opts.get(k).filter(_.nonEmpty).toRight(s"Mode '$mode' requires option: $k")
+    val modeArgs: Either[String, Seq[String]] = mode match {
+      case "stream" => Right(Seq.empty)
+      case "bloom"  => need("column").map(Seq(_))
+      case "zorder" => for { p <- need("partCol"); c <- need("cols") } yield Seq(p, c)
+      case "upsert" => need("partCol").map(p => Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
+      case "ivf" | "pq" =>
+        for { p <- need("partCol"); d <- need("indexDir") } yield Seq(p, d)
+    }
+    modeArgs match {
+      case Left(msg) => Left(msg)
+      case Right(args) =>
+        val id = s"maint-${java.time.LocalDate.now()}-${UUID.randomUUID().toString.take(8)}"
+        val prior = active.putIfAbsent(table, id)
+        if (prior != null) return Right(Left(prior))
+        registry.put(BatchJobRecord(id,
+          BatchRequest("", "", s"maintenance:$mode", opts + ("table" -> table)),
+          BatchStatus.Pending, System.currentTimeMillis()))
+        Future(run(id, table, mode, args))
+        Right(Right(id))
+    }
+  }
+
+  private def run(id: String, table: String, mode: String, modeArgs: Seq[String]): Unit =
+    try {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
+      registry.update(id)(_.copy(
+        status = BatchStatus.Running, startedAt = Some(System.currentTimeMillis())))
+      val ops = graft.Maintain.runMode(spark, table, mode, modeArgs, m) ++
+        graft.Maintain.runSweeps(spark, table, m, registry, registryDir)
+      val report = publishReport(id, ops)
+      registry.update(id)(_.copy(
+        status = BatchStatus.Completed, completedAt = Some(System.currentTimeMillis()),
+        rowCount = Some(ops.size.toLong), rawPath = Some(report)))
+    } catch {
+      case e: Throwable =>
+        registry.update(id)(_.copy(
+          status = BatchStatus.Failed, completedAt = Some(System.currentTimeMillis()),
+          error = Some(Option(e.getMessage).getOrElse(e.toString))))
+    } finally {
+      // release only our own claim (a Failed submit never inserted one)
+      active.remove(table, id)
+      ()
+    }
+
+  /** Ops report on local disk, published atomically (tmp + ATOMIC_MOVE) so
+    * a status poller racing the final transition reads a complete JSON
+    * array or nothing, never a torn file. */
+  private def publishReport(id: String, ops: Seq[String]): String = {
+    val dir = java.nio.file.Paths.get(outputRoot)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".$id", ".tmp")
+    java.nio.file.Files.writeString(tmp, ops.mkString("[", ",", "]"))
+    val out = dir.resolve(s"$id.ops.json")
+    java.nio.file.Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    out.toString
+  }
+
+  def shutdown(): Unit = executor.shutdown()
+}

@@ -50,7 +50,17 @@ final class HttpApi(
     defaultPageSize: Int = 100,
     maxPageSize: Int = 10000,
     host: String = "127.0.0.1",
-    bindPort: Int = 0) {
+    bindPort: Int = 0,
+    /** Maintenance job runner behind `POST /maintenance/run`; defaults to
+      * one over this facade's registry with the config tree's knobs (ops
+      * reports land in a scratch dir). Inject to share the app's
+      * configured output root / registry dir. */
+    maintenance: Option[graft.batch.MaintenanceService] = None) {
+
+  private val maint: graft.batch.MaintenanceService = maintenance.getOrElse(
+    new graft.batch.MaintenanceService(spark, registry,
+      graft.core.GraftConfig.load().maintenance,
+      java.nio.file.Files.createTempDirectory("graft-maint-ops").toString))
 
   private val lifecycle = new QueryLifecycle
   private val startTime = Instant.now()
@@ -85,6 +95,8 @@ final class HttpApi(
         case ("POST", "stream" :: "start" :: Nil)             => streamStart(ex)
         case ("POST", "stream" :: "stop" :: Nil)              => streamStop(ex)
         case ("GET", "stream" :: "status" :: Nil)             => streamStatus(ex)
+        case ("POST", "maintenance" :: "run" :: Nil)          => maintenanceRun(ex)
+        case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
         case ("GET", "health" :: Nil)                         => health(ex)
         case ("POST", "stop" :: Nil)                          => stopAll(ex)
         case _ =>
@@ -252,6 +264,64 @@ final class HttpApi(
       .map(r => "nextAfter" -> (JStr(s"${r.submittedAt}:${r.batchId}"): JVal))
     reply(ex, 200, JObj(base ++ next))
   }
+
+  // --------------------------------------------------------- maintenance
+
+  /** `POST /maintenance/run` — the reference's scheduled-ops story
+    * (AGENTS.md:1162-1171) over the same API as batches: body
+    * `{mode, table, <mode options…>}` where mode options are `partCol`,
+    * `cols`, `column`, `indexDir` per [[graft.Maintain]]'s modes. 202
+    * with a registry-tracked `maintenanceId`; 400 on unknown mode /
+    * missing option; 409 while a run is already active on the table
+    * (single-flight — concurrent runs would only abort each other's OCC
+    * claims). */
+  private def maintenanceRun(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val fields =
+      try Json.parse(if (body.trim.isEmpty) "{}" else body).asObj
+      catch {
+        case e: Exception =>
+          reply(ex, 400, err("INVALID_REQUEST", s"Malformed JSON body: ${e.getMessage}"))
+          return
+      }
+    (fields.get("mode"), fields.get("table")) match {
+      case (Some(JStr(mode)), Some(JStr(table))) =>
+        val opts = fields.collect {
+          case (k, JStr(v)) if k != "mode" && k != "table" => k -> v
+        }.toMap
+        maint.submit(table, mode, opts) match {
+          case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+          case Right(Left(activeId)) =>
+            reply(ex, 409, JObj.of(
+              "error" -> JStr("MAINTENANCE_ALREADY_RUNNING"),
+              "message" -> JStr(s"Maintenance $activeId is active on $table. " +
+                "Wait for it to finish."),
+              "maintenanceId" -> JStr(activeId)))
+          case Right(Right(id)) =>
+            reply(ex, 202, JObj.of(
+              "maintenanceId" -> JStr(id), "status" -> JStr("PENDING")))
+        }
+      case _ =>
+        reply(ex, 400, err("INVALID_REQUEST", "Missing required fields: mode, table"))
+    }
+  }
+
+  /** Status by id — the batch record envelope plus, once completed, the
+    * per-op report (`ops`: the same JSON lines the Maintain CLI prints,
+    * read back from the atomically-published report file). */
+  private def maintenanceStatus(ex: HttpExchange, id: String): Unit =
+    registry.get(id) match {
+      case Some(rec) =>
+        val ops: Vector[(String, JVal)] = rec.rawPath.flatMap { p =>
+          scala.util.Try(
+            Json.parse(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+          ).toOption
+        }.map(a => Vector("ops" -> a)).getOrElse(Vector.empty)
+        reply(ex, 200, JObj(
+          (("maintenanceId" -> (JStr(rec.batchId): JVal)) +: recordJson(rec).fields) ++ ops))
+      case None =>
+        reply(ex, 404, err("MAINTENANCE_NOT_FOUND", s"No maintenance job found with ID: $id"))
+    }
 
   // -------------------------------------------------------------- stream
 

@@ -307,6 +307,85 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("maintenance route: run -> registry lifecycle -> ops report") {
+    // own table: the run writes a _graft_bloom sidecar, so don't mutate the
+    // shared sourcePath fixture other tests scan
+    val table = Files.createTempDirectory("httpmaint").toString
+    val rows = (1 to 60).map { i =>
+      row(id = f"m$i%03d", customerId = s"C${i % 7}",
+        eventTs = ts(f"2026-03-${i % 5 + 1}%02d 09:00:00"))
+    }
+    df(spark, rows: _*)
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .repartition(4).write.partitionBy("event_date").mode("overwrite").parquet(table)
+    val api = newApi()
+    try {
+      // client errors are loud and typed
+      val (bc1, bb1) = post(api.port, "/maintenance/run",
+        s"""{"mode":"defrag","table":"$table"}""")
+      assert(bc1 == 400 && bb1.asObj("message").str.contains("Unknown mode"))
+      val (bc2, bb2) = post(api.port, "/maintenance/run",
+        s"""{"mode":"bloom","table":"$table"}""")
+      assert(bc2 == 400 && bb2.asObj("message").str.contains("requires option: column"))
+      assert(post(api.port, "/maintenance/run", """{"mode":"bloom"}""")._1 == 400)
+      assert(get(api.port, "/maintenance/status/maint-nope")._1 == 404)
+
+      // accepted run: 202 + PENDING, drives the Maintain bloom op
+      val (c, b) = post(api.port, "/maintenance/run",
+        s"""{"mode":"bloom","table":"$table","column":"customer_id"}""")
+      assert(c == 202 && b.asObj("status").str == "PENDING", s"got $c $b")
+      val id = b.asObj("maintenanceId").str
+      assert(id.startsWith("maint-"))
+
+      await(get(api.port, s"/maintenance/status/$id")._2.asObj("status").str == "COMPLETED")
+      val (sc, sb) = get(api.port, s"/maintenance/status/$id")
+      assert(sc == 200)
+      val rec = sb.asObj
+      assert(rec("analysisType").str == "maintenance:bloom")
+      assert(rec("filters").asObj("table").str == table)
+      val ops = rec("ops") match { case JArr(items) => items.map(_.asObj); case _ => fail() }
+      // mode op + the three shared sweeps, same lines the CLI prints
+      assert(ops.map(_("op").str) ==
+        Vector("bloom-refresh", "txn-truncate", "history-vacuum", "registry-sweep"))
+      val bloom = ops.head
+      assert(bloom("filesIndexed") == bloom("filesTotal") &&
+        bloom("filesTotal").asInstanceOf[JNum].v > 0)
+      // the op really ran: sidecar on disk, and a second run reuses it
+      assert(new java.io.File(s"$table/_graft_bloom/customer_id").isDirectory)
+
+      // same registry: the run is visible through the batch surface too
+      assert(get(api.port, s"/batch/status/$id")._1 == 200)
+
+      val (c2, b2) = post(api.port, "/maintenance/run",
+        s"""{"mode":"bloom","table":"$table","column":"customer_id"}""")
+      assert(c2 == 202)
+      val id2 = b2.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id2")._2.asObj("status").str == "COMPLETED")
+      val ops2 = get(api.port, s"/maintenance/status/$id2")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      // incremental refresh: every file already indexed, none re-read
+      assert(ops2.head("filesIndexed") == JNum(BigDecimal(0)))
+    } finally api.stop()
+  }
+
+  test("maintenance route: failures land FAILED with the cause") {
+    val api = newApi()
+    try {
+      val missing = s"${Files.createTempDirectory("httpmaintgone")}/no-such-table"
+      val (c, b) = post(api.port, "/maintenance/run",
+        s"""{"mode":"bloom","table":"$missing","column":"customer_id"}""")
+      assert(c == 202)
+      val id = b.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id")._2.asObj("status").str == "FAILED")
+      val rec = get(api.port, s"/maintenance/status/$id")._2.asObj
+      assert(rec("errorMessage").str.nonEmpty)
+      // the failed run released the single-flight claim: a retry is accepted
+      assert(post(api.port, "/maintenance/run",
+        s"""{"mode":"bloom","table":"$missing","column":"customer_id"}""")._1 == 202)
+    } finally api.stop()
+  }
+
   test("graceful stop: responds, then drains") {
     @volatile var stopped = false
     val reg = new BatchRegistry(None)
