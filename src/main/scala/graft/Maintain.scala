@@ -30,7 +30,9 @@ import graft.streaming.SinkCompaction
   * Bloom sidecar incrementally ([[graft.core.BloomIndex.refresh]] — only
   * files the sidecar has never seen are read; the upsert write paths
   * already refresh inline after replacing files, so this run mostly
-  * catches external appends and builds the first sidecar);
+  * catches external appends and builds the first sidecar); `stats <col>`
+  * does the same for the per-file min/max zone-map sidecar
+  * ([[graft.core.StatsIndex.refresh]] — footer-only reads of new files);
   * `ivf|pq <partCol> <indexDir>` keeps a persisted ANN index in step with
   * its source vector table ([[graft.operators.IvfIndex.sync]] /
   * [[graft.operators.PqIndex.sync]] — build when absent, else an
@@ -45,7 +47,8 @@ import graft.streaming.SinkCompaction
 object Maintain {
 
   /** Modes [[runMode]] accepts, in CLI-arg order. */
-  val modes: Set[String] = Set("stream", "upsert", "zorder", "bloom", "ivf", "pq")
+  val modes: Set[String] =
+    Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -87,6 +90,14 @@ object Maintain {
         // builds from scratch when no sidecar exists yet
         val st = graft.core.BloomIndex.refresh(spark, table, column)
         Seq(s"""{"op":"bloom-refresh","table":$tableJson,""" +
+          s""""filesIndexed":${st.filesIndexed},"entriesDropped":${st.entriesDropped},""" +
+          s""""filesTotal":${st.filesTotal}}""")
+      case "stats" =>
+        val column = arg(0, "the indexed column (stats <col>)")
+        // footer-only incremental: existing per-file intervals are reused
+        // (data files are immutable), only new files' footers are read
+        val st = graft.core.StatsIndex.refresh(spark, table, column)
+        Seq(s"""{"op":"stats-refresh","table":$tableJson,""" +
           s""""filesIndexed":${st.filesIndexed},"entriesDropped":${st.entriesDropped},""" +
           s""""filesTotal":${st.filesTotal}}""")
       case "zorder" =>

@@ -107,11 +107,21 @@ object StorageBench {
     if (churnErr.get != null) throw churnErr.get
     require(reads > 0, "no committed read completed during churn")
 
-    // BLOOM SIDECAR: full build, then a merge on the INDEXED table — the
-    // merge now pays the O(new files) incremental refresh; the delta vs
-    // storage_merge above is the cost of keeping the index current
+    // INDEX SIDECARS: full builds (bloom reads the data once; stats reads
+    // FOOTERS only), then a range scan through the stats index, then a
+    // merge on the INDEXED table — the merge now pays the O(new files)
+    // incremental refresh of BOTH sidecars; the delta vs storage_merge
+    // above is the cost of keeping the indexes current
     val tBloomBuild = time {
       require(graft.core.BloomIndex.build(spark, table, "k") > 0)
+    }
+    val tStatsBuild = time {
+      require(graft.core.StatsIndex.build(spark, table, "v") > 0)
+    }
+    val tStatsScan = time {
+      val (res, _, _) = graft.core.StatsIndex.rangeScan(
+        spark, table, "v", Some(0.0), Some(rowsPerPartition.toDouble))
+      require(res.count() > 0)
     }
     val tMergeIndexed = time {
       Upsert.mergeByKey(spark, table, frame(0.25, rowsPerPartition / 2),
@@ -132,6 +142,8 @@ object StorageBench {
       "storage_dv_read" -> tDvRead,
       "storage_read_committed_churn" -> tRead / reads,
       "storage_bloom_build" -> tBloomBuild,
+      "storage_stats_build" -> tStatsBuild,
+      "storage_stats_scan" -> tStatsScan,
       "storage_merge_indexed" -> tMergeIndexed)
   }
 

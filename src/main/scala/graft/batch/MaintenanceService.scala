@@ -68,7 +68,7 @@ final class MaintenanceService(
       opts.get(k).filter(_.nonEmpty).toRight(s"Mode '$mode' requires option: $k")
     val modeArgs: Either[String, Seq[String]] = mode match {
       case "stream" => Right(Seq.empty)
-      case "bloom"  => need("column").map(Seq(_))
+      case "bloom" | "stats" => need("column").map(Seq(_))
       case "zorder" => for { p <- need("partCol"); c <- need("cols") } yield Seq(p, c)
       case "upsert" => need("partCol").map(p => Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
       case "ivf" | "pq" =>

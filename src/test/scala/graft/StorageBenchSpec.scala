@@ -8,7 +8,8 @@ class StorageBenchSpec extends SparkSpec {
     assert(r.map(_._1) == Seq(
       "storage_merge", "storage_compact", "storage_dv_delete",
       "storage_dv_read", "storage_read_committed_churn",
-      "storage_bloom_build", "storage_merge_indexed"))
+      "storage_bloom_build", "storage_stats_build", "storage_stats_scan",
+      "storage_merge_indexed"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
 }
