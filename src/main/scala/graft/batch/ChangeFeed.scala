@@ -57,9 +57,10 @@ object ChangeFeed {
   /** Root of the persisted per-commit change files, keyed by the BEGIN
     * version of the claim that wrote them (`v<begin>/c_<partition>/…`) —
     * the `upsert-end`'s `ref` points there. Subdirectories deliberately do
-    * NOT use `col=value` naming: the partition column travels INSIDE the
-    * files (the published table's hive layout strips it, so change files
-    * must carry it), and a `=` dir name would make the reader re-infer it. */
+    * NOT use `col=value` naming (a `=` dir name would make every reader
+    * re-infer a partition column): split-layout records carry the
+    * partition value in the escaped `c_<p>` name itself, flat legacy/DV
+    * records carry it INSIDE the files as a data column. */
   private[batch] val ChangesDir = "_graft_changes"
 
   /** Row-level changes committed after `fromVersion`, up to `toVersion`
@@ -101,12 +102,45 @@ object ChangeFeed {
     val dataEnds = all.filter(c =>
       (c.op == "upsert-end" || c.op == "dv-end") && c.ref.isDefined &&
       c.version > fromVersion && c.version <= to)
-    val feeds = dataEnds.flatMap { e =>
-      persistedChanges(spark, fs, table, e.ref.get) match {
-        case Some(df) => Some(df.withColumn(CommitVersionCol, lit(e.version)))
-        case None => diffChanges(spark, table, partCol, e)
+    // Table schema for change rows assembled from the SPLIT layout: the
+    // side files carry neither the partition column (it rides the `c_<p>`
+    // dir name — typed here with the same partition-inferred type every
+    // table read produces) nor, for pre-widening commits, the newest data
+    // columns (explicit-schema reads null-fill them, matching the
+    // name-aligned union the feed guarantees). One lazy resolution per
+    // read — per-side-dir schema INFERENCE would cost a driver job for
+    // every commit in the range.
+    lazy val tableSchema: org.apache.spark.sql.types.StructType =
+      spark.read.option("mergeSchema", "true").parquet(table).schema
+    val resolved = dataEnds.map(e =>
+      e -> persistedChanges(spark, fs, table, e.ref.get, partCol, () => tableSchema))
+    // split records from EVERY commit in the range net in ONE aggregation —
+    // grouped by (commit version, partition, full row), so commits never
+    // cancel against each other but the feed pays a single shuffle however
+    // wide the range (per-commit netting made wide replays O(commits)
+    // shuffle stages)
+    val splitSides = resolved.collect { case (e, Some(SplitSides(df))) =>
+      df.withColumn(CommitVersionCol, lit(e.version)) }
+    val netted = splitSides
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { union =>
+        val base = union.columns.filterNot(_ == SideCol).toSeq
+        union.groupBy(base.map(col): _*)
+          .agg(sum(col(SideCol)).as("_graft_net"))
+          .filter(col("_graft_net") =!= 0L)
+          .withColumn(ChangeTypeCol,
+            when(col("_graft_net") > 0, lit("insert")).otherwise(lit("delete")))
+          .withColumn("_graft_copy",
+            explode(sequence(lit(1L), abs(col("_graft_net")))))
+          .drop("_graft_net", "_graft_copy")
       }
-    }
+    val feeds = resolved.flatMap {
+      case (e, Some(FlatRows(df))) =>
+        Some(df.withColumn(CommitVersionCol, lit(e.version)))
+      case (_, Some(EmptyDelta)) => None // persisted, empty — contributes nothing
+      case (e, None) => diffChanges(spark, table, partCol, e)
+      case (_, Some(SplitSides(_))) => None // folded into `netted` above
+    } ++ netted.toSeq
     feeds.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse(
       // empty range: an empty frame with the table's schema + feed columns,
       // so consumers can union/apply it unconditionally
@@ -115,26 +149,135 @@ object ChangeFeed {
         .withColumn(CommitVersionCol, lit(0L)))
   }
 
-  /** The persisted change files of the claim begun at `beginV`, or None if
-    * that commit predates the feature (diff fallback). A change directory
-    * holding zero data files (an upsert rewriting identical rows can write
-    * no part files) also returns None — the diff fallback then computes the
-    * same empty delta, so correctness never depends on how the writer
-    * serialized emptiness. */
+  /** How a commit's change record is persisted on disk. */
+  private sealed trait Persisted
+  /** SPLIT layout: raw pre/post sides tagged ±1 in [[SideCol]], partition
+    * column attached — netted by the caller across commits in one pass. */
+  private final case class SplitSides(df: DataFrame) extends Persisted
+  /** FLAT layout (legacy upserts + [[DeletionVectors]]): ready change rows
+    * with `_change_type` and the partition column as data columns. */
+  private final case class FlatRows(df: DataFrame) extends Persisted
+  /** A split record whose delta is entirely empty — persisted and
+    * authoritative (no diff fallback), contributing nothing. */
+  private case object EmptyDelta extends Persisted
+
+  /** Side marker used while netting split change records. */
+  private val SideCol = "_graft_side"
+
+  /** Write-time schema metadata inside a split `c_<p>/` record:
+    * `{"side": <StructType.json>, "part": <DataType.json>}`. Reading it is
+    * one small fs read — no inference/mergeSchema jobs on the feed path. */
+  private[batch] val SchemaFile = "_schema.json"
+
+  /** The persisted change record of the claim begun at `beginV`, or None
+    * if that commit predates the feature (diff fallback). Two on-disk
+    * shapes:
+    *
+    *   - SPLIT (current writer): `c_<p>/pre/` holds the matched pre-images
+    *     and `c_<p>/post/` the upsert rows, RENAMED out of the merge's own
+    *     tagged rewrite — the write side pays zero extra jobs, so the
+    *     netting the feed exposes (identical-row rewrites cancel, an
+    *     update is delete+insert) happens at READ time over O(changed
+    *     rows) of input. The partition column rides the `c_<p>` dir name
+    *     (the staged files, like the published partition, don't carry it),
+    *     and sides are read with the EXPLICIT table schema — pre-widening
+    *     commits null-fill, and no per-dir inference jobs run. A `c_` dir
+    *     with pre/post subdirs is authoritative even when both sides are
+    *     empty — an empty delta feeds as empty, no fallback.
+    *   - FLAT (legacy upserts + [[DeletionVectors]]): ready change rows. A
+    *     flat directory holding zero data files returns None — the diff
+    *     fallback computes the same empty delta, so correctness never
+    *     depends on how an old writer serialized emptiness. */
   private def persistedChanges(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       table: String,
-      beginV: Long): Option[DataFrame] = {
+      beginV: Long,
+      partCol: String,
+      tableSchema: () => org.apache.spark.sql.types.StructType): Option[Persisted] = {
     val root = new org.apache.hadoop.fs.Path(s"$table/$ChangesDir/v$beginV")
     if (!fs.exists(root)) return None
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-    val withData = dirs.filter(d =>
+      .filterNot(_.getName.startsWith("."))
+    def subdir(d: org.apache.hadoop.fs.Path, name: String) =
+      new org.apache.hadoop.fs.Path(d, name)
+    def hasData(d: org.apache.hadoop.fs.Path) =
+      fs.exists(d) && fs.listStatus(d).exists(f => f.isFile && f.getLen > 0 &&
+        f.getPath.getName.endsWith(".parquet"))
+    val (split, flatDirs) = dirs.partition(d =>
+      fs.exists(subdir(d, "pre")) || fs.exists(subdir(d, "post")))
+    val splitFrames = split.toSeq.flatMap { d =>
+      val p = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.getName.stripPrefix("c_"))
+      // write-time schema metadata (one KB-scale fs read, zero jobs);
+      // records from before the metadata existed fall back to the lazily
+      // resolved union table schema
+      val meta = readSchemaFile(fs, subdir(d, SchemaFile))
+      val sideSchema = meta.map(_._1).getOrElse(
+        org.apache.spark.sql.types.StructType(
+          tableSchema().filterNot(_.name == partCol)))
+      val partType = meta.map(_._2).getOrElse(tableSchema()(partCol).dataType)
+      def side(name: String, sign: Long): Option[DataFrame] = {
+        val sd = subdir(d, name)
+        if (hasData(sd))
+          Some(spark.read.schema(sideSchema).parquet(sd.toString)
+            .withColumn(SideCol, lit(sign)))
+        else None
+      }
+      (side("pre", -1L).toSeq ++ side("post", 1L).toSeq)
+        .reduceOption(_ unionByName _)
+        .map(_.withColumn(partCol, lit(p).cast(partType)))
+    }
+    val flatWithData = flatDirs.filter(d =>
       fs.listStatus(d).exists(f => f.isFile && f.getLen > 0 &&
         f.getPath.getName.endsWith(".parquet")))
-    if (withData.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(withData.map(_.toString).toIndexedSeq: _*))
+    val flatFrame =
+      if (flatWithData.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(flatWithData.map(_.toString).toIndexedSeq: _*))
+    (splitFrames.nonEmpty, flatFrame) match {
+      case (true, None) =>
+        Some(SplitSides(
+          splitFrames.reduce(_.unionByName(_, allowMissingColumns = true))))
+      case (false, Some(flat)) => Some(FlatRows(flat))
+      case (false, None) => if (split.nonEmpty) Some(EmptyDelta) else None
+      case (true, Some(flat)) =>
+        // one claim never mixes layouts today; handle it anyway by netting
+        // the split sides alone per this commit and unioning the flat rows
+        Some(FlatRows(flat.unionByName(
+          netOne(splitFrames.reduce(_.unionByName(_, allowMissingColumns = true))),
+          allowMissingColumns = true)))
+    }
+  }
+
+  /** The `_schema.json` of a split record, if present. */
+  private def readSchemaFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.Path): Option[
+      (org.apache.spark.sql.types.StructType,
+       org.apache.spark.sql.types.DataType)] =
+    if (!fs.exists(f)) None
+    else scala.util.Try {
+      val in = fs.open(f)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val obj = graft.http.Json.parse(txt).asObj
+      (org.apache.spark.sql.types.DataType.fromJson(obj("side").render)
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+       org.apache.spark.sql.types.DataType.fromJson(obj("part").render))
+    }.toOption
+
+  /** Net one commit's split sides alone (only the mixed-layout edge). */
+  private def netOne(union: DataFrame): DataFrame = {
+    val base = union.columns.filterNot(_ == SideCol).toSeq
+    union.groupBy(base.map(col): _*)
+      .agg(sum(col(SideCol)).as("_graft_net"))
+      .filter(col("_graft_net") =!= 0L)
+      .withColumn(ChangeTypeCol,
+        when(col("_graft_net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_graft_copy",
+        explode(sequence(lit(1L), abs(col("_graft_net")))))
+      .drop("_graft_net", "_graft_copy")
   }
 
   /** Snapshot-diff fallback for commits without persisted change files:

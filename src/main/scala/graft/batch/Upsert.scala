@@ -171,19 +171,21 @@ object Upsert {
         val results = merges.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
         results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
       } finally pool.shutdown()
-      refreshBloomSidecars(spark, table)
+      refreshIndexSidecars(spark, table)
       touched
     } finally updates.unpersist()
   }
 
-  /** Catch any per-file Bloom sidecars up to the files this write just
-    * published — reads ONLY the replacement files (still page-hot), so a
-    * merge on an indexed table keeps point-lookup pruning without a
-    * scheduled Maintain rebuild. Runs AFTER the data commits: a refresh
-    * failure leaves the sidecar stale, which [[graft.core.BloomIndex
-    * .lookup]] handles conservatively (unknown files are scanned) — so it
-    * must not fail the already-committed write. */
-  private def refreshBloomSidecars(spark: SparkSession, table: String): Unit =
+  /** Catch any per-file index sidecars (Bloom filters, min/max stats) up
+    * to the files this write just published — Bloom reads ONLY the
+    * replacement files (still page-hot), stats read only their FOOTERS, so
+    * a merge on an indexed table keeps point/range-lookup pruning without
+    * a scheduled Maintain rebuild. Runs AFTER the data commits: a refresh
+    * failure leaves a sidecar stale, which [[graft.core.BloomIndex
+    * .lookup]] / [[graft.core.StatsIndex.rangeScan]] handle conservatively
+    * (unknown files are scanned) — so it must not fail the
+    * already-committed write. */
+  private def refreshIndexSidecars(spark: SparkSession, table: String): Unit = {
     graft.core.BloomIndex.indexedColumns(spark, table).foreach { c =>
       try graft.core.BloomIndex.refresh(spark, table, c)
       catch {
@@ -193,6 +195,16 @@ object Upsert {
               s"degrade to scanning the new files until Maintain bloom): $e")
       }
     }
+    graft.core.StatsIndex.indexedColumns(spark, table).foreach { c =>
+      try graft.core.StatsIndex.refresh(spark, table, c)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"graft: stats sidecar refresh for $table/$c failed (range scans " +
+              s"degrade to scanning the new files until Maintain stats): $e")
+      }
+    }
+  }
 
   /** Row-level DELETE by key — the `WHEN MATCHED THEN DELETE`-only MERGE
     * (Delta's `DELETE FROM t WHERE key IN (...)` / takedown-workflow shape,
@@ -265,7 +277,7 @@ object Upsert {
       deletesOnly: Boolean,
       dvPairs: Option[DataFrame]): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
-    // (':' → %3A etc.); building the path from the raw value would miss
+    // (':' -> %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
     // duplicate sibling that readers merge into old-AND-new rows.
     val dirName = s"$partCol=${escape(p)}"
@@ -277,11 +289,10 @@ object Upsert {
     // retain-first; crashed writes stay invisible to what we merge on)
     repairCrashedWriter(spark, table, dirName, p, claim.version)
     val rawDelta = updates.filter(col(partCol).cast("string") === p)
-    // every delta key leaves the old partition (anti-join); upsert rows
-    // come back via the union, delete-marked rows do not — exactly Delta's
-    // WHEN MATCHED THEN UPDATE / WHEN MATCHED THEN DELETE /
-    // WHEN NOT MATCHED THEN INSERT on a per-partition rewrite. A
-    // delete-marked key with no match is a no-op, as in Delta.
+    // every delta key leaves the old partition; upsert rows come back,
+    // delete-marked rows do not — exactly Delta's WHEN MATCHED THEN
+    // UPDATE / DELETE / WHEN NOT MATCHED THEN INSERT on a per-partition
+    // rewrite. A delete-marked key with no match is a no-op, as in Delta.
     val deltaKeys = rawDelta.select(keyCols.map(col): _*)
     val upserts = deleteWhen.fold(rawDelta)(m => rawDelta.filter(!col(m)))
       .select(dataCols.map(col): _*)
@@ -304,75 +315,151 @@ object Upsert {
       TxnLog.abort(spark, table, claim)
       return
     }
-    val merged = existing match {
-      case Some(old) =>
-        val survivors = old.join(deltaKeys, keyCols, "left_anti")
-        if (deletesOnly) survivors else survivors.unionByName(upserts)
-      case None => upserts // brand-new partition: pure insert
-    }
-    // Persisted change feed (Delta writes `_change_data` files inside the
-    // same commit): the merge already knows the exact row delta — matched
-    // rows leave, upsert rows enter, identical-row rewrites cancel — so
-    // record it under the claim's version for ChangeFeed to read at
-    // O(changed rows). Written BEFORE the publish: the old files are still
-    // live to diff against, and a crash after this write but before the
-    // END leaves an orphan directory no feed ever reads (only END refs are
-    // consulted). The published table's hive layout strips the partition
-    // column, so change rows re-carry it as a data column.
-    //
-    // The delta is multiset arithmetic (≡ upserts.exceptAll(matched) ∪
-    // matched.exceptAll(upserts)) computed as ONE net-multiplicity hash
-    // aggregation over the full row — a single shuffle where the twin
-    // exceptAll form costs two, which measurably matters on the merge
-    // micro-bench since this rides every partition merge.
-    if (changeFeedEnabled(spark)) {
-      val changes = existing match {
-        case None => upserts.withColumn(ChangeFeed.ChangeTypeCol, lit("insert"))
-        case Some(old) =>
-          val matched = old.join(deltaKeys, keyCols, "left_semi")
-          if (deletesOnly) matched.withColumn(ChangeFeed.ChangeTypeCol, lit("delete"))
-          else {
-            val outCols = upserts.columns.toSeq
-            upserts.withColumn("_graft_side", lit(1L))
-              .unionByName(matched.withColumn("_graft_side", lit(-1L)))
-              .groupBy(outCols.map(col): _*)
-              .agg(sum(col("_graft_side")).as("_graft_net"))
-              .filter(col("_graft_net") =!= 0L)
-              .withColumn(ChangeFeed.ChangeTypeCol,
-                when(col("_graft_net") > 0, lit("insert")).otherwise(lit("delete")))
-              .withColumn("_graft_copy",
-                explode(sequence(lit(1L), abs(col("_graft_net")))))
-              .drop("_graft_net", "_graft_copy")
-          }
+    // Persisted change feed, Delta-style (`_change_data` files written by
+    // the SAME job that rewrites the data): the tagged split below routes
+    // every row of the ONE partition scan to its destination —
+    //   data/  = survivors (no delta key matches)      -> published
+    //   pre/   = matched pre-images (leave the table)  -> feed delete-side
+    //   post/  = upsert rows (enter the table)         -> published
+    //   cpost/ = the SAME upsert rows, written twice   -> feed insert-side
+    // The published partition is data/ + post/ MOVED into the publish tmp
+    // (renames), and the commit's change record is pre/ + cpost/ RENAMED
+    // under `c_<p>/{pre,post}` — the merge pays ZERO extra jobs and ZERO
+    // extra scans for the feed, only the O(delta) duplicate write of
+    // cpost. [[ChangeFeed]] nets insert/delete pairs per commit at READ
+    // time (its input is O(changed rows)), so the exposed feed still
+    // cancels identical-row rewrites exactly like the snapshot diff.
+    // The earlier shapes measurably lost on the merge micro-bench: a
+    // per-partition netting job paid a second partition scan (2x read
+    // amplification), and a bulk netting job still paid its own
+    // multi-stage shuffle+write per merge.
+    // The new rows ride the UPDATES side of the join, so duplicate-key
+    // pre-images (legal in external tables) replace down to ONE row
+    // exactly like the anti-join form.
+    val stagedCdf = changeFeedEnabled(spark)
+    val stageDir =
+      s"$table/${ChangeFeed.ChangesDir}/v${claim.version}/.stage_${escape(p)}"
+    val stageFs = fsFor(spark, table)
+    try {
+      if (stagedCdf) {
+        val posted = upserts.withColumn(DestCol, lit("post"))
+          .unionByName(upserts.withColumn(DestCol, lit("cpost")))
+        val tagged = existing match {
+          case Some(old) =>
+            require(!(DestCol +: MarkCol +: Nil).exists(old.columns.contains),
+              s"reserved column name in table: $DestCol/$MarkCol")
+            val oldTagged = old
+              .join(deltaKeys.withColumn(MarkCol, lit(1L)), keyCols, "left_outer")
+              .withColumn(DestCol,
+                when(col(MarkCol).isNotNull, lit("pre")).otherwise(lit("data")))
+              .drop(MarkCol)
+            if (deletesOnly) oldTagged else oldTagged.unionByName(posted)
+          case None => posted // brand-new partition: pure insert
+        }
+        tagged.write.partitionBy(DestCol).mode("overwrite").parquet(stageDir)
+        // install the commit's change record: renames into `c_<p>/` BEFORE
+        // the publish/END, so a committed END always has its change files
+        // (a crash sooner leaves only never-read orphans). The c_ dir is
+        // created even when a side is empty — its presence tells the feed
+        // "persisted commit, possibly empty delta" (no diff fallback).
+        val cDir = new org.apache.hadoop.fs.Path(
+          s"$table/${ChangeFeed.ChangesDir}/v${claim.version}/c_${escape(p)}")
+        stageFs.delete(cDir, true)
+        stageFs.mkdirs(cDir)
+        // the record's exact write-time schema (side files + the partition
+        // column's type) rides along as metadata, so a feed read NEVER has
+        // to run a schema-inference or mergeSchema job — at scale, one
+        // schema job per probed commit would dominate an incremental
+        // consumer's drain loop
+        val sideSchema = org.apache.spark.sql.types.StructType(
+          tagged.schema.filterNot(_.name == DestCol))
+        val schemaJson =
+          s"""{"side":${sideSchema.json},"part":${
+            updates.schema(partCol).dataType.json}}"""
+        val schemaOut = stageFs.create(
+          new org.apache.hadoop.fs.Path(cDir, ChangeFeed.SchemaFile), true)
+        try schemaOut.write(schemaJson.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally schemaOut.close()
+        Seq("pre" -> "pre", "cpost" -> "post").foreach { case (src, dst) =>
+          val from = new org.apache.hadoop.fs.Path(s"$stageDir/$DestCol=$src")
+          if (stageFs.exists(from) &&
+              !stageFs.rename(from, new org.apache.hadoop.fs.Path(cDir, dst)))
+            throw new java.io.IOException(
+              s"merge: failed to install change files $from -> $cDir/$dst")
+        }
       }
-      changes
-        .withColumn(partCol, lit(p).cast(updates.schema(partCol).dataType))
-        .write.mode("overwrite")
-        .parquet(s"$table/${ChangeFeed.ChangesDir}/v${claim.version}/c_${escape(p)}")
+      // Time travel: the replaced generation is retained under the claim's
+      // version (underscore prefix — invisible to plain readers). A
+      // brand-new partition retains an ABSENT marker instead, so
+      // [[readAsOf]] can tell "did not exist at that version" from
+      // "generation vacuumed" (the latter must fail loudly, never silently
+      // drop a partition).
+      val historyRoot = s"$table/$HistoryDir/v${claim.version}"
+      if (existing.isEmpty) {
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$historyRoot/$dirName$AbsentSuffix")
+        stageFs.mkdirs(marker.getParent)
+        val out = stageFs.create(marker, true)
+        try out.write(Array.empty[Byte]) finally out.close()
+      }
+      // retainFirst: the pre-image lands in history BEFORE the install, so
+      // a snapshot read can never observe installed data whose pre-image is
+      // not yet retained (the ms-wide race the after-install retention had)
+      AtomicWrite.publish(spark, partDir,
+        retainOldTo = if (existing.isDefined) Some(s"$historyRoot/$dirName") else None,
+        retainFirst = true) { tmp =>
+        if (stagedCdf) {
+          // the rewrite already ran in the tagged split: the new partition
+          // is data/ + post/ MOVED into the publish tmp (renames on the
+          // table's filesystem, no second job). Prefixes keep the two dirs'
+          // part-file names from colliding (one job wrote both).
+          val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+          stageFs.mkdirs(tmpPath)
+          var moved = 0
+          Seq("data", "post").foreach { side =>
+            val d = new org.apache.hadoop.fs.Path(s"$stageDir/$DestCol=$side")
+            if (stageFs.exists(d))
+              stageFs.listStatus(d).map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                  if (!stageFs.rename(f,
+                      new org.apache.hadoop.fs.Path(tmpPath, s"${side}_${f.getName}")))
+                    throw new java.io.IOException(
+                      s"merge publish: failed to move staged $f into $tmp")
+                  moved += 1
+                }
+          }
+          // everything deleted / empty result: land a schema-bearing empty
+          // write so the partition dir stays readable (what a direct write
+          // of the empty plan would have produced)
+          if (moved == 0)
+            (if (deletesOnly) existing.get.limit(0) else upserts.limit(0))
+              .write.mode("overwrite").parquet(tmp)
+        } else {
+          val merged = existing match {
+            case Some(old) =>
+              val survivors = old.join(deltaKeys, keyCols, "left_anti")
+              if (deletesOnly) survivors else survivors.unionByName(upserts)
+            case None => upserts
+          }
+          merged.write.parquet(tmp)
+        }
+      }
+      TxnLog.end(spark, table, claim)
+    } finally {
+      if (stagedCdf) { scala.util.Try(stageFs.delete(
+        new org.apache.hadoop.fs.Path(stageDir), true)); () }
     }
-    // Time travel: the replaced generation is retained under the claim's
-    // version (underscore prefix — invisible to plain readers). A
-    // brand-new partition retains an ABSENT marker instead, so [[readAsOf]]
-    // can tell "did not exist at that version" from "generation vacuumed"
-    // (the latter must fail loudly, never silently drop a partition).
-    val historyRoot = s"$table/$HistoryDir/v${claim.version}"
-    if (existing.isEmpty) {
-      val marker = new org.apache.hadoop.fs.Path(s"$historyRoot/$dirName$AbsentSuffix")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.mkdirs(marker.getParent)
-      val out = fs.create(marker, true)
-      try out.write(Array.empty[Byte]) finally out.close()
-    }
-    // retainFirst: the pre-image lands in history BEFORE the install, so a
-    // snapshot read can never observe installed data whose pre-image is not
-    // yet retained (the ms-wide race the after-install retention had)
-    AtomicWrite.publish(spark, partDir,
-      retainOldTo = if (existing.isDefined) Some(s"$historyRoot/$dirName") else None,
-      retainFirst = true) { tmp =>
-      merged.write.parquet(tmp)
-    }
-    TxnLog.end(spark, table, claim)
   }
+
+  /** Reserved output-routing columns of the staged change-feed merge. */
+  private val DestCol = "_graft_dest"
+  private val MarkCol = "_graft_matched"
+
+  private def fsFor(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
   private val HistoryDir = TxnLog.HistoryDir
 
@@ -898,7 +985,7 @@ object Upsert {
           else graft.core.LayoutOps.clusterBy(rows, layoutCols, nOut)
       }
     }
-    if (crowded.nonEmpty) refreshBloomSidecars(spark, table)
+    if (crowded.nonEmpty) refreshIndexSidecars(spark, table)
     crowded.length
   }
 
@@ -983,7 +1070,7 @@ object Upsert {
         rows => graft.core.LayoutOps.zOrderBy(rows, zCols, nOut)
       }
     }
-    if (parts.nonEmpty) refreshBloomSidecars(spark, table)
+    if (parts.nonEmpty) refreshIndexSidecars(spark, table)
     parts.length
   }
 

@@ -119,11 +119,17 @@ class ChangeFeedSpec extends SparkSpec {
       s"persisted feed must not diff snapshots:\n$plan")
     // every file scan in the plan roots under _graft_changes — the touched
     // partitions' live/history data is never read, which is what makes the
-    // feed O(changed rows) instead of O(touched partitions) per commit
-    val scans = feed.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.relation.location.rootPaths.map(_.toString)
+    // feed O(changed rows) instead of O(touched partitions) per commit.
+    // The read-side netting shuffles, so the plan is AQE-wrapped: traverse
+    // into adaptive subtrees.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
     }.flatten
+    val scans = scansOf(feed.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
     assert(scans.nonEmpty && scans.forall(_.contains("_graft_changes")),
       s"feed scans must read change files only: $scans")
   }
