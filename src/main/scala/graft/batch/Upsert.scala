@@ -1096,6 +1096,25 @@ object Upsert {
     DeletionVectors.applyTo(raw, dv)
   }
 
+  /** DV-aware range scan through the min/max stats sidecar — the range
+    * twin of [[pointLookup]] ([[graft.core.StatsIndex.rangeScan]] prunes
+    * the files, then pending deletion vectors are subtracted), so an
+    * audit like "every amount in [lo, hi] for this quarter" answers at
+    * O(intersecting files) against the COMMITTED row set, which the raw
+    * sidecar scan (pre-subtraction) cannot do and a committed read does
+    * at O(table). */
+  def rangeLookup(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Option[Any],
+      hi: Option[Any]): DataFrame = {
+    val (raw, _, _) = graft.core.StatsIndex.rangeScan(spark, table, column, lo, hi)
+    val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+    DeletionVectors.applyTo(raw, dv)
+  }
+
   /** Remove retained generations older than `minAgeMs` (age since
     * REPLACEMENT — the retention rename sets the directory mtime), bounding
     * history growth; the time-travel horizon is exactly this retention,

@@ -63,13 +63,13 @@ object StatsIndex {
 
   /** Sidecar join key — scheme-stripped URI path, matching
     * [[BloomIndex]]'s normalization (never used as a read path). */
-  private def normKey(p: String): String = new java.net.URI(p).getPath
+  private[core] def normKey(p: String): String = new java.net.URI(p).getPath
 
   /** One file's recorded interval. Exactly one of the (lmin,lmax) /
     * (dmin,dmax) / (smin,smax) pairs is populated, per the column type;
     * `bounded = false` means footer stats were missing and the file can
     * never be skipped. */
-  private final case class Entry(
+  private[core] final case class Entry(
       file: String,
       typ: String,
       lmin: Option[Long], lmax: Option[Long],
@@ -251,7 +251,7 @@ object StatsIndex {
       .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted.toSeq
   }
 
-  private def readSidecar(
+  private[core] def readSidecar(
       spark: SparkSession, table: String, column: String): Seq[Entry] =
     spark.read.parquet(indexDir(table, column)).collect().toSeq.map { r =>
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
@@ -356,6 +356,35 @@ object StatsIndex {
         spark.read.option("basePath", table)
           .parquet(candidates: _*).filter(pred(col(column)))
     (result, candidates, skipped)
+  }
+
+  /** The table as an ordinary DataFrame with TRANSPARENT data skipping:
+    * the returned frame's parquet relation carries a [[StatsFileIndex]]
+    * over every column that has a stats sidecar, so pushed-down
+    * comparison predicates prune files at PLANNING time with no special
+    * API — `StatsIndex.read(spark, t).filter(col("v") > x)` schedules
+    * only intersecting files, exactly like Delta's data skipping. A table
+    * with no sidecars reads plainly. Sidecars are loaded once here
+    * (KB-scale driver state); see [[StatsFileIndex]] for the conservative
+    * degradation rules. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val cols = indexedColumns(spark, table)
+    val df = spark.read.parquet(table)
+    if (cols.isEmpty) return df
+    val loaded = cols.map { c =>
+      AtomicWrite.recoverSwap(spark, indexDir(table, c), gcTmp = false)
+      val es = readSidecar(spark, table, c)
+      c -> (es.headOption.map(_.typ).getOrElse("long"),
+        es.map(e => e.file -> e).toMap)
+    }.toMap
+    val rel = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) => r
+    }.getOrElse(sys.error(s"stats read: $table is not a file relation"))
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.baseRelationToDataFrame(
+      rel.copy(location = new StatsFileIndex(rel.location, loaded))(classic))
   }
 
   /** Equality probe — a degenerate range. For high-cardinality non-layout

@@ -306,4 +306,23 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(cand.size + skip.size >= 2 && skip.nonEmpty,
       s"lookup must skip non-admitting files: cand=${cand.size} skip=${skip.size}")
   }
+
+  test("rangeLookup: stats-pruned range scan with deletion vectors subtracted") {
+    val t = table(40000)
+    graft.core.StatsIndex.build(spark, t, "v")
+    // DV a key whose v lands inside the probed range: the raw sidecar scan
+    // (pre-subtraction, documented) still returns it; rangeLookup must not
+    DeletionVectors.deleteVectored(spark, t,
+      keysDf(("2026-01-01", 200L)), "day", Seq("k")) // v = 300.0
+    val (raw, _, _) = graft.core.StatsIndex.rangeScan(
+      spark, t, "v", Some(299.0), Some(302.0))
+    assert(raw.filter(col("k") === 200L).count() == 1L,
+      "raw range scan returns the not-yet-materialized row")
+    val looked = Upsert.rangeLookup(spark, t, "v", Some(299.0), Some(302.0))
+    assert(looked.filter(col("k") === 200L).count() == 0L,
+      "rangeLookup must subtract the deletion vector")
+    // row parity with the committed read's same filter, DV'd row excluded
+    assert(rows(looked) == rows(Upsert.readCommitted(spark, t, "day")
+      .filter(col("v").between(299.0, 302.0))))
+  }
 }

@@ -211,6 +211,74 @@ class StatsIndexSpec extends SparkSpec {
       "domain-wide probe")
   }
 
+  /** Files actually scheduled by every file scan in `q`'s plan (AQE
+    * subtrees traversed). */
+  private def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    scans(q.queryExecution.executedPlan)
+      .map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
+  test("transparent skipping: pushed-down predicates prune files at planning") {
+    val (table, _) = buildTable()
+    val total = StatsIndex.build(spark, table, "v")
+    StatsIndex.build(spark, table, "s")
+    StatsIndex.build(spark, table, "d")
+    val df = StatsIndex.read(spark, table)
+    // an ordinary filter — no lookup API — skips non-intersecting files
+    val q = df.filter(col("v") >= 10000L && col("v") <= 12999L)
+    val full = spark.read.parquet(table)
+      .filter(col("v") >= 10000L && col("v") <= 12999L)
+    assert(q.collect().toSet == full.collect().toSet)
+    val pruned = filesScanned(q)
+    assert(pruned <= total / 4, s"planner must skip files: $pruned of $total")
+    // no predicate → the whole table; unindexed column → conservative
+    assert(filesScanned(df) == total)
+    assert(filesScanned(df.filter(col("payload") === "nope")) == total)
+    // string equality and date probes prune through their own sidecars
+    // (catalyst literals: UTF8String, epoch-day int)
+    assert(filesScanned(df.filter(col("s") === "k0031337")) <= total / 4)
+    val dq = df.filter(col("d") === java.sql.Date.valueOf("2026-01-11"))
+    assert(filesScanned(dq) <= total / 2)
+    assert(dq.count() == 1000L)
+    // SQL over a temp view rides the same planner path
+    df.createOrReplaceTempView("stats_skip_t")
+    val sq = spark.sql(
+      "SELECT count(*) AS n FROM stats_skip_t WHERE v BETWEEN 10000 AND 12999")
+    assert(sq.head.getLong(0) == 3000L)
+    assert(filesScanned(sq) <= total / 4)
+  }
+
+  test("transparent skipping composes with Hive partition pruning") {
+    val table = tmp("stats-skip-part")
+    spark.range(40000)
+      .withColumn("event_date",
+        date_add(lit("2024-01-01").cast("date"), (col("id") % 4).cast("int")))
+      .withColumn("amount", col("id").cast("double"))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .repartitionByRange(16, col("event_date"), col("id"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(table)
+    val total = StatsIndex.build(spark, table, "amount")
+    val df = StatsIndex.read(spark, table)
+    val q = df.filter(col("event_date") === "2024-01-02" &&
+      col("amount").between(10000.0, 10999.0))
+    val full = spark.read.parquet(table)
+      .filter(col("event_date") === "2024-01-02" &&
+        col("amount").between(10000.0, 10999.0))
+    val cols = full.columns.sorted.map(col).toSeq
+    assert(q.select(cols: _*).collect().toSet ==
+      full.select(cols: _*).collect().toSet)
+    // partition pruning drops 3 of 4 date dirs FIRST (base index), then
+    // the stats wrapper drops the non-intersecting files within the dir
+    val n = filesScanned(q)
+    assert(n <= 2, s"partition + stats pruning must compose: $n of $total files")
+  }
+
   test("unsupported column types are refused loudly") {
     val table = tmp("stats-bad")
     spark.range(100)
