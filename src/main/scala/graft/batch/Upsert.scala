@@ -1070,7 +1070,25 @@ object Upsert {
         rows => graft.core.LayoutOps.zOrderBy(rows, zCols, nOut)
       }
     }
-    if (parts.nonEmpty) refreshIndexSidecars(spark, table)
+    if (parts.nonEmpty) {
+      refreshIndexSidecars(spark, table)
+      // OPTIMIZE ZORDER leaves the table SELF-INDEXED: the rewrite just
+      // made per-file intervals on the cluster keys narrow, so build the
+      // min/max sidecars that let the planner exploit them (footer-only —
+      // O(files) metadata on data that was just written). Columns whose
+      // type the stats index cannot bound are skipped silently (layout
+      // still helps parquet's own row-group pruning there); existing
+      // sidecars were already caught up by the refresh above.
+      val have = graft.core.StatsIndex.indexedColumns(spark, table).toSet
+      zCols.filterNot(have).foreach { c =>
+        try graft.core.StatsIndex.build(spark, table, c)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"graft: stats sidecar build for $table/$c skipped: $e")
+        }
+      }
+    }
     parts.length
   }
 
@@ -1163,6 +1181,30 @@ object Upsert {
     // deletion-vector sidecars share the policy but have their own
     // liveness rule (a DV binds to FILE NAMES, not to one generation)
     DeletionVectors.vacuumDvSidecars(spark, table, cutoff, commits)
+    // change-record debris BELOW THE MANIFEST HORIZON can never be read
+    // again (the feed requires a retained END commit, and ranges reaching
+    // below the horizon throw) — sweep aged version dirs the
+    // generation-keyed deletion above could not reach: aborted claims'
+    // orphan records and crashed merges' staging. A LIVE claim is never
+    // below the horizon (truncate pins unclosed begins), and the age guard
+    // keeps this conservative against clock skew.
+    val changesRoot = new org.apache.hadoop.fs.Path(
+      s"$table/${ChangeFeed.ChangesDir}")
+    if (fs.exists(changesRoot)) {
+      // the floor counts retained END *refs* too: truncate can drop a
+      // closed BEGIN while keeping its END, and that END's ref still
+      // resolves the begin-keyed change dir — sweeping it would knock a
+      // perfectly readable feed back onto the diff path (or over the
+      // as-of horizon)
+      val floor = (commits.map(_.version) ++ commits.flatMap(_.ref))
+        .minOption.getOrElse(Long.MaxValue)
+      fs.listStatus(changesRoot)
+        .filter { st =>
+          st.getModificationTime < cutoff &&
+            st.getPath.getName.stripPrefix("v").toLongOption.exists(_ < floor)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     victims.length
   }
 

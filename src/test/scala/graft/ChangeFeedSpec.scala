@@ -308,6 +308,35 @@ class ChangeFeedSpec extends SparkSpec {
     ChangeFeed.readChanges(spark, table, "day", 0L).count()
   }
 
+  test("vacuum sweeps unreachable change debris; END-referenced records survive") {
+    import spark.implicits._
+    val table = tmp("cdf-debris")
+    Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    val v0 = TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k2", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k3", 3.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val before = rows(ChangeFeed.readChanges(spark, table, "day", v0))
+    assert(before.nonEmpty)
+    // debris no retained commit or END ref can reach: an aborted claim's
+    // orphan record (feed never reads it, vacuum's generation-keyed sweep
+    // never visits it). v0 sorts below every retained version.
+    val junk = new java.io.File(s"$table/_graft_changes/v0/c_zzz")
+    assert(junk.mkdirs())
+    java.nio.file.Files.writeString(junk.toPath.resolve("junk.parquet"), "x")
+    assert(junk.getParentFile.setLastModified(System.currentTimeMillis() - 3600_000))
+    // retention far above the live records' age: only the aged debris goes
+    Upsert.vacuumHistory(spark, table, minAgeMs = 60_000)
+    assert(!junk.exists(), "aged below-horizon debris must be swept")
+    // every readable record survived — the feed is byte-for-byte the same
+    assert(rows(ChangeFeed.readChanges(spark, table, "day", v0)) == before)
+    val plan = ChangeFeed.readChanges(spark, table, "day", v0)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Except"), "records must still read persisted, not diff")
+  }
+
   test("a feed range reaching below the vacuum horizon fails loudly") {
     val (table, v0, _) = history()
     // vacuum everything regardless of age: pre-images below tip are gone

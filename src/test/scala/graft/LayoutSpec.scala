@@ -173,6 +173,25 @@ class LayoutSpec extends SparkSpec {
     assert(frac <= 0.5, s"z-ordered partition must prune on y: $frac")
     // the pre-layout generation is retained: time travel still serves it
     assert(Upsert.readAsOf(spark, table, v0, "day").count() == n.toLong)
+
+    // ...and the table came out SELF-INDEXED: the rewrite built min/max
+    // sidecars for its own cluster keys, so a transparent read prunes on
+    // the second key with no further maintenance step
+    assert(graft.core.StatsIndex.indexedColumns(spark, table) == Seq("x", "y"))
+    val skipDf = graft.core.StatsIndex.read(spark, table)
+    val q = skipDf.filter(col("y") >= 100L && col("y") <= 104L)
+    assert(q.count() == spark.read.parquet(table)
+      .filter(col("y").between(100L, 104L)).count())
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val scanned = scans(q.queryExecution.executedPlan)
+      .map(_.selectedPartitions.totalNumberOfFiles).sum
+    assert(scanned <= (bounds.size + 1) / 2,
+      s"self-indexed read must plan-prune on y: $scanned of ${bounds.size} files")
   }
 
   test("compactPartitions folds layout in: clustered output prunes by footer bounds") {
