@@ -1,0 +1,108 @@
+package graft.batch
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{expr, not}
+
+import graft.http.{JObj, JStr, Json}
+
+/** CHECK constraints on upsert tables — the Delta `ALTER TABLE … ADD
+  * CONSTRAINT` analog (Delta stores `delta.constraints.<name>` in table
+  * metadata and rejects any write whose rows violate them; the reference
+  * runs on full Delta, `SparkManager.scala:36-37`). A constraint is a
+  * named boolean SQL expression over the table's columns; rows entering
+  * the table through [[Upsert.mergeByKey]] (and therefore the streaming
+  * upsert path, which merges per micro-batch) must satisfy every
+  * registered constraint or the merge fails loudly BEFORE any claim is
+  * taken — a violated constraint costs zero file churn and names itself
+  * in the error. `NOT NULL` is the degenerate check (`col IS NOT NULL`).
+  *
+  * Enforcement scope, exactly Delta's: rows being WRITTEN. Delete-marked
+  * rows are exempt (they leave the table; deletes-only merges carry only
+  * key columns and could not even evaluate the expression), and existing
+  * rows are checked ONCE, at [[add]] time — like Delta, adding a
+  * constraint scans the table and refuses if current data already
+  * violates it, so readers may assume every registered constraint holds
+  * over the whole table.
+  *
+  * Storage: `_graft_meta/constraints-v<N>.json`, a KB-scale name →
+  * expression map written as versioned max-wins files (the
+  * [[graft.streaming.ChangeFeedStream]] cursor pattern): a writer creates
+  * the NEXT version then best-effort sweeps older ones, so no crash
+  * window ever leaves the table constraint-less — a reader always finds
+  * the last complete set. Constraint DDL is rare, administrative, and
+  * last-wins under concurrency; the data-path guarantee comes from the
+  * merge-time check, which reads the set fresh on every merge. */
+object Constraints {
+
+  private def metaDir(table: String) = new Path(s"$table/_graft_meta")
+  private val FilePrefix = "constraints-v"
+
+  /** Register `name CHECK (exprSql)`. Validates that the expression
+    * analyzes against the table's schema and that EXISTING rows satisfy
+    * it (one scan — the same price Delta pays for ADD CONSTRAINT). */
+  def add(spark: SparkSession, table: String, name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"constraint name must be a plain identifier: $name")
+    val df = spark.read.parquet(table)
+    val violating = df.filter(not(expr(exprSql))).limit(1).collect()
+    if (violating.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add constraint $name CHECK ($exprSql): existing rows " +
+          s"violate it (first: ${violating.head})")
+    write(spark, table, list(spark, table) + (name -> exprSql))
+  }
+
+  /** Remove a constraint; unknown names fail loudly (a typo'd drop that
+    * silently "succeeds" leaves the caller believing enforcement ended). */
+  def drop(spark: SparkSession, table: String, name: String): Unit = {
+    val cur = list(spark, table)
+    require(cur.contains(name),
+      s"no constraint named $name on $table (have: ${cur.keys.toSeq.sorted.mkString(", ")})")
+    write(spark, table, cur - name)
+  }
+
+  /** The registered constraints, name → SQL expression. */
+  def list(spark: SparkSession, table: String): Map[String, String] =
+    latest(spark, table)._2
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith(FilePrefix) && name.endsWith(".json"))
+      name.stripPrefix(FilePrefix).stripSuffix(".json").toLongOption
+    else None
+
+  private def latest(
+      spark: SparkSession, table: String): (Long, Map[String, String]) = {
+    val dir = metaDir(table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return (0L, Map.empty)
+    val vs = fs.listStatus(dir).flatMap(st =>
+      versionOf(st.getPath.getName).map(_ -> st.getPath))
+    if (vs.isEmpty) return (0L, Map.empty)
+    val (v, p) = vs.maxBy(_._1)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    (v, Json.parse(txt).asObj.map { case (k, x) => k -> x.str })
+  }
+
+  private def write(
+      spark: SparkSession, table: String, all: Map[String, String]): Unit = {
+    val dir = metaDir(table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val (v, _) = latest(spark, table)
+    val next = new Path(dir, s"$FilePrefix${v + 1}.json")
+    val out = fs.create(next, false) // create-exclusive: racing DDL is loud
+    try out.write(
+      JObj(all.toVector.sortBy(_._1).map { case (k, x) => k -> (JStr(x): graft.http.JVal) })
+        .render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // older versions are debris once the new one exists; their removal is
+    // best-effort (a crash here just leaves max-wins extras)
+    fs.listStatus(dir).foreach { st =>
+      versionOf(st.getPath.getName).filter(_ <= v)
+        .foreach(_ => fs.delete(st.getPath, false))
+    }
+  }
+}

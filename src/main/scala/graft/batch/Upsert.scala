@@ -127,22 +127,47 @@ object Upsert {
     updates.persist()
     try {
       // all sanity probes ride one tiny job: ambiguous matches, null
-      // partition values, and null delete markers are silent data bugs if
-      // they reach the write (a duplicate covers the ambiguous
-      // update-AND-delete of one key too — Delta MERGE refuses the same way)
+      // partition values, null delete markers, AND registered CHECK
+      // constraints are silent data bugs if they reach the write (a
+      // duplicate covers the ambiguous update-AND-delete of one key too —
+      // Delta MERGE refuses the same way, and Delta rejects
+      // constraint-violating writes before committing).
       val delMarker = deleteWhen.map(col)
+      // CHECK constraints apply to the rows being WRITTEN: delete-marked
+      // rows are exempt (they leave the table), and SQL-standard
+      // semantics hold (an UNKNOWN check satisfies — express NOT NULL
+      // explicitly). Constraints the updates' columns cannot analyze are
+      // skipped here: that narrowness is only legal for deletes-only
+      // merges, anything else fails the coverage discipline below.
+      val checks = Constraints.list(spark, table).toSeq.sortBy(_._1)
+        .filter { case (_, sql) => scala.util.Try(
+          updates.select(expr(sql)).queryExecution.analyzed).isSuccess }
+      val checkAggs = checks.zipWithIndex.map { case ((_, sql), i) =>
+        max(when(delMarker.getOrElse(lit(false)) || coalesce(expr(sql), lit(true)),
+          0).otherwise(1)).as(s"_graft_chk_$i")
+      }
       val bad = updates.groupBy(partCol, keyCols: _*)
         .agg(count(lit(1)).as("count"),
-          sum(delMarker.map(m => m.isNull.cast("int")).getOrElse(lit(0)))
-            .as("null_markers"))
-        .filter(col("count") > 1 || col(partCol).isNull || col("null_markers") > 0)
+          (sum(delMarker.map(m => m.isNull.cast("int")).getOrElse(lit(0)))
+            .as("null_markers") +: checkAggs): _*)
+        .filter(checks.indices.map(i => col(s"_graft_chk_$i") > 0)
+          .foldLeft(col("count") > 1 || col(partCol).isNull || col("null_markers") > 0)(
+            _ || _))
         .limit(1).collect()
-      if (bad.nonEmpty)
+      if (bad.nonEmpty) {
+        val violated = checks.indices
+          .filter(i => bad.head.getAs[Int](s"_graft_chk_$i") > 0)
+          .map(i => s"${checks(i)._1} CHECK (${checks(i)._2})")
+        if (violated.nonEmpty)
+          throw new IllegalArgumentException(
+            s"updates violate table constraint(s) ${violated.mkString("; ")} " +
+              s"(first offending key group: ${bad.head}); the merge wrote nothing")
         throw new IllegalArgumentException(
           s"updates contain a duplicate key, null $partCol, or null " +
             s"${deleteWhen.getOrElse("delete")} marker (first: ${bad.head}); " +
             "MERGE matches must be unambiguous, partition values non-null, " +
             "and delete markers two-valued")
+      }
 
       val dataCols = updates.columns
         .filterNot(_ == partCol).filterNot(deleteWhen.contains).toSeq
