@@ -25,17 +25,13 @@ import graft.http.{JObj, JStr, Json}
   * violates it, so readers may assume every registered constraint holds
   * over the whole table.
   *
-  * Storage: `_graft_meta/constraints-v<N>.json`, a KB-scale name →
-  * expression map written as versioned max-wins files (the
-  * [[graft.streaming.ChangeFeedStream]] cursor pattern): a writer creates
-  * the NEXT version then best-effort sweeps older ones, so no crash
-  * window ever leaves the table constraint-less — a reader always finds
-  * the last complete set. Constraint DDL is rare, administrative, and
+  * Storage: `_graft_meta/constraints-v<N>.json` via [[TableMeta]]
+  * (versioned max-wins — no crash window ever leaves the table
+  * constraint-less). Constraint DDL is rare, administrative, and
   * last-wins under concurrency; the data-path guarantee comes from the
   * merge-time check, which reads the set fresh on every merge. */
 object Constraints {
 
-  private def metaDir(table: String) = new Path(s"$table/_graft_meta")
   private val FilePrefix = "constraints-v"
 
   /** Register `name CHECK (exprSql)`. Validates that the expression
@@ -64,20 +60,38 @@ object Constraints {
 
   /** The registered constraints, name → SQL expression. */
   def list(spark: SparkSession, table: String): Map[String, String] =
-    latest(spark, table)._2
+    TableMeta.read(spark, table, FilePrefix)
 
-  private def versionOf(name: String): Option[Long] =
-    if (name.startsWith(FilePrefix) && name.endsWith(".json"))
-      name.stripPrefix(FilePrefix).stripSuffix(".json").toLongOption
+  private def write(
+      spark: SparkSession, table: String, all: Map[String, String]): Unit =
+    TableMeta.write(spark, table, FilePrefix, all)
+}
+
+/** Versioned max-wins KB-scale metadata registries under
+  * `<table>/_graft_meta/` (the [[graft.streaming.ChangeFeedStream]]
+  * cursor pattern): a writer creates `<prefix><N+1>.json` create-exclusive
+  * (racing DDL is loud), then best-effort sweeps older versions — no
+  * crash window ever leaves the registry empty, and a reader always
+  * finds the newest complete set. */
+private[batch] object TableMeta {
+
+  private def metaDir(table: String) = new Path(s"$table/_graft_meta")
+
+  private def versionOf(prefix: String, name: String): Option[Long] =
+    if (name.startsWith(prefix) && name.endsWith(".json"))
+      name.stripPrefix(prefix).stripSuffix(".json").toLongOption
     else None
 
-  private def latest(
-      spark: SparkSession, table: String): (Long, Map[String, String]) = {
+  def read(spark: SparkSession, table: String, prefix: String): Map[String, String] =
+    latest(spark, table, prefix)._2
+
+  private def latest(spark: SparkSession, table: String, prefix: String)
+      : (Long, Map[String, String]) = {
     val dir = metaDir(table)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return (0L, Map.empty)
     val vs = fs.listStatus(dir).flatMap(st =>
-      versionOf(st.getPath.getName).map(_ -> st.getPath))
+      versionOf(prefix, st.getPath.getName).map(_ -> st.getPath))
     if (vs.isEmpty) return (0L, Map.empty)
     val (v, p) = vs.maxBy(_._1)
     val in = fs.open(p)
@@ -86,14 +100,14 @@ object Constraints {
     (v, Json.parse(txt).asObj.map { case (k, x) => k -> x.str })
   }
 
-  private def write(
-      spark: SparkSession, table: String, all: Map[String, String]): Unit = {
+  def write(spark: SparkSession, table: String, prefix: String,
+      all: Map[String, String]): Unit = {
     val dir = metaDir(table)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
-    val (v, _) = latest(spark, table)
-    val next = new Path(dir, s"$FilePrefix${v + 1}.json")
-    val out = fs.create(next, false) // create-exclusive: racing DDL is loud
+    val (v, _) = latest(spark, table, prefix)
+    val next = new Path(dir, s"$prefix${v + 1}.json")
+    val out = fs.create(next, false)
     try out.write(
       JObj(all.toVector.sortBy(_._1).map { case (k, x) => k -> (JStr(x): graft.http.JVal) })
         .render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -101,7 +115,7 @@ object Constraints {
     // older versions are debris once the new one exists; their removal is
     // best-effort (a crash here just leaves max-wins extras)
     fs.listStatus(dir).foreach { st =>
-      versionOf(st.getPath.getName).filter(_ <= v)
+      versionOf(prefix, st.getPath.getName).filter(_ <= v)
         .foreach(_ => fs.delete(st.getPath, false))
     }
   }

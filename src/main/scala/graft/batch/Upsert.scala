@@ -89,13 +89,29 @@ object Upsert {
   def mergeByKey(
       spark: SparkSession,
       table: String,
-      updates: DataFrame,
+      updatesIn: DataFrame,
       partCol: String,
       keyCols: Seq[String],
       parallelism: Int = 4,
       deleteWhen: Option[String] = None): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
+    // GENERATED columns ([[GeneratedColumns]], Delta's GENERATED ALWAYS
+    // AS): updates that omit a registered column get it computed here —
+    // including the PARTITION column, so producers can ship raw rows and
+    // the table partitions itself — and count as covering it; updates
+    // that supply one explicitly are held to the expression by the
+    // validation probe below. Key-only delete updates whose expression
+    // inputs are absent skip generation (their rows only leave).
+    val gens = GeneratedColumns.list(spark, table).toSeq.sortBy(_._1)
+    val explicitGens = gens.filter { case (c, _) => updatesIn.columns.contains(c) }
+    val updates = gens.foldLeft(updatesIn) { case (u, (c, sql)) =>
+      if (u.columns.contains(c)) u
+      else if (scala.util.Try(
+          u.select(expr(sql)).queryExecution.analyzed).isSuccess)
+        u.withColumn(c, expr(sql))
+      else u
+    }
     deleteWhen.foreach { m =>
       require(updates.columns.contains(m), s"deleteWhen column $m not in updates")
       require(updates.schema(m).dataType ==
@@ -146,18 +162,30 @@ object Upsert {
         max(when(delMarker.getOrElse(lit(false)) || coalesce(expr(sql), lit(true)),
           0).otherwise(1)).as(s"_graft_chk_$i")
       }
+      // explicitly-supplied generated columns must MATCH their expression
+      // (null-safe) — Delta enforces the generation expression as a
+      // constraint whenever values are explicit
+      val genAggs = explicitGens.zipWithIndex.map { case ((c, sql), i) =>
+        max(when(delMarker.getOrElse(lit(false)) || (col(c) <=> expr(sql)),
+          0).otherwise(1)).as(s"_graft_gen_$i")
+      }
       val bad = updates.groupBy(partCol, keyCols: _*)
         .agg(count(lit(1)).as("count"),
           (sum(delMarker.map(m => m.isNull.cast("int")).getOrElse(lit(0)))
-            .as("null_markers") +: checkAggs): _*)
-        .filter(checks.indices.map(i => col(s"_graft_chk_$i") > 0)
+            .as("null_markers") +: (checkAggs ++ genAggs)): _*)
+        .filter((checks.indices.map(i => col(s"_graft_chk_$i") > 0) ++
+            explicitGens.indices.map(i => col(s"_graft_gen_$i") > 0))
           .foldLeft(col("count") > 1 || col(partCol).isNull || col("null_markers") > 0)(
             _ || _))
         .limit(1).collect()
       if (bad.nonEmpty) {
         val violated = checks.indices
           .filter(i => bad.head.getAs[Int](s"_graft_chk_$i") > 0)
-          .map(i => s"${checks(i)._1} CHECK (${checks(i)._2})")
+          .map(i => s"${checks(i)._1} CHECK (${checks(i)._2})") ++
+          explicitGens.indices
+            .filter(i => bad.head.getAs[Int](s"_graft_gen_$i") > 0)
+            .map(i => s"${explicitGens(i)._1} GENERATED ALWAYS AS " +
+              s"(${explicitGens(i)._2})")
         if (violated.nonEmpty)
           throw new IllegalArgumentException(
             s"updates violate table constraint(s) ${violated.mkString("; ")} " +
