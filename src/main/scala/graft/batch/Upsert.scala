@@ -395,12 +395,14 @@ object Upsert {
     val stageFs = fsFor(spark, table)
     try {
       if (stagedCdf) {
+        require(!(DestCol +: MarkCol +: Nil).exists(c =>
+          upserts.columns.contains(c) ||
+            existing.exists(_.columns.contains(c))),
+          s"reserved column name in table/updates: $DestCol/$MarkCol")
         val posted = upserts.withColumn(DestCol, lit("post"))
           .unionByName(upserts.withColumn(DestCol, lit("cpost")))
         val tagged = existing match {
           case Some(old) =>
-            require(!(DestCol +: MarkCol +: Nil).exists(old.columns.contains),
-              s"reserved column name in table: $DestCol/$MarkCol")
             val oldTagged = old
               .join(deltaKeys.withColumn(MarkCol, lit(1L)), keyCols, "left_outer")
               .withColumn(DestCol,
