@@ -366,6 +366,20 @@ class HttpSpec extends SparkSpec {
       }
       // incremental refresh: every file already indexed, none re-read
       assert(ops2.head("filesIndexed") == JNum(BigDecimal(0)))
+
+      // the stats mode drives the min/max zone-map refresh over the same
+      // route (footer-only build on first run)
+      val (c3, b3) = post(api.port, "/maintenance/run",
+        s"""{"mode":"stats","table":"$table","column":"total_amount"}""")
+      assert(c3 == 202, s"got $c3 $b3")
+      val id3 = b3.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id3")._2.asObj("status").str == "COMPLETED")
+      val ops3 = get(api.port, s"/maintenance/status/$id3")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops3.head("op").str == "stats-refresh")
+      assert(ops3.head("filesTotal").asInstanceOf[JNum].v > 0)
+      assert(new java.io.File(s"$table/_graft_stats/total_amount").isDirectory)
     } finally api.stop()
   }
 
