@@ -62,29 +62,22 @@ final class StatsFileIndex(
   /** One indexed column's tightest [lo, hi] implied by the conjuncts
     * (either side optional, values in the sidecar's storage form). */
   private final case class Constraint(
-      typ: String,
       files: Map[String, StatsIndex.Entry],
-      lo: Option[Any],
-      hi: Option[Any])
+      lo: Option[StatsIndex.Bound],
+      hi: Option[StatsIndex.Bound])
 
   /** A catalyst internal literal normalized to the sidecar's storage
     * form. Dates arrive as epoch-day ints and timestamps as epoch-micro
     * longs — exactly the sidecar encoding; strings as UTF8String. None =
     * shape/type we don't prune on (conservative). */
-  private def norm(typ: String, v: Any): Option[Any] = (typ, v) match {
-    case ("long" | "date" | "ts", n: java.lang.Number) => Some(n.longValue())
-    case ("double", n: java.lang.Number)               => Some(n.doubleValue())
-    case ("string", s: UTF8String)                     => Some(s.toString)
-    case ("string", s: String)                         => Some(s)
-    case _                                             => None
-  }
-
-  private def cmp(typ: String, a: Any, b: Any): Int = typ match {
-    case "double" => java.lang.Double.compare(
-      a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case "string" => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-    case _        => java.lang.Long.compare(
-      a.asInstanceOf[Long], b.asInstanceOf[Long])
+  private def norm(typ: String, v: Any): Option[StatsIndex.Bound] = (typ, v) match {
+    case ("long" | "date" | "ts", n: java.lang.Number) =>
+      Some(StatsIndex.LBound(n.longValue()))
+    case ("double", n: java.lang.Number) =>
+      Some(StatsIndex.DBound(n.doubleValue()))
+    case ("string", s: UTF8String) => Some(StatsIndex.SBound(s.toString))
+    case ("string", s: String)     => Some(StatsIndex.SBound(s))
+    case _                         => None
   }
 
   private def constraintsFor(dataFilters: Seq[Expression]): Seq[Constraint] = {
@@ -119,9 +112,9 @@ final class StatsFileIndex(
         val los = as.collect { case (_, true, v) => norm(typ, v) }.flatten
         val his = as.collect { case (_, false, v) => norm(typ, v) }.flatten
         if (los.isEmpty && his.isEmpty) None
-        else Some(Constraint(typ, files,
-          los.reduceOption((x, y) => if (cmp(typ, x, y) >= 0) x else y),
-          his.reduceOption((x, y) => if (cmp(typ, x, y) <= 0) x else y)))
+        else Some(Constraint(files,
+          los.reduceOption((x, y) => if (StatsIndex.cmpBound(x, y) >= 0) x else y),
+          his.reduceOption((x, y) => if (StatsIndex.cmpBound(x, y) <= 0) x else y)))
       }
     }
   }
@@ -130,21 +123,8 @@ final class StatsFileIndex(
     val key = StatsIndex.normKey(path.toString)
     cs.forall { c =>
       c.files.get(key) match {
-        case None => true // file newer than the sidecar: scan it
-        case Some(e) if !e.bounded => true // stats-less: never skip
-        case Some(e) if e.nulls >= e.rows => false // all-null fails any cmp
-        case Some(e) =>
-          val interval: Option[(Any, Any)] = c.typ match {
-            case "double" => for (mn <- e.dmin; mx <- e.dmax) yield (mn, mx)
-            case "string" => for (mn <- e.smin; mx <- e.smax) yield (mn, mx)
-            case _        => for (mn <- e.lmin; mx <- e.lmax) yield (mn, mx)
-          }
-          interval match {
-            case None => true // bounded but interval missing: admit
-            case Some((mn, mx)) =>
-              c.lo.forall(lo => cmp(c.typ, lo, mx) <= 0) &&
-                c.hi.forall(hi => cmp(c.typ, hi, mn) >= 0)
-          }
+        case None    => true // file newer than the sidecar: scan it
+        case Some(e) => StatsIndex.admitsEntry(e, c.lo, c.hi)
       }
     }
   }

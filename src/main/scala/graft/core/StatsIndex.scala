@@ -262,10 +262,43 @@ object StatsIndex {
     }
 
   /** A probe bound normalized to the sidecar's storage form. */
-  private sealed trait Bound
-  private final case class LBound(v: Long) extends Bound
-  private final case class DBound(v: Double) extends Bound
-  private final case class SBound(v: String) extends Bound
+  private[core] sealed trait Bound
+  private[core] final case class LBound(v: Long) extends Bound
+  private[core] final case class DBound(v: Double) extends Bound
+  private[core] final case class SBound(v: String) extends Bound
+
+  private[core] def cmpBound(a: Bound, b: Bound): Int = (a, b) match {
+    case (LBound(x), LBound(y)) => java.lang.Long.compare(x, y)
+    case (DBound(x), DBound(y)) => java.lang.Double.compare(x, y)
+    case (SBound(x), SBound(y)) => x.compareTo(y)
+    case _ => sys.error(s"stats index: mismatched bound types $a / $b")
+  }
+
+  /** Does `e`'s recorded interval intersect the probe `[lo, hi]` (either
+    * side optional)? The shared pruning verdict for [[rangeScan]] and the
+    * planner-integrated [[StatsFileIndex]]: unbounded (stats-less) files
+    * are always admitted, all-null files never match a comparison, and a
+    * bounded entry missing its interval (shouldn't happen) is
+    * conservatively included. */
+  private[core] def admitsEntry(
+      e: Entry, lo: Option[Bound], hi: Option[Bound]): Boolean = {
+    if (!e.bounded) return true
+    if (e.nulls >= e.rows) return false // no non-null values at all
+    val interval: Option[(Bound, Bound)] = (lo.orElse(hi): @unchecked) match {
+      case Some(_: LBound) => for (mn <- e.lmin; mx <- e.lmax)
+        yield (LBound(mn), LBound(mx))
+      case Some(_: DBound) => for (mn <- e.dmin; mx <- e.dmax)
+        yield (DBound(mn), DBound(mx))
+      case Some(_: SBound) => for (mn <- e.smin; mx <- e.smax)
+        yield (SBound(mn), SBound(mx))
+      case None => None
+    }
+    interval match {
+      case None => true
+      case Some((mn, mx)) =>
+        lo.forall(l => cmpBound(l, mx) <= 0) && hi.forall(h => cmpBound(h, mn) >= 0)
+    }
+  }
 
   /** Accepts the natural external types per column type: numbers for
     * integral, `java.sql.Date`/`LocalDate`/epoch-day numbers for date,
@@ -312,33 +345,7 @@ object StatsIndex {
     val typ = entries.headOption.map(_.typ).getOrElse("long")
     val loN = lo.map(normBound(typ, _))
     val hiN = hi.map(normBound(typ, _))
-    def admits(e: Entry): Boolean = {
-      if (!e.bounded) return true
-      if (e.nulls >= e.rows) return false // no non-null values at all
-      // probe [lo,hi] intersects the file's [min,max]; a bounded entry
-      // missing its interval (shouldn't happen) is conservatively included
-      def intersects[T](min: Option[T], max: Option[T], l: Option[T], h: Option[T])(
-          implicit ord: Ordering[T]): Boolean =
-        (min, max) match {
-          case (Some(mn), Some(mx)) =>
-            l.forall(ord.lteq(_, mx)) && h.forall(ord.gteq(_, mn))
-          case _ => true
-        }
-      (loN.orElse(hiN): @unchecked) match {
-        case Some(_: LBound) =>
-          intersects(e.lmin, e.lmax,
-            loN.map { case LBound(v) => v case b => sys.error(s"bound $b") },
-            hiN.map { case LBound(v) => v case b => sys.error(s"bound $b") })
-        case Some(_: DBound) =>
-          intersects(e.dmin, e.dmax,
-            loN.map { case DBound(v) => v case b => sys.error(s"bound $b") },
-            hiN.map { case DBound(v) => v case b => sys.error(s"bound $b") })
-        case Some(_: SBound) =>
-          intersects(e.smin, e.smax,
-            loN.map { case SBound(v) => v case b => sys.error(s"bound $b") },
-            hiN.map { case SBound(v) => v case b => sys.error(s"bound $b") })
-      }
-    }
+    def admits(e: Entry): Boolean = admitsEntry(e, loN, hiN)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
