@@ -3,8 +3,6 @@ package graft.batch
 import java.util.UUID
 import java.util.concurrent.{ConcurrentHashMap, Executors}
 
-import scala.concurrent.{ExecutionContext, Future}
-
 import org.apache.spark.sql.SparkSession
 
 import graft.core.GraftConfig
@@ -46,8 +44,6 @@ final class MaintenanceService(
     t.setDaemon(true)
     t
   })
-  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(executor)
-
   /** table → active maintenance id (single-flight guard). */
   private val active = new ConcurrentHashMap[String, String]()
 
@@ -80,10 +76,24 @@ final class MaintenanceService(
         val id = s"maint-${java.time.LocalDate.now()}-${UUID.randomUUID().toString.take(8)}"
         val prior = active.putIfAbsent(table, id)
         if (prior != null) return Right(Left(prior))
-        registry.put(BatchJobRecord(id,
-          BatchRequest("", "", s"maintenance:$mode", opts + ("table" -> table)),
-          BatchStatus.Pending, System.currentTimeMillis()))
-        Future(run(id, table, mode, args))
+        // if the record write or submission itself fails (registry IO,
+        // executor rejected during shutdown), release the single-flight
+        // claim — otherwise every later submit for this table 409s until
+        // process restart
+        // direct execute, not Future(...): a rejected submission (executor
+        // shut down) must throw HERE synchronously — Future.apply would
+        // swallow the rejection into a failed future nobody observes,
+        // leaking the claim past even this catch
+        try {
+          registry.put(BatchJobRecord(id,
+            BatchRequest("", "", s"maintenance:$mode", opts + ("table" -> table)),
+            BatchStatus.Pending, System.currentTimeMillis()))
+          executor.execute(() => run(id, table, mode, args))
+        } catch {
+          case e: Throwable =>
+            active.remove(table, id)
+            throw e
+        }
         Right(Right(id))
     }
   }

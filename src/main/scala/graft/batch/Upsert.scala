@@ -104,7 +104,16 @@ object Upsert {
     // validation probe below. Key-only delete updates whose expression
     // inputs are absent skip generation (their rows only leave).
     val gens = GeneratedColumns.list(spark, table).toSeq.sortBy(_._1)
-    val explicitGens = gens.filter { case (c, _) => updatesIn.columns.contains(c) }
+    // an explicitly-supplied generated column is held to its expression
+    // only when the updates can ANALYZE that expression — missing inputs
+    // are legal solely on a deletes-only merge (anything else fails the
+    // column-coverage discipline below), whose delete-marked rows the
+    // probe exempts anyway; without this filter a deleteByKey on a
+    // generated-PARTITION-column table dies in analysis
+    val explicitGens = gens.filter { case (c, sql) =>
+      updatesIn.columns.contains(c) && scala.util.Try(
+        updatesIn.select(expr(sql)).queryExecution.analyzed).isSuccess
+    }
     val updates = gens.foldLeft(updatesIn) { case (u, (c, sql)) =>
       if (u.columns.contains(c)) u
       else if (scala.util.Try(

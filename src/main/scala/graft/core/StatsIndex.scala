@@ -90,8 +90,18 @@ object StatsIndex {
   /** Build (or rebuild) the per-file min/max sidecar for `column`. Returns
     * the number of files indexed. Footer-only: no row-group IO. */
   def build(spark: SparkSession, table: String, column: String): Long = {
-    val schema = spark.read.parquet(table).schema
+    val df = spark.read.parquet(table)
+    val schema = df.schema
     require(schema.fieldNames.contains(column), s"stats index: no column $column")
+    // a Hive PARTITION column's values live in directory names, not parquet
+    // footers — every file would record all-null (nulls==rows) and then be
+    // skipped for EVERY probe: silent empty results. Refuse loudly; partition
+    // pruning already serves these columns for free.
+    if (partitionColumns(df).contains(column))
+      sys.error(s"stats index: $column is a partition column of $table — " +
+        "its values are in directory names, not parquet footers, so a stats " +
+        "index would skip every file. Use partition pruning (a plain filter " +
+        "on the column) instead.")
     val typ = typeTag(schema(column).dataType).getOrElse(
       sys.error(s"stats index: unsupported type ${schema(column).dataType} " +
         s"for $column (supported: integral, date, timestamp, float/double, string)"))
@@ -100,6 +110,17 @@ object StatsIndex {
     val entries = footerEntries(spark, listDataFiles(fs, root), column, typ)
     writeSidecar(spark, table, column, entries)
     entries.size.toLong
+  }
+
+  /** The Hive partition columns of a parquet-backed DataFrame (empty for
+    * an unpartitioned table or a non-file relation). */
+  private def partitionColumns(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Seq.empty)
   }
 
   /** Footer statistics for exactly `files` — the shared metadata pass of
@@ -164,8 +185,8 @@ object StatsIndex {
                         val hi = st.genericGetMax
                           .asInstanceOf[org.apache.parquet.io.api.Binary]
                           .toStringUsingUTF8
-                        if (smin == null || lo < smin) smin = lo
-                        if (smax == null || hi > smax) smax = hi
+                        if (smin == null || utf8Cmp(lo, smin) < 0) smin = lo
+                        if (smax == null || utf8Cmp(hi, smax) > 0) smax = hi
                     }
                   }
                 }
@@ -270,8 +291,27 @@ object StatsIndex {
   private[core] def cmpBound(a: Bound, b: Bound): Int = (a, b) match {
     case (LBound(x), LBound(y)) => java.lang.Long.compare(x, y)
     case (DBound(x), DBound(y)) => java.lang.Double.compare(x, y)
-    case (SBound(x), SBound(y)) => x.compareTo(y)
+    case (SBound(x), SBound(y)) => utf8Cmp(x, y)
     case _ => sys.error(s"stats index: mismatched bound types $a / $b")
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — parquet footers select string
+    * min/max in THIS order, and `String.compareTo` (UTF-16 code units)
+    * disagrees with it for supplementary characters vs U+E000–U+FFFF;
+    * mixing the two orders could wrongly skip a file containing matches.
+    * Every string comparison against footer-derived bounds goes through
+    * here so both sides use parquet's ordering. */
+  private[core] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Does `e`'s recorded interval intersect the probe `[lo, hi]` (either
@@ -342,7 +382,13 @@ object StatsIndex {
     AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
     val entries = readSidecar(spark, table, column)
     val byKey = entries.map(e => e.file -> e).toMap
-    val typ = entries.headOption.map(_.typ).getOrElse("long")
+    // an EMPTY sidecar (built on an empty table, or every entry dropped by
+    // refresh) carries no type tag; resolve it from the table schema so a
+    // legitimate string/date probe is normalized instead of dying on a
+    // bogus "long" default — with zero entries nothing prunes anyway
+    val typ = entries.headOption.map(_.typ).getOrElse(
+      typeTag(spark.read.parquet(table).schema(column).dataType).getOrElse(
+        sys.error(s"stats index: unsupported type for $column")))
     val loN = lo.map(normBound(typ, _))
     val hiN = hi.map(normBound(typ, _))
     def admits(e: Entry): Boolean = admitsEntry(e, loN, hiN)

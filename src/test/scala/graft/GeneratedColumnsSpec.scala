@@ -99,6 +99,16 @@ class GeneratedColumnsSpec extends SparkSpec {
       ("2026-03-02", 3L), ("2026-03-03", 4L)), s"got $got")
     assert(new java.io.File(s"$t/day=2026-03-03").isDirectory,
       "the generated partition value must create its directory")
+
+    // deleteByKey carries the generated PARTITION column explicitly (delete
+    // keys must include it) but NOT its expression input event_ts — the
+    // validation probe must skip the unanalyzable expression instead of
+    // dying in analysis (delete-marked rows are exempt from it anyway)
+    Upsert.deleteByKey(spark, t,
+      Seq(("2026-03-02", 3L)).toDF("day", "k"), "day", Seq("k"))
+    val after = Upsert.readCommitted(spark, t, "day")
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 4L), s"delete must land: $after")
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -307,6 +307,23 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("a failed maintenance submission releases the single-flight claim") {
+    val reg = new graft.batch.BatchRegistry()
+    val m = graft.core.GraftConfig.Maintenance(
+      128L * 1024 * 1024, 0L, 10, 2, 86400000L, Seq.empty, "zorder")
+    val out = Files.createTempDirectory("maint-claim").toString
+    val svc = new graft.batch.MaintenanceService(spark, reg, m, out)
+    svc.shutdown() // submission will be rejected by the executor
+    intercept[java.util.concurrent.RejectedExecutionException] {
+      svc.submit("/tmp/maint-claim-t", "stats", Map("column" -> "v"))
+    }
+    // the claim must have been released: a retry fails the same LOUD way
+    // instead of 409ing forever on a ghost run
+    intercept[java.util.concurrent.RejectedExecutionException] {
+      svc.submit("/tmp/maint-claim-t", "stats", Map("column" -> "v"))
+    }
+  }
+
   test("maintenance route: run -> registry lifecycle -> ops report") {
     // own table: the run writes a _graft_bloom sidecar, so don't mutate the
     // shared sourcePath fixture other tests scan

@@ -279,6 +279,66 @@ class StatsIndexSpec extends SparkSpec {
     assert(n <= 2, s"partition + stats pruning must compose: $n of $total files")
   }
 
+  test("build refuses Hive partition columns (footers can never prune them)") {
+    val table = tmp("stats-partcol")
+    spark.range(1000)
+      .withColumn("event_date",
+        date_add(lit("2024-01-01").cast("date"), (col("id") % 4).cast("int")))
+      .withColumn("amount", col("id").cast("double"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(table)
+    // a partition column's values live in directory names — every footer
+    // would record all-null and every probe would skip every file
+    val e = intercept[RuntimeException] {
+      StatsIndex.build(spark, table, "event_date")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // ...and the data column still indexes fine on the same table
+    assert(StatsIndex.build(spark, table, "amount") > 0L)
+  }
+
+  test("an empty sidecar resolves the probe type from the table schema") {
+    import org.apache.hadoop.fs.Path
+    val (table, _) = buildTable()
+    StatsIndex.build(spark, table, "s")
+    // truncation: every data file vanishes; refresh leaves an EMPTY sidecar
+    val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(table)).filter(st =>
+        st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val st = StatsIndex.refresh(spark, table, "s")
+    assert(st.filesTotal == 0L && st.entriesDropped > 0L, s"got $st")
+    // data returns before the next refresh; a STRING probe must normalize
+    // against the schema type, not a bogus "long" default
+    spark.range(100)
+      .withColumn("v", col("id"))
+      .withColumn("s", format_string("k%07d", col("id")))
+      .withColumn("d", lit("2026-01-01").cast("date"))
+      .withColumn("payload", md5(col("id").cast("string")))
+      .coalesce(1).write.mode("append").parquet(table)
+    val (r, c, sk) =
+      StatsIndex.rangeScan(spark, table, "s", Some("k0000010"), Some("k0000019"))
+    assert(r.count() == 10L, "empty sidecar must degrade to an unpruned scan")
+    assert(sk.isEmpty && c.nonEmpty)
+  }
+
+  test("string bounds compare in parquet's unsigned UTF-8 order, not UTF-16") {
+    import spark.implicits._
+    val table = tmp("stats-unicode")
+    // one file per value: "a", and U+1F600 (non-BMP — its UTF-16 surrogate
+    // D83D sorts BELOW U+E000 while its UTF-8 bytes F0 9F 98 80 sort ABOVE)
+    Seq("a").toDF("s").coalesce(1).write.mode("overwrite").parquet(table)
+    Seq("\uD83D\uDE00").toDF("s").coalesce(1)
+      .write.mode("append").parquet(table)
+    StatsIndex.build(spark, table, "s")
+    // lo = U+E000: under UTF-16 compareTo the emoji file's max looks
+    // SMALLER than lo and the file is wrongly skipped — silent row loss
+    val (r, c, sk) =
+      StatsIndex.rangeScan(spark, table, "s", Some("\uE000"), None)
+    assert(r.count() == 1L,
+      "file holding a supplementary-plane match must not be skipped")
+    assert(sk.size == 1, s"the 'a' file still prunes: skipped $sk")
+  }
+
   test("unsupported column types are refused loudly") {
     val table = tmp("stats-bad")
     spark.range(100)
