@@ -28,14 +28,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * FOOTER metadata (row count minus the column's null count, a KB-scale
   * read per file that never touches row groups), then each task folds its
   * rows into per-file partial filters keyed by `input_file_name()`
-  * (Spark's mergeable `BloomFilter` sketch) and the driver merges
-  * partials — driver state is O(files × filterBytes), never rows. The
+  * (Spark's mergeable `BloomFilter` sketch), partials merge by file ON
+  * EXECUTORS, and the merged frame is written straight to the sidecar —
+  * driver state is O(files) path strings, never filter bytes. The
   * sidecar lives beside the table (`_graft_bloom/<column>/`) as parquet
   * (file, filter bytes), so it ships with the table like Delta's index
   * files.
   *
-  * Lookup shape: read the sidecar (KBs), test the key against each file's
-  * filter (driver math), then read ONLY the admitted files — with
+  * Lookup shape: the sidecar is key-tested ON EXECUTORS (each task
+  * deserializes the filters it read and returns only admitting file
+  * keys — the driver never holds non-admitting filter bytes), then the
+  * lookup reads ONLY the admitted files — with
   * `basePath` set to the table root so Hive partition-dir columns
   * (`event_date=…`) survive exactly as a full-table scan would produce
   * them, and with the files' ORIGINAL scheme-qualified paths so the read
@@ -87,35 +90,42 @@ object BloomIndex {
       s"bloom index: no column $column")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries = filterEntries(spark, table, listDataFiles(fs, root), column, fpp)
-    writeSidecar(spark, table, column, entries)
-    entries.size.toLong
+    val files = listDataFiles(fs, root)
+    writeSidecar(spark, table, column,
+      filterEntries(spark, table, files, column, fpp))
+    files.size.toLong // exactly one entry per data file, folded or empty
   }
 
   /** Per-file filters for exactly `files` — the shared data pass of
-    * [[build]] (all files) and [[refresh]] (new files only). Rows fold
-    * into per-file partial filters inside each task, merged by file:
-    * mapPartitions is justified here — the sketch is an imperative
-    * accumulator with no Column-expression form, and the alternative
-    * (groupBy file + collect_list) would shuffle every VALUE instead of
-    * shipping one filter per (task, file). Driver state is
-    * O(files × filterBytes) — the same bound [[lookup]] already pays to
-    * test the key. The read pins `basePath` so a filter on a PARTITION
-    * column still sees its values, and merges schemas so files predating
-    * a widening evolution fold as all-null (→ empty filter, skippable). */
+    * [[build]] (all files) and [[refresh]] (new files only), returned as a
+    * (file, filter) DataFrame whose filter BYTES never touch the driver:
+    * rows fold into per-file partial filters inside each task, partials
+    * merge by file on executors, and the merged frame flows straight into
+    * the sidecar write. mapPartitions is justified here — the sketch is an
+    * imperative accumulator with no Column-expression form, and the
+    * alternative (groupBy file + collect_list) would shuffle every VALUE
+    * instead of shipping one filter per (task, file). Driver state is
+    * O(files) path strings only (the footer-size map and the fold-key
+    * collect), never O(files × filterBytes). The read pins `basePath` so a
+    * filter on a PARTITION column still sees its values, and merges
+    * schemas so files predating a widening evolution fold as all-null
+    * (→ empty filter, skippable). */
   private def filterEntries(
       spark: SparkSession,
       table: String,
       files: Seq[String],
       column: String,
-      fpp: Double): Seq[(String, Array[Byte])] = {
-    if (files.isEmpty) return Seq.empty
+      fpp: Double): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty)
+      return spark.emptyDataset[(String, Array[Byte])].toDF("file", "filter")
     val sizes = footerCounts(spark, files, column)
     val sizesB = spark.sparkContext.broadcast(sizes)
     val df = spark.read.option("basePath", table)
       .option("mergeSchema", "true").parquet(files: _*)
-    val folded: Map[String, Array[Byte]] =
-      if (!df.columns.contains(column)) Map.empty
+    val folded: org.apache.spark.rdd.RDD[(String, Array[Byte])] =
+      if (!df.columns.contains(column))
+        spark.sparkContext.emptyRDD[(String, Array[Byte])]
       else df.select(input_file_name().as("_f"),
           col(column).cast("string").as("_v"))
         .filter(col("_v").isNotNull)
@@ -140,36 +150,35 @@ object BloomIndex {
           bf.writeTo(out)
           out.toByteArray
         }
-        .collect().toMap
-    files.map { f =>
-      val k = normKey(f)
-      k -> folded.getOrElse(k, {
-        // no non-null values folded from this file → empty filter: lookups
-        // (always non-null) skip it outright
-        val bf = BloomFilter.create(math.max(64L, sizes.getOrElse(k, 64L)), fpp)
-        val out = new java.io.ByteArrayOutputStream()
-        bf.writeTo(out)
-        out.toByteArray
-      })
+    // only KEYS come back; files with no non-null values get an EMPTY
+    // filter (a non-null lookup value cannot live there, so they are
+    // skippable, not unknown) — tiny driver-built rows, typically few
+    val foldedKeys = folded.keys.collect().toSet
+    val empties = files.map(normKey).filterNot(foldedKeys).map { k =>
+      val bf = BloomFilter.create(math.max(64L, sizes.getOrElse(k, 64L)), fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      (k, out.toByteArray)
     }
+    folded.toDF("file", "filter")
+      .unionByName(empties.toDF("file", "filter"))
   }
 
-  /** Atomic sidecar replacement: the complete new (file, filter) set lands
-    * via [[AtomicWrite.publish]], so a concurrent or crash-interrupted
-    * [[lookup]] sees the whole old index, the whole new one, or a clean
-    * retryable miss — never a partial parquet directory. Tiny (O(files)
-    * rows); one output file keeps the lookup read to a single open. */
+  /** Atomic sidecar replacement: the complete new (file, filter) frame
+    * lands via [[AtomicWrite.publish]], so a concurrent or
+    * crash-interrupted [[lookup]] sees the whole old index, the whole new
+    * one, or a clean retryable miss — never a partial parquet directory.
+    * The frame is computed and written on executors (filter bytes never
+    * pass through the driver); one output file keeps the lookup read to a
+    * single open. */
   private def writeSidecar(
       spark: SparkSession,
       table: String,
       column: String,
-      entries: Seq[(String, Array[Byte])]): Unit = {
-    import spark.implicits._
-    val sidecar = entries.toDF("file", "filter")
+      entries: DataFrame): Unit =
     AtomicWrite.publish(spark, indexDir(table, column)) { tmp =>
-      sidecar.coalesce(1).write.parquet(tmp)
+      entries.coalesce(1).write.parquet(tmp)
     }
-  }
 
   /** Incremental maintenance outcome: how much of the table the refresh
     * actually had to read. */
@@ -199,17 +208,22 @@ object BloomIndex {
       val n = build(spark, table, column, fpp)
       return RefreshStats(n, 0L, n)
     }
-    val old = spark.read.parquet(idx.toString)
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    // KEYS only on the driver — the kept filters' bytes stay on executors
+    // and flow old-sidecar → new-sidecar via a broadcast semi-join
+    import spark.implicits._
+    val oldKeys = spark.read.parquet(idx.toString)
+      .select("file").as[String].collect().toSet
     val current = listDataFiles(fs, root)
     val currentKeys = current.map(normKey).toSet
-    val newFiles = current.filterNot(f => old.contains(normKey(f)))
-    val kept = old.view.filterKeys(currentKeys).toSeq
-    val dropped = old.size - kept.size
+    val newFiles = current.filterNot(f => oldKeys.contains(normKey(f)))
+    val keptCount = oldKeys.count(currentKeys)
+    val dropped = oldKeys.size - keptCount
     if (newFiles.isEmpty && dropped == 0)
       return RefreshStats(0L, 0L, current.size.toLong)
+    val kept = spark.read.parquet(idx.toString).join(
+      broadcast(currentKeys.toSeq.toDF("file")), Seq("file"), "left_semi")
     writeSidecar(spark, table, column,
-      kept ++ filterEntries(spark, table, newFiles, column, fpp))
+      kept.unionByName(filterEntries(spark, table, newFiles, column, fpp)))
     RefreshStats(newFiles.size.toLong, dropped.toLong, current.size.toLong)
   }
 
@@ -278,17 +292,29 @@ object BloomIndex {
     // read-path repair of a builder crashed between its swap renames; must
     // not GC .tmp- siblings that may belong to a LIVE in-flight rebuild
     AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
-    val filters = spark.read.parquet(indexDir(table, column))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    import spark.implicits._
+    val sidecar = spark.read.parquet(indexDir(table, column))
+    // admission runs ON EXECUTORS: each task deserializes and key-tests the
+    // filters it read and ships back only the ADMITTING file keys, so
+    // driver state is O(admitted + files) path strings — at 100 TB /
+    // millions of files the driver never materializes the
+    // O(files × filterBytes) sidecar it would have choked on
+    val admittedKeys = sidecar.select("file", "filter").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (bf.mightContainString(value)) Iterator.single(r.getString(0))
+        else Iterator.empty
+      }
+    }.collect().toSet
+    // key column only — parquet column pruning keeps filter bytes out of
+    // this read entirely
+    val knownKeys = sidecar.select("file").as[String].collect().toSet
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
-    val (known, unknown) = dataFiles.partition(f => filters.contains(normKey(f)))
-    val admitted = known.filter { f =>
-      BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(filters(normKey(f))))
-        .mightContainString(value)
-    }
+    val (known, unknown) = dataFiles.partition(f => knownKeys.contains(normKey(f)))
+    val admitted = known.filter(f => admittedKeys.contains(normKey(f)))
     val candidates = (admitted ++ unknown).sorted
     val skipped = known.filterNot(admitted.contains).sorted
     val result =

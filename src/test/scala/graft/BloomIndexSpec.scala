@@ -206,6 +206,75 @@ class BloomIndexSpec extends SparkSpec {
       full.select("day", "user_id", "v").collect().toSet)
   }
 
+  /** Sum of task-result bytes shipped to the driver by the jobs `body`
+    * runs, polled until the listener bus drains. */
+  private def resultBytesDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) acc.addAndGet(t.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && acc.get() != last) {
+        last = acc.get()
+        Thread.sleep(500)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("lookup admission runs on executors: non-admitting filter bytes " +
+      "never reach the driver") {
+    import spark.implicits._
+    val table = tmp("bloom-dist")
+    // 200 single-value files; the synthetic sidecar gives every file a
+    // ~60 KB filter (≈12 MB total) — the shape of a large table whose
+    // sidecar the driver must NOT materialize
+    spark.range(200)
+      .withColumn("user_id", concat(lit("u"), col("id").cast("string")))
+      .repartitionByRange(200, col("id")) // exactly one row per file
+      .write.mode("overwrite").parquet(table)
+    assert(BloomIndex.build(spark, table, "user_id") == 200L)
+    val sidecarDir = s"$table/_graft_bloom/user_id"
+    val fileVal = spark.read.parquet(table)
+      .select(input_file_name().as("f"), col("user_id"))
+      .collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath, r.getString(1)))
+      .toMap
+    val fat = fileVal.toSeq.map { case (k, v) =>
+      // filter sized for 50k items at 1% fpp (~60 KB) holding ONLY the
+      // file's own value — exactly one file admits any given probe
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(50000, 0.01)
+      bf.putString(v)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      (k, out.toByteArray)
+    }
+    fat.toDF("file", "filter").coalesce(1)
+      .write.mode("overwrite").parquet(sidecarDir)
+    val sidecarBytes = fat.map(_._2.length.toLong).sum
+    assert(sidecarBytes > 10L * 1024 * 1024, s"fixture too small: $sidecarBytes")
+    var admitted: Seq[String] = null
+    var skipped: Seq[String] = null
+    val shipped = resultBytesDuring {
+      val (res, c, s) = BloomIndex.lookup(spark, table, "user_id", "u7")
+      assert(res.count() == 1L)
+      admitted = c; skipped = s
+    }
+    assert(admitted.size == 1 && skipped.size == 199,
+      s"exactly one file admits: ${admitted.size} / ${skipped.size}")
+    info(s"sidecar $sidecarBytes bytes, driver-collected $shipped bytes")
+    // pre-rework the driver collected the whole sidecar (>12 MB); now only
+    // admitting keys + the key column come back
+    assert(shipped < sidecarBytes / 4,
+      s"driver must not materialize the sidecar: $shipped of $sidecarBytes")
+  }
+
   test("files newer than the index are scanned conservatively") {
     val (table, _) = buildTable()
     BloomIndex.build(spark, table, "user_id")
