@@ -48,7 +48,7 @@ object Maintain {
 
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
-    Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq")
+    Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -68,19 +68,22 @@ object Maintain {
     def arg(i: Int, what: String): String = modeArgs.lift(i).getOrElse(
       sys.error(s"Maintain: $mode mode needs $what"))
     mode match {
-      case "ivf" | "pq" =>
+      case "ivf" | "pq" | "ivfpq" =>
         // scheduled ANN-index maintenance: build the table-backed index if
         // absent, else consume the change feed (O(changes) rewrite)
         val partCol = arg(0, s"the partition column ($mode <partCol> <indexDir>)")
         val indexDir = arg(1, s"the index directory ($mode <partCol> <indexDir>)")
-        val (rebuilt, changed, to) =
-          if (mode == "ivf") {
+        val (rebuilt, changed, to) = mode match {
+          case "ivf" =>
             val s = graft.operators.IvfIndex.sync(spark, table, partCol, indexDir)
             (s.rebuilt, s.changedRows, s.toVersion)
-          } else {
+          case "pq" =>
             val s = graft.operators.PqIndex.sync(spark, table, partCol, indexDir)
             (s.rebuilt, s.changedRows, s.toVersion)
-          }
+          case _ =>
+            val s = graft.operators.IvfPqIndex.sync(spark, table, partCol, indexDir)
+            (s.rebuilt, s.changedRows, s.toVersion)
+        }
         Seq(s"""{"op":"$mode-sync","table":$tableJson,"rebuilt":$rebuilt,""" +
           s""""changedRows":$changed,"toVersion":$to}""")
       case "bloom" =>

@@ -397,6 +397,28 @@ class HttpSpec extends SparkSpec {
       assert(ops3.head("op").str == "stats-refresh")
       assert(ops3.head("filesTotal").asInstanceOf[JNum].v > 0)
       assert(new java.io.File(s"$table/_graft_stats/total_amount").isDirectory)
+
+      // the composed ANN index maintains over the same route: first run
+      // builds, the table is tiny so it completes in-request time
+      val vecTable = Files.createTempDirectory("httpivfpq").toString + "/vectors"
+      graft.batch.Upsert.mergeByKey(spark, vecTable,
+        spark.range(60).select(col("id").as("vec_id"),
+          concat(lit("s"), pmod(col("id"), lit(2)).cast("string")).as("shard"),
+          expr("transform(sequence(0, 63), i -> " +
+            "CAST(sin(CAST(vec_id * 64 + i AS DOUBLE)) AS FLOAT))").as("embedding")),
+        "shard", Seq("vec_id"))
+      val idxDir = Files.createTempDirectory("httpivfpq-idx").toString
+      val (c4, b4) = post(api.port, "/maintenance/run",
+        s"""{"mode":"ivfpq","table":"$vecTable","partCol":"shard","indexDir":"$idxDir"}""")
+      assert(c4 == 202, s"got $c4 $b4")
+      val id4 = b4.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id4")._2.asObj("status").str == "COMPLETED")
+      val ops4 = get(api.port, s"/maintenance/status/$id4")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops4.head("op").str == "ivfpq-sync")
+      assert(ops4.head("rebuilt") == JBool(true))
+      assert(new java.io.File(s"$idxDir/codes").isDirectory)
     } finally api.stop()
   }
 

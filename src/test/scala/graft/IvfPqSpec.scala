@@ -64,4 +64,136 @@ class IvfPqSpec extends SparkSpec {
     assert(SimilarityQueries.quantized(spark, dir)
       .filter(org.apache.spark.sql.functions.col("vec_id") < 20).count() == 20)
   }
+
+  // ---------------------------------------- table-backed incremental index
+
+  import org.apache.spark.sql.functions._
+
+  private def vectorTable(n: Int): String = {
+    val table = Files.createTempDirectory("ivfpq-table").toString + "/vectors"
+    graft.batch.Upsert.mergeByKey(spark, table, vecRows(0 until n, 0.0),
+      "shard", Seq("vec_id"))
+    table
+  }
+
+  private def vecRows(ids: Seq[Int], shift: Double) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i => org.apache.spark.sql.Row(i.toLong)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("shard", concat(lit("s"), (col("vec_id") % 4).cast("string")))
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, 63), i -> CAST(sin(CAST(vec_id * 64 + i AS DOUBLE) + $shift) AS FLOAT))"))
+
+  /** (vec_id → (codes, cell)) — the full index content, parity unit. */
+  private def codesOf(indexDir: String): Map[Long, (List[Long], Long)] =
+    spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1).toList, r.getLong(2)))
+      .toMap
+
+  private def cellFiles(indexDir: String): Map[String, Set[(String, Long)]] = {
+    val root = new java.io.File(s"$indexDir/codes")
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet)
+      .toMap
+  }
+
+  private def pinnedCoarse(indexDir: String): Seq[(Long, Seq[Long])] =
+    spark.read.parquet(s"$indexDir/coarse").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+
+  private def pinnedPq(indexDir: String): Seq[(Int, Long, Seq[Long])] =
+    spark.read.parquet(s"$indexDir/pq").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+      .sortBy(t => (t._1, t._2))
+
+  test("refresh consumes the change feed and matches a same-codebooks rebuild") {
+    import spark.implicits._
+    val table = vectorTable(1500)
+    val idx1 = Files.createTempDirectory("ivfpq-refresh").toString
+    assert(IvfPqIndex.buildFromTable(spark, table, "shard", idx1) == 1500L)
+    val coarse = pinnedCoarse(idx1)
+    val pq = pinnedPq(idx1)
+
+    // churn: 3 inserts, 3 updates, 2 deletes
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(1500 until 1503, 0.0), "shard", Seq("vec_id"))
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(100 until 103, 1.7), "shard", Seq("vec_id"))
+    graft.batch.Upsert.deleteByKey(spark, table,
+      (200 until 202).map(i => (s"s${i % 4}", i.toLong)).toDF("shard", "vec_id"),
+      "shard", Seq("vec_id"))
+
+    val before = cellFiles(idx1)
+    val stats = IvfPqIndex.refresh(spark, table, "shard", idx1)
+    assert(!stats.rebuilt && stats.changedRows == 8L,
+      s"expected an incremental refresh of 8 changed vectors: $stats")
+    // O(changes): only the affected cells' files changed
+    val after = cellFiles(idx1)
+    val touched = (before.keySet ++ after.keySet)
+      .count(k => before.get(k) != after.get(k))
+    assert(touched <= stats.cellsTouched,
+      s"file churn $touched must be bounded by cellsTouched ${stats.cellsTouched}")
+    assert(touched < before.size,
+      s"refresh must not rewrite the whole codes table ($touched of ${before.size})")
+
+    // parity: a from-scratch rebuild pinned to BOTH codebooks produces the
+    // identical (codes, cell) table
+    val idx2 = Files.createTempDirectory("ivfpq-rebuild").toString
+    IvfPqIndex.buildFromTable(spark, table, "shard", idx2, Some(coarse), Some(pq))
+    assert(codesOf(idx1) == codesOf(idx2),
+      "refreshed codes+cells must equal a same-codebooks rebuild")
+    val codes = codesOf(idx1)
+    assert(!(200 until 202).exists(i => codes.contains(i.toLong)))
+    assert((1500 until 1503).forall(i => codes.contains(i.toLong)))
+    // and the composed probe answers identically through both indexes
+    def probeRows(d: String) = recallRows(
+      IvfPqIndex.recallFromTable(spark, table, "shard", d)).toSeq
+    assert(probeRows(idx1) == probeRows(idx2))
+  }
+
+  test("a refresh that crashed mid-swap is detected and rebuilt, never swept") {
+    val table = vectorTable(800)
+    val idxDir = Files.createTempDirectory("ivfpq-crash").toString
+    IvfPqIndex.buildFromTable(spark, table, "shard", idxDir)
+    val coarse = pinnedCoarse(idxDir)
+    val pq = pinnedPq(idxDir)
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(800 until 805, 0.0), "shard", Seq("vec_id"))
+    val tip = graft.core.TxnLog.currentVersion(spark, table)
+    val victim = new java.io.File(s"$idxDir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val staging = new java.io.File(s"$idxDir/.refresh-v$tip")
+    assert(staging.mkdirs())
+    assert(victim.renameTo(new java.io.File(staging, victim.getName)),
+      "fixture: move the live cell into the staging dir (torn swap state)")
+    val stats = IvfPqIndex.refresh(spark, table, "shard", idxDir)
+    assert(stats.rebuilt, s"torn swap must force a rebuild: $stats")
+    assert(!staging.exists(), "staging debris is swept after the rebuild")
+    val idx2 = Files.createTempDirectory("ivfpq-crash-ref").toString
+    IvfPqIndex.buildFromTable(spark, table, "shard", idx2, Some(coarse), Some(pq))
+    assert(codesOf(idxDir) == codesOf(idx2),
+      "recovered index must equal a clean same-codebooks rebuild — no lost codes")
+    assert(IvfPqIndex.refresh(spark, table, "shard", idxDir).changedRows == 0L)
+  }
+
+  test("sync builds a missing index, then refreshes it (the Maintain entry)") {
+    val table = vectorTable(200)
+    val idxDir = Files.createTempDirectory("ivfpq-sync").toString
+    val s0 = IvfPqIndex.sync(spark, table, "shard", idxDir)
+    assert(s0.rebuilt, s"no index yet → build: $s0")
+    graft.batch.Upsert.mergeByKey(spark, table,
+      vecRows(200 until 203, 0.0), "shard", Seq("vec_id"))
+    val s1 = IvfPqIndex.sync(spark, table, "shard", idxDir)
+    assert(!s1.rebuilt && s1.changedRows == 3L, s"tip catch-up: $s1")
+    // the Maintain mode wires the same entry
+    val m = graft.core.GraftConfig.Maintenance(
+      128L * 1024 * 1024, 0L, 10, 2, 86400000L, Seq.empty, "zorder")
+    val ops = graft.Maintain.runMode(spark, table, "ivfpq",
+      Seq("shard", idxDir), m)
+    assert(ops.exists(_.contains("\"op\":\"ivfpq-sync\"")), ops.mkString("\n"))
+  }
 }

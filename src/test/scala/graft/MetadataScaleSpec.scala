@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{BloomIndex, StatsIndex, TxnLog}
+
+/** Metadata-scale stress gate: the engine's 100 TB claims rest on
+  * driver-side metadata paths — TxnLog snapshot resolution, stats/bloom
+  * sidecar admission — so this suite drives them at many-file /
+  * many-commit scale (5k-file sidecars, 600-commit logs with
+  * checkpoints) and asserts the costs stay O(tail)/O(files) with small
+  * constants. Fixtures are synthetic where contents don't matter: a file
+  * the sidecar skips is never opened, so the 4,99x non-matching "data
+  * files" are zero-byte placeholders — which is exactly the property
+  * under test. Wall-clock bounds are deliberately loose (shared host);
+  * the sharp assertions are structural (files scheduled, rows shipped,
+  * commits read). */
+class MetadataScaleSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def timeMs(body: => Unit): Long = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1000000L
+  }
+
+  test("stats admission over a 5,000-file sidecar schedules only intersecting files") {
+    val table = tmp("meta-stats")
+    // 5 real files carry the probed range; 4,995 placeholders must be
+    // skipped by their sidecar intervals WITHOUT ever being opened (they
+    // are not even valid parquet)
+    spark.range(420, 430).select(col("id").as("v"))
+      .repartitionByRange(5, col("v"))
+      .write.mode("overwrite").parquet(table)
+    val real = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    val fakes = (0 until 4995).map(i => f"fake-$i%05d.parquet")
+    fakes.foreach(n => Files.createFile(java.nio.file.Paths.get(table, n)))
+    // sidecar: real files own [420..429] slices; fakes own disjoint high
+    // intervals far from the probe
+    import spark.implicits._
+    val entries =
+      real.zipWithIndex.map { case (n, i) =>
+        (s"$table/$n", "long", Some(420L + i * 2), Some(421L + i * 2),
+          None: Option[Double], None: Option[Double],
+          None: Option[String], None: Option[String], 0L, 2L, true)
+      } ++ fakes.zipWithIndex.map { case (n, i) =>
+        (s"$table/$n", "long", Some(1000000L + i * 10), Some(1000009L + i * 10),
+          None: Option[Double], None: Option[Double],
+          None: Option[String], None: Option[String], 0L, 10L, true)
+      }
+    entries.toDF("file", "typ", "lmin", "lmax", "dmin", "dmax",
+        "smin", "smax", "nulls", "rows", "bounded")
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/_graft_stats/v")
+    val ms = timeMs {
+      val (res, candidates, skipped) =
+        StatsIndex.rangeScan(spark, table, "v", Some(420L), Some(429L))
+      assert(candidates.size == real.size,
+        s"only the 5 real files intersect: ${candidates.size}")
+      assert(skipped.size == 4995, s"placeholders must all skip: ${skipped.size}")
+      assert(res.count() == 10L)
+    }
+    info(s"5,000-file stats admission + scan: $ms ms")
+    assert(ms < 60000, s"admission over 5k entries took $ms ms")
+  }
+
+  test("bloom admission over a 5,000-file sidecar ships only admitting keys") {
+    val table = tmp("meta-bloom")
+    spark.range(1).select(lit("needle").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(table)
+    val real = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).head
+    val fakes = (0 until 4999).map(i => f"fake-$i%05d.parquet")
+    fakes.foreach(n => Files.createFile(java.nio.file.Paths.get(table, n)))
+    import spark.implicits._
+    def filterBytes(values: Seq[String]): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.01)
+      values.foreach(bf.putString)
+      val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out); out.toByteArray
+    }
+    val entries = ((s"$table/$real", filterBytes(Seq("needle"))) +:
+      fakes.map(n => (s"$table/$n", filterBytes(Seq.empty)))).toSeq
+    entries.toDF("file", "filter")
+      .coalesce(1).write.mode("overwrite").parquet(s"$table/_graft_bloom/k")
+    val ms = timeMs {
+      val (res, candidates, skipped) = BloomIndex.lookup(spark, table, "k", "needle")
+      assert(candidates.size == 1, s"one admitting file: $candidates")
+      assert(skipped.size == 4999)
+      assert(res.count() == 1L)
+    }
+    info(s"5,000-file bloom admission + scan: $ms ms")
+    assert(ms < 60000, s"admission over 5k filters took $ms ms")
+  }
+
+  test("600-commit TxnLog with checkpoints: flat commit latency, O(tail) probes") {
+    val table = tmp("meta-txn")
+    var snapshot = 0L
+    def commitRange(a: Int, b: Int): Long = timeMs {
+      (a until b).foreach { i =>
+        snapshot = TxnLog.commit(spark, table, "merge",
+          Set(s"day=d${i % 8}"), snapshot).version
+      }
+    }
+    val first50 = commitRange(0, 50)
+    commitRange(50, 550)
+    val last50 = commitRange(550, 600)
+    info(s"commit latency: first 50 in $first50 ms, last 50 in $last50 ms")
+    assert(snapshot == 600L)
+    // checkpoints exist (every CheckpointInterval-th commit compacts)
+    val ckpts = new java.io.File(s"$table/_graft_txn").listFiles()
+      .count(_.getName.startsWith("checkpoint-v"))
+    assert(ckpts > 0, "checkpoint files must exist at 600 commits")
+    // O(tail), not O(history): commit #550-600 must not cost materially
+    // more than commit #0-50 — without checkpointed probes the conflict
+    // check would reread the whole log and the loop would go quadratic.
+    // Generous 8x tolerance for shared-host noise on a sub-second figure.
+    assert(last50 < math.max(2000L, 8L * first50),
+      s"commit latency grew with history depth: $first50 ms -> $last50 ms")
+    // near-tip probe (the merge-path conflict check) reads only the tail
+    val nearTip = TxnLog.commitsSince(spark, table, 597L)
+    assert(nearTip.map(_.version) == Seq(598L, 599L, 600L))
+    // full-history probe resolves through the checkpoint, all 600 commits
+    val all = TxnLog.commitsSince(spark, table, 0L)
+    assert(all.size == 600 && all.head.version == 1L && all.last.version == 600L)
+    // truncation keeps the tail working at depth
+    val dropped = TxnLog.truncate(spark, table, keep = 100)
+    assert(dropped > 0)
+    assert(TxnLog.currentVersion(spark, table) == 600L)
+    assert(TxnLog.commitsSince(spark, table, 597L).size == 3)
+  }
+}
