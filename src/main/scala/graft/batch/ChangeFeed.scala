@@ -72,6 +72,22 @@ object ChangeFeed {
       partCol: String,
       fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
+    // change files are written in PHYSICAL column space (they ride the
+    // merge's own write); consumers see the current LOGICAL names, so a
+    // rename never breaks a feed cursor — Delta's column-mapping CDF rule
+    val colMap = ColumnMapping.mapping(spark, table)
+    ColumnMapping.applyLogical(
+      readChangesPhysical(spark, table,
+        ColumnMapping.physicalName(colMap, partCol), fromVersion, toVersion),
+      colMap)
+  }
+
+  private[batch] def readChangesPhysical(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
     val all = TxnLog.commitsSince(spark, table, 0L)
     val tip = all.lastOption.map(_.version).getOrElse(0L)
     val to = toVersion.getOrElse(tip)

@@ -206,9 +206,24 @@ object Upsert {
             "and delete markers two-valued")
       }
 
-      val dataCols = updates.columns
-        .filterNot(_ == partCol).filterNot(deleteWhen.contains).toSeq
-      val touched = updates.select(col(partCol).cast("string")).distinct()
+      // COLUMN MAPPING boundary: validation above ran in the caller's
+      // LOGICAL space; everything from here down — the per-partition file
+      // reads, the union/anti-join, the published files, the CDF change
+      // records — runs in PHYSICAL space, so new files stay name-compatible
+      // with the old ones and a rename never forces a rewrite. Unmapped
+      // tables (no colmap file) pass through identically.
+      val colMap = ColumnMapping.mapping(spark, table)
+      deleteWhen.foreach { marker =>
+        require(ColumnMapping.physicalName(colMap, marker) == marker &&
+            !colMap.contains(marker),
+          s"deleteWhen column $marker collides with a mapped column name")
+      }
+      val updatesP = ColumnMapping.applyPhysical(updates, colMap)
+      val partColP = ColumnMapping.physicalName(colMap, partCol)
+      val keyColsP = keyCols.map(ColumnMapping.physicalName(colMap, _))
+      val dataCols = updatesP.columns
+        .filterNot(_ == partColP).filterNot(deleteWhen.contains).toSeq
+      val touched = updatesP.select(col(partColP).cast("string")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
 
       // A merge with NO upsert rows anywhere relaxes schema discipline:
@@ -224,8 +239,9 @@ object Upsert {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val merges = touched.map { p =>
-          Future(mergeOnePartition(spark, table, updates, partCol, keyCols, dataCols, p,
-            snapshot, deleteWhen, deletesOnly, dvPairs))
+          Future(mergeOnePartition(spark, table, updatesP, partColP, keyColsP, dataCols, p,
+            snapshot, deleteWhen, deletesOnly, dvPairs,
+            colMap.collect { case (ph, "") => ph }.toSet))
         }
         // surface the FIRST failure but let in-flight merges complete first
         // (each is atomic; cancelling a distributed write mid-flight buys
@@ -310,10 +326,11 @@ object Upsert {
       snapshot: Long,
       deleteWhen: Option[String],
       deletesOnly: Boolean,
-      dvPairs: Option[DataFrame]): Unit = {
+      dvPairs: Option[DataFrame],
+      droppedCols: Set[String]): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
     try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim,
-      deleteWhen, deletesOnly, dvPairs)
+      deleteWhen, deletesOnly, dvPairs, droppedCols)
     catch {
       case scala.util.control.NonFatal(e) =>
         // rollback BEFORE the abort record: once the abort releases the
@@ -337,7 +354,8 @@ object Upsert {
       claim: TxnLog.Commit,
       deleteWhen: Option[String],
       deletesOnly: Boolean,
-      dvPairs: Option[DataFrame]): Unit = {
+      dvPairs: Option[DataFrame],
+      droppedCols: Set[String]): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
     // (':' -> %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
@@ -366,7 +384,8 @@ object Upsert {
     // OPTIMIZE over DV'd files) nor re-enters the change feed as a
     // matched row.
     val existing = existingPartition(spark, partDir,
-      dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs)
+      dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs,
+      droppedCols = droppedCols)
     if (existing.isEmpty && (deletesOnly ||
         (deleteWhen.isDefined && upserts.limit(1).isEmpty))) {
       // deleting keys from a partition that does not exist is a no-op
@@ -674,6 +693,19 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String): DataFrame = {
+    // time travel shows OLD versions under the CURRENT logical names,
+    // exactly Delta's column-mapping semantics
+    val colMap = ColumnMapping.mapping(spark, table)
+    ColumnMapping.applyLogical(
+      readAsOfPhysical(spark, table, version,
+        ColumnMapping.physicalName(colMap, partCol)), colMap)
+  }
+
+  private[batch] def readAsOfPhysical(
+      spark: SparkSession,
+      table: String,
+      version: Long,
+      partCol: String): DataFrame = {
     val all = TxnLog.commitsSince(spark, table, 0L)
     val tip = all.lastOption.map(_.version).getOrElse(0L)
     if (version > tip)
@@ -691,6 +723,72 @@ object Upsert {
           "reconstructible")
     }
     resolveSnapshot(spark, table, version, partCol, all)._1
+  }
+
+  /** RESTORE VERSION AS OF — the Delta `RESTORE TABLE … TO VERSION AS OF`
+    * analog, and the standard incident-recovery verb: roll the table's
+    * CONTENT back to `version` by writing the old snapshot forward as a
+    * NEW commit (never history surgery — the bad versions stay
+    * time-travelable, exactly like Delta). Implemented as a keyed merge of
+    * the as-of snapshot plus delete-markers for keys that did not exist
+    * then, so it rides every existing guarantee: OCC claims, the
+    * persisted change feed (the net diff flows to mirrors and incremental
+    * index refreshes; identical-row rewrites cancel at read time),
+    * retained pre-images (the restore itself is time-travelable), and
+    * inline sidecar refresh.
+    *
+    * Only partitions a commit has touched SINCE `version` are rewritten —
+    * an O(tail) manifest probe, not a table diff — so restoring a recent
+    * version costs O(churn since v), not O(table). Atomicity is
+    * per-partition, as for every merge on this engine (Delta's RESTORE is
+    * one commit; ours is a bounded-parallel sequence of partition
+    * commits — a failure mid-restore leaves some partitions restored,
+    * re-running completes it idempotently).
+    *
+    * Refused when the schema changed since `version` (a restore across a
+    * widening would silently null-fill) and when `version` predates the
+    * manifest horizon (same contract as [[readAsOf]]). Returns the
+    * partitions rewritten. */
+  def restoreTo(
+      spark: SparkSession,
+      table: String,
+      version: Long,
+      partCol: String,
+      keyCols: Seq[String],
+      parallelism: Int = 4): Seq[String] = {
+    require(keyCols.nonEmpty, "restoreTo needs the table's key columns")
+    val marker = "_graft_restore_delete"
+    val all = TxnLog.commitsSince(spark, table, 0L)
+    val tip = all.lastOption.map(_.version).getOrElse(0L)
+    if (version >= tip) return Seq.empty // already at (or past) that state
+    // partitions touched since v — the only ones whose content can differ
+    val touchedSince = all.filter(c =>
+      c.version > version && (c.op == "upsert-end" || c.op == "dv-end"))
+    val everything = touchedSince.exists(_.all)
+    val parts = touchedSince.flatMap(_.partitions).toSet
+    if (!everything && parts.isEmpty) return Seq.empty
+    val asOf = readAsOf(spark, table, version, partCol)
+    val cur = readCommitted(spark, table, partCol)
+    require(asOf.columns.sorted.sameElements(cur.columns.sorted),
+      s"restore: schema changed since v$version " +
+        s"(then: ${asOf.columns.sorted.mkString(",")}; " +
+        s"now: ${cur.columns.sorted.mkString(",")}) — restore across schema " +
+        "changes is not supported")
+    require(!cur.columns.contains(marker), s"reserved column name: $marker")
+    def scoped(df: DataFrame): DataFrame =
+      if (everything) df
+      else df.filter(col(partCol).cast("string")
+        .isin(parts.toSeq.sorted.map(x => x: Any): _*))
+    // keys alive now but absent at v leave; everything at v comes back
+    // (identical survivors rewrite in place and cancel in the feed)
+    val joinKeys = partCol +: keyCols
+    val updates = scoped(asOf).withColumn(marker, lit(false))
+      .unionByName(
+        scoped(cur)
+          .join(scoped(asOf).select(joinKeys.map(col): _*), joinKeys, "left_anti")
+          .withColumn(marker, lit(true)))
+    mergeByKey(spark, table, updates, partCol, keyCols, parallelism,
+      deleteWhen = Some(marker))
   }
 
   /** The committed snapshot at the CURRENT version — cross-partition
@@ -712,6 +810,17 @@ object Upsert {
     * The resolution itself re-probes the manifest and retries until stable
     * (`maxAttempts` bounds the retries, 25 ms apart). */
   def readCommitted(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      maxAttempts: Int = 80): DataFrame = {
+    val colMap = ColumnMapping.mapping(spark, table)
+    ColumnMapping.applyLogical(
+      readCommittedPhysical(spark, table,
+        ColumnMapping.physicalName(colMap, partCol), maxAttempts), colMap)
+  }
+
+  private[batch] def readCommittedPhysical(
       spark: SparkSession,
       table: String,
       partCol: String,
@@ -1172,10 +1281,14 @@ object Upsert {
       table: String,
       column: String,
       value: String): DataFrame = {
-    val (raw, _, _) = graft.core.BloomIndex.lookup(spark, table, column, value)
+    // the Bloom sidecar is keyed by PHYSICAL column name — a rename
+    // invalidates nothing; callers probe by logical name
+    val colMap = ColumnMapping.mapping(spark, table)
+    val (raw, _, _) = graft.core.BloomIndex.lookup(spark, table,
+      ColumnMapping.physicalName(colMap, column), value)
     val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
-    DeletionVectors.applyTo(raw, dv)
+    ColumnMapping.applyLogical(DeletionVectors.applyTo(raw, dv), colMap)
   }
 
   /** DV-aware range scan through the min/max stats sidecar — the range
@@ -1191,10 +1304,13 @@ object Upsert {
       column: String,
       lo: Option[Any],
       hi: Option[Any]): DataFrame = {
-    val (raw, _, _) = graft.core.StatsIndex.rangeScan(spark, table, column, lo, hi)
+    // stats sidecars are keyed by PHYSICAL column name, like bloom's
+    val colMap = ColumnMapping.mapping(spark, table)
+    val (raw, _, _) = graft.core.StatsIndex.rangeScan(spark, table,
+      ColumnMapping.physicalName(colMap, column), lo, hi)
     val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
-    DeletionVectors.applyTo(raw, dv)
+    ColumnMapping.applyLogical(DeletionVectors.applyTo(raw, dv), colMap)
   }
 
   /** Remove retained generations older than `minAgeMs` (age since
@@ -1282,7 +1398,8 @@ object Upsert {
   private def existingPartition(
       spark: SparkSession, partDir: String, dataCols: Seq[String],
       partValue: String, requireCoverage: Boolean = true,
-      dv: Option[DataFrame] = None): Option[DataFrame] = {
+      dv: Option[DataFrame] = None,
+      droppedCols: Set[String] = Set.empty): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
@@ -1290,7 +1407,9 @@ object Upsert {
       Some(DeletionVectors.applyTo(spark.read.parquet(partDir), dv))
     else {
       val old = DeletionVectors.applyTo(spark.read.parquet(partDir), dv)
-      val uncovered = old.columns.toSet -- dataCols.toSet
+      // columns DROPPED via ColumnMapping are exempt from coverage: the
+      // rewrite is exactly where their bytes lazily leave the partition
+      val uncovered = old.columns.toSet -- dataCols.toSet -- droppedCols
       if (uncovered.nonEmpty)
         throw new IllegalArgumentException(
           s"updates do not cover existing columns ${uncovered.toSeq.sorted.mkString(", ")} " +

@@ -287,4 +287,104 @@ class TimeTravelSpec extends SparkSpec {
     assert(Upsert.vacuumHistory(spark, table, minAgeMs = 60000) == 0)
     assert(stateAsOf(table, vMid) == sMid)
   }
+
+  test("restoreTo rolls content back as a NEW commit; the bad versions stay") {
+    import spark.implicits._
+    val table = tmp("tt-restore")
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 10.0), ("2026-01-02", "k3", 30.0),
+          ("2026-01-03", "k5", 50.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    val vGood = TxnLog.currentVersion(spark, table)
+    val sGood = state(table)
+
+    // the incident: a bad update, a bogus insert (new partition), a delete
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", -999.0), ("2026-01-04", "kBad", 1.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    Upsert.deleteByKey(spark, table,
+      Seq(("2026-01-02", "k3")).toDF("day", "k"), "day", Seq("k"))
+    val vBad = TxnLog.currentVersion(spark, table)
+    val sBad = state(table)
+    assert(sBad != sGood)
+
+    val restored = Upsert.restoreTo(spark, table, vGood, "day", Seq("k"))
+    // only churned partitions rewrite: 01-01 (update), 01-04 (bogus
+    // insert), 01-02 (delete) — never the untouched 01-03
+    assert(restored.toSet == Set("2026-01-01", "2026-01-02", "2026-01-04"),
+      s"got $restored")
+    // round-trip: committed state == the as-of snapshot
+    val vAfter = TxnLog.currentVersion(spark, table)
+    assert(state(table) == sGood)
+    assert(stateAsOf(table, vAfter) == sGood)
+    // NOT history surgery: the bad version is still time-travelable, and
+    // so is the restore itself
+    assert(stateAsOf(table, vBad) == sBad)
+    assert(vAfter > vBad)
+    // the bogus partition is gone from the committed view
+    assert(Upsert.readCommitted(spark, table, "day")
+      .filter(org.apache.spark.sql.functions.col("k") === "kBad").count() == 0L)
+    // idempotent: restoring to a version we are already at is a no-op
+    assert(Upsert.restoreTo(spark, table, vAfter, "day", Seq("k")).isEmpty)
+
+    // the net diff flows through the change feed: replaying (vBad, vAfter]
+    // onto the bad state reproduces the restored state
+    val feed = graft.batch.ChangeFeed.readChanges(spark, table, "day", vBad)
+    val inserts = feed
+      .filter(org.apache.spark.sql.functions.col(
+        graft.batch.ChangeFeed.ChangeTypeCol) === "insert")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    val deletes = feed
+      .filter(org.apache.spark.sql.functions.col(
+        graft.batch.ChangeFeed.ChangeTypeCol) === "delete")
+      .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert((sBad -- deletes) ++ inserts == sGood,
+      s"feed replay must converge: +$inserts -$deletes")
+    // ...and identical-row rewrites cancelled: k5 (untouched) appears on
+    // neither side
+    assert(!inserts.exists(_._2 == "k5") && !deletes.exists(_._2 == "k5"))
+  }
+
+  test("a derived ANN index converges through its refresh after a restore") {
+    import spark.implicits._
+    def vecRows(ids: Seq[Int], shift: Double) =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ids.map(i => org.apache.spark.sql.Row(i.toLong)), 2),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))))
+        .withColumn("shard", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          (org.apache.spark.sql.functions.col("vec_id") % 2).cast("string")))
+        .withColumn("embedding", org.apache.spark.sql.functions.expr(
+          s"transform(sequence(0, 63), i -> " +
+            s"CAST(sin(CAST(vec_id * 64 + i AS DOUBLE) + $shift) AS FLOAT))"))
+    val table = tmp("tt-restore-idx") + "/vectors"
+    Upsert.mergeByKey(spark, table, vecRows(0 until 400, 0.0),
+      "shard", Seq("vec_id"))
+    val vGood = TxnLog.currentVersion(spark, table)
+    val idxDir = tmp("tt-restore-pq")
+    graft.operators.PqIndex.buildFromTable(spark, table, "shard", idxDir)
+    // incident churn AFTER the index is current
+    Upsert.mergeByKey(spark, table, vecRows(400 until 410, 0.0),
+      "shard", Seq("vec_id"))
+    Upsert.mergeByKey(spark, table, vecRows(10 until 14, 2.2),
+      "shard", Seq("vec_id"))
+    graft.operators.PqIndex.refresh(spark, table, "shard", idxDir)
+    // restore, then the INCREMENTAL refresh converges the index
+    Upsert.restoreTo(spark, table, vGood, "shard", Seq("vec_id"))
+    val st = graft.operators.PqIndex.refresh(spark, table, "shard", idxDir)
+    assert(!st.rebuilt && st.changedRows > 0, s"incremental catch-up: $st")
+    val ref = tmp("tt-restore-pq-ref")
+    graft.operators.PqIndex.buildFromTable(spark, table, "shard", ref,
+      Some(spark.read.parquet(s"$idxDir/codebook").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+        .sortBy(t => (t._1, t._2))))
+    def codes(d: String) = spark.read.parquet(s"$d/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(codes(idxDir) == codes(ref),
+      "post-restore refresh must equal a same-codebook rebuild")
+  }
 }
