@@ -375,39 +375,60 @@ object StatsIndex {
       table: String,
       column: String,
       lo: Option[Any],
-      hi: Option[Any]): (DataFrame, Seq[String], Seq[String]) = {
-    require(lo.isDefined || hi.isDefined,
-      "stats index rangeScan: at least one bound (a fully unbounded probe " +
-        "is a table scan — read the table directly)")
-    AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
-    val entries = readSidecar(spark, table, column)
-    val byKey = entries.map(e => e.file -> e).toMap
-    // an EMPTY sidecar (built on an empty table, or every entry dropped by
-    // refresh) carries no type tag; resolve it from the table schema so a
-    // legitimate string/date probe is normalized instead of dying on a
-    // bogus "long" default — with zero entries nothing prunes anyway
-    val typ = entries.headOption.map(_.typ).getOrElse(
-      typeTag(spark.read.parquet(table).schema(column).dataType).getOrElse(
-        sys.error(s"stats index: unsupported type for $column")))
-    val loN = lo.map(normBound(typ, _))
-    val hiN = hi.map(normBound(typ, _))
-    def admits(e: Entry): Boolean = admitsEntry(e, loN, hiN)
+      hi: Option[Any]): (DataFrame, Seq[String], Seq[String]) =
+    rangeScanAll(spark, table, Seq((column, lo, hi)))
+
+  /** Composite AND-of-ranges scan: each `(column, lo, hi)` probe consults
+    * that column's OWN sidecar and the admitted sets INTERSECT before any
+    * file is scheduled — on a table clustered by two keys,
+    * files(a AND b) ≤ min(files(a), files(b)), never the union. Every
+    * per-column verdict keeps [[rangeScan]]'s conservative degradations
+    * (unknown files scanned, unbounded entries admitted, all-null files
+    * skipped), and the conjunction of all predicates still rides the
+    * candidate read for row-group pruning. This is the explicit-API twin
+    * of what [[StatsFileIndex]] already does inside the planner for
+    * pushed-down conjuncts. */
+  def rangeScanAll(
+      spark: SparkSession,
+      table: String,
+      probes: Seq[(String, Option[Any], Option[Any])]): (DataFrame, Seq[String], Seq[String]) = {
+    require(probes.nonEmpty, "stats index rangeScanAll: at least one probe")
+    require(probes.forall { case (_, lo, hi) => lo.isDefined || hi.isDefined },
+      "stats index rangeScan: at least one bound per column (a fully " +
+        "unbounded probe is a table scan — read the table directly)")
+    val perCol = probes.map { case (column, lo, hi) =>
+      AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
+      val entries = readSidecar(spark, table, column)
+      val byKey = entries.map(e => e.file -> e).toMap
+      // an EMPTY sidecar (built on an empty table, or every entry dropped
+      // by refresh) carries no type tag; resolve it from the table schema
+      // so a legitimate string/date probe is normalized instead of dying
+      // on a bogus "long" default — with zero entries nothing prunes anyway
+      val typ = entries.headOption.map(_.typ).getOrElse(
+        typeTag(spark.read.parquet(table).schema(column).dataType).getOrElse(
+          sys.error(s"stats index: unsupported type for $column")))
+      (byKey, lo.map(normBound(typ, _)), hi.map(normBound(typ, _)))
+    }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
-    val (known, unknown) = dataFiles.partition(f => byKey.contains(normKey(f)))
-    val admitted = known.filter(f => admits(byKey(normKey(f))))
-    val candidates = (admitted ++ unknown).sorted
-    val skipped = known.filterNot(admitted.contains).sorted
-    def pred(c: Column): Column =
-      Seq(lo.map(v => c >= lit(v)), hi.map(v => c <= lit(v)))
-        .flatten.reduce(_ && _)
+    // a file is scheduled only when EVERY probe's sidecar admits it (a
+    // file unknown to a sidecar is admitted by that probe — conservative)
+    val (candidates, skipped) = dataFiles.sorted.partition { f =>
+      val k = normKey(f)
+      perCol.forall { case (byKey, loN, hiN) =>
+        byKey.get(k).forall(e => admitsEntry(e, loN, hiN))
+      }
+    }
+    val pred = probes.flatMap { case (column, lo, hi) =>
+      Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v))).flatten
+    }.reduce(_ && _)
     val result =
       if (candidates.isEmpty)
         spark.read.parquet(table).filter(lit(false))
       else
         spark.read.option("basePath", table)
-          .parquet(candidates: _*).filter(pred(col(column)))
+          .parquet(candidates: _*).filter(pred)
     (result, candidates, skipped)
   }
 

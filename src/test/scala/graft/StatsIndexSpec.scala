@@ -279,6 +279,43 @@ class StatsIndexSpec extends SparkSpec {
     assert(n <= 2, s"partition + stats pruning must compose: $n of $total files")
   }
 
+  test("composite AND admission intersects per-column file sets") {
+    val table = tmp("stats-and")
+    // a 4x4 grid layout: file (i,j) holds a in [1000i, 1000i+249] and
+    // b in [1000j, 1000j+249] — each column alone admits a full row/column
+    // of the grid, the conjunction exactly one cell
+    var first = true
+    for (i <- 0 until 4; j <- 0 until 4) {
+      spark.range(250).select(
+          (lit(i * 1000L) + col("id")).as("a"),
+          (lit(j * 1000L) + col("id")).as("b"),
+          md5(col("id").cast("string")).as("payload"))
+        .coalesce(1).write.mode(if (first) "overwrite" else "append")
+        .parquet(table)
+      first = false
+    }
+    StatsIndex.build(spark, table, "a")
+    StatsIndex.build(spark, table, "b")
+    val (_, cA, _) = StatsIndex.rangeScan(spark, table, "a", Some(1000L), Some(1249L))
+    val (_, cB, _) = StatsIndex.rangeScan(spark, table, "b", Some(2000L), Some(2249L))
+    assert(cA.size == 4 && cB.size == 4, s"grid rows/cols: ${cA.size}/${cB.size}")
+    val (res, cAB, sAB) = StatsIndex.rangeScanAll(spark, table, Seq(
+      ("a", Some(1000L), Some(1249L)), ("b", Some(2000L), Some(2249L))))
+    assert(cAB.size <= math.min(cA.size, cB.size),
+      s"AND must intersect, not union: ${cAB.size}")
+    assert(cAB.size == 1 && sAB.size == 15, s"exactly the (1,2) cell: ${cAB.size}")
+    val full = spark.read.parquet(table)
+      .filter(col("a").between(1000L, 1249L) && col("b").between(2000L, 2249L))
+    assert(res.collect().toSet == full.collect().toSet)
+    // the transparent planner path composes the same way on pushed-down
+    // conjuncts
+    val df = StatsIndex.read(spark, table)
+    val q = df.filter(col("a").between(1000L, 1249L) &&
+      col("b").between(2000L, 2249L))
+    assert(q.collect().toSet == full.collect().toSet)
+    assert(filesScanned(q) == 1, s"planner must schedule one grid cell")
+  }
+
   test("build refuses Hive partition columns (footers can never prune them)") {
     val table = tmp("stats-partcol")
     spark.range(1000)
