@@ -48,7 +48,8 @@ object Maintain {
 
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
-    Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq")
+    Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
+      "restore")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -111,6 +112,20 @@ object Maintain {
         val n = graft.batch.Upsert.optimizeZOrder(spark, table, partCol, zCols,
           targetBytes = m.targetBytes)
         Seq(s"""{"op":"optimize-zorder","table":$tableJson,"partitions":$n}""")
+      case "restore" =>
+        // incident recovery over the ops surface: RESTORE VERSION AS OF as
+        // a drivable maintenance op (content rollback forward-written as a
+        // new commit — see Upsert.restoreTo)
+        val partCol = arg(0, "the partition column (restore <partCol> <version> <key,key>)")
+        val version = arg(1, "the target version (restore <partCol> <version> <key,key>)")
+          .toLongOption.getOrElse(
+            sys.error("Maintain: restore mode needs a numeric version"))
+        val keys = arg(2, "the key columns (restore <partCol> <version> <key,key>)")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "Maintain: restore mode needs non-empty key columns")
+        val parts = graft.batch.Upsert.restoreTo(spark, table, version, partCol, keys)
+        Seq(s"""{"op":"restore","table":$tableJson,"toVersion":$version,""" +
+          s""""partitionsRewritten":${parts.size}}""")
       case "upsert" =>
         val partCol = arg(0, "the partition column (upsert <partCol>)")
         // a streaming-sink table's visible file set is its commit log, not

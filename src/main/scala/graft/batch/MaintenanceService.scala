@@ -69,6 +69,9 @@ final class MaintenanceService(
       case "upsert" => need("partCol").map(p => Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
       case "ivf" | "pq" | "ivfpq" =>
         for { p <- need("partCol"); d <- need("indexDir") } yield Seq(p, d)
+      case "restore" =>
+        for { p <- need("partCol"); v <- need("version"); k <- need("keys") }
+          yield Seq(p, v, k)
     }
     modeArgs match {
       case Left(msg) => Left(msg)

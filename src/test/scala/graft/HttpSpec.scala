@@ -419,6 +419,28 @@ class HttpSpec extends SparkSpec {
       assert(ops4.head("op").str == "ivfpq-sync")
       assert(ops4.head("rebuilt") == JBool(true))
       assert(new java.io.File(s"$idxDir/codes").isDirectory)
+
+      // RESTORE VERSION AS OF over the same route: churn the vector
+      // table, roll it back, verify the rollback committed
+      val vGood = graft.core.TxnLog.currentVersion(spark, vecTable)
+      graft.batch.Upsert.mergeByKey(spark, vecTable,
+        spark.range(60, 63).select(col("id").as("vec_id"),
+          concat(lit("s"), pmod(col("id"), lit(2)).cast("string")).as("shard"),
+          expr("transform(sequence(0, 63), i -> " +
+            "CAST(sin(CAST(vec_id * 64 + i AS DOUBLE)) AS FLOAT))").as("embedding")),
+        "shard", Seq("vec_id"))
+      val (c5, b5) = post(api.port, "/maintenance/run",
+        s"""{"mode":"restore","table":"$vecTable","partCol":"shard",""" +
+          s""""version":"$vGood","keys":"vec_id"}""")
+      assert(c5 == 202, s"got $c5 $b5")
+      val id5 = b5.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id5")._2.asObj("status").str == "COMPLETED")
+      val ops5 = get(api.port, s"/maintenance/status/$id5")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops5.head("op").str == "restore")
+      assert(graft.batch.Upsert.readCommitted(spark, vecTable, "shard")
+        .count() == 60L, "the churn rows must be rolled back")
     } finally api.stop()
   }
 
