@@ -725,6 +725,23 @@ object Upsert {
     resolveSnapshot(spark, table, version, partCol, all)._1
   }
 
+  /** DESCRIBE HISTORY analog (Delta `DESCRIBE HISTORY <table>`): the
+    * table's retained commits, newest first, as a small DataFrame —
+    * version, operation, partitions touched, commit timestamp, the begin
+    * a `*-end` closes, whether the commit claimed ALL partitions, and the
+    * idempotence txn marker. Driver cost is one O(tail) manifest probe
+    * ([[graft.core.TxnLog.commitsSince]] reads the latest checkpoint plus
+    * the files above it); the horizon is whatever [[graft.core.TxnLog
+    * .truncate]] retained, exactly like Delta's log retention. */
+  def history(spark: SparkSession, table: String, limit: Int = 100): DataFrame = {
+    import spark.implicits._
+    TxnLog.commitsSince(spark, table, 0L).reverse.take(math.max(1, limit))
+      .map(c => (c.version, c.op, c.partitions.toSeq.sorted,
+        new java.sql.Timestamp(c.ts), c.ref, c.all, c.txn))
+      .toDF("version", "operation", "partitions", "timestamp",
+        "ref", "all_partitions", "txn")
+  }
+
   /** RESTORE VERSION AS OF — the Delta `RESTORE TABLE … TO VERSION AS OF`
     * analog, and the standard incident-recovery verb: roll the table's
     * CONTENT back to `version` by writing the old snapshot forward as a

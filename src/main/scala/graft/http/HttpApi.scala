@@ -97,6 +97,7 @@ final class HttpApi(
         case ("GET", "stream" :: "status" :: Nil)             => streamStatus(ex)
         case ("POST", "maintenance" :: "run" :: Nil)          => maintenanceRun(ex)
         case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
+        case ("GET", "table" :: "history" :: Nil)             => tableHistory(ex)
         case ("GET", "health" :: Nil)                         => health(ex)
         case ("POST", "stop" :: Nil)                          => stopAll(ex)
         case _ =>
@@ -322,6 +323,34 @@ final class HttpApi(
       case None =>
         reply(ex, 404, err("MAINTENANCE_NOT_FOUND", s"No maintenance job found with ID: $id"))
     }
+
+  /** `GET /table/history?table=<path>[&limit=N]` — DESCRIBE HISTORY over
+    * the API: the table's retained commits, newest first (one O(tail)
+    * manifest probe on the driver, no Spark job at all). */
+  private def tableHistory(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    q.get("table").filter(_.nonEmpty) match {
+      case None =>
+        reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
+      case Some(table) =>
+        val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(100).max(1)
+        val commits = graft.core.TxnLog.commitsSince(spark, table, 0L)
+          .reverse.take(limit)
+        reply(ex, 200, JObj.of(
+          "table" -> JStr(table),
+          "returned" -> JNum(BigDecimal(commits.size)),
+          "history" -> JArr(commits.toVector.map { c =>
+            JObj(Vector(
+              "version" -> (JNum(BigDecimal(c.version)): JVal),
+              "operation" -> JStr(c.op),
+              "partitions" -> JArr(c.partitions.toVector.sorted.map(JStr(_))),
+              "timestamp" -> JNum(BigDecimal(c.ts)),
+              "allPartitions" -> JBool(c.all)) ++
+              c.ref.map(r => "ref" -> (JNum(BigDecimal(r)): JVal)).toVector ++
+              c.txn.map(t => "txn" -> (JStr(t): JVal)).toVector)
+          })))
+    }
+  }
 
   // -------------------------------------------------------------- stream
 

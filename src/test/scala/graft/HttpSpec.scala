@@ -444,6 +444,35 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("table history route: DESCRIBE HISTORY over the API, newest first") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httphist").toString + "/t"
+    graft.batch.Upsert.mergeByKey(spark, t,
+      Seq(("2026-05-01", 1L, 1.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    graft.batch.Upsert.mergeByKey(spark, t,
+      Seq(("2026-05-01", 1L, 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val api = newApi()
+    try {
+      assert(get(api.port, "/table/history")._1 == 400)
+      val (c, b) = get(api.port,
+        s"/table/history?table=${java.net.URLEncoder.encode(t, "UTF-8")}&limit=3")
+      assert(c == 200, s"got $c $b")
+      val hist = b.asObj("history") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(hist.size == 3, s"limit honored: ${hist.size}")
+      val versions = hist.map(_("version").asInstanceOf[JNum].v.toLong)
+      assert(versions == versions.sorted.reverse, "newest first")
+      assert(hist.head("operation").str == "upsert-end")
+      assert(hist.head("partitions") == JArr(Vector(JStr("2026-05-01"))))
+      // the programmatic twin agrees
+      val df = graft.batch.Upsert.history(spark, t, limit = 3)
+      assert(df.columns.toSeq == Seq("version", "operation", "partitions",
+        "timestamp", "ref", "all_partitions", "txn"))
+      assert(df.select("version").collect().map(_.getLong(0)).toSeq == versions)
+    } finally api.stop()
+  }
+
   test("maintenance route: failures land FAILED with the cause") {
     val api = newApi()
     try {
