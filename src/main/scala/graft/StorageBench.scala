@@ -128,6 +128,19 @@ object StorageBench {
         "day", Seq("k"), parallelism = 4)
     }
 
+    // RESTORE: roll back an incident touching 2 of `partitions` days —
+    // the manifest probe scopes the rewrite to exactly the churned
+    // partitions, so the cost argues O(churn since v), never O(table)
+    val vGood = graft.core.TxnLog.currentVersion(spark, table)
+    Upsert.mergeByKey(spark, table,
+      Seq((days(0), "bad1", -1.0), (days(1), "bad2", -2.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    val tRestore = time {
+      val parts = Upsert.restoreTo(spark, table, vGood, "day", Seq("k"))
+      require(parts.size == 2,
+        s"restore must rewrite only the churned partitions: $parts")
+    }
+
     // best-effort cleanup; timings are already taken
     scala.util.Try {
       def rm(f: java.io.File): Unit = {
@@ -144,7 +157,8 @@ object StorageBench {
       "storage_bloom_build" -> tBloomBuild,
       "storage_stats_build" -> tStatsBuild,
       "storage_stats_scan" -> tStatsScan,
-      "storage_merge_indexed" -> tMergeIndexed)
+      "storage_merge_indexed" -> tMergeIndexed,
+      "storage_restore" -> tRestore)
   }
 
   /** Standalone entry (`runMain graft.StorageBench [repeats]`): the
