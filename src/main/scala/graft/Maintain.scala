@@ -33,10 +33,13 @@ import graft.streaming.SinkCompaction
   * catches external appends and builds the first sidecar); `stats <col>`
   * does the same for the per-file min/max zone-map sidecar
   * ([[graft.core.StatsIndex.refresh]] — footer-only reads of new files);
-  * `ivf|pq <partCol> <indexDir>` keeps a persisted ANN index in step with
-  * its source vector table ([[graft.operators.IvfIndex.sync]] /
-  * [[graft.operators.PqIndex.sync]] — build when absent, else an
-  * O(changes) change-feed refresh). All modes then share the
+  * `ivf|pq|ivfpq <partCol> <indexDir>` keeps a persisted ANN index in
+  * step with its source vector table ([[graft.operators.IvfIndex.sync]] /
+  * [[graft.operators.PqIndex.sync]] / [[graft.operators.IvfPqIndex.sync]]
+  * — build when absent, else an O(changes) change-feed refresh);
+  * `restore <partCol> <version> <key,key>` rolls table content back to a
+  * prior version as a new commit ([[graft.batch.Upsert.restoreTo]] —
+  * incident recovery over the ops surface). All modes then share the
   * manifest/history/registry sweeps ([[runSweeps]]). Every op yields one
   * JSON line for the scheduler's log scraper / the API's ops report; the
   * CLI exits non-zero on failure, the API run lands FAILED in the

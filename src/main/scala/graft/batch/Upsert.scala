@@ -1140,6 +1140,22 @@ object Upsert {
     require(minFilesToCompact >= 2, "compacting fewer than 2 files is a no-op")
     require(Set("cluster", "zorder").contains(layoutMode),
       s"layoutMode must be 'cluster' or 'zorder', got '$layoutMode'")
+    // callers name columns LOGICALLY; the rewrite runs in physical space
+    val cmap = ColumnMapping.mapping(spark, table)
+    val partColP = ColumnMapping.physicalName(cmap, partCol)
+    val layoutColsP = layoutCols.map(ColumnMapping.physicalName(cmap, _))
+    compactPartitionsPhysical(spark, table, partColP, targetBytes,
+      minFilesToCompact, layoutColsP, layoutMode)
+  }
+
+  private def compactPartitionsPhysical(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      targetBytes: Long,
+      minFilesToCompact: Int,
+      layoutCols: Seq[String],
+      layoutMode: String): Int = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // size-aware selection (the OPTIMIZE sizing contract): output file
@@ -1238,6 +1254,19 @@ object Upsert {
       zCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
+    // callers name columns LOGICALLY; the rewrite runs in physical space
+    val cmap = ColumnMapping.mapping(spark, table)
+    val partColP = ColumnMapping.physicalName(cmap, partCol)
+    val zColsP = zCols.map(ColumnMapping.physicalName(cmap, _))
+    optimizeZOrderPhysical(spark, table, partColP, zColsP, targetBytes)
+  }
+
+  private def optimizeZOrderPhysical(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      zCols: Seq[String],
+      targetBytes: Long): Int = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,

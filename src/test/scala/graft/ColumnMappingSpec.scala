@@ -124,6 +124,29 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("DROPPED"), e.getMessage)
   }
 
+  test("layout ops (compact/zorder) accept logical column names") {
+    import spark.implicits._
+    val t = tmp("colmap-layout") + "/t"
+    Upsert.mergeByKey(spark, t,
+      (1 to 4000).map(i => (s"2026-06-0${i % 2 + 1}", i.toLong, (i * 7 % 4000).toLong))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    Upsert.mergeByKey(spark, t,
+      (1 to 50).map(i => (s"2026-06-0${i % 2 + 1}", (10000 + i).toLong, i.toLong))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    ColumnMapping.rename(spark, t, "v", "score")
+    // zorder by the NEW logical name resolves to the physical column
+    val n = Upsert.optimizeZOrder(spark, t, "day", Seq("score", "k"),
+      targetBytes = 64L * 1024)
+    assert(n > 0)
+    val got = Upsert.readCommitted(spark, t, "day")
+    assert(got.columns.contains("score"))
+    assert(got.count() == 4050L)
+    assert(Upsert.compactPartitions(spark, t, "day",
+      layoutCols = Seq("score")) >= 0)
+  }
+
   test("refusals: partition columns, collisions, referenced expressions") {
     import spark.implicits._
     val t = tmp("colmap-refuse") + "/t"
