@@ -152,6 +152,37 @@ object ColumnMapping {
         "in directory names, so the change would be a table rewrite")
   }
 
+  /** Word-boundary identifier match inside stored SQL text — the shared
+    * dependency check of the rename/drop refusals and the
+    * [[Constraints]]/[[GeneratedColumns]] add-time guards. */
+  private[batch] def mentionsColumn(sql: String, name: String): Boolean =
+    ("""(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(name) +
+      """(?![A-Za-z0-9_])""").r.findFirstIn(sql).isDefined
+
+  /** Stored SQL (CHECK constraints, generation expressions) may only
+    * reference columns whose logical name IS their physical name — the
+    * merge's validation probe evaluates these expressions over the
+    * caller's logical frames, so a reference to a renamed column's
+    * physical name (or a dropped column) would silently skip or misbind.
+    * [[rename]]/[[drop]] refuse in one direction; this guards the other
+    * (adding an expression onto an already-mapped table). */
+  private[batch] def refuseMappedInExpression(
+      spark: SparkSession, table: String, what: String, sql: String): Unit = {
+    val m = mapping(spark, table)
+    m.foreach { case (p, l) =>
+      require(!mentionsColumn(sql, p),
+        s"$what ($sql) references $p, " +
+          (if (l.isEmpty) "a DROPPED column"
+           else s"the physical name of a column renamed to $l") +
+          " — expressions may only reference unmapped columns")
+      if (l.nonEmpty) require(!mentionsColumn(sql, l),
+        s"$what ($sql) references $l, a RENAMED column — rename it back " +
+          "or express the rule over unmapped columns (stored expressions " +
+          "bind by name and must read identically in logical and " +
+          "physical space)")
+    }
+  }
+
   /** A rename/drop of a column referenced by stored SQL text (CHECK
     * constraints, generated columns) would silently unbind the
     * expression — refuse, exactly as Delta does. Word-boundary match on
@@ -159,9 +190,7 @@ object ColumnMapping {
   private def refuseReferenced(
       spark: SparkSession, table: String,
       logical: String, phys: String, verb: String): Unit = {
-    def mentions(sql: String, name: String): Boolean =
-      ("""(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(name) +
-        """(?![A-Za-z0-9_])""").r.findFirstIn(sql).isDefined
+    def mentions(sql: String, name: String): Boolean = mentionsColumn(sql, name)
     Constraints.list(spark, table).foreach { case (n, sql) =>
       require(!mentions(sql, logical) && !mentions(sql, phys),
         s"cannot $verb $logical: constraint $n CHECK ($sql) references it — " +

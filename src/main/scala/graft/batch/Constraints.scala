@@ -40,6 +40,10 @@ object Constraints {
   def add(spark: SparkSession, table: String, name: String, exprSql: String): Unit = {
     require(name.nonEmpty && !name.exists(c => c == '"' || c == '\\' || c < ' '),
       s"constraint name must be a plain identifier: $name")
+    // on a column-mapped table, expressions may only reference unmapped
+    // columns — see [[ColumnMapping.refuseMappedInExpression]]
+    ColumnMapping.refuseMappedInExpression(spark, table,
+      s"constraint $name CHECK", exprSql)
     val df = spark.read.parquet(table)
     val violating = df.filter(not(expr(exprSql))).limit(1).collect()
     if (violating.nonEmpty)

@@ -35,6 +35,15 @@ object GeneratedColumns {
 
   /** Register `column GENERATED ALWAYS AS (exprSql)`. */
   def add(spark: SparkSession, table: String, column: String, exprSql: String): Unit = {
+    // on a column-mapped table, the generated column AND its expression
+    // inputs must be unmapped — see [[ColumnMapping.refuseMappedInExpression]]
+    ColumnMapping.refuseMappedInExpression(spark, table,
+      s"generated column $column AS", exprSql)
+    val m = ColumnMapping.mapping(spark, table)
+    require(!m.contains(column) &&
+        ColumnMapping.physicalName(m, column) == column,
+      s"generated column $column is renamed or dropped in the column map — " +
+        "generation rules bind unmapped names only")
     val df = spark.read.parquet(table)
     require(df.columns.contains(column),
       s"generated column $column does not exist in $table (schema: " +

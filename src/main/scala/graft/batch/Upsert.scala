@@ -742,6 +742,59 @@ object Upsert {
         "ref", "all_partitions", "txn")
   }
 
+  /** Deep CLONE (Delta `CREATE TABLE … CLONE src [VERSION AS OF v]`): an
+    * INDEPENDENT copy of the source's committed snapshot — optionally at
+    * a historical version — as a fresh table with its own (empty, lazily
+    * upgraded) manifest. The clone materializes everything the source
+    * still resolves indirectly: pending deletion vectors are subtracted,
+    * history generations flattened, so it carries none of the source's
+    * maintenance debt. `_graft_meta` registries (column map, CHECK
+    * constraints, generated columns) COPY — the logical view and write
+    * rules carry over; stats/bloom sidecars do NOT (they key the source's
+    * file names — rebuild on the clone if needed), and provenance lands
+    * in `_graft_meta/clone-v1.json` instead of a manifest record so the
+    * clone's own log starts clean. Shallow clones are deliberately
+    * unsupported: a plain-directory engine has no file-reference
+    * indirection, so "shallow" would alias live paths the source's
+    * vacuum/compaction is free to delete. Returns rows cloned. */
+  def cloneTo(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      partCol: String,
+      version: Option[Long] = None): Long = {
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(dstPath),
+      s"clone: destination $dst already exists — refusing to overwrite")
+    val colMap = ColumnMapping.mapping(spark, src)
+    val partColP = ColumnMapping.physicalName(colMap, partCol)
+    // PHYSICAL snapshot: copied data keeps the source's physical column
+    // names, so the copied column map stays valid over it
+    val snap = version
+      .map(v => readAsOfPhysical(spark, src, v, partColP))
+      .getOrElse(readCommittedPhysical(spark, src, partColP))
+    snap.write.partitionBy(partColP).parquet(dst)
+    // registries carry over verbatim (small JSON files)
+    val srcMeta = new org.apache.hadoop.fs.Path(s"$src/_graft_meta")
+    val srcFs = srcMeta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (srcFs.exists(srcMeta)) {
+      val dstMeta = new org.apache.hadoop.fs.Path(s"$dst/_graft_meta")
+      fs.mkdirs(dstMeta)
+      srcFs.listStatus(srcMeta).filter(_.isFile).foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, st.getPath, fs, new org.apache.hadoop.fs.Path(dstMeta, st.getPath.getName),
+          false, spark.sessionState.newHadoopConf())
+      }
+    }
+    TableMeta.write(spark, dst, "clone-v", Map(
+      "source" -> src,
+      "sourceVersion" -> version.getOrElse(
+        TxnLog.currentVersion(spark, src)).toString,
+      "clonedAtMs" -> System.currentTimeMillis().toString))
+    spark.read.parquet(dst).count()
+  }
+
   /** RESTORE VERSION AS OF — the Delta `RESTORE TABLE … TO VERSION AS OF`
     * analog, and the standard incident-recovery verb: roll the table's
     * CONTENT back to `version` by writing the old snapshot forward as a

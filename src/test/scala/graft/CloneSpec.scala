@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.batch.{ColumnMapping, Constraints, Upsert}
+
+/** Deep CLONE: an independent copy of a committed (optionally historic)
+  * snapshot that materializes deletion vectors, carries the _graft_meta
+  * registries (column map, constraints), and shares no future with the
+  * source. */
+class CloneSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("clone at a version = readAsOf, independent, registries carried") {
+    import spark.implicits._
+    val src = tmp("clone-src") + "/t"
+    Upsert.mergeByKey(spark, src,
+      (1 to 100).map(i => (s"2026-07-0${i % 2 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    ColumnMapping.rename(spark, src, "v", "speed")
+    // stored expressions may only reference UNMAPPED columns (they must
+    // read identically in logical and physical space) — both the renamed
+    // column's names are refused, the unmapped key is fine
+    intercept[IllegalArgumentException] {
+      Constraints.add(spark, src, "v_pos", "v > 0")
+    }
+    intercept[IllegalArgumentException] {
+      Constraints.add(spark, src, "v_pos", "speed > 0")
+    }
+    Constraints.add(spark, src, "k_small", "k < 400")
+    val vThen = graft.core.TxnLog.currentVersion(spark, src)
+    // post-version churn the clone must NOT see
+    Upsert.mergeByKey(spark, src,
+      Seq(("2026-07-01", 1L, 999.0)).toDF("day", "k", "speed"),
+      "day", Seq("k"))
+
+    val dst = tmp("clone-dst") + "/t"
+    val rows = Upsert.cloneTo(spark, src, dst, "day", Some(vThen))
+    assert(rows == 100L)
+    def state(t: String) = Upsert.readCommitted(spark, t, "day")
+      .select("day", "k", "speed").as[(String, Long, Double)].collect().toSet
+    val asOf = Upsert.readAsOf(spark, src, vThen, "day")
+      .select("day", "k", "speed").as[(String, Long, Double)].collect().toSet
+    assert(state(dst) == asOf, "clone must equal the as-of snapshot")
+    // column map carried: logical name visible, physical files keep v
+    assert(spark.read.parquet(dst).columns.contains("v"))
+    assert(!state(dst).isEmpty)
+    // constraints carried: a violating merge into the CLONE is refused
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, dst,
+        Seq(("2026-07-01", 500L, 1.0)).toDF("day", "k", "speed"),
+        "day", Seq("k"))
+    }
+    assert(e.getMessage.contains("k_small"), e.getMessage)
+    // independence: merging into the clone leaves the source untouched,
+    // and vice versa
+    val srcBefore = state(src)
+    Upsert.mergeByKey(spark, dst,
+      Seq(("2026-07-01", 201L, 5.0)).toDF("day", "k", "speed"),
+      "day", Seq("k"))
+    assert(state(src) == srcBefore)
+    Upsert.mergeByKey(spark, src,
+      Seq(("2026-07-02", 301L, 6.0)).toDF("day", "k", "speed"),
+      "day", Seq("k"))
+    assert(!state(dst).exists(_._2 == 301L))
+    // provenance recorded outside the manifest (the clone's log is its own)
+    assert(new java.io.File(s"$dst/_graft_meta/clone-v1.json").isFile)
+  }
+
+  test("clone materializes pending deletion vectors; refuses existing dst") {
+    import spark.implicits._
+    val src = tmp("clone-dv") + "/t"
+    Upsert.mergeByKey(spark, src,
+      (1 to 40).map(i => (s"2026-07-0${i % 2 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    graft.batch.DeletionVectors.deleteVectored(spark, src,
+      Seq(("2026-07-01", 2L), ("2026-07-02", 3L)).toDF("day", "k"),
+      "day", Seq("k"))
+    val dst = tmp("clone-dv-dst") + "/t"
+    assert(Upsert.cloneTo(spark, src, dst, "day") == 38L)
+    // the clone has NO dv sidecars — deletes are materialized in its files
+    assert(!new java.io.File(s"$dst/_graft_dv").exists())
+    assert(spark.read.parquet(dst).filter(col("k").isin(2L, 3L)).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Upsert.cloneTo(spark, src, dst, "day")
+    }
+  }
+}
