@@ -774,7 +774,12 @@ object Upsert {
     val snap = version
       .map(v => readAsOfPhysical(spark, src, v, partColP))
       .getOrElse(readCommittedPhysical(spark, src, partColP))
-    snap.write.partitionBy(partColP).parquet(dst)
+    // atomic install: a clone that dies mid-write (or loses a race with a
+    // source writer's install — the documented loud-retryable failure)
+    // leaves NO dst, so the existence refusal above never blocks a retry
+    graft.core.AtomicWrite.publish(spark, dst) { tmp =>
+      snap.write.partitionBy(partColP).parquet(tmp)
+    }
     // registries carry over verbatim (small JSON files)
     val srcMeta = new org.apache.hadoop.fs.Path(s"$src/_graft_meta")
     val srcFs = srcMeta.getFileSystem(spark.sessionState.newHadoopConf())
