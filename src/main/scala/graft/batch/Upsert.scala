@@ -769,9 +769,17 @@ object Upsert {
       s"clone: destination $dst already exists — refusing to overwrite")
     val colMap = ColumnMapping.mapping(spark, src)
     val partColP = ColumnMapping.physicalName(colMap, partCol)
+    // PIN the snapshot version BEFORE reading: a clone racing source
+    // writers then copies exactly the pinned version (later rewrites
+    // resolve through retained history generations — the time-travel
+    // machinery), and the recorded provenance is exact, not approximate.
+    // Tables without a manifest (pinned 0) read plainly — nothing can
+    // race a table no claimed writer touches.
+    val pinned = version.orElse(
+      Some(TxnLog.currentVersion(spark, src)).filter(_ > 0L))
     // PHYSICAL snapshot: copied data keeps the source's physical column
     // names, so the copied column map stays valid over it
-    val snap = version
+    val snap = pinned
       .map(v => readAsOfPhysical(spark, src, v, partColP))
       .getOrElse(readCommittedPhysical(spark, src, partColP))
     // atomic install: a clone that dies mid-write (or loses a race with a
@@ -794,8 +802,7 @@ object Upsert {
     }
     TableMeta.write(spark, dst, "clone-v", Map(
       "source" -> src,
-      "sourceVersion" -> version.getOrElse(
-        TxnLog.currentVersion(spark, src)).toString,
+      "sourceVersion" -> pinned.getOrElse(0L).toString,
       "clonedAtMs" -> System.currentTimeMillis().toString))
     spark.read.parquet(dst).count()
   }

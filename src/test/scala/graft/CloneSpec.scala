@@ -71,6 +71,49 @@ class CloneSpec extends SparkSpec {
     assert(new java.io.File(s"$dst/_graft_meta/clone-v1.json").isFile)
   }
 
+  test("a clone racing source writers copies exactly its pinned version") {
+    import spark.implicits._
+    val src = tmp("clone-race") + "/t"
+    Upsert.mergeByKey(spark, src,
+      (1 to 60).map(i => (s"2026-07-0${i % 3 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    // churn the source WHILE the clone reads: the clone pinned the tip
+    // before reading, so later rewrites resolve through retained history
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churnErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val churn = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get && i < 30) {
+          Upsert.mergeByKey(spark, src,
+            Seq((s"2026-07-0${i % 3 + 1}", (i % 60 + 1).toLong, 1000.0 + i))
+              .toDF("day", "k", "v"),
+            "day", Seq("k"))
+          i += 1
+        }
+      } catch { case t: Throwable => churnErr.set(t) }
+    }, "clone-churn")
+    churn.start()
+    try {
+      val dst = tmp("clone-race-dst") + "/t"
+      assert(Upsert.cloneTo(spark, src, dst, "day") == 60L)
+      // provenance names the pinned version; the clone equals EXACTLY that
+      val prov = graft.http.Json.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dst/_graft_meta/clone-v1.json"))).asObj
+      val pinned = prov("sourceVersion").str.toLong
+      val asOf = Upsert.readAsOf(spark, src, pinned, "day")
+        .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+      val cloned = spark.read.parquet(dst)
+        .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+      assert(cloned == asOf,
+        s"clone must equal its pinned version v$pinned exactly")
+    } finally {
+      stop.set(true); churn.join()
+    }
+    if (churnErr.get != null) throw churnErr.get
+  }
+
   test("clone materializes pending deletion vectors; refuses existing dst") {
     import spark.implicits._
     val src = tmp("clone-dv") + "/t"
