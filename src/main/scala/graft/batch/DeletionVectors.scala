@@ -84,6 +84,23 @@ object DeletionVectors {
     require(keys.columns.contains(partCol), s"keys must carry $partCol")
     keyCols.foreach(k =>
       require(keys.columns.contains(k), s"keys must carry key column $k"))
+    // callers name columns LOGICALLY (like mergeByKey); the row-position
+    // probe below joins against raw physical files
+    val colMap = ColumnMapping.mapping(spark, table)
+    val keysIn = keys
+    val keysP = ColumnMapping.applyPhysical(keysIn, colMap)
+    val partColP = ColumnMapping.physicalName(colMap, partCol)
+    val keyColsP = keyCols.map(ColumnMapping.physicalName(colMap, _))
+    deleteVectoredPhysical(spark, table, keysP, partColP, keyColsP, parallelism)
+  }
+
+  private def deleteVectoredPhysical(
+      spark: SparkSession,
+      table: String,
+      keys: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      parallelism: Int): Seq[String] = {
     val snapshot = TxnLog.currentVersion(spark, table)
     keys.persist()
     try {

@@ -124,6 +124,26 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("DROPPED"), e.getMessage)
   }
 
+  test("deletion vectors accept logical names and compose with lookups") {
+    import spark.implicits._
+    val t = tmp("colmap-dv") + "/t"
+    Upsert.mergeByKey(spark, t,
+      (1 to 200).map(i => (s"2026-06-0${i % 2 + 1}", s"u$i", i.toLong))
+        .toDF("day", "user_id", "v"),
+      "day", Seq("user_id"))
+    graft.core.BloomIndex.build(spark, t, "user_id")
+    ColumnMapping.rename(spark, t, "user_id", "subject")
+    // a merge-on-read DELETE by the NEW logical key name
+    graft.batch.DeletionVectors.deleteVectored(spark, t,
+      Seq(("2026-06-02", "u7")).toDF("day", "subject"), "day", Seq("subject"))
+    assert(Upsert.readCommitted(spark, t, "day")
+      .filter(col("subject") === "u7").count() == 0L)
+    // the DV-composed point lookup sees the subtraction through the
+    // logical name too
+    assert(Upsert.pointLookup(spark, t, "subject", "u7").count() == 0L)
+    assert(Upsert.pointLookup(spark, t, "subject", "u8").count() == 1L)
+  }
+
   test("layout ops (compact/zorder) accept logical column names") {
     import spark.implicits._
     val t = tmp("colmap-layout") + "/t"
