@@ -39,7 +39,9 @@ import graft.streaming.SinkCompaction
   * — build when absent, else an O(changes) change-feed refresh);
   * `restore <partCol> <version> <key,key>` rolls table content back to a
   * prior version as a new commit ([[graft.batch.Upsert.restoreTo]] —
-  * incident recovery over the ops surface). All modes then share the
+  * incident recovery over the ops surface); `clone <partCol> <dstDir>
+  * [version]` deep-copies a committed snapshot as an independent table
+  * ([[graft.batch.Upsert.cloneTo]]). All modes then share the
   * manifest/history/registry sweeps ([[runSweeps]]). Every op yields one
   * JSON line for the scheduler's log scraper / the API's ops report; the
   * CLI exits non-zero on failure, the API run lands FAILED in the
@@ -52,7 +54,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore")
+      "restore", "clone")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -129,6 +131,16 @@ object Maintain {
         val parts = graft.batch.Upsert.restoreTo(spark, table, version, partCol, keys)
         Seq(s"""{"op":"restore","table":$tableJson,"toVersion":$version,""" +
           s""""partitionsRewritten":${parts.size}}""")
+      case "clone" =>
+        // deep CLONE over the ops surface: an independent snapshot copy
+        // (optionally at a version) for dev/test/backup workflows
+        val partCol = arg(0, "the partition column (clone <partCol> <dstDir> [version])")
+        val dst = arg(1, "the destination directory (clone <partCol> <dstDir> [version])")
+        val version = modeArgs.lift(2).map(v => v.toLongOption.getOrElse(
+          sys.error("Maintain: clone version must be numeric")))
+        val rows = graft.batch.Upsert.cloneTo(spark, table, dst, partCol, version)
+        Seq(s"""{"op":"clone","table":$tableJson,""" +
+          s""""dst":${graft.http.Json.quote(dst)},"rows":$rows}""")
       case "upsert" =>
         val partCol = arg(0, "the partition column (upsert <partCol>)")
         // a streaming-sink table's visible file set is its commit log, not

@@ -72,6 +72,9 @@ final class MaintenanceService(
       case "restore" =>
         for { p <- need("partCol"); v <- need("version"); k <- need("keys") }
           yield Seq(p, v, k)
+      case "clone" =>
+        for { p <- need("partCol"); d <- need("dstDir") }
+          yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
     }
     modeArgs match {
       case Left(msg) => Left(msg)

@@ -132,5 +132,12 @@ class CloneSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Upsert.cloneTo(spark, src, dst, "day")
     }
+    // the Maintain mode wires the same entry
+    val m = graft.core.GraftConfig.Maintenance(
+      128L * 1024 * 1024, 0L, 10, 2, 86400000L, Seq.empty, "zorder")
+    val dst2 = tmp("clone-dv-dst2") + "/t"
+    val ops = graft.Maintain.runMode(spark, src, "clone", Seq("day", dst2), m)
+    assert(ops.exists(o => o.contains("\"op\":\"clone\"") &&
+      o.contains("\"rows\":38")), ops.mkString("\n"))
   }
 }
