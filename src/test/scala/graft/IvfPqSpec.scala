@@ -180,6 +180,48 @@ class IvfPqSpec extends SparkSpec {
     assert(IvfPqIndex.refresh(spark, table, "shard", idxDir).changedRows == 0L)
   }
 
+  test("streaming vector ingestion keeps the composed index fresh (e2e)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = vectorTable(300)
+    val idxDir = Files.createTempDirectory("ivfpq-stream").toString
+    assert(IvfPqIndex.sync(spark, table, "shard", idxDir).rebuilt)
+
+    // the steady-state 100 TB shape: vectors arrive as a STREAM, each
+    // micro-batch merges exactly-once, and the index catches up by
+    // consuming the change feed — never a corpus re-encode
+    val mem = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("ivfpq-stream-ckpt").toString
+    val q = mem.toDF().select(col("value").as("vec_id"))
+      .withColumn("shard", concat(lit("s"), (col("vec_id") % 4).cast("string")))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), i -> " +
+          "CAST(sin(CAST(vec_id * 64 + i AS DOUBLE)) AS FLOAT))"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(graft.streaming.StreamingUpsert.mergeBatch(
+        spark, table, "shard", Seq("vec_id"), "vec-ingest") _)
+      .start()
+    try {
+      mem.addData(300L until 310L: _*)
+      q.processAllAvailable()
+      val s1 = IvfPqIndex.sync(spark, table, "shard", idxDir)
+      assert(!s1.rebuilt && s1.changedRows == 10L, s"catch-up 1: $s1")
+      mem.addData(310L until 315L: _*)
+      q.processAllAvailable()
+      val s2 = IvfPqIndex.sync(spark, table, "shard", idxDir)
+      assert(!s2.rebuilt && s2.changedRows == 5L, s"catch-up 2: $s2")
+    } finally q.stop()
+    // the incrementally-maintained index equals a pinned rebuild over the
+    // final table state — streaming ingestion lost nothing
+    val ref = Files.createTempDirectory("ivfpq-stream-ref").toString
+    IvfPqIndex.buildFromTable(spark, table, "shard", ref,
+      Some(pinnedCoarse(idxDir)), Some(pinnedPq(idxDir)))
+    assert(codesOf(idxDir) == codesOf(ref))
+    assert(codesOf(idxDir).keySet.max == 314L)
+  }
+
   test("sync builds a missing index, then refreshes it (the Maintain entry)") {
     val table = vectorTable(200)
     val idxDir = Files.createTempDirectory("ivfpq-sync").toString
