@@ -742,6 +742,66 @@ object Upsert {
         "ref", "all_partitions", "txn")
   }
 
+  /** DESCRIBE DETAIL analog (Delta `DESCRIBE DETAIL <table>`): one row of
+    * table-level facts assembled from DRIVER-side metadata only — file
+    * listing (count + bytes + partition dirs), manifest tip, registered
+    * constraints / generated columns / column-map entries, index sidecar
+    * columns, pending deletion-vector sidecars. No Spark job, no data IO:
+    * the listing walk is the same O(files) metadata pass every lookup
+    * already pays. */
+  final case class TableDetail(
+      location: String,
+      numFiles: Long,
+      sizeInBytes: Long,
+      numPartitions: Long,
+      version: Long,
+      constraints: Seq[String],
+      generatedColumns: Seq[String],
+      mappedColumns: Seq[String],
+      bloomIndexes: Seq[String],
+      statsIndexes: Seq[String],
+      pendingDvSidecars: Long)
+
+  def detail(spark: SparkSession, table: String): TableDetail = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var files = 0L; var bytes = 0L
+    val partDirs = scala.collection.mutable.Set.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            if (name.contains("=")) partDirs += name
+            walk(st.getPath)
+          }
+        } else if (name.endsWith(".parquet")) {
+          files += 1; bytes += st.getLen
+        }
+      }
+    if (fs.exists(root)) walk(root)
+    val dvDir = new org.apache.hadoop.fs.Path(s"$table/_graft_dv")
+    val dvCount =
+      if (!fs.exists(dvDir)) 0L
+      else fs.listStatus(dvDir).count(_.isDirectory).toLong
+    val colMap = ColumnMapping.mapping(spark, table)
+    TableDetail(
+      location = table,
+      numFiles = files,
+      sizeInBytes = bytes,
+      numPartitions = partDirs.size.toLong,
+      version = TxnLog.currentVersion(spark, table),
+      constraints = Constraints.list(spark, table).toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"$n CHECK ($sql)" },
+      generatedColumns = GeneratedColumns.list(spark, table).toSeq.sortBy(_._1)
+        .map { case (c, sql) => s"$c AS ($sql)" },
+      mappedColumns = colMap.toSeq.sortBy(_._1).map { case (p, l) =>
+        if (l.isEmpty) s"$p (dropped)" else s"$p -> $l" },
+      bloomIndexes = graft.core.BloomIndex.indexedColumns(spark, table),
+      statsIndexes = graft.core.StatsIndex.indexedColumns(spark, table),
+      pendingDvSidecars = dvCount)
+  }
+
   /** Deep CLONE (Delta `CREATE TABLE … CLONE src [VERSION AS OF v]`): an
     * INDEPENDENT copy of the source's committed snapshot — optionally at
     * a historical version — as a fresh table with its own (empty, lazily

@@ -98,6 +98,7 @@ final class HttpApi(
         case ("POST", "maintenance" :: "run" :: Nil)          => maintenanceRun(ex)
         case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
         case ("GET", "table" :: "history" :: Nil)             => tableHistory(ex)
+        case ("GET", "table" :: "detail" :: Nil)              => tableDetail(ex)
         case ("GET", "health" :: Nil)                         => health(ex)
         case ("POST", "stop" :: Nil)                          => stopAll(ex)
         case _ =>
@@ -349,6 +350,32 @@ final class HttpApi(
               c.ref.map(r => "ref" -> (JNum(BigDecimal(r)): JVal)).toVector ++
               c.txn.map(t => "txn" -> (JStr(t): JVal)).toVector)
           })))
+    }
+  }
+
+  /** `GET /table/detail?table=<path>` — DESCRIBE DETAIL over the API: one
+    * object of table-level facts from driver metadata only (no Spark
+    * job). */
+  private def tableDetail(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    q.get("table").filter(_.nonEmpty) match {
+      case None =>
+        reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
+      case Some(table) =>
+        val d = graft.batch.Upsert.detail(spark, table)
+        def strs(xs: Seq[String]) = JArr(xs.toVector.map(JStr(_)))
+        reply(ex, 200, JObj.of(
+          "location" -> JStr(d.location),
+          "numFiles" -> JNum(BigDecimal(d.numFiles)),
+          "sizeInBytes" -> JNum(BigDecimal(d.sizeInBytes)),
+          "numPartitions" -> JNum(BigDecimal(d.numPartitions)),
+          "version" -> JNum(BigDecimal(d.version)),
+          "constraints" -> strs(d.constraints),
+          "generatedColumns" -> strs(d.generatedColumns),
+          "mappedColumns" -> strs(d.mappedColumns),
+          "bloomIndexes" -> strs(d.bloomIndexes),
+          "statsIndexes" -> strs(d.statsIndexes),
+          "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars))))
     }
   }
 

@@ -470,6 +470,23 @@ class HttpSpec extends SparkSpec {
       assert(df.columns.toSeq == Seq("version", "operation", "partitions",
         "timestamp", "ref", "all_partitions", "txn"))
       assert(df.select("version").collect().map(_.getLong(0)).toSeq == versions)
+
+      // DESCRIBE DETAIL over the API: driver metadata only
+      graft.batch.Constraints.add(spark, t, "v_pos", "v > 0")
+      graft.core.StatsIndex.build(spark, t, "v")
+      assert(get(api.port, "/table/detail")._1 == 400)
+      val (dc, db) = get(api.port,
+        s"/table/detail?table=${java.net.URLEncoder.encode(t, "UTF-8")}")
+      assert(dc == 200, s"got $dc $db")
+      val det = db.asObj
+      assert(det("numFiles").asInstanceOf[JNum].v > 0)
+      assert(det("sizeInBytes").asInstanceOf[JNum].v > 0)
+      assert(det("numPartitions") == JNum(BigDecimal(1)))
+      assert(det("version").asInstanceOf[JNum].v.toLong ==
+        graft.core.TxnLog.currentVersion(spark, t))
+      assert(det("constraints") == JArr(Vector(JStr("v_pos CHECK (v > 0)"))))
+      assert(det("statsIndexes") == JArr(Vector(JStr("v"))))
+      assert(det("pendingDvSidecars") == JNum(BigDecimal(0)))
     } finally api.stop()
   }
 
