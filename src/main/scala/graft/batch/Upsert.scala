@@ -854,11 +854,16 @@ object Upsert {
     if (srcFs.exists(srcMeta)) {
       val dstMeta = new org.apache.hadoop.fs.Path(s"$dst/_graft_meta")
       fs.mkdirs(dstMeta)
-      srcFs.listStatus(srcMeta).filter(_.isFile).foreach { st =>
-        org.apache.hadoop.fs.FileUtil.copy(
-          srcFs, st.getPath, fs, new org.apache.hadoop.fs.Path(dstMeta, st.getPath.getName),
-          false, spark.sessionState.newHadoopConf())
-      }
+      // the source's own clone provenance does NOT carry — each clone
+      // records exactly one lineage hop (chase the chain table by table)
+      srcFs.listStatus(srcMeta)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("clone-v"))
+        .foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(dstMeta, st.getPath.getName),
+            false, spark.sessionState.newHadoopConf())
+        }
     }
     TableMeta.write(spark, dst, "clone-v", Map(
       "source" -> src,
