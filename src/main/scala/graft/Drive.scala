@@ -224,6 +224,55 @@ object Drive {
     assert(afterApiMaint == n,
       s"API maintenance must not change visible rows: $afterApiMaint")
     println(s"DRIVE maintenance-api: $mid completed over HTTP, ops=${mOps.mkString(",")}")
+
+    // 6. storage verbs over the API on a small MERGE table: churn,
+    // introspect (history + detail), restore the pre-churn version, clone
+    // the result — the incident-recovery + dev-copy loop, end to end.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val verbsTable = s"$root/verbs/t"
+    graft.batch.Upsert.mergeByKey(spark, verbsTable,
+      (1 to 60).map(i => (s"2026-01-0${i % 3 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    val vGood = graft.core.TxnLog.currentVersion(spark, verbsTable)
+    graft.batch.Upsert.mergeByKey(spark, verbsTable,
+      Seq(("2026-01-01", 7L, -999.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val enc = java.net.URLEncoder.encode(verbsTable, "UTF-8")
+    val (hc, hb) = get(s"/table/history?table=$enc&limit=5")
+    assert(hc == 200 && (hb.asObj("history") match {
+      case JArr(items) => items.nonEmpty; case _ => false
+    }), s"history: $hc $hb")
+    val (rc2, rb2) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://$apiHost:${api.port}/maintenance/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"mode":"restore","table":"$verbsTable","partCol":"day",""" +
+              s""""version":"$vGood","keys":"k"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Json.parse(r.body()))
+    }
+    assert(rc2 == 202, s"restore submit: $rc2 $rb2")
+    val rid = rb2.asObj("maintenanceId").str
+    var rStatus = "PENDING"
+    val rDeadline = System.currentTimeMillis() + 120000
+    while (rStatus != "COMPLETED" && rStatus != "FAILED" &&
+        System.currentTimeMillis() < rDeadline) {
+      Thread.sleep(200)
+      rStatus = get(s"/maintenance/status/$rid")._2.asObj("status").str
+    }
+    assert(rStatus == "COMPLETED",
+      s"restore over HTTP: $rStatus ${get(s"/maintenance/status/$rid")._2}")
+    val restored = graft.batch.Upsert.readCommitted(spark, verbsTable, "day")
+      .filter(col("k") === lit(7L)).select("v").head.getDouble(0)
+    assert(restored == 7.0, s"restore must roll the bad write back: $restored")
+    val cloneDst = s"$root/verbs/clone"
+    assert(graft.batch.Upsert.cloneTo(spark, verbsTable, cloneDst, "day") == 60L)
+    val (dc2, db2) = get(s"/table/detail?table=$enc")
+    assert(dc2 == 200 && db2.asObj("numFiles").asInstanceOf[JNum].v > 0,
+      s"detail: $dc2 $db2")
+    println(s"DRIVE storage-verbs: restore@v$vGood over HTTP ok, clone 60 rows, " +
+      s"history+detail routes ok")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()
