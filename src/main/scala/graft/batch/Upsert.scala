@@ -688,6 +688,32 @@ object Upsert {
     * plan holds O(distinct retained versions) scans, each partition-pruned
     * — no per-partition plan explosion, nothing corpus-sized on the
     * driver. */
+  /** TIMESTAMP AS OF resolution (Delta's second time-travel axis): the
+    * newest retained commit at or before `tsMillis`. Commit timestamps
+    * are writer clocks — monotone enough for the "state as of last
+    * Tuesday" use this serves, with exactly Delta's caveat (a clock-skewed
+    * writer can reorder neighbors; version numbers are the precise axis).
+    * Refuses a timestamp before the oldest retained commit — the history
+    * there has been truncated, same contract as a too-old version. */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val all = TxnLog.commitsSince(spark, table, 0L)
+    require(all.nonEmpty, s"time travel: $table has no commits")
+    val at = all.filter(_.ts <= tsMillis).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"time travel: timestamp $tsMillis predates the oldest retained " +
+          s"commit (v${all.head.version} at ${all.head.ts}) — the snapshot " +
+          "is no longer reconstructible"))
+    at.version
+  }
+
+  /** `TIMESTAMP AS OF` read — [[versionAt]] then [[readAsOf]]. */
+  def readAsOfTimestamp(
+      spark: SparkSession,
+      table: String,
+      tsMillis: Long,
+      partCol: String): DataFrame =
+    readAsOf(spark, table, versionAt(spark, table, tsMillis), partCol)
+
   def readAsOf(
       spark: SparkSession,
       table: String,

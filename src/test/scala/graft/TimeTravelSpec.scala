@@ -288,6 +288,34 @@ class TimeTravelSpec extends SparkSpec {
     assert(stateAsOf(table, vMid) == sMid)
   }
 
+  test("TIMESTAMP AS OF resolves to the newest commit at or before it") {
+    import spark.implicits._
+    val table = tmp("tt-ts")
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 1.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val s1 = state(table)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    Upsert.mergeByKey(spark, table,
+      Seq(("2026-01-01", "k1", 2.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val s2 = state(table)
+    // a timestamp between the merges sees the first state; now sees both
+    assert(stateOf(Upsert.readAsOfTimestamp(spark, table, between, "day")) == s1)
+    assert(stateOf(Upsert.readAsOfTimestamp(
+      spark, table, System.currentTimeMillis(), "day")) == s2)
+    // a timestamp before the first retained commit is refused, not guessed
+    val e = intercept[IllegalStateException] {
+      Upsert.readAsOfTimestamp(spark, table, 1000L, "day")
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
+  private def stateOf(df: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] = {
+    import spark.implicits._
+    df.select("day", "k", "v").as[(String, String, Double)].collect().toSet
+  }
+
   test("restoreTo rolls content back as a NEW commit; the bad versions stay") {
     import spark.implicits._
     val table = tmp("tt-restore")
