@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions.col
 /** Column mapping — rename/drop WITHOUT a table rewrite, the Delta Lake
   * `columnMapping` analog (Delta separates each column's logical name
   * from the physical name stored in parquet; renames and drops edit
-  * metadata only, and every existing file stays byte-identical).
+  * metadata only, and every existing file stays byte-identical; the
+  * reference runs on full Delta, ref `SparkManager.scala:36-37`).
   *
   * The map lives in `_graft_meta/colmap-v<N>.json` ([[TableMeta]]'s
   * versioned max-wins registry, like [[Constraints]] /

@@ -441,6 +441,21 @@ class HttpSpec extends SparkSpec {
       assert(ops5.head("op").str == "restore")
       assert(graft.batch.Upsert.readCommitted(spark, vecTable, "shard")
         .count() == 60L, "the churn rows must be rolled back")
+
+      // deep CLONE over the same route
+      val cloneDst = Files.createTempDirectory("httpclone").toString + "/t"
+      val (c6, b6) = post(api.port, "/maintenance/run",
+        s"""{"mode":"clone","table":"$vecTable","partCol":"shard",""" +
+          s""""dstDir":"$cloneDst"}""")
+      assert(c6 == 202, s"got $c6 $b6")
+      val id6 = b6.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id6")._2.asObj("status").str == "COMPLETED")
+      val ops6 = get(api.port, s"/maintenance/status/$id6")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops6.head("op").str == "clone")
+      assert(ops6.head("rows") == JNum(BigDecimal(60)))
+      assert(spark.read.parquet(cloneDst).count() == 60L)
     } finally api.stop()
   }
 
