@@ -362,6 +362,12 @@ final class HttpApi(
       case None =>
         reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
       case Some(table) =>
+        val p = new org.apache.hadoop.fs.Path(table)
+        if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+          // a typo'd path must not read back as an empty healthy table
+          reply(ex, 404, err("TABLE_NOT_FOUND", s"No table at: $table"))
+          return
+        }
         val d = graft.batch.Upsert.detail(spark, table)
         def strs(xs: Seq[String]) = JArr(xs.toVector.map(JStr(_)))
         reply(ex, 200, JObj.of(

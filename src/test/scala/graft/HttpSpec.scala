@@ -490,6 +490,7 @@ class HttpSpec extends SparkSpec {
       graft.batch.Constraints.add(spark, t, "v_pos", "v > 0")
       graft.core.StatsIndex.build(spark, t, "v")
       assert(get(api.port, "/table/detail")._1 == 400)
+      assert(get(api.port, "/table/detail?table=/tmp/no-such-graft-table")._1 == 404)
       val (dc, db) = get(api.port,
         s"/table/detail?table=${java.net.URLEncoder.encode(t, "UTF-8")}")
       assert(dc == 200, s"got $dc $db")
