@@ -141,6 +141,12 @@ object StorageBench {
         s"restore must rewrite only the churned partitions: $parts")
     }
 
+    // CLONE: an independent copy of the committed snapshot — one data
+    // pass (row count rides the write via observe(), never a re-read)
+    val tClone = time {
+      require(Upsert.cloneTo(spark, table, s"$root/clone", "day") > 0)
+    }
+
     // best-effort cleanup; timings are already taken
     scala.util.Try {
       def rm(f: java.io.File): Unit = {
@@ -158,7 +164,8 @@ object StorageBench {
       "storage_stats_build" -> tStatsBuild,
       "storage_stats_scan" -> tStatsScan,
       "storage_merge_indexed" -> tMergeIndexed,
-      "storage_restore" -> tRestore)
+      "storage_restore" -> tRestore,
+      "storage_clone" -> tClone)
   }
 
   /** Standalone entry (`runMain graft.StorageBench [repeats]`): the

@@ -73,8 +73,13 @@ object ColumnMapping {
     }: _*)
 
   /** Translate a LOGICAL frame (incoming updates) to physical column
-    * names, refusing to resurrect dropped physical names. Identity for an
-    * unmapped table. */
+    * names, refusing to resurrect dropped physical names and refusing
+    * names that are a RENAMED column's physical name: a producer still
+    * writing the OLD name (or schema-evolving a new column that happens to
+    * reuse it) would otherwise pass through untranslated, merge into the
+    * renamed column's physical storage, and silently reappear under the
+    * NEW logical name — Delta rejects any column absent from the logical
+    * schema, and so do we. Identity for an unmapped table. */
   private[batch] def applyPhysical(df: DataFrame, m: Map[String, String]): DataFrame = {
     if (m.isEmpty) return df
     val dropped = m.collect { case (p, "") => p }.toSet
@@ -83,6 +88,12 @@ object ColumnMapping {
       s"column(s) ${offending.mkString(", ")} were DROPPED from this table; " +
         "their physical names still hold the old data and cannot be " +
         "re-added (pick a different name)")
+    val stale = df.columns.filter(c => m.get(c).exists(l => l.nonEmpty && l != c))
+    require(stale.isEmpty,
+      stale.map(c => s"$c (renamed to ${m(c)})").mkString(", ") +
+        ": not a column of this table's LOGICAL schema — writes must use " +
+        "the current logical names (stale producer? re-point it at the " +
+        "renamed column)")
     val byLogical = m.collect { case (p, l) if l.nonEmpty && l != p => l -> p }
     if (byLogical.isEmpty) df
     else df.select(df.columns.toSeq.map(c =>

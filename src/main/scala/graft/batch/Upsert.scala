@@ -53,7 +53,14 @@ object Upsert {
     *                 columns must COVER every column of each touched
     *                 partition (narrower updates would silently drop the
     *                 uncovered columns from surviving rows — refused, like
-    *                 Delta MERGE which preserves unmentioned columns)
+    *                 Delta MERGE which preserves unmentioned columns).
+    *                 Updates carrying NEW columns the table lacks widen the
+    *                 touched partitions (old rows null-fill) when
+    *                 `graft.schema.autoMerge.enabled=true` — the Delta
+    *                 `schema.autoMerge` analog the reference enables (ref
+    *                 `SparkManager.scala:36`) — and are refused loudly
+    *                 otherwise; untouched partitions stay narrow and read
+    *                 null-filled through the mergeSchema union read path
     * @param partCol  the table's partition column; values are escaped into
     *                 directory names exactly as Spark's `partitionBy` does
     *                 (so timestamps with ':' etc. match the layout on disk);
@@ -385,7 +392,8 @@ object Upsert {
     // matched row.
     val existing = existingPartition(spark, partDir,
       dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs,
-      droppedCols = droppedCols)
+      droppedCols = droppedCols,
+      updatesSchema = Some(updates.schema), keyCols = keyCols)
     if (existing.isEmpty && (deletesOnly ||
         (deleteWhen.isDefined && upserts.limit(1).isEmpty))) {
       // deleting keys from a partition that does not exist is a no-op
@@ -870,9 +878,15 @@ object Upsert {
       .getOrElse(readCommittedPhysical(spark, src, partColP))
     // atomic install: a clone that dies mid-write (or loses a race with a
     // source writer's install — the documented loud-retryable failure)
-    // leaves NO dst, so the existence refusal above never blocks a retry
+    // leaves NO dst, so the existence refusal above never blocks a retry.
+    // The returned row count rides the write via observe() — never a
+    // second full read of what was just written (at a 100 TB clone that
+    // re-read would double the job's data cost)
+    val obs = org.apache.spark.sql.Observation(
+      s"clone_rows_${java.util.UUID.randomUUID().toString.take(8)}")
     graft.core.AtomicWrite.publish(spark, dst) { tmp =>
-      snap.write.partitionBy(partColP).parquet(tmp)
+      snap.observe(obs, count(lit(1)).as("rows"))
+        .write.partitionBy(partColP).parquet(tmp)
     }
     // registries carry over verbatim (small JSON files)
     val srcMeta = new org.apache.hadoop.fs.Path(s"$src/_graft_meta")
@@ -895,7 +909,7 @@ object Upsert {
       "source" -> src,
       "sourceVersion" -> pinned.getOrElse(0L).toString,
       "clonedAtMs" -> System.currentTimeMillis().toString))
-    spark.read.parquet(dst).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** RESTORE VERSION AS OF — the Delta `RESTORE TABLE … TO VERSION AS OF`
@@ -1104,8 +1118,16 @@ object Upsert {
     val dv = DeletionVectors.pairsAsOf(spark, table, version, all)
     val reads = Seq.newBuilder[DataFrame]
     if (live.nonEmpty)
+      // dir-scoped, not whole-table-plus-filter: the mergeSchema union
+      // must cover only the partitions this snapshot resolves LIVE, so a
+      // version predating a schema-evolving merge reads back its exact
+      // narrow schema (a whole-table inference would leak the widened
+      // partitions' new columns, null-filled, into every older snapshot).
+      // IO is the same — mounting only the live dirs IS the partition
+      // pruning the isin filter used to request.
       reads += DeletionVectors.applyTo(
-        spark.read.option("mergeSchema", "true").parquet(table)
+        spark.read.option("mergeSchema", "true").option("basePath", table)
+          .parquet(live.map(v => s"$table/$partCol=${escape(v)}"): _*)
           .filter(col(partCol).cast("string").isin(live: _*)), dv)
     r.fromHistory.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
       val base = s"$table/$HistoryDir/v$begin"
@@ -1601,7 +1623,9 @@ object Upsert {
       spark: SparkSession, partDir: String, dataCols: Seq[String],
       partValue: String, requireCoverage: Boolean = true,
       dv: Option[DataFrame] = None,
-      droppedCols: Set[String] = Set.empty): Option[DataFrame] = {
+      droppedCols: Set[String] = Set.empty,
+      updatesSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      keyCols: Seq[String] = Seq.empty): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) None
@@ -1617,7 +1641,51 @@ object Upsert {
           s"updates do not cover existing columns ${uncovered.toSeq.sorted.mkString(", ")} " +
             s"of partition $partValue — surviving rows would lose them; " +
             "include the columns in updates (null-filled if unchanged is not intended)")
-      Some(old.select(dataCols.map(col): _*))
+      // MERGE-TIME SCHEMA EVOLUTION (the Delta `schema.autoMerge.enabled`
+      // analog — the reference turns it on globally, ref
+      // SparkManager.scala:36): updates may carry columns this partition's
+      // files have never seen. With the toggle on, the partition WIDENS in
+      // this rewrite — surviving rows null-fill the new columns (typed
+      // from the updates' schema) — while untouched sibling partitions
+      // stay narrow and read null-filled through the mergeSchema union
+      // read path. With it off (the Delta default), refuse loudly: a
+      // producer must pre-widen with an explicit append. Key columns never
+      // widen (a null-filled key matches nothing — every old row would
+      // silently survive as if unmatched); type conflicts on columns both
+      // sides share are refused rather than silently coerced.
+      val missing = dataCols.filterNot(old.columns.contains)
+      if (missing.isEmpty) Some(old.select(dataCols.map(col): _*))
+      else {
+        val schema = updatesSchema.getOrElse(
+          throw new IllegalStateException("widening merge needs the updates schema"))
+        val missingKeys = missing.filter(keyCols.contains)
+        require(missingKeys.isEmpty,
+          s"key column(s) ${missingKeys.mkString(", ")} do not exist in " +
+            s"partition $partValue — a null-filled key matches nothing; keys " +
+            "cannot be added by schema evolution")
+        require(autoMergeEnabled(spark),
+          s"updates carry new column(s) ${missing.mkString(", ")} that " +
+            s"partition $partValue lacks; set graft.schema.autoMerge.enabled=true " +
+            "to widen the table at merge time (old rows null-fill), or " +
+            "pre-widen with an explicit append")
+        val conflicts = dataCols.filter(c => old.columns.contains(c) &&
+          old.schema(c).dataType != schema(c).dataType)
+        require(conflicts.isEmpty,
+          "schema evolution type conflict on column(s) " +
+            conflicts.map(c => s"$c (table ${old.schema(c).dataType.simpleString} " +
+              s"vs updates ${schema(c).dataType.simpleString})").mkString(", ") +
+            s" in partition $partValue — autoMerge adds columns, it never " +
+            "changes existing types")
+        val widened = missing.foldLeft(old)((d, c) =>
+          d.withColumn(c, lit(null).cast(schema(c).dataType)))
+        Some(widened.select(dataCols.map(col): _*))
+      }
     }
   }
+
+  /** Merge-time schema evolution toggle — the Delta
+    * `schema.autoMerge.enabled` analog (same default: off; the reference
+    * enables it session-wide, ref `SparkManager.scala:36`). */
+  private def autoMergeEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("graft.schema.autoMerge.enabled", "false").toBoolean
 }

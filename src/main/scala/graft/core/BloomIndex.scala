@@ -109,7 +109,18 @@ object BloomIndex {
     * collect), never O(files × filterBytes). The read pins `basePath` so a
     * filter on a PARTITION column still sees its values, and merges
     * schemas so files predating a widening evolution fold as all-null
-    * (→ empty filter, skippable). */
+    * (→ empty filter, skippable).
+    *
+    * The table is read ONCE even though two actions run over `folded`
+    * (the empty-file key probe, then the sidecar write): both actions
+    * share the same RDD object, so its reduceByKey shuffle dependency is
+    * planned once — the second action reuses the registered map outputs
+    * (Spark's cross-job stage skip) and reads only the KB-scale shuffled
+    * filter bytes, never the parquet again. BloomIndexSpec's one-pass
+    * bytes-read probe pins this empirically; an explicit persist() would
+    * add nothing (cached blocks recompute from the same scan on executor
+    * loss, exactly like shuffle files) while double-counting the filter
+    * bytes in input metrics. */
   private def filterEntries(
       spark: SparkSession,
       table: String,
@@ -289,6 +300,23 @@ object BloomIndex {
       table: String,
       column: String,
       value: String): (DataFrame, Seq[String], Seq[String]) = {
+    val (candidates, skipped) = admission(spark, table, column, value)
+    val result =
+      if (candidates.isEmpty)
+        spark.read.parquet(table).filter(lit(false))
+      else
+        spark.read.option("basePath", table)
+          .parquet(candidates: _*).filter(col(column) === value)
+    (result, candidates, skipped)
+  }
+
+  /** The file-pruning half of [[lookup]]: (candidate files, skipped
+    * files), full scheme-qualified paths, both sorted. */
+  private[graft] def admission(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: String): (Seq[String], Seq[String]) = {
     // read-path repair of a builder crashed between its swap renames; must
     // not GC .tmp- siblings that may belong to a LIVE in-flight rebuild
     AtomicWrite.recoverSwap(spark, indexDir(table, column), gcTmp = false)
@@ -314,16 +342,11 @@ object BloomIndex {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
     val (known, unknown) = dataFiles.partition(f => knownKeys.contains(normKey(f)))
-    val admitted = known.filter(f => admittedKeys.contains(normKey(f)))
-    val candidates = (admitted ++ unknown).sorted
-    val skipped = known.filterNot(admitted.contains).sorted
-    val result =
-      if (candidates.isEmpty)
-        spark.read.parquet(table).filter(lit(false))
-      else
-        spark.read.option("basePath", table)
-          .parquet(candidates: _*).filter(col(column) === value)
-    (result, candidates, skipped)
+    // one partition over the key SET — never a per-file linear scan of the
+    // admitted list (O(known × admitted) at millions of files)
+    val (admitted, skippedRaw) =
+      known.partition(f => admittedKeys.contains(normKey(f)))
+    ((admitted ++ unknown).sorted, skippedRaw.sorted)
   }
 
   /** All `*.parquet` data files under the table root (recursive through

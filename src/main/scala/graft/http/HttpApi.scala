@@ -99,6 +99,8 @@ final class HttpApi(
         case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
         case ("GET", "table" :: "history" :: Nil)             => tableHistory(ex)
         case ("GET", "table" :: "detail" :: Nil)              => tableDetail(ex)
+        case ("GET", "table" :: "data" :: Nil)                => tableData(ex)
+        case ("GET", "table" :: "changes" :: Nil)             => tableChanges(ex)
         case ("GET", "health" :: Nil)                         => health(ex)
         case ("POST", "stop" :: Nil)                          => stopAll(ex)
         case _ =>
@@ -334,6 +336,12 @@ final class HttpApi(
       case None =>
         reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
       case Some(table) =>
+        val p = new org.apache.hadoop.fs.Path(table)
+        if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+          // a typo'd path must not read back as a healthy empty history
+          reply(ex, 404, err("TABLE_NOT_FOUND", s"No table at: $table"))
+          return
+        }
         val limit = q.get("limit").flatMap(_.toIntOption).getOrElse(100).max(1)
         val commits = graft.core.TxnLog.commitsSince(spark, table, 0L)
           .reverse.take(limit)
@@ -382,6 +390,156 @@ final class HttpApi(
           "bloomIndexes" -> strs(d.bloomIndexes),
           "statsIndexes" -> strs(d.statsIndexes),
           "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars))))
+    }
+  }
+
+  /** Shared preamble of the versioned-read routes: resolve `table` +
+    * `partCol` or reply 400/404. The existence probe mirrors
+    * [[tableDetail]] — a typo'd path must never read as an empty table. */
+  private def withTable(ex: HttpExchange)(body: (String, String) => Unit): Unit = {
+    val q = query(ex)
+    (q.get("table").filter(_.nonEmpty), q.get("partCol").filter(_.nonEmpty)) match {
+      case (None, _) =>
+        reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
+      case (_, None) =>
+        reply(ex, 400, err("MISSING_PART_COL", "partCol query parameter is required"))
+      case (Some(table), Some(partCol)) =>
+        val p = new org.apache.hadoop.fs.Path(table)
+        if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+          reply(ex, 404, err("TABLE_NOT_FOUND", s"No table at: $table"))
+        else body(table, partCol)
+    }
+  }
+
+  /** `GET /table/data?table=<path>&partCol=<c>[&asOf=<version>|
+    * &asOfTs=<epoch-millis>][&orderBy=<col>][&after=<key>][&limit|&offset]`
+    * — versioned reads over the ops API (the reference's whole point is
+    * serving data over HTTP, ref BatchRoutes.scala:134-274; Delta serves
+    * the same verbs as `VERSION/TIMESTAMP AS OF`). Committed-tip snapshot
+    * by default; `asOf`/`asOfTs` route through [[graft.batch.Upsert
+    * .readAsOf]]/[[graft.batch.Upsert.readAsOfTimestamp]]. Paging is the
+    * `BatchService.readData` discipline — ONE distributed
+    * TakeOrderedAndProject page is collected, never the snapshot
+    * (`?after=` keyset form needs `orderBy`; the offset form totals-orders
+    * by every column when `orderBy` is absent). Bad versions are 400s. */
+  private def tableData(ex: HttpExchange): Unit = withTable(ex) { (table, partCol) =>
+    val q = query(ex)
+    pageParams(ex) match {
+      case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+      case Right((limit, offset)) =>
+        val asOfRaw = q.get("asOf")
+        val asOfTsRaw = q.get("asOfTs")
+        if (asOfRaw.exists(_.toLongOption.isEmpty) ||
+            asOfTsRaw.exists(_.toLongOption.isEmpty)) {
+          reply(ex, 400, err("INVALID_VERSION",
+            "asOf must be a version number, asOfTs an epoch-millis timestamp"))
+          return
+        }
+        val resolved =
+          try {
+            val version = asOfRaw.map(_.toLong)
+              .orElse(asOfTsRaw.map(ts =>
+                graft.batch.Upsert.versionAt(spark, table, ts.toLong)))
+            val df = version match {
+              case Some(v) => graft.batch.Upsert.readAsOf(spark, table, v, partCol)
+              case None    => graft.batch.Upsert.readCommitted(spark, table, partCol)
+            }
+            Right((df,
+              version.getOrElse(graft.core.TxnLog.currentVersion(spark, table))))
+          } catch {
+            // refused versions (beyond tip, below the retention horizon,
+            // no commits) are CLIENT errors, not 500s
+            case e: IllegalArgumentException => Left(e.getMessage)
+            case e: IllegalStateException    => Left(e.getMessage)
+          }
+        resolved match {
+          case Left(msg) => reply(ex, 400, err("INVALID_VERSION", msg))
+          case Right((df, version)) =>
+            servePage(ex, df, limit, offset, q.get("orderBy"), q.get("after"),
+              Vector("table" -> JStr(table), "version" -> JNum(BigDecimal(version))))
+        }
+    }
+  }
+
+  /** `GET /table/changes?table=<path>&partCol=<c>&from=<v>[&to=<v>]
+    * [&orderBy|&after|&limit|&offset]` — the change feed over the API
+    * (Delta `table_changes(...)`): net row deltas of commits in
+    * `(from, to]`, `_change_type`/`_commit_version` tagged, served with
+    * the same one-page discipline as `/table/data`. */
+  private def tableChanges(ex: HttpExchange): Unit = withTable(ex) { (table, partCol) =>
+    val q = query(ex)
+    pageParams(ex) match {
+      case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+      case Right((limit, offset)) =>
+        (q.get("from").map(_.toLongOption), q.get("to").map(_.toLongOption)) match {
+          case (None, _) =>
+            reply(ex, 400, err("INVALID_REQUEST", "from=<version> is required"))
+          case (Some(None), _) | (_, Some(None)) =>
+            reply(ex, 400, err("INVALID_VERSION", "from/to must be version numbers"))
+          case (Some(Some(from)), to) =>
+            val feed =
+              try Right(graft.batch.ChangeFeed.readChanges(
+                spark, table, partCol, from, to.flatten))
+              catch {
+                case e: IllegalArgumentException => Left(e.getMessage)
+                case e: IllegalStateException    => Left(e.getMessage)
+              }
+            feed match {
+              case Left(msg) => reply(ex, 400, err("INVALID_VERSION", msg))
+              case Right(df) =>
+                servePage(ex, df, limit, offset, q.get("orderBy"), q.get("after"),
+                  Vector("table" -> JStr(table),
+                    "from" -> JNum(BigDecimal(from))) ++
+                    to.flatten.map(t => "to" -> (JNum(BigDecimal(t)): JVal)))
+            }
+        }
+    }
+  }
+
+  /** One distributed page of `df`, serialized — the only rows that ever
+    * reach the driver. Keyset form (`after` + `orderBy`): pushed seek
+    * filter + TakeOrderedAndProject, constant cost at any depth, echoes
+    * `nextAfter`. Offset form: total order over `orderBy` (or every
+    * column), `offset(...).limit(...)`. */
+  private def servePage(
+      ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
+      limit: Int, offset: Int,
+      orderBy: Option[String], after: Option[String],
+      head: Vector[(String, JVal)]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val badOrder = orderBy.filterNot(df.columns.contains)
+    if (badOrder.isDefined) {
+      reply(ex, 400, err("INVALID_REQUEST",
+        s"orderBy column ${badOrder.get} is not a column of the result " +
+          s"(have: ${df.columns.sorted.mkString(", ")})"))
+      return
+    }
+    after match {
+      case Some(a) =>
+        orderBy match {
+          case None =>
+            reply(ex, 400, err("INVALID_REQUEST",
+              "after=<key> (keyset paging) requires orderBy=<col>"))
+          case Some(ob) =>
+            val page = df.filter(col(ob) > a).orderBy(col(ob)).limit(limit)
+            val rows = page.toJSON.collect().toVector.map(Json.parse)
+            val nextAfter = rows.lastOption.flatMap(_.asObj.get(ob)).map {
+              case JStr(s) => s
+              case other   => other.render
+            }
+            reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
+              "page" -> JObj(
+                pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
+                  nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
+              "data" -> JArr(rows))))
+        }
+      case None =>
+        val ordCols = orderBy.map(Seq(_)).getOrElse(df.columns.toSeq.sorted)
+        val page = df.orderBy(ordCols.map(col): _*).offset(offset).limit(limit)
+        val rows = page.toJSON.collect().toVector.map(Json.parse)
+        reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
+          "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),
+          "data" -> JArr(rows))))
     }
   }
 

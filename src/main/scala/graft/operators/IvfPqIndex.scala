@@ -116,10 +116,18 @@ object IvfPqIndex {
   private def writeMeta(s: SparkSession, indexDir: String, m: Meta): Unit = {
     val p = metaFile(indexDir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    // tmp + rename, never create-in-place: a crash mid-write would leave a
+    // torn meta.json that sync() reads as "index exists" and routes to
+    // refresh(), which then throws on every run — a wedged state the
+    // torn-SWAP triage (which rebuilds) never reaches
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".meta-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"version":${m.version},"rows":${m.rows}}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"ivfpq index meta install failed: $tmp -> $p")
   }
 
   private def readMeta(s: SparkSession, indexDir: String): Meta = {

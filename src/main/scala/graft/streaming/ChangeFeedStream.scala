@@ -70,7 +70,7 @@ object ChangeFeedStream {
     }
   }
 
-  private def writeCursor(
+  private[streaming] def writeCursor(
       spark: SparkSession, checkpointDir: String, v: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())

@@ -71,6 +71,52 @@ class CloneSpec extends SparkSpec {
     assert(new java.io.File(s"$dst/_graft_meta/clone-v1.json").isFile)
   }
 
+  /** Sum of Spark input bytesRead across all jobs run by `body`, polled
+    * until the listener bus drains (value stable for 500 ms). */
+  private def bytesReadDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && acc.get() != last) {
+        last = acc.get()
+        Thread.sleep(500)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("clone is ONE data pass: the row count rides the write via observe()") {
+    import spark.implicits._
+    val src = tmp("clone-1pass-src") + "/t"
+    Upsert.mergeByKey(spark, src,
+      (1 to 60000).map(i => (s"2026-07-0${i % 4 + 1}", i.toLong))
+        .toDF("day", "k").withColumn("payload", md5(col("k").cast("string"))),
+      "day", Seq("k"))
+    val baseline = bytesReadDuring {
+      Upsert.readCommitted(spark, src, "day").rdd.foreach(_ => ())
+    }
+    val dst = tmp("clone-1pass-dst") + "/t"
+    var rows = 0L
+    val cloneBytes = bytesReadDuring {
+      rows = Upsert.cloneTo(spark, src, dst, "day")
+    }
+    assert(rows == 60000L)
+    info(s"one-scan bytes $baseline, clone bytes $cloneBytes")
+    // the old implementation re-read the freshly-written clone for its
+    // return count — a second full pass, ~2× baseline
+    assert(cloneBytes < (baseline * 1.6).toLong,
+      s"clone must read the source once: $cloneBytes vs one-scan $baseline")
+  }
+
   test("a clone racing source writers copies exactly its pinned version") {
     import spark.implicits._
     val src = tmp("clone-race") + "/t"

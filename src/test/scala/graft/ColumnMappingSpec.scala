@@ -203,4 +203,33 @@ class ColumnMappingSpec extends SparkSpec {
     ColumnMapping.drop(spark, t, "v2")
     intercept[IllegalArgumentException] { ColumnMapping.rename(spark, t, "w", "v2") }
   }
+
+  test("a stale producer writing a renamed column's OLD name is refused") {
+    import spark.implicits._
+    val t = tmp("colmap-stale") + "/t"
+    Upsert.mergeByKey(spark, t,
+      (1 to 20).map(i => (s"2026-04-0${i % 2 + 1}", i.toLong, i * 2.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+    ColumnMapping.rename(spark, t, "v", "speed")
+    // `v` is no longer a logical column — without the refusal it would
+    // pass through untranslated, merge into the renamed column's physical
+    // storage, and silently reappear as `speed`
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeByKey(spark, t,
+        Seq(("2026-04-01", 2L, 999.0)).toDF("day", "k", "v"),
+        "day", Seq("k"))
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("speed"),
+      e.getMessage)
+    // nothing landed
+    assert(Upsert.readCommitted(spark, t, "day")
+      .filter(col("k") === 2L).select("speed").head.getDouble(0) == 4.0)
+    // the CURRENT logical name still merges fine
+    Upsert.mergeByKey(spark, t,
+      Seq(("2026-04-01", 2L, 999.0)).toDF("day", "k", "speed"),
+      "day", Seq("k"))
+    assert(Upsert.readCommitted(spark, t, "day")
+      .filter(col("k") === 2L).select("speed").head.getDouble(0) == 999.0)
+  }
 }

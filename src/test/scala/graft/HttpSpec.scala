@@ -469,6 +469,8 @@ class HttpSpec extends SparkSpec {
     val api = newApi()
     try {
       assert(get(api.port, "/table/history")._1 == 400)
+      // a typo'd path must 404, never read as a healthy empty history
+      assert(get(api.port, "/table/history?table=/tmp/no-such-graft-table")._1 == 404)
       val (c, b) = get(api.port,
         s"/table/history?table=${java.net.URLEncoder.encode(t, "UTF-8")}&limit=3")
       assert(c == 200, s"got $c $b")
@@ -503,6 +505,88 @@ class HttpSpec extends SparkSpec {
       assert(det("constraints") == JArr(Vector(JStr("v_pos CHECK (v > 0)"))))
       assert(det("statsIndexes") == JArr(Vector(JStr("v"))))
       assert(det("pendingDvSidecars") == JNum(BigDecimal(0)))
+    } finally api.stop()
+  }
+
+  test("versioned reads over the API: /table/data asOf + /table/changes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httpasof").toString + "/t"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 30).map(i => (s"2026-05-0${i % 2 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val v1 = graft.core.TxnLog.currentVersion(spark, t)
+    graft.batch.Upsert.mergeByKey(spark, t,
+      Seq(("2026-05-01", 2L, 99.0), ("2026-05-01", 100L, 100.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val api = newApi()
+    try {
+      // parameter validation + existence probe
+      assert(get(api.port, "/table/data")._1 == 400)
+      assert(get(api.port, s"/table/data?table=${enc(t)}")._1 == 400)
+      assert(get(api.port,
+        "/table/data?table=/tmp/no-such-graft-table&partCol=day")._1 == 404)
+      assert(get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&asOf=nope")._1 == 400)
+      assert(get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&asOf=999")._1 == 400,
+        "a version beyond the tip is a client error")
+
+      // asOf page ≡ programmatic readAsOf (keyset walk over k)
+      val (c1, b1) = get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&asOf=$v1&orderBy=k&limit=20&after=0")
+      assert(c1 == 200, s"got $c1 $b1")
+      val o1 = b1.asObj
+      assert(o1("version") == JNum(BigDecimal(v1)))
+      val rows1 = o1("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(rows1.size == 20)
+      val nextAfter = o1("page").asObj("nextAfter").str
+      val (c2, b2) = get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&asOf=$v1&orderBy=k&limit=20" +
+          s"&after=${enc(nextAfter)}")
+      assert(c2 == 200)
+      val rows2 = b2.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      val served = (rows1 ++ rows2).map(r =>
+        (r("k").asInstanceOf[JNum].v.toLong, r("v").asInstanceOf[JNum].v.toDouble))
+      val programmatic = graft.batch.Upsert.readAsOf(spark, t, v1, "day")
+        .select("k", "v").as[(Long, Double)].collect().toSeq
+      assert(served.toSet == programmatic.toSet &&
+        served.size == programmatic.size,
+        "asOf pages must reunite to exactly the programmatic snapshot")
+      assert(served.exists { case (k, v) => k == 2L && v == 1.0 * 2 },
+        "the pre-merge value must be served at v1")
+      assert(!served.exists(_._1 == 100L), "the post-v1 insert must be absent")
+
+      // the tip (no asOf) serves the merged state
+      val (c3, b3) = get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&orderBy=k&limit=100")
+      assert(c3 == 200)
+      val tipRows = b3.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(tipRows.size == 31)
+      assert(tipRows.exists(r => r("k").asInstanceOf[JNum].v.toLong == 2L &&
+        r("v").asInstanceOf[JNum].v.toDouble == 99.0))
+
+      // changes page ≡ programmatic readChanges
+      assert(get(api.port, s"/table/changes?table=${enc(t)}&partCol=day")._1 == 400)
+      assert(get(api.port,
+        s"/table/changes?table=${enc(t)}&partCol=day&from=bad")._1 == 400)
+      assert(get(api.port,
+        s"/table/changes?table=${enc(t)}&partCol=day&from=$v1&to=999")._1 == 400)
+      val (c4, b4) = get(api.port,
+        s"/table/changes?table=${enc(t)}&partCol=day&from=$v1&limit=100")
+      assert(c4 == 200, s"got $c4 $b4")
+      val chg = b4.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      val servedChanges = chg.map(r => (r("k").asInstanceOf[JNum].v.toLong,
+        r("v").asInstanceOf[JNum].v.toDouble, r("_change_type").str))
+      val progChanges = graft.batch.ChangeFeed.readChanges(spark, t, "day", v1)
+        .select("k", "v", graft.batch.ChangeFeed.ChangeTypeCol)
+        .as[(Long, Double, String)].collect().toSeq
+      assert(servedChanges.toSet == progChanges.toSet &&
+        servedChanges.size == progChanges.size,
+        s"changes page must equal readChanges: $servedChanges vs $progChanges")
+      assert(servedChanges.contains((2L, 2.0, "delete")) &&
+        servedChanges.contains((2L, 99.0, "insert")) &&
+        servedChanges.contains((100L, 100.0, "insert")))
     } finally api.stop()
   }
 

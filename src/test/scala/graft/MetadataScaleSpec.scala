@@ -79,8 +79,14 @@ class MetadataScaleSpec extends SparkSpec {
       values.foreach(bf.putString)
       val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out); out.toByteArray
     }
-    val entries = ((s"$table/$real", filterBytes(Seq("needle"))) +:
-      fakes.map(n => (s"$table/$n", filterBytes(Seq.empty)))).toSeq
+    // 2,500 of the placeholders also admit a COMMON value — the
+    // many-admitting shape whose skipped-list construction used to be
+    // O(known × admitted) driver CPU (per-file linear scans of the
+    // admitted list); both lookups below must stay flat
+    val entries = ((s"$table/$real", filterBytes(Seq("needle", "common"))) +:
+      fakes.zipWithIndex.map { case (n, i) =>
+        (s"$table/$n", filterBytes(if (i < 2500) Seq("common") else Seq.empty))
+      }).toSeq
     entries.toDF("file", "filter")
       .coalesce(1).write.mode("overwrite").parquet(s"$table/_graft_bloom/k")
     val ms = timeMs {
@@ -91,6 +97,16 @@ class MetadataScaleSpec extends SparkSpec {
     }
     info(s"5,000-file bloom admission + scan: $ms ms")
     assert(ms < 60000, s"admission over 5k filters took $ms ms")
+    // structural only (placeholders are not readable parquet, so the
+    // candidate frame must never be built): admitted and skipped partition
+    // the known set in one pass over the key Set
+    val msWide = timeMs {
+      val (candidates, skipped) = BloomIndex.admission(spark, table, "k", "common")
+      assert(candidates.size == 2501, s"real + 2,500 fakes admit: ${candidates.size}")
+      assert(skipped.size == 2499, s"the rest skip: ${skipped.size}")
+    }
+    info(s"5,000-file bloom admission, 2,501 admitting: $msWide ms")
+    assert(msWide < 60000, s"many-admitting lookup took $msWide ms")
   }
 
   test("600-commit TxnLog with checkpoints: flat commit latency, O(tail) probes") {
