@@ -271,8 +271,42 @@ object Drive {
     val (dc2, db2) = get(s"/table/detail?table=$enc")
     assert(dc2 == 200 && db2.asObj("numFiles").asInstanceOf[JNum].v > 0,
       s"detail: $dc2 $db2")
+    // versioned reads over the API: the snapshot BEFORE the bad write must
+    // serve the bad row's pre-image; the change range since it must show
+    // the restore's net effect — the incident-forensics loop with curl,
+    // not Scala
+    val (vc, vb) = get(s"/table/data?table=$enc&partCol=day&asOf=$vGood" +
+      "&orderBy=k&limit=100")
+    assert(vc == 200, s"asOf data: $vc $vb")
+    val asOfRows = vb.asObj("data") match {
+      case JArr(items) => items.map(_.asObj); case other => sys.error(s"$other")
+    }
+    assert(asOfRows.size == 60 && asOfRows.exists(r =>
+        r("k").asInstanceOf[JNum].v.toLong == 7L &&
+        r("v").asInstanceOf[JNum].v.toDouble == 7.0),
+      s"asOf page must serve the pre-incident snapshot: ${asOfRows.size}")
+    assert(get(s"/table/data?table=$enc&partCol=day&asOf=99999")._1 == 400,
+      "a version beyond the tip must be a 400")
+    val (cc2, cb2) = get(s"/table/changes?table=$enc&partCol=day&from=$vGood&limit=200")
+    assert(cc2 == 200, s"changes: $cc2 $cb2")
+    val chgRows = cb2.asObj("data") match {
+      case JArr(items) => items.map(_.asObj); case other => sys.error(s"$other")
+    }
+    // the bad write keyed on (day=2026-01-01, k=7) — a NEW row next to the
+    // real k=7 in 2026-01-02 — so the feed must show its insert arriving
+    // and the restore deleting it again, each stamped with its own commit
+    def chg(tpe: String) = chgRows.filter(r =>
+      r("k").asInstanceOf[JNum].v.toLong == 7L &&
+        r("_change_type").str == tpe &&
+        r("v").asInstanceOf[JNum].v.toDouble == -999.0)
+    assert(chg("insert").nonEmpty && chg("delete").nonEmpty &&
+        chg("delete").map(_("_commit_version").asInstanceOf[JNum].v.toLong).min >
+          chg("insert").map(_("_commit_version").asInstanceOf[JNum].v.toLong).min,
+      s"the served change range must show the bad row arrive and the " +
+        s"restore remove it: ${chgRows.filter(r =>
+          r("k").asInstanceOf[JNum].v.toLong == 7L)}")
     println(s"DRIVE storage-verbs: restore@v$vGood over HTTP ok, clone 60 rows, " +
-      s"history+detail routes ok")
+      s"history+detail+asOf-data+changes routes ok")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()
