@@ -421,7 +421,12 @@ final class HttpApi(
     * `BatchService.readData` discipline — ONE distributed
     * TakeOrderedAndProject page is collected, never the snapshot
     * (`?after=` keyset form needs `orderBy`; the offset form totals-orders
-    * by every column when `orderBy` is absent). Bad versions are 400s. */
+    * by every column when `orderBy` is absent). Bad versions are 400s.
+    * `&columns=a,b` and `&where=day=2026-01-01;k>5` shape the scan
+    * server-side ([[TableShape]]): the projection prunes the read schema,
+    * the conjuncts compile to pushed Catalyst predicates that partition
+    * dirs, parquet footers, and the stats/bloom sidecars prune BEFORE any
+    * row is read — the Delta Sharing predicate-hint discipline. */
   private def tableData(ex: HttpExchange): Unit = withTable(ex) { (table, partCol) =>
     val q = query(ex)
     pageParams(ex) match {
@@ -455,42 +460,68 @@ final class HttpApi(
         resolved match {
           case Left(msg) => reply(ex, 400, err("INVALID_VERSION", msg))
           case Right((df, version)) =>
-            servePage(ex, df, limit, offset, q.get("orderBy"), q.get("after"),
-              Vector("table" -> JStr(table), "version" -> JNum(BigDecimal(version))))
+            TableShape(df, q) match {
+              case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+              case Right(shaped) =>
+                servePage(ex, shaped, limit, offset, q.get("orderBy"), q.get("after"),
+                  Vector("table" -> JStr(table), "version" -> JNum(BigDecimal(version))))
+            }
         }
     }
   }
 
   /** `GET /table/changes?table=<path>&partCol=<c>&from=<v>[&to=<v>]
-    * [&orderBy|&after|&limit|&offset]` — the change feed over the API
-    * (Delta `table_changes(...)`): net row deltas of commits in
-    * `(from, to]`, `_change_type`/`_commit_version` tagged, served with
-    * the same one-page discipline as `/table/data`. */
+    * [&orderBy|&after|&limit|&offset|&columns|&where]` — the change feed
+    * over the API (Delta `table_changes(...)`): net row deltas of commits
+    * in `(from, to]`, `_change_type`/`_commit_version` tagged, served with
+    * the same one-page + shape-hint discipline as `/table/data` (e.g.
+    * `where=_change_type=delete` pages only the removals). `fromTs`/`toTs`
+    * accept epoch-millis bounds instead (Delta's `startingTimestamp`),
+    * resolved through [[graft.batch.Upsert.versionAt]]. */
   private def tableChanges(ex: HttpExchange): Unit = withTable(ex) { (table, partCol) =>
     val q = query(ex)
     pageParams(ex) match {
       case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
       case Right((limit, offset)) =>
-        (q.get("from").map(_.toLongOption), q.get("to").map(_.toLongOption)) match {
-          case (None, _) =>
-            reply(ex, 400, err("INVALID_REQUEST", "from=<version> is required"))
-          case (Some(None), _) | (_, Some(None)) =>
-            reply(ex, 400, err("INVALID_VERSION", "from/to must be version numbers"))
-          case (Some(Some(from)), to) =>
+        val (fromV, fromTs) = (q.get("from"), q.get("fromTs"))
+        val (toV, toTs) = (q.get("to"), q.get("toTs"))
+        if (fromV.isEmpty && fromTs.isEmpty)
+          reply(ex, 400, err("INVALID_REQUEST",
+            "from=<version> or fromTs=<epoch-millis> is required"))
+        else if ((fromV.toSeq ++ toV ++ fromTs ++ toTs)
+            .exists(_.toLongOption.isEmpty))
+          reply(ex, 400, err("INVALID_VERSION",
+            "from/to must be version numbers, fromTs/toTs epoch-millis"))
+        else {
+            // timestamp bounds resolve through versionAt (Delta's
+            // startingTimestamp analog): fromTs=T serves changes committed
+            // AFTER T — the newest commit at-or-before T is the exclusive
+            // cursor, so a mirror that recorded "synced at T" resumes
+            // without re-reading T's own commit
             val feed =
-              try Right(graft.batch.ChangeFeed.readChanges(
-                spark, table, partCol, from, to.flatten))
-              catch {
+              try {
+                val from = fromV.map(_.toLong).getOrElse(
+                  graft.batch.Upsert.versionAt(spark, table, fromTs.get.toLong))
+                val to = toV.map(_.toLong).orElse(toTs.map(t =>
+                  graft.batch.Upsert.versionAt(spark, table, t.toLong)))
+                Right((graft.batch.ChangeFeed.readChanges(
+                  spark, table, partCol, from, to), from, to))
+              } catch {
                 case e: IllegalArgumentException => Left(e.getMessage)
                 case e: IllegalStateException    => Left(e.getMessage)
               }
-            feed match {
+            feed.flatMap { case (df, from, to) =>
+              TableShape(df, q).left.map(m => s"SHAPE:$m")
+                .map(shaped => (shaped, from, to))
+            } match {
+              case Left(msg) if msg.startsWith("SHAPE:") =>
+                reply(ex, 400, err("INVALID_REQUEST", msg.stripPrefix("SHAPE:")))
               case Left(msg) => reply(ex, 400, err("INVALID_VERSION", msg))
-              case Right(df) =>
+              case Right((df, from, to)) =>
                 servePage(ex, df, limit, offset, q.get("orderBy"), q.get("after"),
                   Vector("table" -> JStr(table),
                     "from" -> JNum(BigDecimal(from))) ++
-                    to.flatten.map(t => "to" -> (JNum(BigDecimal(t)): JVal)))
+                    to.map(t => "to" -> (JNum(BigDecimal(t)): JVal)))
             }
         }
     }

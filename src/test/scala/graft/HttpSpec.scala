@@ -590,6 +590,118 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("shape hints: columns= projection + where= pushdown on the table routes") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httpshape").toString + "/t"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 30).map(i => (s"2026-06-0${i % 2 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val v1 = graft.core.TxnLog.currentVersion(spark, t)
+    graft.batch.Upsert.mergeByKey(spark, t,
+      Seq(("2026-06-01", 2L, 99.0), ("2026-06-01", 100L, 100.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val api = newApi()
+    try {
+      // projection: only the requested columns come back, in order
+      val (pc, pb) = get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&columns=k,v&orderBy=k&limit=5")
+      assert(pc == 200, s"got $pc $pb")
+      val pRows = pb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(pRows.nonEmpty && pRows.forall(_.keySet == Set("k", "v")))
+
+      // where: partition equality + range conjunct ≡ the programmatic filter
+      val (wc, wb) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("day=2026-06-01;k<=10")}&orderBy=k&limit=100")
+      assert(wc == 200, s"got $wc $wb")
+      val wRows = wb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      val served = wRows.map(r => r("k").asInstanceOf[JNum].v.toLong).toSet
+      val expect = graft.batch.Upsert.readCommitted(spark, t, "day")
+        .filter($"day" === "2026-06-01" && $"k" <= 10)
+        .select("k").as[Long].collect().toSet
+      assert(served == expect && served.nonEmpty,
+        s"where page must equal the programmatic filter: $served vs $expect")
+
+      // quoted literal + filter-on-omitted-column (where may reference
+      // columns the projection drops)
+      val (qc, qb) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("day='2026-06-02'")}&columns=k&orderBy=k&limit=100")
+      assert(qc == 200)
+      val qRows = qb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(qRows.size == 15 && qRows.forall(_.keySet == Set("k")))
+
+      // shape composes with time travel: at v1, k=2 still has its pre-merge value
+      val (ac, ab) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&asOf=$v1&where=${enc("k=2")}&columns=v&orderBy=v&limit=10")
+      assert(ac == 200)
+      val aRows = ab.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(aRows.map(_("v").asInstanceOf[JNum].v.toDouble) == Vector(2.0))
+
+      // null predicate: no v is null, so =null serves zero rows (and 200)
+      val (nc, nb) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("v=null")}&limit=10")
+      assert(nc == 200)
+      assert((nb.asObj("data") match { case JArr(r) => r; case _ => fail() }).isEmpty)
+
+      // refusal matrix — every bad shape is a 400, never a silent empty page
+      for (bad <- Seq(
+          s"columns=k,nope",
+          s"where=${enc("nope=1")}",
+          s"where=${enc("k~5")}",
+          s"where=${enc("k=abc")}",          // uncastable literal
+          s"where=${enc("k>null")}"))
+        assert(get(api.port,
+          s"/table/data?table=${enc(t)}&partCol=day&$bad&limit=5")._1 == 400,
+          s"$bad must be refused")
+
+      // the change feed takes the same hints: page only the inserts
+      val (cc, cb) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&from=$v1&where=${enc("_change_type=insert")}" +
+        "&columns=k,v,_change_type&orderBy=k&limit=100")
+      assert(cc == 200, s"got $cc $cb")
+      val cRows = cb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(cRows.map(r => (r("k").asInstanceOf[JNum].v.toLong,
+        r("v").asInstanceOf[JNum].v.toDouble)) == Vector((2L, 99.0), (100L, 100.0)))
+
+      // fromTs resolves to the same range as from=v1 (the commit's own ts
+      // is the exclusive cursor — "synced at T" resumes without re-reading T)
+      val tsV1 = graft.core.TxnLog.commitsSince(spark, t, 0L)
+        .filter(_.version == v1).head.ts
+      val (tc, tb) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&fromTs=$tsV1&orderBy=k&limit=100")
+      assert(tc == 200, s"got $tc $tb")
+      assert(tb.asObj("from") == JNum(BigDecimal(v1)))
+      val tRows = tb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      val vRows = {
+        val (_, b) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+          s"&from=$v1&orderBy=k&limit=100")
+        b.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      }
+      assert(tRows == vRows, "fromTs must serve exactly the from=v range")
+      assert(get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&fromTs=1")._1 == 400, "a timestamp below the horizon is refused")
+    } finally api.stop()
+  }
+
+  test("shape hints compile to pushed parquet predicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shapeplan").toString + "/t"
+    (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "s")
+      .repartition(4).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val shaped = graft.http.TableShape(df,
+      Map("where" -> "k>900", "columns" -> "k")) match {
+      case Right(d) => d
+      case Left(m)  => fail(m)
+    }
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,900)"),
+      s"the where conjunct must reach the parquet scan:\n$plan")
+    assert(plan.contains("struct<k:bigint>"),
+      s"the projection must prune the read schema to k only:\n$plan")
+    assert(shaped.as[Long].collect().sorted.toSeq == (901L to 1000L))
+  }
+
   test("maintenance route: failures land FAILED with the cause") {
     val api = newApi()
     try {
