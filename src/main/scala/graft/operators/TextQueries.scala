@@ -379,7 +379,66 @@ object TextQueries extends QueryModule {
         sum(floor(col("quality_score") * 1e6)).cast("long").as("quality_micro_sum"))
   }
 
+  // --- PII redaction (the scrub stage every public training-data
+  // pipeline documents: C4 removes lines with "bad words"/boilerplate,
+  // Dolma and FineWeb regex-scrub emails, phone numbers, and IP
+  // addresses before training). Patterns restricted to syntax with
+  // IDENTICAL semantics in Java regex (Spark codegen) and RE2 (the
+  // DuckDB oracle): character classes, bounded repetition, \b — no
+  // lookaround, no backreferences.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction over the corpus. The synthetic corpus carries no PII
+    * (zero digits), so the query first INJECTS deterministic PII derived
+    * from `doc_id` — the oracle replays the same injection, making the
+    * cross-engine check exercise the actual redaction semantics instead
+    * of vacuously agreeing on zero matches. Everything up to the final
+    * per-source rollup is codegen'd string expressions on the scan — no
+    * UDF, no shuffle, linear in corpus bytes, which is the property that
+    * matters at 100 TB (the rollup shuffles |sources| rows).
+    * `residual_pii` re-counts every pattern on the redacted text and must
+    * be 0: the scrub is PROVEN complete, not assumed. */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(
+        lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
+        ((col("doc_id") * 3) % 250).cast("string"), lit("."),
+        (col("doc_id") % 250).cast("string"))).otherwise(lit("")))
+    // email first: the local part holds digits the looser numeric
+    // patterns must never see half-redacted
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(dirty, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs(s, d)
+      .withColumn("dirty", dirty)
+      .withColumn("redacted", redacted)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dirty") =!= col("redacted"), 1L).otherwise(0L)).as("pii_docs"),
+        sum(regexp_count(col("dirty"), lit(EmailRe))).as("n_emails"),
+        sum(regexp_count(col("dirty"), lit(Ipv4Re))).as("n_ips"),
+        sum(regexp_count(col("dirty"), lit(PhoneRe))).as("n_phones"),
+        (sum(regexp_count(col("redacted"), lit(EmailRe))) +
+          sum(regexp_count(col("redacted"), lit(Ipv4Re))) +
+          sum(regexp_count(col("redacted"), lit(PhoneRe)))).as("residual_pii"),
+        countDistinct(md5(col("redacted"))).as("distinct_redacted"),
+        min(md5(col("redacted"))).as("sample_hash"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_redact_pii" -> (redactPii _),
     "txt_repetition" -> (repetition _),
     "txt_contamination" -> (contamination _),
     "txt_clean_pipeline" -> (cleanPipeline _),
@@ -492,6 +551,34 @@ object TextQueries extends QueryModule {
         CAST(SUM(FLOOR(quality_score * 1e6)) AS BIGINT) AS quality_micro_sum
       FROM surviving JOIN keep USING (fingerprint, doc_id)
       GROUP BY 1""",
+    "txt_redact_pii" -> s"""$cte,
+      dirtied AS (
+        SELECT source,
+          text
+          || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 3) % 250 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+          AS dirty
+        FROM docs),
+      red AS (
+        SELECT source, dirty,
+          regexp_replace(regexp_replace(regexp_replace(dirty,
+            '$EmailRe', '<EMAIL>', 'g'),
+            '$Ipv4Re', '<IP>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g') AS redacted
+        FROM dirtied)
+      SELECT source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN dirty <> redacted THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+        CAST(SUM(len(regexp_extract_all(dirty, '$EmailRe'))) AS BIGINT) AS n_emails,
+        CAST(SUM(len(regexp_extract_all(dirty, '$Ipv4Re'))) AS BIGINT) AS n_ips,
+        CAST(SUM(len(regexp_extract_all(dirty, '$PhoneRe'))) AS BIGINT) AS n_phones,
+        CAST(SUM(len(regexp_extract_all(redacted, '$EmailRe')))
+           + SUM(len(regexp_extract_all(redacted, '$Ipv4Re')))
+           + SUM(len(regexp_extract_all(redacted, '$PhoneRe'))) AS BIGINT) AS residual_pii,
+        COUNT(DISTINCT md5(redacted)) AS distinct_redacted,
+        MIN(md5(redacted)) AS sample_hash
+      FROM red GROUP BY 1""",
     "txt_pack_sequences" -> packSql,
     // the sharded two-phase offsets are output-identical by construction —
     // the ONE oracle text checks both computations against the same answer

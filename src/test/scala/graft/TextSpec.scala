@@ -71,6 +71,19 @@ class TextSpec extends SparkSpec {
     assert(windowed.nonEmpty && sharded == windowed)
   }
 
+  test("PII redaction: scrub is complete and hits every injected class") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextQueries.redactPii(spark, d).collect()
+    assert(rows.nonEmpty)
+    // residual_pii re-counts every pattern on the redacted text — a
+    // single surviving match anywhere fails here, not in production
+    assert(rows.forall(_.getAs[Long]("residual_pii") == 0L))
+    assert(rows.map(_.getAs[Long]("pii_docs")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_emails")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_ips")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_phones")).sum > 0)
+  }
+
   test("quality: single-token and all-duplicate docs stay finite") {
     val d = docsDf(1L -> "word", 2L -> "dup dup dup dup")
     val rows = TextQueries.withQuality(d)
