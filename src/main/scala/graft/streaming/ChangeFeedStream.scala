@@ -97,14 +97,23 @@ object ChangeFeedStream {
     * `(changes, fromVersion, toVersion)` to `f` and advance the cursor.
     * Returns whether a batch fired. `f` sees the same frame
     * [[ChangeFeed.readChanges]] returns (`_change_type`,
-    * `_commit_version` columns included). */
+    * `_commit_version` columns included). `maxCommitsPerBatch` bounds the
+    * version range a single batch covers (Delta's `maxFilesPerTrigger`
+    * discipline at the commit granularity) — a consumer bootstrapping
+    * against a long history advances in batches it can absorb instead of
+    * replaying every retained commit as one; [[drain]] loops through the
+    * bounded batches. */
   def pollOnce(
       spark: SparkSession,
       table: String,
       partCol: String,
-      checkpointDir: String)(f: (DataFrame, Long, Long) => Unit): Boolean = {
+      checkpointDir: String,
+      maxCommitsPerBatch: Int = Int.MaxValue)(
+      f: (DataFrame, Long, Long) => Unit): Boolean = {
+    require(maxCommitsPerBatch > 0, "maxCommitsPerBatch must be positive")
     val from = cursor(spark, checkpointDir)
-    val tip = TxnLog.currentVersion(spark, table)
+    val tip = math.min(TxnLog.currentVersion(spark, table),
+      from + maxCommitsPerBatch)
     if (tip <= from) return false
     f(ChangeFeed.readChanges(spark, table, partCol, from, Some(tip)), from, tip)
     writeCursor(spark, checkpointDir, tip)
@@ -119,9 +128,12 @@ object ChangeFeedStream {
       spark: SparkSession,
       table: String,
       partCol: String,
-      checkpointDir: String)(f: (DataFrame, Long, Long) => Unit): Int = {
+      checkpointDir: String,
+      maxCommitsPerBatch: Int = Int.MaxValue)(
+      f: (DataFrame, Long, Long) => Unit): Int = {
     var batches = 0
-    while (pollOnce(spark, table, partCol, checkpointDir)(f)) batches += 1
+    while (pollOnce(spark, table, partCol, checkpointDir, maxCommitsPerBatch)(f))
+      batches += 1
     batches
   }
 

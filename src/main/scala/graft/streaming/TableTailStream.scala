@@ -52,16 +52,27 @@ object TableTailStream {
     * `(appendedRows, fromVersion, toVersion)` to `f` and advance the
     * cursor. The frame has exactly the table's (logical) columns — no
     * `_change_type`/`_commit_version` tags. Returns whether a batch
-    * fired; throws on a rewriting commit unless `ignoreChanges`. */
+    * fired; throws on a rewriting commit unless `ignoreChanges`.
+    *
+    * `maxCommitsPerBatch` is the trigger rate limit (Delta's
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` discipline at this engine's
+    * unit of change, the commit): a tail bootstrapping against a
+    * long-lived table must advance `(cursor, cursor+max]`-sized batches a
+    * consumer can absorb, not replay the whole retained history as ONE
+    * batch whose shuffle has to fit at once. Catch-up is [[drain]]'s loop,
+    * not a bigger batch. */
   def pollOnce(
       spark: SparkSession,
       table: String,
       partCol: String,
       checkpointDir: String,
-      ignoreChanges: Boolean = false)(
+      ignoreChanges: Boolean = false,
+      maxCommitsPerBatch: Int = Int.MaxValue)(
       f: (DataFrame, Long, Long) => Unit): Boolean = {
+    require(maxCommitsPerBatch > 0, "maxCommitsPerBatch must be positive")
     val from = cursor(spark, checkpointDir)
-    val tip = TxnLog.currentVersion(spark, table)
+    val tip = math.min(TxnLog.currentVersion(spark, table),
+      from + maxCommitsPerBatch)
     if (tip <= from) return false
     val changes = ChangeFeed.readChanges(spark, table, partCol, from, Some(tip))
     if (!ignoreChanges &&
@@ -89,10 +100,12 @@ object TableTailStream {
       table: String,
       partCol: String,
       checkpointDir: String,
-      ignoreChanges: Boolean = false)(
+      ignoreChanges: Boolean = false,
+      maxCommitsPerBatch: Int = Int.MaxValue)(
       f: (DataFrame, Long, Long) => Unit): Int = {
     var batches = 0
-    while (pollOnce(spark, table, partCol, checkpointDir, ignoreChanges)(f))
+    while (pollOnce(spark, table, partCol, checkpointDir, ignoreChanges,
+        maxCommitsPerBatch)(f))
       batches += 1
     batches
   }

@@ -62,6 +62,39 @@ class TableTailSpec extends SparkSpec {
     assert(emitted.toSet == rows(Upsert.readCommitted(spark, t, "day")))
   }
 
+  test("rate limit: a bounded tail catches up in bounded batches that " +
+      "union to the unbounded drain") {
+    import spark.implicits._
+    val t = tmp("tail-rate") + "/t"
+    val ckpt = tmp("tail-rate-ckpt")
+    // 5 append-only merges land BEFORE the first poll — the bootstrap case
+    (0 until 5).foreach { w =>
+      Upsert.mergeByKey(spark, t,
+        (w * 10 + 1 to w * 10 + 10)
+          .map(i => (s"2026-07-0${i % 2 + 1}", i.toLong, i * 1.0))
+          .toDF("day", "k", "v"), "day", Seq("k"))
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batches = TableTailStream.drain(spark, t, "day", ckpt,
+        maxCommitsPerBatch = 2) { (batch, from, to) =>
+      spans += to - from
+      emitted ++= rows(batch)
+    }
+    assert(batches > 1, s"5 merges under a 2-commit cap need >1 batch: $batches")
+    assert(spans.forall(_ <= 2), s"every batch within the cap: $spans")
+    assert(emitted.size == 50 && emitted.toSet ==
+      rows(Upsert.readCommitted(spark, t, "day")),
+      "bounded batches must union to exactly the committed table")
+    // caught up: a bounded poll is a no-op like an unbounded one
+    assert(!TableTailStream.pollOnce(spark, t, "day", ckpt,
+      maxCommitsPerBatch = 2)((_, _, _) => fail("no batch when caught up")))
+    intercept[IllegalArgumentException] {
+      TableTailStream.pollOnce(spark, t, "day", ckpt,
+        maxCommitsPerBatch = 0)((_, _, _) => ())
+    }
+  }
+
   test("checkpoint resume: a fresh consumer continues from the cursor, " +
       "a second checkpoint replays from scratch") {
     import spark.implicits._
