@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.batch.{BatchRegistry, BatchService}
 import graft.core.{GraftConfig, SparkSessionFactory, TransactionGen}
-import graft.http.{HttpApi, JArr, JNum, Json}
+import graft.http.{HttpApi, JArr, JBool, JNum, Json}
 import graft.streaming.StreamingIngest
 
 /** Standalone end-to-end drive of the whole engine loop (ST8 stream/batch
@@ -224,6 +224,16 @@ object Drive {
     assert(afterApiMaint == n,
       s"API maintenance must not change visible rows: $afterApiMaint")
     println(s"DRIVE maintenance-api: $mid completed over HTTP, ops=${mOps.mkString(",")}")
+
+    // VACUUM dry-run over the API: after the maintenance pass the sink
+    // must preview clean — the operator's "is there anything to clean?"
+    // probe before scheduling a real run
+    val (vpc, vpb) = get(s"/table/vacuum/preview?table=" +
+      java.net.URLEncoder.encode(table, "UTF-8") + "&minAgeMs=0")
+    assert(vpc == 200 && vpb.asObj("dryRun") == JBool(true) &&
+      vpb.asObj("filesToRemove") == JNum(BigDecimal(0)),
+      s"vacuum preview: $vpc $vpb")
+    println("DRIVE vacuum-preview: clean after maintenance")
 
     // 6. storage verbs over the API on a small MERGE table: churn,
     // introspect (history + detail), restore the pre-churn version, clone

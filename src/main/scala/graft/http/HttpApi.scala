@@ -99,6 +99,7 @@ final class HttpApi(
         case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
         case ("GET", "table" :: "history" :: Nil)             => tableHistory(ex)
         case ("GET", "table" :: "detail" :: Nil)              => tableDetail(ex)
+        case ("GET", "table" :: "vacuum" :: "preview" :: Nil) => vacuumPreview(ex)
         case ("GET", "table" :: "data" :: Nil)                => tableData(ex)
         case ("GET", "table" :: "changes" :: Nil)             => tableChanges(ex)
         case ("GET", "health" :: Nil)                         => health(ex)
@@ -390,6 +391,47 @@ final class HttpApi(
           "bloomIndexes" -> strs(d.bloomIndexes),
           "statsIndexes" -> strs(d.statsIndexes),
           "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars))))
+    }
+  }
+
+  /** `GET /table/vacuum/preview?table=<path>[&minAgeMs=N]` — Delta's
+    * `VACUUM … DRY RUN` over the API: what the streaming-sink vacuum
+    * WOULD remove (exact counts/bytes, up to 1000 candidate paths),
+    * deleting nothing. Driver-side file listing only — no Spark job — so
+    * an operator can size a cleanup before scheduling the real
+    * `POST /maintenance/run {mode:stream}`. */
+  private def vacuumPreview(ex: HttpExchange): Unit = {
+    val q = query(ex)
+    q.get("table").filter(_.nonEmpty) match {
+      case None =>
+        reply(ex, 400, err("MISSING_TABLE", "table query parameter is required"))
+      case Some(table) =>
+        val p = new org.apache.hadoop.fs.Path(table)
+        if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+          reply(ex, 404, err("TABLE_NOT_FOUND", s"No table at: $table"))
+          return
+        }
+        val minAge = q.get("minAgeMs").flatMap(_.toLongOption)
+          .getOrElse(24L * 3600 * 1000)
+        try {
+          val r = graft.streaming.SinkCompaction.vacuum(
+            spark, table, minAgeMs = minAge, dryRun = true)
+          reply(ex, 200, JObj.of(
+            "table" -> JStr(table),
+            "dryRun" -> JBool(true),
+            "minAgeMs" -> JNum(BigDecimal(minAge)),
+            "filesToRemove" -> JNum(BigDecimal(r.filesRemoved)),
+            "bytesToRemove" -> JNum(BigDecimal(r.bytesRemoved)),
+            "dirsToRemove" -> JNum(BigDecimal(r.dirsRemoved)),
+            "paths" -> JArr(r.paths.toVector.map(JStr(_)))))
+        } catch {
+          // not a sink table / interval-mismatched or corrupt commit log —
+          // client errors (require → IllegalArgument, loud-abort → IllegalState)
+          case e: IllegalArgumentException =>
+            reply(ex, 400, err("INVALID_TABLE", e.getMessage))
+          case e: IllegalStateException =>
+            reply(ex, 400, err("INVALID_TABLE", e.getMessage))
+        }
     }
   }
 

@@ -229,7 +229,10 @@ object SinkCompaction {
     (latestId, boundary, entries)
   }
 
-  final case class VacuumReport(filesRemoved: Int, bytesRemoved: Long, dirsRemoved: Int)
+  /** In a dry run the counts mean "would remove" and `paths` lists the
+    * candidates (capped — the counts stay exact past the cap). */
+  final case class VacuumReport(filesRemoved: Int, bytesRemoved: Long, dirsRemoved: Int,
+      paths: Seq[String] = Nil)
 
   /** Remove data files the commit log does not reference — crash debris: a
     * micro-batch that wrote its file but died before the log append, or a
@@ -240,12 +243,23 @@ object SinkCompaction {
     * file younger than it is kept even if unreferenced, because an ACTIVE
     * micro-batch writes data files before committing them to the log —
     * vacuuming those would lose the in-flight batch. Production default is
-    * hours; 0 only makes sense with the ingest stopped (as in tests). */
+    * hours; 0 only makes sense with the ingest stopped (as in tests).
+    *
+    * `dryRun` is Delta's `VACUUM … DRY RUN`: the same scan reports what
+    * WOULD be removed — exact counts/bytes plus up to `maxListedPaths`
+    * candidate paths (capped so a million-orphan preview never
+    * materializes a million strings on the driver) — and deletes nothing.
+    * The one mutation a dry run keeps is [[graft.core.AtomicWrite
+    * .recoverSwap]] on the commit log: without completing a crashed log
+    * swap every data file would preview as an orphan — the repair is
+    * idempotent and the preview's answer is wrong without it. */
   def vacuum(
       spark: SparkSession,
       tablePath: String,
       minAgeMs: Long = 24L * 3600 * 1000,
-      compactInterval: Int = 10): VacuumReport = {
+      compactInterval: Int = 10,
+      dryRun: Boolean = false,
+      maxListedPaths: Int = 1000): VacuumReport = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -257,13 +271,20 @@ object SinkCompaction {
     val visible = entries.map(e => new Path(new java.net.URI(e.path)).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var files = 0; var bytes = 0L; var dirs = 0
+    val listed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def note(p: Path): Unit =
+      if (listed.size < maxListedPaths) listed += p.toUri.getPath
+    def remove(p: Path, recursive: Boolean): Unit = {
+      note(p)
+      if (!dryRun) fs.delete(p, recursive)
+    }
     def orphanFile(f: org.apache.hadoop.fs.FileStatus): Unit = {
       val name = f.getPath.getName
       val orphan = !name.startsWith(".") && !name.startsWith("_") &&
         !visible.contains(f.getPath.toUri.getPath) && f.getModificationTime < cutoff
       if (orphan) {
         files += 1; bytes += f.getLen
-        fs.delete(f.getPath, false)
+        remove(f.getPath, recursive = false)
       }
     }
     fs.listStatus(root)
@@ -276,18 +297,20 @@ object SinkCompaction {
           orphanFile(part)
         } else if (part.getPath.getName.startsWith(".")) {
           // orphaned publish/log-swap temp dir at the table root
-          if (part.getModificationTime < cutoff) { fs.delete(part.getPath, true); dirs += 1 }
+          if (part.getModificationTime < cutoff) {
+            remove(part.getPath, recursive = true); dirs += 1
+          }
         } else fs.listStatus(part.getPath).foreach { f =>
           if (f.isDirectory) {
             // a compaction killed mid-rewrite leaves its .compact-<uuid>
             // output INSIDE the partition dir — collect that too
             if (f.getPath.getName.startsWith(".") && f.getModificationTime < cutoff) {
-              fs.delete(f.getPath, true); dirs += 1
+              remove(f.getPath, recursive = true); dirs += 1
             }
           } else orphanFile(f)
         }
       }
-    VacuumReport(files, bytes, dirs)
+    VacuumReport(files, bytes, dirs, listed.toSeq)
   }
 
   private def statusJson(p: Path, size: Long, modTime: Long): String =

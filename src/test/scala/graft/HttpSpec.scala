@@ -590,6 +590,19 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("vacuum preview route: 404 on a missing path, 400 on a non-sink dir") {
+    val api = newApi()
+    try {
+      assert(get(api.port, "/table/vacuum/preview")._1 == 400)
+      assert(get(api.port,
+        "/table/vacuum/preview?table=/tmp/no-such-graft-table")._1 == 404)
+      val plain = Files.createTempDirectory("httpvacplain").toString
+      val (c, b) = get(api.port,
+        s"/table/vacuum/preview?table=${java.net.URLEncoder.encode(plain, "UTF-8")}")
+      assert(c == 400 && b.asObj("error").str == "INVALID_TABLE", s"$c $b")
+    } finally api.stop()
+  }
+
   test("shape hints: columns= projection + where= pushdown on the table routes") {
     import spark.implicits._
     val t = Files.createTempDirectory("httpshape").toString + "/t"

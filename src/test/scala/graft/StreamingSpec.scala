@@ -278,8 +278,20 @@ class StreamingSpec extends SparkSpec {
     val waited = System.currentTimeMillis() - t0
     assert(waited < 20000, s"reader blocked ${waited} ms on a crashed mark")
 
+    // DRY RUN (Delta's `VACUUM … DRY RUN`): the same scan reports the 4
+    // orphans with their paths and removes nothing
+    val preview = SinkCompaction.vacuum(spark, table, minAgeMs = 0, dryRun = true)
+    assert(preview.filesRemoved == 4 && preview.paths.size == 4, s"$preview")
+    assert(preview.paths.forall(p => new java.io.File(p).exists),
+      "a dry run must not delete")
+    assert(StreamingIngest.readTable(spark, table).count() == 4)
+
     val gone = SinkCompaction.vacuum(spark, table, minAgeMs = 0)
     assert(gone.filesRemoved == 4)
+    assert(gone.paths.toSet == preview.paths.toSet,
+      "the dry run must have previewed exactly what the real vacuum removed")
+    assert(SinkCompaction.vacuum(spark, table, minAgeMs = 0, dryRun = true)
+      .filesRemoved == 0, "post-vacuum preview is clean")
   }
 
   test("sink compaction across a .compact log boundary (≥10 micro-batches)") {
