@@ -23,12 +23,17 @@ import graft.core.TxnLog
   * batch function returns: at-least-once invocation, exactly-once effect
   * for idempotent consumers, checkpoint-resume across restarts.
   *
-  * Rewriting commits carry Delta's documented caveat verbatim: a commit
-  * whose change feed has DELETE legs (an update-merge, a row delete, a
-  * DV delete) is not expressible as pure appends —
-  *   - default (`ignoreChanges = false`): the poll FAILS LOUDLY, exactly
-  *     like Delta's "Detected a data update … This is currently not
-  *     supported" — the consumer must opt in or switch to the change feed;
+  * Rewriting commits carry Delta's documented two-tier caveat verbatim: a
+  * commit whose change feed has DELETE legs (an update-merge, a row
+  * delete, a DV delete) is not expressible as pure appends —
+  *   - default: the poll FAILS LOUDLY, exactly like Delta's "Detected a
+  *     data update … This is currently not supported" — the consumer must
+  *     opt in or switch to the change feed;
+  *   - `ignoreDeletes = true` (Delta's weaker opt-in): commits whose legs
+  *     are ALL deletes — retention sweeps, GDPR erasure — are skipped;
+  *     the deleted rows simply never reach downstream, no duplicate risk.
+  *     A commit that both deletes and inserts (a rewrite) still refuses:
+  *     skipping its delete legs would disguise an update as an append;
   *   - `ignoreChanges = true`: upserted rows are emitted as appends and
   *     the delete legs are dropped — downstream may see a key twice
   *     (Delta's `ignoreChanges` contract: duplicates possible, data loss
@@ -67,7 +72,8 @@ object TableTailStream {
       partCol: String,
       checkpointDir: String,
       ignoreChanges: Boolean = false,
-      maxCommitsPerBatch: Int = Int.MaxValue)(
+      maxCommitsPerBatch: Int = Int.MaxValue,
+      ignoreDeletes: Boolean = false)(
       f: (DataFrame, Long, Long) => Unit): Boolean = {
     require(maxCommitsPerBatch > 0, "maxCommitsPerBatch must be positive")
     val from = cursor(spark, checkpointDir)
@@ -75,15 +81,35 @@ object TableTailStream {
       from + maxCommitsPerBatch)
     if (tip <= from) return false
     val changes = ChangeFeed.readChanges(spark, table, partCol, from, Some(tip))
-    if (!ignoreChanges &&
-        !changes.filter(col(ChangeFeed.ChangeTypeCol) === "delete")
-          .limit(1).isEmpty)
-      throw new IllegalStateException(
-        s"table tail: commits (v$from, v$tip] of $table rewrite or delete " +
-          "existing rows, which an appended-rows tail cannot express — set " +
-          "ignoreChanges=true to emit the upserted rows as appends " +
-          "(downstream may then see a key twice, Delta's ignoreChanges " +
-          "contract), or consume ChangeFeedStream for real deltas")
+    if (!ignoreChanges) {
+      // Delta's two-tier caveat, per COMMIT: a commit with only delete
+      // legs is a retention/GDPR delete (`ignoreDeletes` suffices — the
+      // rows just never appear downstream); a commit with BOTH legs
+      // rewrote existing rows and needs the stronger `ignoreChanges`
+      // duplicate-risk opt-in. One O(commits-in-range)-row aggregation.
+      val perCommit = changes
+        .groupBy(col(ChangeFeed.CommitVersionCol))
+        .agg(
+          sum(when(col(ChangeFeed.ChangeTypeCol) === "delete", 1L)
+            .otherwise(0L)).as("dels"),
+          sum(when(col(ChangeFeed.ChangeTypeCol) === "insert", 1L)
+            .otherwise(0L)).as("ins"))
+      val offending =
+        if (ignoreDeletes) perCommit.filter(col("dels") > 0 && col("ins") > 0)
+        else perCommit.filter(col("dels") > 0)
+      if (!offending.limit(1).isEmpty)
+        throw new IllegalStateException(
+          s"table tail: commits (v$from, v$tip] of $table " +
+            (if (ignoreDeletes) "rewrite existing rows"
+             else "rewrite or delete existing rows") +
+            ", which an appended-rows tail cannot express — set " +
+            "ignoreChanges=true to emit the upserted rows as appends " +
+            "(downstream may then see a key twice, Delta's ignoreChanges " +
+            "contract)" +
+            (if (ignoreDeletes) ""
+             else ", ignoreDeletes=true if the commits only delete rows") +
+            ", or consume ChangeFeedStream for real deltas")
+    }
     val appended = changes
       .filter(col(ChangeFeed.ChangeTypeCol) === "insert")
       .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
@@ -101,11 +127,12 @@ object TableTailStream {
       partCol: String,
       checkpointDir: String,
       ignoreChanges: Boolean = false,
-      maxCommitsPerBatch: Int = Int.MaxValue)(
+      maxCommitsPerBatch: Int = Int.MaxValue,
+      ignoreDeletes: Boolean = false)(
       f: (DataFrame, Long, Long) => Unit): Int = {
     var batches = 0
     while (pollOnce(spark, table, partCol, checkpointDir, ignoreChanges,
-        maxCommitsPerBatch)(f))
+        maxCommitsPerBatch, ignoreDeletes)(f))
       batches += 1
     batches
   }

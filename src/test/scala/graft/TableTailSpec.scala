@@ -158,4 +158,45 @@ class TableTailSpec extends SparkSpec {
     assert(TableTailStream.cursor(spark, ckpt) ==
       graft.core.TxnLog.currentVersion(spark, t))
   }
+
+  test("ignoreDeletes: pure-delete commits pass without the duplicate-risk " +
+      "opt-in, rewrites still refuse (Delta's two-tier caveat)") {
+    import spark.implicits._
+    val t = tmp("tail-igdel") + "/t"
+    val ckpt = tmp("tail-igdel-ckpt")
+    Upsert.mergeByKey(spark, t,
+      (1 to 10).map(i => (s"2026-06-0${i % 2 + 1}", i.toLong, i * 1.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    TableTailStream.drain(spark, t, "day", ckpt) { (_, _, _) => () }
+    // a retention/GDPR-style delete-only commit
+    Upsert.deleteByKey(spark, t,
+      Seq(("2026-06-01", 4L)).toDF("day", "k"), "day", Seq("k"))
+    // default: loud, and the message offers BOTH escapes
+    val e = intercept[IllegalStateException] {
+      TableTailStream.pollOnce(spark, t, "day", ckpt) { (_, _, _) => () }
+    }
+    assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+    // ignoreDeletes alone suffices: empty batch, cursor advances
+    var emitted = 0L
+    assert(TableTailStream.drain(spark, t, "day", ckpt,
+      ignoreDeletes = true) { (b, _, _) => emitted += b.count() } == 1)
+    assert(emitted == 0L)
+    assert(TableTailStream.cursor(spark, ckpt) ==
+      graft.core.TxnLog.currentVersion(spark, t))
+    // an UPDATE merge in the range still refuses under ignoreDeletes —
+    // skipping its delete legs would hide a rewrite as a plain append…
+    Upsert.mergeByKey(spark, t,
+      Seq(("2026-06-01", 2L, 99.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val e2 = intercept[IllegalStateException] {
+      TableTailStream.pollOnce(spark, t, "day", ckpt,
+        ignoreDeletes = true) { (_, _, _) => () }
+    }
+    assert(e2.getMessage.contains("ignoreChanges") &&
+      !e2.getMessage.contains("ignoreDeletes=true"), e2.getMessage)
+    // …and ignoreChanges remains the rewrite escape
+    val rows2 = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    assert(TableTailStream.drain(spark, t, "day", ckpt,
+      ignoreChanges = true) { (b, _, _) => rows2 ++= rows(b) } == 1)
+    assert(rows2.toSet == Set(("2026-06-01", 2L, 99.0)))
+  }
 }
