@@ -60,7 +60,7 @@ object ColumnMapping {
     }
 
   /** The physical name behind a logical column (identity when unmapped). */
-  private[batch] def physicalName(m: Map[String, String], logical: String): String =
+  private[graft] def physicalName(m: Map[String, String], logical: String): String =
     m.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
 
   /** Project a PHYSICAL frame to the logical view: dropped columns hidden,

@@ -482,6 +482,20 @@ final class HttpApi(
             "asOf must be a version number, asOfTs an epoch-millis timestamp"))
           return
         }
+        q.get("via") match {
+          case Some("index") =>
+            if (asOfRaw.isDefined || asOfTsRaw.isDefined)
+              reply(ex, 400, err("INVALID_REQUEST",
+                "via=index serves the TIP through the sidecars — it cannot " +
+                  "time-travel; drop asOf/asOfTs or drop via=index"))
+            else indexedData(ex, table, q, limit, offset)
+            return
+          case Some(other) =>
+            reply(ex, 400, err("INVALID_REQUEST",
+              s"via=$other is not a serving path (only via=index)"))
+            return
+          case None => ()
+        }
         val resolved =
           try {
             val version = asOfRaw.map(_.toLong)
@@ -509,6 +523,84 @@ final class HttpApi(
                   Vector("table" -> JStr(table), "version" -> JNum(BigDecimal(version))))
             }
         }
+    }
+  }
+
+  /** `GET /table/data?…&via=index&where=…` — INDEXED SERVING: route the
+    * page's scan through the table's stats / bloom sidecars so only
+    * ADMITTED files enter the plan ([[graft.batch.Upsert.rangeLookup]] /
+    * [[graft.batch.Upsert.pointLookup]] — deletion vectors subtracted,
+    * O(admitting files) instead of a committed-snapshot scan). Explicitly
+    * opt-in: the sidecar path resolves files by directory listing, not
+    * snapshot resolution (the staleness contract BloomIndex documents),
+    * and serves only the tip — the route refuses to let that substitution
+    * happen silently based on whether someone built an index.
+    *
+    * Admission takes the FIRST `where` conjunct whose column carries a
+    * stats sidecar (closed-bound approximation of its op; every other
+    * conjunct — including stricter bounds on the same column — re-applies
+    * as an exact pushed filter on the pruned frame), else the first
+    * EQUALITY conjunct on a bloom-indexed column. No indexed conjunct →
+    * 400 naming the indexed columns, never a silent full scan. */
+  private def indexedData(
+      ex: HttpExchange, table: String, q: Map[String, String],
+      limit: Int, offset: Int): Unit = {
+    val conjs = q.get("where").filter(_.nonEmpty) match {
+      case None =>
+        reply(ex, 400, err("INVALID_REQUEST",
+          "via=index needs a where= bound on an indexed column"))
+        return
+      case Some(w) => TableShape.parseWhere(w) match {
+        case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg)); return
+        case Right(cs) => cs
+      }
+    }
+    val colMap = graft.batch.ColumnMapping.mapping(spark, table)
+    def phys(c: String) = graft.batch.ColumnMapping.physicalName(colMap, c)
+    val statsCols = graft.core.StatsIndex.indexedColumns(spark, table).toSet
+    val bloomCols = graft.core.BloomIndex.indexedColumns(spark, table).toSet
+    val bounded = conjs.filter(c => !c.isNull && c.op != "!=")
+    val statsPick = bounded.find(c => statsCols.contains(phys(c.column)))
+    val bloomPick = bounded.find(c =>
+      c.op == "=" && bloomCols.contains(phys(c.column)))
+    val base = (statsPick, bloomPick) match {
+      case (Some(cj), _) =>
+        // typed bound for the sidecar compare; the exact (possibly strict)
+        // predicate re-applies below, so the closed range only ADMITS
+        val committed = graft.batch.Upsert.readCommitted(spark, table,
+          q.getOrElse("partCol", ""))
+        committed.schema.fields.find(_.name == cj.column)
+          .map(_.dataType)
+          .flatMap(dt => TableShape.castLiteral(cj.value, dt)) match {
+          case None =>
+            reply(ex, 400, err("INVALID_REQUEST",
+              s"where literal '${cj.value}' does not parse as column " +
+                s"${cj.column}'s type"))
+            return
+          case Some(v) =>
+            val (lo, hi) = cj.op match {
+              case "="        => (Some(v), Some(v))
+              case ">" | ">=" => (Some(v), None)
+              case _          => (None, Some(v))
+            }
+            graft.batch.Upsert.rangeLookup(spark, table, cj.column, lo, hi)
+        }
+      case (None, Some(cj)) =>
+        graft.batch.Upsert.pointLookup(spark, table, cj.column, cj.value)
+      case (None, None) =>
+        val have = (statsCols ++ bloomCols).toSeq.sorted
+        reply(ex, 400, err("INVALID_REQUEST",
+          "via=index needs a where conjunct on an indexed column " +
+            s"(stats range or bloom equality); indexed: " +
+            (if (have.isEmpty) "none — build a sidecar first"
+             else have.mkString(", "))))
+        return
+    }
+    TableShape(base, q) match {
+      case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+      case Right(shaped) =>
+        servePage(ex, shaped, limit, offset, q.get("orderBy"), q.get("after"),
+          Vector("table" -> JStr(table), "via" -> JStr("index")))
     }
   }
 

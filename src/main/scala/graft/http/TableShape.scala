@@ -2,6 +2,7 @@ package graft.http
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Server-side projection + predicate pushdown for the table-serving
   * routes (`GET /table/data`, `GET /table/changes`) — the shape hints of
@@ -31,19 +32,91 @@ import org.apache.spark.sql.functions.{col, lit}
   * parser REFUSES up front by test-casting on the driver.
   *
   * The filter applies BEFORE the projection, so `where` may reference
-  * columns the response omits. */
+  * columns the response omits. The parsed form ([[Conjunct]]) is public
+  * to the package so the indexed-serving path can route bounds through
+  * the stats/bloom sidecars while this object stays the single grammar. */
 private[graft] object TableShape {
 
-  private val Conjunct =
+  /** One parsed `col OP value` conjunct; `isNull` marks the bare `null`
+    * literal form (`value` then holds "null"). */
+  final case class Conjunct(column: String, op: String, value: String,
+      isNull: Boolean)
+
+  private val ConjunctRe =
     """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(!=|<=|>=|=|<|>)\s*(.*?)\s*$""".r
+
+  /** Parse `where=` into conjuncts — pure syntax, no schema yet. */
+  def parseWhere(w: String): Either[String, Seq[Conjunct]] = {
+    val parts = w.split(";").toSeq.filter(_.trim.nonEmpty)
+    if (parts.isEmpty) return Left("where= must contain a predicate")
+    val parsed = parts.map {
+      case ConjunctRe(c, op, rawV) =>
+        val quoted = rawV.length >= 2 && rawV.startsWith("'") && rawV.endsWith("'")
+        val v = if (quoted) rawV.substring(1, rawV.length - 1) else rawV
+        val isNull = !quoted && v.equalsIgnoreCase("null")
+        if (isNull && op != "=" && op != "!=")
+          Left(s"$op null is not a predicate; use =null / !=null")
+        else Right(Conjunct(c, op, v, isNull))
+      case other =>
+        Left(s"malformed where conjunct: '$other' (expected col OP value " +
+          "with OP in = != < <= > >=, conjuncts ;-separated)")
+    }
+    parsed.collectFirst { case Left(m) => Left(m) }
+      .getOrElse(Right(parsed.map(_.toOption.get)))
+  }
+
+  /** Driver-side test cast of a string literal to `dt` — Some(typed value)
+    * when it parses, None when the cast would yield null (which compiled
+    * into a comparison silently matches nothing). */
+  def castLiteral(v: String, dt: DataType): Option[Any] =
+    if (dt == StringType) Some(v)
+    else scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType),
+      dt, Some(java.time.ZoneOffset.UTC.getId)).eval(null))
+      .toOption.flatMap(Option(_))
+
+  /** Compile parsed conjuncts against `df`'s schema into one AND chain. */
+  def compileConjuncts(
+      df: DataFrame, conjuncts: Seq[Conjunct]): Either[String, Column] = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val compiled = conjuncts.map { cj =>
+      fields.get(cj.column) match {
+        case None =>
+          Left(s"where column ${cj.column} is not a column of the result " +
+            s"(have: ${df.columns.sorted.mkString(", ")})")
+        case Some(_) if cj.isNull =>
+          Right(if (cj.op == "=") col(cj.column).isNull
+                else col(cj.column).isNotNull)
+        case Some(dt) =>
+          if (castLiteral(cj.value, dt).isEmpty)
+            Left(s"where literal '${cj.value}' does not parse as " +
+              s"${dt.simpleString} (column ${cj.column})")
+          else {
+            val l = lit(cj.value).cast(dt)
+            Right(cj.op match {
+              case "="  => col(cj.column) === l
+              case "!=" => col(cj.column) =!= l
+              case "<"  => col(cj.column) < l
+              case "<=" => col(cj.column) <= l
+              case ">"  => col(cj.column) > l
+              case ">=" => col(cj.column) >= l
+            })
+          }
+      }
+    }
+    compiled.collectFirst { case Left(m) => Left(m) }
+      .getOrElse(Right(compiled.map(_.toOption.get).reduce(_ && _)))
+  }
 
   /** Apply `columns`/`where` from the decoded query params to `df`.
     * Left(message) = 400. */
   def apply(df: DataFrame, q: Map[String, String]): Either[String, DataFrame] =
     for {
       filtered <- q.get("where").filter(_.nonEmpty) match {
-        case None    => Right(df)
-        case Some(w) => compileWhere(df, w).map(df.filter)
+        case None => Right(df)
+        case Some(w) =>
+          parseWhere(w).flatMap(compileConjuncts(df, _)).map(df.filter)
       }
       projected <- q.get("columns").filter(_.nonEmpty) match {
         case None => Right(filtered)
@@ -58,58 +131,4 @@ private[graft] object TableShape {
           else Right(filtered.select(want.map(col): _*))
       }
     } yield projected
-
-  private def compileWhere(df: DataFrame, w: String): Either[String, Column] = {
-    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val conjuncts = w.split(";").toSeq.filter(_.trim.nonEmpty)
-    if (conjuncts.isEmpty) return Left("where= must contain a predicate")
-    val compiled = conjuncts.map {
-      case Conjunct(c, op, rawV) =>
-        fields.get(c) match {
-          case None =>
-            Left(s"where column $c is not a column of the result " +
-              s"(have: ${df.columns.sorted.mkString(", ")})")
-          case Some(dt) =>
-            val v = if (rawV.length >= 2 && rawV.startsWith("'") &&
-                rawV.endsWith("'")) rawV.substring(1, rawV.length - 1)
-              else rawV
-            if (v.equalsIgnoreCase("null") &&
-                !(rawV.startsWith("'") && rawV.endsWith("'"))) op match {
-              case "="  => Right(col(c).isNull)
-              case "!=" => Right(col(c).isNotNull)
-              case _ => Left(s"$op null is not a predicate; use =null / !=null")
-            }
-            else {
-              // refuse uncastable literals LOUDLY on the driver: a silent
-              // cast-to-null comparison matches nothing and reads as an
-              // empty table
-              val castOk = scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.catalyst.expressions.Literal(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(v),
-                  org.apache.spark.sql.types.StringType),
-                dt, Some(java.time.ZoneOffset.UTC.getId)).eval(null)).toOption
-              if (castOk.flatMap(Option(_)).isEmpty && dt !=
-                  org.apache.spark.sql.types.StringType)
-                Left(s"where literal '$v' does not parse as ${dt.simpleString} " +
-                  s"(column $c)")
-              else {
-                val l = lit(v).cast(dt)
-                Right(op match {
-                  case "="  => col(c) === l
-                  case "!=" => col(c) =!= l
-                  case "<"  => col(c) < l
-                  case "<=" => col(c) <= l
-                  case ">"  => col(c) > l
-                  case ">=" => col(c) >= l
-                })
-              }
-            }
-        }
-      case other =>
-        Left(s"malformed where conjunct: '$other' (expected col OP value " +
-          "with OP in = != < <= > >=, conjuncts ;-separated)")
-    }
-    compiled.collectFirst { case Left(m) => Left(m) }
-      .getOrElse(Right(compiled.map(_.toOption.get).reduce(_ && _)))
-  }
 }

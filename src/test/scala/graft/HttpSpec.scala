@@ -696,6 +696,55 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("indexed serving: via=index routes bounds through the sidecars, " +
+      "refuses shapes it cannot prune") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httpidx").toString + "/t"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 64).map(i => (s"2026-08-0${i % 2 + 1}", i.toLong, i * 10.0))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    graft.core.StatsIndex.build(spark, t, "v")
+    graft.core.BloomIndex.build(spark, t, "k")
+    val api = newApi()
+    val pre = s"/table/data?table=${enc(t)}&partCol=day"
+    try {
+      // refusal matrix: no silent fallback to a full scan, ever
+      assert(get(api.port, s"$pre&via=index")._1 == 400)
+      assert(get(api.port, s"$pre&via=index&asOf=1&where=${enc("v>=100")}")._1 == 400,
+        "the sidecars serve the tip — time travel must refuse")
+      assert(get(api.port, s"$pre&via=scan&where=${enc("v>=100")}")._1 == 400)
+      val (uc, ub) = get(api.port, s"$pre&via=index&where=${enc("day=2026-08-01")}")
+      assert(uc == 400 && ub.asObj("message").str.contains("k"),
+        s"unindexed-only bounds must 400 and NAME the indexed columns: $ub")
+
+      // stats range: bounds admit through the sidecar, every conjunct
+      // (incl. the unindexed day) re-applies exactly
+      val (rc, rb) = get(api.port, s"$pre&via=index" +
+        s"&where=${enc("v>=100;v<=200;day=2026-08-01")}&orderBy=k&limit=100")
+      assert(rc == 200, s"got $rc $rb")
+      assert(rb.asObj("via").str == "index")
+      val served = (rb.asObj("data") match {
+        case JArr(r) => r.map(_.asObj); case _ => fail()
+      }).map(r => r("k").asInstanceOf[JNum].v.toLong)
+      val expect = graft.batch.Upsert.readCommitted(spark, t, "day")
+        .filter($"v" >= 100 && $"v" <= 200 && $"day" === "2026-08-01")
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(served == expect && served.nonEmpty,
+        s"indexed page ≡ committed filter: $served vs $expect")
+
+      // bloom equality (k has no stats sidecar): point page ≡ committed
+      val (pc, pb) = get(api.port, s"$pre&via=index&where=${enc("k=7")}" +
+        "&columns=day,v&orderBy=v&limit=10")
+      assert(pc == 200, s"got $pc $pb")
+      val pRows = pb.asObj("data") match {
+        case JArr(r) => r.map(_.asObj); case _ => fail()
+      }
+      assert(pRows.map(r => (r("day").str, r("v").asInstanceOf[JNum].v.toDouble))
+        == Vector(("2026-08-02", 70.0)))
+    } finally api.stop()
+  }
+
   test("shape hints compile to pushed parquet predicates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("shapeplan").toString + "/t"
