@@ -1527,11 +1527,24 @@ object Upsert {
       table: String,
       column: String,
       lo: Option[Any],
-      hi: Option[Any]): DataFrame = {
+      hi: Option[Any]): DataFrame =
+    rangeLookupAll(spark, table, Seq((column, lo, hi)))
+
+  /** Composite AND-of-ranges twin of [[rangeLookup]]: each probe consults
+    * its column's OWN stats sidecar and the admitted file sets INTERSECT
+    * before any file is scheduled ([[graft.core.StatsIndex.rangeScanAll]]
+    * — on a table clustered by two keys, files(a AND b) ≤ min(files(a),
+    * files(b)), never the union), then pending deletion vectors are
+    * subtracted once over the composite-pruned frame. */
+  def rangeLookupAll(
+      spark: SparkSession,
+      table: String,
+      probes: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
     // stats sidecars are keyed by PHYSICAL column name, like bloom's
     val colMap = ColumnMapping.mapping(spark, table)
-    val (raw, _, _) = graft.core.StatsIndex.rangeScan(spark, table,
-      ColumnMapping.physicalName(colMap, column), lo, hi)
+    val (raw, _, _) = graft.core.StatsIndex.rangeScanAll(spark, table,
+      probes.map { case (c, lo, hi) =>
+        (ColumnMapping.physicalName(colMap, c), lo, hi) })
     val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
     ColumnMapping.applyLogical(DeletionVectors.applyTo(raw, dv), colMap)

@@ -536,12 +536,13 @@ final class HttpApi(
     * and serves only the tip — the route refuses to let that substitution
     * happen silently based on whether someone built an index.
     *
-    * Admission takes the FIRST `where` conjunct whose column carries a
-    * stats sidecar (closed-bound approximation of its op; every other
-    * conjunct — including stricter bounds on the same column — re-applies
-    * as an exact pushed filter on the pruned frame), else the first
-    * EQUALITY conjunct on a bloom-indexed column. No indexed conjunct →
-    * 400 naming the indexed columns, never a silent full scan. */
+    * Admission takes EVERY `where` conjunct whose column carries a stats
+    * sidecar as a composite probe ([[graft.batch.Upsert.rangeLookupAll]]
+    * — admitted sets intersect, closed-bound approximation of each op;
+    * every conjunct then re-applies as an exact pushed filter on the
+    * pruned frame), else the first EQUALITY conjunct on a bloom-indexed
+    * column. No indexed conjunct → 400 naming the indexed columns, never
+    * a silent full scan. */
   private def indexedData(
       ex: HttpExchange, table: String, q: Map[String, String],
       limit: Int, offset: Int): Unit = {
@@ -560,34 +561,37 @@ final class HttpApi(
     val statsCols = graft.core.StatsIndex.indexedColumns(spark, table).toSet
     val bloomCols = graft.core.BloomIndex.indexedColumns(spark, table).toSet
     val bounded = conjs.filter(c => !c.isNull && c.op != "!=")
-    val statsPick = bounded.find(c => statsCols.contains(phys(c.column)))
+    val statsConjs = bounded.filter(c => statsCols.contains(phys(c.column)))
     val bloomPick = bounded.find(c =>
       c.op == "=" && bloomCols.contains(phys(c.column)))
-    val base = (statsPick, bloomPick) match {
-      case (Some(cj), _) =>
-        // typed bound for the sidecar compare; the exact (possibly strict)
-        // predicate re-applies below, so the closed range only ADMITS
-        val committed = graft.batch.Upsert.readCommitted(spark, table,
-          q.getOrElse("partCol", ""))
-        committed.schema.fields.find(_.name == cj.column)
-          .map(_.dataType)
-          .flatMap(dt => TableShape.castLiteral(cj.value, dt)) match {
-          case None =>
-            reply(ex, 400, err("INVALID_REQUEST",
-              s"where literal '${cj.value}' does not parse as column " +
-                s"${cj.column}'s type"))
-            return
-          case Some(v) =>
-            val (lo, hi) = cj.op match {
-              case "="        => (Some(v), Some(v))
-              case ">" | ">=" => (Some(v), None)
-              case _          => (None, Some(v))
+    val base = (statsConjs, bloomPick) match {
+      case (cs, _) if cs.nonEmpty =>
+        // typed bounds for the sidecar compares; the exact (possibly
+        // strict) predicates re-apply below, so the closed ranges only
+        // ADMIT. Every stats-indexed conjunct becomes a probe — the
+        // admitted sets INTERSECT (files(a AND b) ≤ min, never the union).
+        val fields = graft.batch.Upsert.readCommitted(spark, table,
+          q.getOrElse("partCol", "")).schema.fields
+          .map(f => f.name -> f.dataType).toMap
+        val probes = cs.map { cj =>
+          fields.get(cj.column)
+            .flatMap(dt => TableShape.castLiteral(cj.value, dt)) match {
+            case None =>
+              reply(ex, 400, err("INVALID_REQUEST",
+                s"where literal '${cj.value}' does not parse as column " +
+                  s"${cj.column}'s type"))
+              return
+            case Some(v) => cj.op match {
+              case "="        => (cj.column, Some(v), Some(v))
+              case ">" | ">=" => (cj.column, Some(v), None)
+              case _          => (cj.column, None, Some(v))
             }
-            graft.batch.Upsert.rangeLookup(spark, table, cj.column, lo, hi)
+          }
         }
-      case (None, Some(cj)) =>
+        graft.batch.Upsert.rangeLookupAll(spark, table, probes)
+      case (_, Some(cj)) =>
         graft.batch.Upsert.pointLookup(spark, table, cj.column, cj.value)
-      case (None, None) =>
+      case _ =>
         val have = (statsCols ++ bloomCols).toSeq.sorted
         reply(ex, 400, err("INVALID_REQUEST",
           "via=index needs a where conjunct on an indexed column " +
