@@ -110,6 +110,32 @@ object SimilarityQueries extends QueryModule {
         col("cosine"), col("rank"))
   }
 
+  /** FILTERED top-5 — metadata-constrained ANN, the shape every deployed
+    * vector system serves ("top-k among rows WHERE …"): the corpus
+    * PRE-filters on the predicate before any distance math. Pre-filtering
+    * is the correct default — post-filtering a plain top-k under-fills
+    * whenever the predicate is selective (k survivors of 5 is luck, not a
+    * contract) — and it is also the 100 TB plan: the predicate rides the
+    * same scan that feeds the distance calc, so parquet pushdown /
+    * partition dirs / stats-bloom sidecars cut BOTH the IO and the
+    * O(probes × corpus) dot products by the selectivity factor. Composes
+    * unchanged with the bucketed/indexed variants (filter the candidate
+    * side before scoring). */
+  def topkFiltered(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val probes = q.filter(col("vec_id") < 20)
+    val corpus = q.filter(col("label") % 2 === 1)
+    val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("cosine"), col("b.vec_id"))
+    probes.as("a")
+      .join(corpus.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("dot", expr("graft_dot(a.qv, b.qv)"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("b.label").as("neighbor_label"), col("cosine"), col("rank"))
+  }
+
   /** LSH top-5: candidates restricted to the probe's bucket. */
   def topkLsh(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d).withColumn("bucket", expr(bucketExpr))
@@ -701,6 +727,7 @@ object SimilarityQueries extends QueryModule {
     "sim_ivf_clustered_recall" -> (ivfClusteredRecall _),
     "sim_topk_lsh_multi" -> (topkLshMulti _),
     "sim_topk_brute" -> (topkBrute _),
+    "sim_topk_filtered" -> (topkFiltered _),
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
     "sim_topk_ivf_indexed" -> ((s: SparkSession, d: String) => {
@@ -1179,6 +1206,18 @@ object SimilarityQueries extends QueryModule {
                      ORDER BY cosine DESC, neighbor_id) AS rank
          FROM scored)
        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+    "sim_topk_filtered" -> s"""WITH $qCte,
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                b.label AS neighbor_label, $cosSql AS cosine
+         FROM n a JOIN n b
+           ON a.vec_id < 20 AND a.vec_id <> b.vec_id AND b.label % 2 = 1),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+       FROM ranked WHERE rank <= 5""",
     "sim_topk_lsh" -> s"""WITH $qCte,
        bucketed AS (SELECT vec_id, qv, nrm, $sqlBucket AS bucket FROM n),
        scored AS (
