@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -328,6 +328,15 @@ object SimilarityQueries extends QueryModule {
   def topkIvf(s: SparkSession, d: String): DataFrame =
     topkIvfWithMargin(s, d, IvfProbeMargin)._1
 
+  /** Filtered ANN through the IVF probe — [[topkFiltered]]'s predicate
+    * composed with cell pruning: candidates restricted to `label % 2 = 1`
+    * AFTER assignment, so the scan reads only matching rows of only
+    * probed cells (selectivity × cell fraction of the corpus), while the
+    * trained geometry stays predicate-independent. */
+  def topkIvfFiltered(s: SparkSession, d: String): DataFrame =
+    ivfProbeCore(quantized(s, d), broadcast(ivfCentroids(s, d)),
+      IvfNprobe, IvfProbeMargin, col("a.label") % 2 === 1)._1
+
   private[graft] def topkIvfWithMargin(
       s: SparkSession, d: String, margin: Double): (DataFrame, DataFrame) =
     ivfProbeCore(quantized(s, d), broadcast(ivfCentroids(s, d)), IvfNprobe, margin)
@@ -335,10 +344,15 @@ object SimilarityQueries extends QueryModule {
   /** Shared IVF probe core over any (vec_id, qv, nrm) corpus and trained
     * centroid set, (nprobe, margin)-parameterized for the recall/scan
     * trade-off measurements. Returns (top-5, candidate set) — the candidate
-    * set sizes the scan fraction. */
+    * set sizes the scan fraction. `candidateFilter` (over the corpus
+    * alias `a`) restricts the CANDIDATE side only — filtered ANN: cell
+    * training and probe-cell selection see the full corpus (the geometry
+    * must not shift with the predicate), excluded rows are simply never
+    * scanned or scored. */
   private[graft] def ivfProbeCore(
       q: DataFrame, cent: DataFrame,
-      nprobe: Int, margin: Double): (DataFrame, DataFrame) = {
+      nprobe: Int, margin: Double,
+      candidateFilter: Column = lit(true)): (DataFrame, DataFrame) = {
     val scored = q.as("a").join(cent)
       .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))
       .withColumn("ccos", col("cdot").cast("double") /
@@ -353,7 +367,7 @@ object SimilarityQueries extends QueryModule {
     // queries the fixed-nprobe scheme fails.
     val ranked = scored.withColumn("crk", row_number().over(wAssign))
       .withColumn("cbest", max("ccos").over(wBest))
-    val assign = ranked.filter(col("crk") === 1)
+    val assign = ranked.filter(col("crk") === 1 && candidateFilter)
       .select(col("a.vec_id").as("vec_id"), col("cid").as("cell"),
         col("a.qv").as("qv"), col("a.nrm").as("nrm"))
     val probeCells = ranked.filter(col("a.vec_id") < 20 &&
@@ -730,6 +744,7 @@ object SimilarityQueries extends QueryModule {
     "sim_topk_filtered" -> (topkFiltered _),
     "sim_topk_lsh" -> (topkLsh _),
     "sim_topk_ivf" -> (topkIvf _),
+    "sim_topk_ivf_filtered" -> (topkIvfFiltered _),
     "sim_topk_ivf_indexed" -> ((s: SparkSession, d: String) => {
       // probe through the persisted cell-partitioned index (built once per
       // corpus state via the fingerprint memo — repeated invocations reuse
@@ -1245,6 +1260,37 @@ object SimilarityQueries extends QueryModule {
        assign AS (
          SELECT r.vec_id, r.cid AS cell, n.qv, n.nrm
          FROM ranked r JOIN n USING (vec_id) WHERE crk = 1),
+       probecells AS (
+         SELECT r.vec_id AS query_id, r.cid AS cell, n.qv AS pqv, n.nrm AS pnrm
+         FROM ranked r JOIN n USING (vec_id)
+         WHERE r.vec_id < 20
+           AND (crk <= $IvfNprobe OR ccos >= cbest - $IvfProbeMargin)),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id, p.cell,
+           CAST(list_sum(list_transform(range(1, len(p.pqv) + 1), i -> p.pqv[i] * a.qv[i])) AS DOUBLE) /
+             (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE))) AS cosine
+         FROM probecells p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id <> p.query_id),
+       topk AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM cand)
+       SELECT query_id, neighbor_id, cell, cosine, rank FROM topk WHERE rank <= 5""",
+    "sim_topk_ivf_filtered" -> s"""WITH $qCte,
+       $sqlCentChain,
+       scored AS (
+         SELECT a.vec_id, cid,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * cqv[i])) AS DOUBLE) /
+             (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(cnrm AS DOUBLE))) AS ccos
+         FROM n a CROSS JOIN cent),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY ccos DESC, cid) AS crk,
+                MAX(ccos) OVER (PARTITION BY vec_id) AS cbest
+         FROM scored),
+       assign AS (
+         SELECT r.vec_id, r.cid AS cell, n.qv, n.nrm
+         FROM ranked r JOIN n USING (vec_id) WHERE crk = 1 AND n.label % 2 = 1),
        probecells AS (
          SELECT r.vec_id AS query_id, r.cid AS cell, n.qv AS pqv, n.nrm AS pnrm
          FROM ranked r JOIN n USING (vec_id)
