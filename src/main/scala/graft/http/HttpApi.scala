@@ -669,7 +669,11 @@ final class HttpApi(
     * reach the driver. Keyset form (`after` + `orderBy`): pushed seek
     * filter + TakeOrderedAndProject, constant cost at any depth, echoes
     * `nextAfter`. Offset form: total order over `orderBy` (or every
-    * column), `offset(...).limit(...)`. */
+    * column), `offset(...).limit(...)`. `order=desc` flips the walk —
+    * the "latest N first" serving shape (an ops console tails a table by
+    * timestamp without paging from the beginning of time); the keyset
+    * seek then filters `< after` and the pushed predicate prunes from the
+    * other end of the clustered layout. */
   private def servePage(
       ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
       limit: Int, offset: Int,
@@ -683,6 +687,15 @@ final class HttpApi(
           s"(have: ${df.columns.sorted.mkString(", ")})"))
       return
     }
+    val desc = query(ex).get("order") match {
+      case None | Some("asc") => false
+      case Some("desc")       => true
+      case Some(other) =>
+        reply(ex, 400, err("INVALID_REQUEST",
+          s"order=$other is not a direction (asc or desc)"))
+        return
+    }
+    def dir(c: org.apache.spark.sql.Column) = if (desc) c.desc else c.asc
     after match {
       case Some(a) =>
         orderBy match {
@@ -690,7 +703,8 @@ final class HttpApi(
             reply(ex, 400, err("INVALID_REQUEST",
               "after=<key> (keyset paging) requires orderBy=<col>"))
           case Some(ob) =>
-            val page = df.filter(col(ob) > a).orderBy(col(ob)).limit(limit)
+            val seek = if (desc) col(ob) < a else col(ob) > a
+            val page = df.filter(seek).orderBy(dir(col(ob))).limit(limit)
             val rows = page.toJSON.collect().toVector.map(Json.parse)
             val nextAfter = rows.lastOption.flatMap(_.asObj.get(ob)).map {
               case JStr(s) => s
@@ -704,7 +718,8 @@ final class HttpApi(
         }
       case None =>
         val ordCols = orderBy.map(Seq(_)).getOrElse(df.columns.toSeq.sorted)
-        val page = df.orderBy(ordCols.map(col): _*).offset(offset).limit(limit)
+        val page = df.orderBy(ordCols.map(c => dir(col(c))): _*)
+          .offset(offset).limit(limit)
         val rows = page.toJSON.collect().toVector.map(Json.parse)
         reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
           "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),

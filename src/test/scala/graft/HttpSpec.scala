@@ -587,6 +587,22 @@ class HttpSpec extends SparkSpec {
       assert(servedChanges.contains((2L, 2.0, "delete")) &&
         servedChanges.contains((2L, 99.0, "insert")) &&
         servedChanges.contains((100L, 100.0, "insert")))
+
+      // order=desc: the "latest N first" walk — offset first page, then
+      // keyset seek DOWN from its last key; bogus directions are 400s
+      val (d1, db1) = get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&orderBy=k&order=desc&limit=2")
+      assert(d1 == 200)
+      val dRows1 = db1.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(dRows1.map(_("k").asInstanceOf[JNum].v.toLong) == Vector(100L, 30L))
+      val (d2, db2) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        "&orderBy=k&order=desc&limit=2&after=30")
+      assert(d2 == 200)
+      val dRows2 = db2.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(dRows2.map(_("k").asInstanceOf[JNum].v.toLong) == Vector(29L, 28L))
+      assert(db2.asObj("page").asObj("nextAfter").str == "28")
+      assert(get(api.port,
+        s"/table/data?table=${enc(t)}&partCol=day&orderBy=k&order=sideways")._1 == 400)
     } finally api.stop()
   }
 
