@@ -756,7 +756,49 @@ object Upsert {
           s"(oldest retained commit is v$floor) — the snapshot is no longer " +
           "reconstructible")
     }
-    resolveSnapshot(spark, table, version, partCol, all)._1
+    // Stability loop — the SAME discipline as readCommitted's, for the
+    // same TOCTOU: a partition can resolve LIVE as the pre-image of an
+    // unclosed begin (no retain landed yet), and the live dir's file
+    // LISTING is deferred to the action. If the writer's install lands in
+    // between, the scan silently reads the POST-image — at `version` the
+    // snapshot then shows a future commit's rows (caught in the wild by
+    // ChangeFeedSpec's feed-race hammer: readAsOf(tip-at-a-begin) served
+    // the in-flight merge's result). Re-resolve until no ambiguous
+    // resolution's generation has appeared and no new commit has touched
+    // a live-resolved partition; after a writer lands, re-resolution
+    // routes the partition through its retained generation (immutable).
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val maxAttempts = 80
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val commits =
+          if (attempt == 1) all else TxnLog.commitsSince(spark, table, 0L)
+        val (df, liveResolved, ambiguous) =
+          resolveSnapshot(spark, table, version, partCol, commits,
+            pinLiveFiles = true)
+        val ambiguousStable = ambiguous.forall { case (gen, marker) =>
+          !fs.exists(new org.apache.hadoop.fs.Path(gen)) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(marker))
+        }
+        val tipNow = commits.lastOption.map(_.version).getOrElse(0L)
+        val newTouches = TxnLog.commitsSince(spark, table, tipNow)
+          .exists(c => c.all || c.partitions.exists(liveResolved))
+        if (ambiguousStable && !newTouches) return df
+        Thread.sleep(math.min(25L * attempt, 400L))
+      } catch {
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
+          lastErr = e
+          Thread.sleep(math.min(25L * attempt, 400L))
+      }
+    }
+    throw new IllegalStateException(
+      s"readAsOf: $table did not yield a stable v$version snapshot in " +
+        s"$maxAttempts attempts (last error attached — a persistent " +
+        "failure here is a broken table, not contention)", lastErr)
   }
 
   /** DESCRIBE HISTORY analog (Delta `DESCRIBE HISTORY <table>`): the
@@ -1104,7 +1146,8 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String,
-      all: Seq[TxnLog.Commit]): (DataFrame, Set[String], Seq[(String, String)]) = {
+      all: Seq[TxnLog.Commit],
+      pinLiveFiles: Boolean = false): (DataFrame, Set[String], Seq[(String, String)]) = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val liveDirs = fs.listStatus(root)
@@ -1117,7 +1160,7 @@ object Upsert {
     // below the union). None — the common case — costs nothing.
     val dv = DeletionVectors.pairsAsOf(spark, table, version, all)
     val reads = Seq.newBuilder[DataFrame]
-    if (live.nonEmpty)
+    if (live.nonEmpty) {
       // dir-scoped, not whole-table-plus-filter: the mergeSchema union
       // must cover only the partitions this snapshot resolves LIVE, so a
       // version predating a schema-evolving merge reads back its exact
@@ -1125,10 +1168,33 @@ object Upsert {
       // partitions' new columns, null-filled, into every older snapshot).
       // IO is the same — mounting only the live dirs IS the partition
       // pruning the isin filter used to request.
-      reads += DeletionVectors.applyTo(
-        spark.read.option("mergeSchema", "true").option("basePath", table)
-          .parquet(live.map(v => s"$table/$partCol=${escape(v)}"): _*)
-          .filter(col(partCol).cast("string").isin(live: _*)), dv)
+      //
+      // `pinLiveFiles` (the time-travel path): mount the live partitions'
+      // FILE paths, listed HERE, not their dirs. A dir-mounted read defers
+      // the listing to the action — if a later writer's install lands in
+      // between, the scan silently lists the POST-image files and the
+      // "snapshot at v" contains a future commit's rows. Pinned paths make
+      // that race LOUD instead: the install renames the pinned files into
+      // the history generation, the scan hits missing files, the reader
+      // retries — the documented live-race contract. readCommitted keeps
+      // dir mounting (its stability loop + ms-scale plan-listing window
+      // keep the exposure to "a newer committed state", which reading the
+      // tip tolerates; per-file stats on the hot path would not scale).
+      val mounts =
+        if (!pinLiveFiles) live.map(v => s"$table/$partCol=${escape(v)}")
+        else live.flatMap { v =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(
+              s"$table/$partCol=${escape(v)}"))
+            .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+              !st.getPath.getName.startsWith("_"))
+            .map(_.getPath.toString).toSeq
+        }
+      if (mounts.nonEmpty)
+        reads += DeletionVectors.applyTo(
+          spark.read.option("mergeSchema", "true").option("basePath", table)
+            .parquet(mounts: _*)
+            .filter(col(partCol).cast("string").isin(live: _*)), dv)
+    }
     r.fromHistory.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
       val base = s"$table/$HistoryDir/v$begin"
       reads += DeletionVectors.applyTo(

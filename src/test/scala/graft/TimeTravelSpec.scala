@@ -27,6 +27,33 @@ class TimeTravelSpec extends SparkSpec {
       .select("day", "k", "v").as[(String, String, Double)].collect().toSet
   }
 
+  test("a v-pinned plan executed after a later merge is loud or exact — " +
+      "never the future commit's rows") {
+    import spark.implicits._
+    val table = tmp("tt-race") + "/t"
+    Upsert.mergeByKey(spark, table,
+      Seq(("w1", "k0", 0.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val v1 = TxnLog.currentVersion(spark, table)
+    // plan the snapshot NOW, execute only after the next merge lands —
+    // the deterministic form of the feed-race hammer's wild catch: a
+    // dir-mounted live read defers its file listing to the action, so the
+    // install that happens in between used to serve v2's rows under v1's
+    // name. With resolution-time file pinning the stale plan either still
+    // reads the pinned pre-image or fails LOUDLY on the renamed files.
+    val pinned = Upsert.readAsOf(spark, table, v1, "day")
+    Upsert.mergeByKey(spark, table,
+      Seq(("w1", "k0", 4.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    scala.util.Try(pinned.select("v").as[Double].collect().toSet) match {
+      case scala.util.Success(vs) =>
+        assert(vs == Set(0.0), s"a v$v1 plan served the future: $vs")
+      case scala.util.Failure(_) => () // loud retryable race — the contract
+    }
+    // a fresh resolution reconstructs v1 exactly (retained generation)
+    assert(stateAsOf(table, v1) == Set(("w1", "k0", 0.0)))
+    assert(stateAsOf(table, TxnLog.currentVersion(spark, table)) ==
+      Set(("w1", "k0", 4.0)))
+  }
+
   test("readAsOf reconstructs every committed version; plain read = latest") {
     import spark.implicits._
     val table = tmp("tt")
