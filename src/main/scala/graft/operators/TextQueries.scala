@@ -437,8 +437,43 @@ object TextQueries extends QueryModule {
         min(md5(col("redacted"))).as("sample_hash"))
   }
 
+  /** Length-bucketed batching accounting — the padding-waste budget of
+    * inference/training batching: group documents into power-of-2 token
+    * buckets (the standard bucketed-batching scheme; every doc in a batch
+    * pads to the bucket's capacity), report per bucket how many tokens are
+    * real vs padding. The whole computation is one scan + one
+    * |buckets|-row aggregation — `ceil(log2(n))` via integer bit math, no
+    * UDF — so at 100 TB the cost is the corpus read. `pad_ratio` is the
+    * number a pipeline owner actually tunes bucket boundaries against. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("cap", expr(capCaseSql))
+      .groupBy("cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("real_tokens"),
+        (sum(col("cap")) - sum(col("n_toks"))).as("pad_tokens"),
+        ((sum(col("cap")) - sum(col("n_toks"))).cast("double") /
+          sum(col("cap")).cast("double")).as("pad_ratio"))
+
+  /** Power-of-2 bucket capacities, 16 … 2^24. The capacity expression is
+    * an exact integer CASE chain shared verbatim with the oracle —
+    * `2^ceil(log2(n))` float math rounds differently across engines at
+    * exact powers (log2(8) can land a hair above 3.0), and a one-bucket
+    * disagreement is a hash mismatch. Docs beyond the last bucket keep
+    * their own length as capacity (pad 0) — at that size you batch alone
+    * anyway. */
+  private val capCaseSql: String =
+    "CAST(CASE " +
+      (4 to 24).map(b => s"WHEN n_toks <= ${1L << b} THEN ${1L << b}")
+        .mkString(" ") +
+      " ELSE n_toks END AS BIGINT)"
+
   val queries: Map[String, Q] = Map(
     "txt_redact_pii" -> (redactPii _),
+    "txt_length_buckets" -> (lengthBuckets _),
     "txt_repetition" -> (repetition _),
     "txt_contamination" -> (contamination _),
     "txt_clean_pipeline" -> (cleanPipeline _),
@@ -579,6 +614,18 @@ object TextQueries extends QueryModule {
         COUNT(DISTINCT md5(redacted)) AS distinct_redacted,
         MIN(md5(redacted)) AS sample_hash
       FROM red GROUP BY 1""",
+    "txt_length_buckets" -> s"""$cte,
+      sized AS (
+        SELECT CAST(len(toks) AS BIGINT) AS n_toks FROM docs
+        WHERE len(toks) > 0),
+      capped AS (SELECT n_toks, $capCaseSql AS cap FROM sized)
+      SELECT cap,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+        CAST(SUM(cap) - SUM(n_toks) AS BIGINT) AS pad_tokens,
+        (CAST(SUM(cap) - SUM(n_toks) AS DOUBLE) / CAST(SUM(cap) AS DOUBLE))
+          AS pad_ratio
+      FROM capped GROUP BY 1""",
     "txt_pack_sequences" -> packSql,
     // the sharded two-phase offsets are output-identical by construction —
     // the ONE oracle text checks both computations against the same answer

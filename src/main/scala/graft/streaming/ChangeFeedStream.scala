@@ -158,8 +158,9 @@ object ChangeFeedStream {
       keyCols: Seq[String],
       mirrorTable: String,
       checkpointDir: String,
-      appId: String = "cdf-mirror"): Int =
-    drain(spark, table, partCol, checkpointDir) { (changes, _, to) =>
+      appId: String = "cdf-mirror",
+      maxCommitsPerBatch: Int = Int.MaxValue): Int =
+    drain(spark, table, partCol, checkpointDir, maxCommitsPerBatch) { (changes, _, to) =>
       applyMirrorBatch(spark, partCol, keyCols, mirrorTable, appId)(changes, to)
     }
 
