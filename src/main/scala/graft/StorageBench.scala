@@ -147,6 +147,31 @@ object StorageBench {
       require(Upsert.cloneTo(spark, table, s"$root/clone", "day") > 0)
     }
 
+    // SERVING: the one-distributed-page discipline of the HTTP table
+    // routes, measured at the plan level (the socket adds microseconds;
+    // the claim under test is the page's plan shape) — an offset page
+    // deep in the total order, the keyset form of the same depth (seek
+    // pushed to the scan, constant cost at any depth), and an indexed
+    // page (stats-sidecar admission + exact filter, O(admitting files))
+    val tServeOffset = time {
+      require(Upsert.readCommitted(spark, table, "day")
+        .orderBy(col("k")).offset(rowsPerPartition / 4).limit(100)
+        .toJSON.collect().length == 100)
+    }
+    val tServeKeyset = time {
+      require(Upsert.readCommitted(spark, table, "day")
+        .filter(col("k") > s"k${rowsPerPartition / 4}")
+        .orderBy(col("k")).limit(100)
+        .toJSON.collect().length == 100)
+    }
+    val tServeIndexed = time {
+      require(Upsert.rangeLookup(spark, table, "v",
+          Some(1.0), Some(rowsPerPartition.toDouble))
+        .filter(col("v") >= 1.0 && col("v") <= rowsPerPartition.toDouble)
+        .orderBy(col("v")).limit(100)
+        .toJSON.collect().length == 100)
+    }
+
     // best-effort cleanup; timings are already taken
     scala.util.Try {
       def rm(f: java.io.File): Unit = {
@@ -165,7 +190,10 @@ object StorageBench {
       "storage_stats_scan" -> tStatsScan,
       "storage_merge_indexed" -> tMergeIndexed,
       "storage_restore" -> tRestore,
-      "storage_clone" -> tClone)
+      "storage_clone" -> tClone,
+      "storage_serve_offset" -> tServeOffset,
+      "storage_serve_keyset" -> tServeKeyset,
+      "storage_serve_indexed" -> tServeIndexed)
   }
 
   /** Standalone entry (`runMain graft.StorageBench [repeats]`): the
