@@ -142,6 +142,51 @@ class AutoMergeSpec extends SparkSpec {
       .select("region").head.getString(0) == "eu")
   }
 
+  test("the table tail crosses a widening commit: appended rows carry the " +
+      "new column, earlier batches replayed after it null-fill") {
+    import spark.implicits._
+    val t = tmp("automerge-tail") + "/t"
+    val ckpt = tmp("automerge-tail-ckpt")
+    seed(t)
+    // drain the pre-widening state through the tail
+    val cols0 = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    graft.streaming.TableTailStream.drain(spark, t, "day", ckpt) { (b, _, _) =>
+      cols0 += b.columns.toSeq.sorted
+    }
+    assert(cols0.flatten.toSet == Set("day", "k", "v"))
+    // a widening APPEND-only merge (fresh keys — the tail must not refuse)
+    withAutoMerge {
+      Upsert.mergeByKey(spark, t,
+        Seq(("2026-05-01", 100L, 100.0, "eu"), ("2026-05-02", 101L, 101.0, "us"))
+          .toDF("day", "k", "v", "region"),
+        "day", Seq("k"))
+    }
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Option[String])]
+    graft.streaming.TableTailStream.drain(spark, t, "day", ckpt) { (b, _, _) =>
+      assert(b.columns.contains("region"),
+        s"post-widening batches carry the new column: ${b.columns.mkString(",")}")
+      emitted ++= b.select("k", "v", "region")
+        .as[(Long, Double, Option[String])].collect()
+    }
+    assert(emitted.toSet == Set((100L, 100.0, Some("eu")),
+      (101L, 101.0, Some("us"))),
+      s"the widening commit's appends flow with their values: $emitted")
+    // a FRESH checkpoint replays the whole history — pre-widening commits
+    // must null-fill the new column, not refuse the union
+    val ckpt2 = tmp("automerge-tail-ckpt2")
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[String])]
+    graft.streaming.TableTailStream.drain(spark, t, "day", ckpt2) { (b, _, _) =>
+      if (b.columns.contains("region"))
+        all ++= b.select("k", "region").as[(Long, Option[String])].collect()
+      else all ++= b.select("k").as[Long].collect().map(_ -> None)
+    }
+    assert(all.size == 42 && all.count(_._2.isDefined) == 2,
+      s"full replay: 40 null-filled + 2 widened, got ${all.size} / " +
+        s"${all.count(_._2.isDefined)}")
+  }
+
   test("refusals: key columns never widen; type conflicts are loud; " +
       "generated/constraint interplay") {
     import spark.implicits._

@@ -761,6 +761,31 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("an indexed page plans as TakeOrderedAndProject over only admitted files") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("idxpageplan").toString + "/t"
+    // range-clustered layout: each of 16 files owns a narrow v slice, so
+    // a selective range admits few files and the page's top-k rides them
+    (1 to 64000).map(i => (s"2026-09-0${i % 2 + 1}", i.toLong, i * 1.0))
+      .toDF("day", "k", "v")
+      .repartitionByRange(16, $"v").sortWithinPartitions($"v")
+      .write.parquet(t)
+    graft.core.StatsIndex.build(spark, t, "v")
+    val (_, candidates, skipped) = graft.core.StatsIndex.rangeScan(
+      spark, t, "v", Some(1000.0), Some(3000.0))
+    assert(candidates.size <= 4 && skipped.size >= 12,
+      s"selective range must admit few of 16 files: ${candidates.size}")
+    val page = graft.batch.Upsert.rangeLookup(
+        spark, t, "v", Some(1000.0), Some(3000.0))
+      .filter($"v" >= 1000.0 && $"v" <= 3000.0)
+      .orderBy($"v").limit(50)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the page must stay one distributed top-k:\n$plan")
+    assert(page.select("v").as[Double].collect().toSeq ==
+      (1000 to 1049).map(_.toDouble))
+  }
+
   test("shape hints compile to pushed parquet predicates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("shapeplan").toString + "/t"
