@@ -560,7 +560,11 @@ final class HttpApi(
     def phys(c: String) = graft.batch.ColumnMapping.physicalName(colMap, c)
     val statsCols = graft.core.StatsIndex.indexedColumns(spark, table).toSet
     val bloomCols = graft.core.BloomIndex.indexedColumns(spark, table).toSet
-    val bounded = conjs.filter(c => !c.isNull && c.op != "!=")
+    // IN-lists (unquoted `|` alternatives) post-filter but are not probe
+    // candidates: a multi-value equality is neither one range nor one
+    // bloom key
+    val bounded = conjs.filter(c => !c.isNull && c.op != "!=" &&
+      !(!c.quoted && c.value.contains("|")))
     val statsConjs = bounded.filter(c => statsCols.contains(phys(c.column)))
     val bloomPick = bounded.find(c =>
       c.op == "=" && bloomCols.contains(phys(c.column)))

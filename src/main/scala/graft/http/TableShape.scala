@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{DataType, StringType}
   *   where=day=2026-01-01;k>5 `;`-separated conjuncts, AND semantics
   *
   * Each conjunct is `col OP literal` with OP one of `= != <= >= < >`;
-  * literals may be single-quoted (quotes stripped), and the bare literal
-  * `null` turns `=`/`!=` into IS NULL / IS NOT NULL. Literals are cast to
+  * literals may be single-quoted (quotes stripped), the bare literal
+  * `null` turns `=`/`!=` into IS NULL / IS NOT NULL, and an unquoted
+  * `=`/`!=` literal with `|` alternatives (`day=2026-01-01|2026-01-02`)
+  * compiles to a pushed In / Not(In) — the Delta Sharing hint set's
+  * IN-list. Literals are cast to
   * the COLUMN's schema type — a plain `col(c) op lit(v).cast(t)`
   * comparison on a scan attribute, which Spark's parquet source pushes to
   * footers and the engine's partition-dir + stats/bloom sidecar pruning
@@ -38,9 +41,11 @@ import org.apache.spark.sql.types.{DataType, StringType}
 private[graft] object TableShape {
 
   /** One parsed `col OP value` conjunct; `isNull` marks the bare `null`
-    * literal form (`value` then holds "null"). */
+    * literal form (`value` then holds "null"); `quoted` records that the
+    * literal arrived single-quoted (so `|` inside it is a character, not
+    * the IN-list separator). */
   final case class Conjunct(column: String, op: String, value: String,
-      isNull: Boolean)
+      isNull: Boolean, quoted: Boolean = false)
 
   private val ConjunctRe =
     """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(!=|<=|>=|=|<|>)\s*(.*?)\s*$""".r
@@ -56,7 +61,7 @@ private[graft] object TableShape {
         val isNull = !quoted && v.equalsIgnoreCase("null")
         if (isNull && op != "=" && op != "!=")
           Left(s"$op null is not a predicate; use =null / !=null")
-        else Right(Conjunct(c, op, v, isNull))
+        else Right(Conjunct(c, op, v, isNull, quoted))
       case other =>
         Left(s"malformed where conjunct: '$other' (expected col OP value " +
           "with OP in = != < <= > >=, conjuncts ;-separated)")
@@ -89,19 +94,34 @@ private[graft] object TableShape {
           Right(if (cj.op == "=") col(cj.column).isNull
                 else col(cj.column).isNotNull)
         case Some(dt) =>
-          if (castLiteral(cj.value, dt).isEmpty)
-            Left(s"where literal '${cj.value}' does not parse as " +
-              s"${dt.simpleString} (column ${cj.column})")
-          else {
-            val l = lit(cj.value).cast(dt)
-            Right(cj.op match {
-              case "="  => col(cj.column) === l
-              case "!=" => col(cj.column) =!= l
-              case "<"  => col(cj.column) < l
-              case "<=" => col(cj.column) <= l
-              case ">"  => col(cj.column) > l
-              case ">=" => col(cj.column) >= l
-            })
+          // IN-list: an unquoted `=`/`!=` literal with `|` alternatives
+          // (the Delta Sharing hint set's In) — compiles to a pushed
+          // In/Not(In); a quoted literal keeps its pipes as characters
+          val values =
+            if (!cj.quoted && (cj.op == "=" || cj.op == "!=") &&
+                cj.value.contains("|"))
+              cj.value.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+            else Seq(cj.value)
+          if (values.isEmpty)
+            Left(s"where IN-list for ${cj.column} has no values")
+          else values.find(v => castLiteral(v, dt).isEmpty) match {
+            case Some(bad) =>
+              Left(s"where literal '$bad' does not parse as " +
+                s"${dt.simpleString} (column ${cj.column})")
+            case None if values.size > 1 =>
+              val in = col(cj.column).isin(
+                values.map(v => lit(v).cast(dt)): _*)
+              Right(if (cj.op == "=") in else !in)
+            case None =>
+              val l = lit(cj.value).cast(dt)
+              Right(cj.op match {
+                case "="  => col(cj.column) === l
+                case "!=" => col(cj.column) =!= l
+                case "<"  => col(cj.column) < l
+                case "<=" => col(cj.column) <= l
+                case ">"  => col(cj.column) > l
+                case ">=" => col(cj.column) >= l
+              })
           }
       }
     }

@@ -683,6 +683,35 @@ class HttpSpec extends SparkSpec {
           s"/table/data?table=${enc(t)}&partCol=day&$bad&limit=5")._1 == 400,
           s"$bad must be refused")
 
+      // IN-list: unquoted `|` alternatives compile to a pushed In — both
+      // days come back; a quoted pipe stays a literal (matches nothing
+      // here); a bad member is refused like any literal
+      val (ic, ib) = get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("day=2026-06-01|2026-06-02;k<=4")}&orderBy=k&limit=100")
+      assert(ic == 200, s"got $ic $ib")
+      val iRows = ib.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(iRows.map(_("k").asInstanceOf[JNum].v.toLong) == Vector(1L, 2L, 3L, 4L))
+      // on a TYPED column a quoted pipe literal is an uncastable literal —
+      // refused like any other, never a silent empty page (day is a DATE:
+      // partition-dir inference)
+      assert(get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("day='2026-06-01|2026-06-02'")}&limit=10")._1 == 400)
+      // on a STRING column it is a plain character: matches nothing, 200
+      val (qc2, qb2) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&from=$v1&where=${enc("_change_type='insert|delete'")}&limit=10")
+      assert(qc2 == 200 &&
+        (qb2.asObj("data") match { case JArr(r) => r; case _ => fail() }).isEmpty,
+        s"a quoted pipe is a character, not an IN separator: $qc2 $qb2")
+      // unquoted on the same string column: a real IN — both legs page
+      val (nc2, nb2) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&from=$v1&where=${enc("_change_type=insert|delete")}&orderBy=k&limit=10")
+      assert(nc2 == 200 && (nb2.asObj("data") match {
+        case JArr(r) => r.size; case _ => fail() }) == 3,
+        s"IN over the change types pages all legs: $nb2")
+      assert(get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
+        s"&where=${enc("k=1|abc")}&limit=5")._1 == 400,
+        "every IN member must parse as the column's type")
+
       // the change feed takes the same hints: page only the inserts
       val (cc, cb) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
         s"&from=$v1&where=${enc("_change_type=insert")}" +
