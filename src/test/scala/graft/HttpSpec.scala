@@ -829,6 +829,15 @@ class HttpSpec extends SparkSpec {
     val plan = shaped.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,900)"),
       s"the where conjunct must reach the parquet scan:\n$plan")
+    val inShaped = graft.http.TableShape(df,
+      Map("where" -> "k=1|2|3", "columns" -> "k")) match {
+      case Right(d) => d
+      case Left(m)  => fail(m)
+    }
+    val inPlan = inShaped.queryExecution.executedPlan.toString
+    assert(inPlan.contains("In(k, [1,2,3])"),
+      s"the IN-list must reach the parquet scan too:\n$inPlan")
+    assert(inShaped.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(plan.contains("struct<k:bigint>"),
       s"the projection must prune the read schema to k only:\n$plan")
     assert(shaped.as[Long].collect().sorted.toSeq == (901L to 1000L))
