@@ -127,6 +127,32 @@ class ChangeFeedStreamSpec extends SparkSpec {
       "newest versioned cursor wins over stale debris")
   }
 
+  test("a commit-capped mirror bootstraps in bounded batches and still " +
+      "converges") {
+    import spark.implicits._
+    val src = tmp("cdfs-cap-src")
+    val mirror = tmp("cdfs-cap-mir") + "/mirror"
+    val ckpt = tmp("cdfs-cap-ckpt")
+    // 4 merges land BEFORE the first poll — the bootstrap-against-history
+    // case the cap exists for
+    (0 until 4).foreach { i =>
+      Upsert.mergeByKey(spark, src,
+        Seq((s"2026-02-0${i % 2 + 1}", s"k$i", i * 1.0)).toDF("day", "k", "v"),
+        "day", Seq("k"))
+    }
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batches = ChangeFeedStream.drain(spark, src, "day", ckpt,
+      maxCommitsPerBatch = 2) { (_, from, to) => spans += to - from }
+    assert(batches > 1 && spans.forall(_ <= 2),
+      s"4 merges under a 2-commit cap need >1 bounded batch: $spans")
+    // the capped consumer path end-to-end: a fresh capped mirror converges
+    val mirrorBatches = ChangeFeedStream.mirrorTo(spark, src, "day", Seq("k"),
+      mirror, tmp("cdfs-cap-ckpt2"), maxCommitsPerBatch = 2)
+    assert(mirrorBatches > 1, s"capped mirror batches: $mirrorBatches")
+    assert(committed(mirror) == committed(src),
+      "bounded batches must still converge the mirror exactly")
+  }
+
   test("commits landing mid-drain are included before drain returns") {
     import spark.implicits._
     val src = tmp("cdfs-mid-src")
