@@ -75,13 +75,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // True median: average of the two middle elements for even sizes.
-    def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
+    // Per-query estimator across rounds: median, except at exactly 2
+    // rounds where BenchGuard.estimate substitutes the min (the median of
+    // 2 is a mean — one contaminated round would pollute the headline; see
+    // BenchGuard.TwoRoundSpreadLimit for the r14 incident this closes).
+    def med(xs: Seq[Double]): Double = BenchGuard.estimate(xs)
 
     // The suite runs SPARK_GRAFT_REPEAT times (default 3) and reports the
     // per-query MEDIAN across rounds: the host's ±50% run-to-run CPU

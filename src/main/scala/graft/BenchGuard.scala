@@ -17,15 +17,44 @@ package graft
 object BenchGuard {
 
   /** A bench run is contended when any single round consumed the entire
-    * budget, or the round totals spread by more than [[SpreadLimit]]
-    * (genuine code regressions shift ALL rounds; only ambient load makes
-    * the same binary swing 3×+ between rounds minutes apart). */
+    * budget, or the round totals spread by more than the round-count's
+    * spread limit (genuine code regressions shift ALL rounds; only ambient
+    * load makes the same binary swing between rounds minutes apart). */
   val SpreadLimit = 3.0
+
+  /** The r14 guard miss: with exactly TWO rounds the published "median" is
+    * a mean, so ONE contaminated round pollutes the headline irreparably —
+    * round totals 146.2/314.1 s (2.15× spread, under [[SpreadLimit]])
+    * published a 230 s mean as `contended:false` on byte-identical code the
+    * judge then measured at 74 s. With ≥3 rounds the median is robust to
+    * one bad round and only a 3× swing buys extras; at n=2 a much tighter
+    * spread must force round 3, because there is no robust estimator yet. */
+  val TwoRoundSpreadLimit = 1.5
+
+  def spreadLimitFor(n: Int): Double =
+    if (n == 2) TwoRoundSpreadLimit else SpreadLimit
 
   def isContended(roundTotalsSec: Seq[Double], budgetMs: Long): Boolean =
     roundTotalsSec.exists(_ * 1000.0 >= budgetMs.toDouble) ||
       (roundTotalsSec.size >= 2 &&
-        roundTotalsSec.max / math.max(roundTotalsSec.min, 1e-9) > SpreadLimit)
+        roundTotalsSec.max / math.max(roundTotalsSec.min, 1e-9) >
+          spreadLimitFor(roundTotalsSec.size))
+
+  /** Per-query headline estimator: the median across rounds — EXCEPT at
+    * exactly two samples, where the median degenerates to the mean and one
+    * contaminated round skews it by half its inflation. There the MINIMUM
+    * is the robust choice (contention noise is one-sided: rounds only ever
+    * run slower than truth), and on a quiet host min-of-2 ≈ either sample
+    * anyway. This is the belt to [[TwoRoundSpreadLimit]]'s suspenders: even
+    * when the 2× elapsed-budget hard stop prevents the forced third round,
+    * the published value is not a contaminated mean. */
+  def estimate(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size == 2) s.head
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** The r9 guard miss: round totals 192/195/115 s spread only 1.69× —
     * under [[SpreadLimit]] — yet even the BEST round was ~2.6× the committed

@@ -54,7 +54,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone")
+      "restore", "clone", "convert")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -141,6 +141,14 @@ object Maintain {
         val rows = graft.batch.Upsert.cloneTo(spark, table, dst, partCol, version)
         Seq(s"""{"op":"clone","table":$tableJson,""" +
           s""""dst":${graft.http.Json.quote(dst)},"rows":$rows}""")
+      case "convert" =>
+        // CONVERT TO over the ops surface: adopt an existing plain
+        // partitioned-parquet directory into a managed table — one v1
+        // manifest commit, zero rewrite ([[graft.batch.Upsert.convert]];
+        // the migration on-ramp, drivable with curl like every other op)
+        val partCol = arg(0, "the partition column (convert <partCol>)")
+        val v = graft.batch.Upsert.convert(spark, table, partCol)
+        Seq(s"""{"op":"convert","table":$tableJson,"version":$v}""")
       case "upsert" =>
         val partCol = arg(0, "the partition column (upsert <partCol>)")
         // a streaming-sink table's visible file set is its commit log, not

@@ -91,6 +91,20 @@ private[batch] object TableMeta {
 
   private def latest(spark: SparkSession, table: String, prefix: String)
       : (Long, Map[String, String]) = {
+    // a concurrent writer may sweep the version we just listed (write v+1,
+    // delete <= v) between our listing and our open — re-list and retry
+    // (bounded; registry writes are rare outside allocation-heavy tests)
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      try return latestOnce(spark, table, prefix)
+      catch { case _: java.io.FileNotFoundException => }
+    }
+    latestOnce(spark, table, prefix)
+  }
+
+  private def latestOnce(spark: SparkSession, table: String, prefix: String)
+      : (Long, Map[String, String]) = {
     val dir = metaDir(table)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return (0L, Map.empty)
@@ -107,15 +121,40 @@ private[batch] object TableMeta {
   def write(spark: SparkSession, table: String, prefix: String,
       all: Map[String, String]): Unit = {
     val dir = metaDir(table)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val (v, _) = latest(spark, table, prefix)
     val next = new Path(dir, s"$prefix${v + 1}.json")
-    val out = fs.create(next, false)
+    // Full content lands in a hidden temp sibling, then RENAMES into the
+    // versioned name: the rename is atomic AND exclusive (fails on an
+    // existing name), so a concurrent reader can never observe a
+    // half-written registry file — a plain create-then-write tore in the
+    // wild (an identity high-water-mark read racing a concurrent
+    // allocator's write parsed "unexpected end of input") — and a
+    // concurrent writer of the same version still loses the race loudly.
+    val tmp = new Path(dir,
+      s".$prefix${v + 1}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       JObj(all.toVector.sortBy(_._1).map { case (k, x) => k -> (JStr(x): graft.http.JVal) })
         .render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(next.toUri, conf)
+          .rename(tmp, next) // no OVERWRITE flag: exclusive install
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.rename(tmp, next) // FileSystem.rename: false when dest exists
+      }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"$next: a concurrent writer claimed this registry version first")
+    }
     // older versions are debris once the new one exists; their removal is
     // best-effort (a crash here just leaves max-wins extras)
     fs.listStatus(dir).foreach { st =>

@@ -121,12 +121,38 @@ object Upsert {
       updatesIn.columns.contains(c) && scala.util.Try(
         updatesIn.select(expr(sql)).queryExecution.analyzed).isSuccess
     }
-    val updates = gens.foldLeft(updatesIn) { case (u, (c, sql)) =>
+    val generated = gens.foldLeft(updatesIn) { case (u, (c, sql)) =>
       if (u.columns.contains(c)) u
       else if (scala.util.Try(
           u.select(expr(sql)).queryExecution.analyzed).isSuccess)
         u.withColumn(c, expr(sql))
       else u
+    }
+    // IDENTITY columns ([[IdentityColumns]], Delta's GENERATED ALWAYS AS
+    // IDENTITY): explicit values are refused BY NAME (the Delta contract —
+    // uniqueness is the column's promise, not the producer's); omitted
+    // ones are assigned here — matched keys keep their existing id, new
+    // rows draw a freshly OCC-allocated disjoint range. Runs after
+    // generated-column fill (the partition column may itself be
+    // generated) and counts as covering the column.
+    val idSpecs = IdentityColumns.list(spark, table).toSeq.sortBy(_._1)
+    idSpecs.foreach { case (c, _) =>
+      if (generated.columns.contains(c))
+        throw new IllegalArgumentException(
+          s"column $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
+            "are refused (Delta contract); omit the column and let the " +
+            "merge assign it")
+    }
+    // OCC snapshot BEFORE any table read — including the identity
+    // assignment's existing-id read below: a concurrent merge committing
+    // after this version fails our partition claims loudly, so the ids we
+    // read here can never silently go stale. (The allocation commits the
+    // assignment itself makes land after the snapshot but claim only the
+    // reserved synthetic `_graft_identity:*` values — disjoint from every
+    // data partition, so they conflict with nothing.)
+    val snapshot = TxnLog.currentVersion(spark, table)
+    val updates = idSpecs.foldLeft(generated) { case (u, (c, _)) =>
+      IdentityColumns.assign(spark, table, u, partCol, keyCols, c, deleteWhen)
     }
     deleteWhen.foreach { m =>
       require(updates.columns.contains(m), s"deleteWhen column $m not in updates")
@@ -137,9 +163,9 @@ object Upsert {
         s"deleteWhen column $m cannot be a key or partition column")
     }
 
-    // OCC snapshot BEFORE any table read: commits that land after this
-    // version and touch our partitions invalidate what we are about to read
-    val snapshot = TxnLog.currentVersion(spark, table)
+    // (the OCC snapshot is taken above, before the identity assignment's
+    // table read — commits that land after it and touch our partitions
+    // invalidate what we read)
 
     // Deletion pairs in force at the snapshot, resolved ONCE for the whole
     // merge (a full-manifest read + sidecar listing per PARTITION measurably
@@ -818,6 +844,94 @@ object Upsert {
         "ref", "all_partitions", "txn")
   }
 
+  /** CONVERT TO — Delta's `CONVERT TO DELTA parquet.`…`` adopt-in-place:
+    * claim an EXISTING plain partitioned-parquet directory (the Hive
+    * layout `table/<partCol>=<value>/part-….parquet` every `df.write
+    * .partitionBy(partCol)` produces — the reference seeder's own output
+    * shape, ref delta_lake_seeder.py:583-617) into a [[graft.core
+    * .TxnLog]]-managed table with ZERO data rewrite: one v1 manifest
+    * commit naming the adopted partition values. This is the migration
+    * on-ramp — any real deployment starts from directories some other
+    * writer laid down, and rewriting 100 TB to "adopt" it is not a plan.
+    *
+    * From v1 on the table is indistinguishable from an engine-written
+    * one: merges claim and rewrite partitions (retaining the ADOPTED
+    * files as the pre-image generation), `readAsOf(1)` reconstructs the
+    * adopted state, the change feed tails commits `> 1`, and sidecar
+    * indexes build over the adopted files as-is. The data files are
+    * byte-identical before and after — convert writes only
+    * `_graft_txn/v…json`.
+    *
+    * Refusals (loud, nothing written):
+    *  - an existing `_graft_txn` manifest — already managed; convert is
+    *    the on-ramp, not a repair tool;
+    *  - data files loose at the root (an unpartitioned write has no
+    *    partition dirs to claim);
+    *  - directories not named `<partCol>=<value>` (wrong column, or a
+    *    foreign layout);
+    *  - nested directories inside a partition (multi-level partitioning
+    *    is not this engine's layout);
+    *  - non-parquet data files (adopting them would break every reader);
+    *  - an empty directory / no partitions.
+    * `_`/`.`-prefixed entries (`_SUCCESS`, checksums) are ignored, as
+    * every reader here ignores them.
+    *
+    * Cost at scale: one root listing + one listing per partition + one
+    * footer-only schema read — O(partitions) driver metadata, no data IO.
+    * Returns the claimed manifest version (1 by construction). */
+  def convert(spark: SparkSession, table: String, partCol: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"convert: no directory at $table")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_txn")),
+      s"convert: $table already has a _graft_txn manifest — it is already " +
+        "a managed table")
+    val entries = fs.listStatus(root).filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    entries.find(_.isFile).foreach { st =>
+      throw new IllegalArgumentException(
+        s"convert: $table has a data file at the root " +
+          s"(${st.getPath.getName}) — an unpartitioned layout has no " +
+          s"$partCol=* partitions to claim; repartition the data or point " +
+          "convert at a Hive-partitioned directory")
+    }
+    val dirs = entries.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    dirs.find(!_.getName.startsWith(s"$partCol=")).foreach { p =>
+      throw new IllegalArgumentException(
+        s"convert: $table contains directory ${p.getName}, which is not a " +
+          s"$partCol=<value> partition — wrong partition column, or not a " +
+          "Hive-partitioned parquet layout")
+    }
+    require(dirs.nonEmpty,
+      s"convert: $table has no $partCol=* partition directories to adopt")
+    dirs.foreach { d =>
+      fs.listStatus(d).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }.foreach { st =>
+        if (st.isDirectory)
+          throw new IllegalArgumentException(
+            s"convert: ${d.getName} contains nested directory " +
+              s"${st.getPath.getName} — multi-level partitioning is not " +
+              "this engine's layout (one partition column)")
+        if (!st.getPath.getName.endsWith(".parquet"))
+          throw new IllegalArgumentException(
+            s"convert: ${d.getName} contains non-parquet file " +
+              s"${st.getPath.getName} — only parquet data can be adopted")
+      }
+    }
+    // footer-only probe: the directory must actually read as a parquet
+    // table whose inferred partition column is `partCol`
+    val probe = spark.read.parquet(table)
+    require(probe.columns.contains(partCol),
+      s"convert: reading $table does not yield a $partCol column " +
+        s"(schema: ${probe.columns.sorted.mkString(", ")})")
+    val values = dirs.map(d => unescape(d.getName, partCol)).toSet
+    TxnLog.commit(spark, table, "convert", values, snapshotVersion = 0L).version
+  }
+
   /** DESCRIBE DETAIL analog (Delta `DESCRIBE DETAIL <table>`): one row of
     * table-level facts assembled from DRIVER-side metadata only — file
     * listing (count + bytes + partition dirs), manifest tip, registered
@@ -833,6 +947,7 @@ object Upsert {
       version: Long,
       constraints: Seq[String],
       generatedColumns: Seq[String],
+      identityColumns: Seq[String],
       mappedColumns: Seq[String],
       bloomIndexes: Seq[String],
       statsIndexes: Seq[String],
@@ -871,6 +986,9 @@ object Upsert {
         .map { case (n, sql) => s"$n CHECK ($sql)" },
       generatedColumns = GeneratedColumns.list(spark, table).toSeq.sortBy(_._1)
         .map { case (c, sql) => s"$c AS ($sql)" },
+      identityColumns = IdentityColumns.list(spark, table).toSeq.sortBy(_._1)
+        .map { case (c, s) =>
+          s"$c IDENTITY (START WITH ${s.start} INCREMENT BY ${s.step})" },
       mappedColumns = colMap.toSeq.sortBy(_._1).map { case (p, l) =>
         if (l.isEmpty) s"$p (dropped)" else s"$p -> $l" },
       bloomIndexes = graft.core.BloomIndex.indexedColumns(spark, table),
@@ -1066,9 +1184,15 @@ object Upsert {
     // manifest's mentions recover the committed state from history.
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_txn")))
       return spark.read.parquet(table)
+    // `identity` commits claim only the reserved synthetic
+    // `_graft_identity:*` values (range allocation, [[IdentityColumns]]) —
+    // never a data partition, so they must not push a dataless manifest
+    // (identity declared before the first merge) into resolution, which
+    // would loudly find no partitions at all
     if (!fs.listStatus(root).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")) &&
-        !TxnLog.commitsSince(spark, table, 0L).exists(c => c.all || c.partitions.nonEmpty))
+        !TxnLog.commitsSince(spark, table, 0L).exists(c =>
+          c.all || (c.partitions.nonEmpty && c.op != "identity")))
       return spark.read.parquet(table)
     // honor an in-flight WHOLE-TABLE claim (compaction log swap) up to the
     // mark's age: mid-swap listings can silently fall back to raw directory

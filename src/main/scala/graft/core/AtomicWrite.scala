@@ -21,6 +21,37 @@ import org.apache.spark.sql.SparkSession
   */
 object AtomicWrite {
 
+  /** Atomically replace the SMALL FILE at `target` with `content`: write a
+    * hidden temp sibling, then rename it over the target with
+    * `FileContext.rename(..., Rename.OVERWRITE)` — a single atomic replace
+    * on local filesystems and HDFS, so no instant exists where the target
+    * is ABSENT (an in-place `create(overwrite=true)` can tear mid-write;
+    * `delete` + `rename` leaves a crash/read window with no file at all —
+    * a concurrent reader of an index meta would see "no index" and trigger
+    * a spurious full rebuild). Filesystems without a FileContext binding
+    * fall back to delete+rename, keeping the torn-file guarantee and
+    * shrinking the absent window to the rename gap. For whole DIRECTORY
+    * trees use [[publish]]. */
+  def replaceFile(spark: SparkSession, target: Path, content: Array[Byte]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(Option(target.getParent).getOrElse(
+        throw new IllegalArgumentException(s"target has no parent: $target")),
+      s".${target.getName}-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content) finally out.close()
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    fc match {
+      case Some(c) =>
+        c.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        fs.delete(target, false)
+        require(fs.rename(tmp, target), s"file replace failed: $tmp -> $target")
+    }
+  }
+
   /** Run `write` against a temp path, then atomically swap the result into
     * place at `target`. `write` must produce a complete directory tree at the
     * path it is given (e.g. `df.write.parquet(tmp)`).

@@ -102,6 +102,7 @@ final class HttpApi(
         case ("GET", "table" :: "vacuum" :: "preview" :: Nil) => vacuumPreview(ex)
         case ("GET", "table" :: "data" :: Nil)                => tableData(ex)
         case ("GET", "table" :: "changes" :: Nil)             => tableChanges(ex)
+        case ("GET", "table" :: "tail" :: Nil)                => tableTail(ex)
         case ("GET", "health" :: Nil)                         => health(ex)
         case ("POST", "stop" :: Nil)                          => stopAll(ex)
         case _ =>
@@ -387,6 +388,7 @@ final class HttpApi(
           "version" -> JNum(BigDecimal(d.version)),
           "constraints" -> strs(d.constraints),
           "generatedColumns" -> strs(d.generatedColumns),
+          "identityColumns" -> strs(d.identityColumns),
           "mappedColumns" -> strs(d.mappedColumns),
           "bloomIndexes" -> strs(d.bloomIndexes),
           "statsIndexes" -> strs(d.statsIndexes),
@@ -399,7 +401,12 @@ final class HttpApi(
     * WOULD remove (exact counts/bytes, up to 1000 candidate paths),
     * deleting nothing. Driver-side file listing only — no Spark job — so
     * an operator can size a cleanup before scheduling the real
-    * `POST /maintenance/run {mode:stream}`. */
+    * `POST /maintenance/run {mode:stream}`. One caveat a strict read-only
+    * GET cannot have: if a previous compaction CRASHED mid-log-swap, the
+    * preview completes the swap first (idempotent
+    * [[graft.core.AtomicWrite.recoverSwap]] — without the repaired log
+    * every data file would preview as an orphan); the response surfaces
+    * that in `logSwapRepaired` instead of mutating silently. */
   private def vacuumPreview(ex: HttpExchange): Unit = {
     val q = query(ex)
     q.get("table").filter(_.nonEmpty) match {
@@ -423,6 +430,7 @@ final class HttpApi(
             "filesToRemove" -> JNum(BigDecimal(r.filesRemoved)),
             "bytesToRemove" -> JNum(BigDecimal(r.bytesRemoved)),
             "dirsToRemove" -> JNum(BigDecimal(r.dirsRemoved)),
+            "logSwapRepaired" -> JBool(r.logSwapRepaired),
             "paths" -> JArr(r.paths.toVector.map(JStr(_)))))
         } catch {
           // not a sink table / interval-mismatched or corrupt commit log —
@@ -669,6 +677,108 @@ final class HttpApi(
     }
   }
 
+  /** `GET /table/tail?table=<path>&partCol=<c>&cursor=<v>[&maxCommits=N]
+    * [&ignoreChanges=true][&ignoreDeletes=true][&limit|&offset|&orderBy|
+    * &columns|&where]` — the curl twin of [[graft.streaming
+    * .TableTailStream]]: the rows commits `(cursor, nextCursor]`
+    * APPENDED, `nextCursor = min(tip, cursor + maxCommits)`. STATELESS —
+    * the CLIENT holds the cursor (echoed back as `nextCursor`; resume by
+    * passing it as the next `cursor`), so an ops consumer can mirror a
+    * table with curl plus one saved integer, the way `mirrorTo` does
+    * programmatically — no server-side checkpoint. Within one cursor
+    * range the rows page with the full `/table/data` discipline
+    * (limit/offset/orderBy/columns/where): drain the range to
+    * `hasMore=false`, THEN advance the cursor. `maxCommits` is the
+    * bootstrap rate limit (Delta's `maxFilesPerTrigger` discipline at
+    * this engine's unit of change): a consumer starting at cursor=0
+    * against a long-lived table advances in bounded batches.
+    *
+    * Caught up (`cursor` = tip) is a 200 with `caughtUp:true` and an
+    * unchanged `nextCursor`. A rewriting commit in range without the
+    * matching opt-in flag is a 409 carrying the engine's refusal
+    * (Delta's "Detected a data update…" contract — the two-tier
+    * `ignoreDeletes`/`ignoreChanges` caveat documented on
+    * [[graft.streaming.TableTailStream]]) — never silently-wrong
+    * appends. A cursor beyond the tip or below the retained change-feed
+    * horizon is a 400. */
+  private def tableTail(ex: HttpExchange): Unit = withTable(ex) { (table, partCol) =>
+    val q = query(ex)
+    def flag(name: String): Either[String, Boolean] = q.get(name) match {
+      case None                       => Right(false)
+      case Some("true") | Some("1")   => Right(true)
+      case Some("false") | Some("0")  => Right(false)
+      case Some(other) =>
+        Left(s"$name=$other is not a flag value (true/false)")
+    }
+    pageParams(ex) match {
+      case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+      case Right((limit, offset)) =>
+        val parsed = for {
+          cursor <- q.get("cursor")
+            .toRight("cursor=<version> is required (start a new tail at " +
+              "cursor=0)")
+            .flatMap(c => c.toLongOption.filter(_ >= 0)
+              .toRight(s"cursor=$c is not a non-negative version number"))
+          maxCommits <- q.get("maxCommits") match {
+            case None => Right(Int.MaxValue)
+            case Some(m) => m.toIntOption.filter(_ > 0)
+              .toRight(s"maxCommits=$m is not a positive integer")
+          }
+          ignoreChanges <- flag("ignoreChanges")
+          ignoreDeletes <- flag("ignoreDeletes")
+        } yield (cursor, maxCommits, ignoreChanges, ignoreDeletes)
+        parsed match {
+          case Left(msg) => reply(ex, 400, err("INVALID_REQUEST", msg))
+          case Right((cursor, maxCommits, ignoreChanges, ignoreDeletes)) =>
+            val tip = graft.core.TxnLog.currentVersion(spark, table)
+            if (cursor > tip) {
+              reply(ex, 400, err("INVALID_CURSOR",
+                s"cursor $cursor is beyond the current tip v$tip — a tail " +
+                  "cursor only ever moves to a previously echoed nextCursor"))
+              return
+            }
+            try {
+              graft.streaming.TableTailStream.readTail(spark, table, partCol,
+                  cursor, ignoreChanges, maxCommits, ignoreDeletes) match {
+                case None =>
+                  reply(ex, 200, JObj.of(
+                    "table" -> JStr(table),
+                    "cursor" -> JNum(BigDecimal(cursor)),
+                    "nextCursor" -> JNum(BigDecimal(cursor)),
+                    "caughtUp" -> JBool(true),
+                    "page" -> pageEnvelope(limit, offset, 0, hasMore = false),
+                    "data" -> JArr(Vector.empty)))
+                case Some((appended, next)) =>
+                  TableShape(appended, q) match {
+                    case Left(msg) =>
+                      reply(ex, 400, err("INVALID_REQUEST", msg))
+                    case Right(shaped) =>
+                      servePage(ex, shaped, limit, offset,
+                        q.get("orderBy"), q.get("after"),
+                        Vector("table" -> JStr(table),
+                          "cursor" -> JNum(BigDecimal(cursor)),
+                          "nextCursor" -> JNum(BigDecimal(next)),
+                          "caughtUp" -> JBool(false)))
+                  }
+              }
+            } catch {
+              // the appends-only refusal is a CONFLICT with the range's
+              // content (the consumer must opt in or switch feeds) — 409,
+              // exactly like the stream-start route's single-flight refusal
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(_.startsWith("table tail:")) =>
+                reply(ex, 409, err("REWRITE_IN_RANGE", e.getMessage))
+              // horizon/argument refusals from the change feed are client
+              // errors: the cursor predates retained history
+              case e: IllegalStateException =>
+                reply(ex, 400, err("INVALID_CURSOR", e.getMessage))
+              case e: IllegalArgumentException =>
+                reply(ex, 400, err("INVALID_CURSOR", e.getMessage))
+            }
+        }
+    }
+  }
+
   /** One distributed page of `df`, serialized — the only rows that ever
     * reach the driver. Keyset form (`after` + `orderBy`): pushed seek
     * filter + TakeOrderedAndProject, constant cost at any depth, echoes
@@ -677,21 +787,49 @@ final class HttpApi(
     * the "latest N first" serving shape (an ops console tails a table by
     * timestamp without paging from the beginning of time); the keyset
     * seek then filters `< after` and the pushed predicate prunes from the
-    * other end of the clustered layout. */
+    * other end of the clustered layout.
+    *
+    * Cursor discipline: `after` (and `afterTie`) are validated against
+    * the cursor column's SCHEMA TYPE ([[TableShape.castLiteral]]) and
+    * compared as typed literals — a string-vs-bigint comparison would
+    * coerce through double (lossy above 2^53), and garbage would compile
+    * to a silently empty page; both are 400s instead.
+    *
+    * Non-unique `orderBy` cannot lose rows silently: a `tiebreak=<col>`
+    * makes the sort total and the cursor composite (`nextAfter` +
+    * `nextAfterTie`, resumed via `after`+`afterTie` — seek is
+    * `ob > A OR (ob = A AND tb > T)`). Without one, the page over-fetches
+    * a probe row; when the boundary lands inside a run of equal keys the
+    * page is TRIMMED back to the last complete run (the strict `>` seek
+    * then re-serves the whole run on the next page), and a run wider than
+    * the whole page — untrimmable — is a loud 400 naming the fix, never a
+    * silent skip. */
   private def servePage(
       ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
       limit: Int, offset: Int,
       orderBy: Option[String], after: Option[String],
       head: Vector[(String, JVal)]): Unit = {
-    import org.apache.spark.sql.functions.col
-    val badOrder = orderBy.filterNot(df.columns.contains)
-    if (badOrder.isDefined) {
+    import org.apache.spark.sql.functions.{col, lit}
+    val q = query(ex)
+    val tiebreak = q.get("tiebreak").filter(_.nonEmpty)
+    val badOrder = (orderBy.toSeq ++ tiebreak).filterNot(df.columns.contains)
+    if (badOrder.nonEmpty) {
       reply(ex, 400, err("INVALID_REQUEST",
-        s"orderBy column ${badOrder.get} is not a column of the result " +
-          s"(have: ${df.columns.sorted.mkString(", ")})"))
+        s"orderBy/tiebreak column ${badOrder.head} is not a column of the " +
+          s"result (have: ${df.columns.sorted.mkString(", ")})"))
       return
     }
-    val desc = query(ex).get("order") match {
+    if (tiebreak.isDefined && orderBy.isEmpty) {
+      reply(ex, 400, err("INVALID_REQUEST",
+        "tiebreak=<col> refines orderBy=<col>; supply orderBy"))
+      return
+    }
+    if (tiebreak.isDefined && tiebreak == orderBy) {
+      reply(ex, 400, err("INVALID_REQUEST",
+        "tiebreak must be a different column than orderBy"))
+      return
+    }
+    val desc = q.get("order") match {
       case None | Some("asc") => false
       case Some("desc")       => true
       case Some(other) =>
@@ -700,6 +838,22 @@ final class HttpApi(
         return
     }
     def dir(c: org.apache.spark.sql.Column) = if (desc) c.desc else c.asc
+    // typed cursor literal, or Left(400 message) on a value the column's
+    // type cannot parse (which compiled as-is would match nothing)
+    def typed(cursorName: String, v: String, c: String)
+        : Either[String, org.apache.spark.sql.Column] = {
+      val dt = df.schema(c).dataType
+      TableShape.castLiteral(v, dt) match {
+        case None => Left(s"$cursorName cursor '$v' does not parse as " +
+          s"${dt.simpleString} (column $c)")
+        case Some(_) => Right(lit(v).cast(dt))
+      }
+    }
+    def cursorOf(row: JVal, c: String): String = row.asObj.get(c) match {
+      case Some(JStr(s)) => s
+      case Some(other)   => other.render
+      case None          => "" // column projected away — refused above
+    }
     after match {
       case Some(a) =>
         orderBy match {
@@ -707,21 +861,82 @@ final class HttpApi(
             reply(ex, 400, err("INVALID_REQUEST",
               "after=<key> (keyset paging) requires orderBy=<col>"))
           case Some(ob) =>
-            val seek = if (desc) col(ob) < a else col(ob) > a
-            val page = df.filter(seek).orderBy(dir(col(ob))).limit(limit)
-            val rows = page.toJSON.collect().toVector.map(Json.parse)
-            val nextAfter = rows.lastOption.flatMap(_.asObj.get(ob)).map {
-              case JStr(s) => s
-              case other   => other.render
+            val aTyped = typed("after", a, ob) match {
+              case Left(m)  => reply(ex, 400, err("INVALID_CURSOR", m)); return
+              case Right(c) => c
             }
-            reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
-              "page" -> JObj(
-                pageEnvelope(limit, 0, rows.length, rows.length == limit).fields ++
-                  nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
-              "data" -> JArr(rows))))
+            def gt(c: org.apache.spark.sql.Column,
+                l: org.apache.spark.sql.Column) = if (desc) c < l else c > l
+            (tiebreak, q.get("afterTie")) match {
+              case (Some(tb), Some(at)) =>
+                val tTyped = typed("afterTie", at, tb) match {
+                  case Left(m)  => reply(ex, 400, err("INVALID_CURSOR", m)); return
+                  case Right(c) => c
+                }
+                val seek = gt(col(ob), aTyped) ||
+                  (col(ob) === aTyped && gt(col(tb), tTyped))
+                val page = df.filter(seek)
+                  .orderBy(dir(col(ob)), dir(col(tb))).limit(limit)
+                val rows = page.toJSON.collect().toVector.map(Json.parse)
+                val nexts = rows.lastOption.toVector.flatMap(last => Vector(
+                  "nextAfter" -> (JStr(cursorOf(last, ob)): JVal),
+                  "nextAfterTie" -> (JStr(cursorOf(last, tb)): JVal)))
+                reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
+                  "page" -> JObj(
+                    pageEnvelope(limit, 0, rows.length,
+                      rows.length == limit).fields ++ nexts),
+                  "data" -> JArr(rows))))
+              case (Some(_), None) =>
+                reply(ex, 400, err("INVALID_CURSOR",
+                  "tiebreak paging resumes with BOTH after= and afterTie= " +
+                    "(echoed as nextAfter/nextAfterTie)"))
+              case (None, Some(_)) =>
+                reply(ex, 400, err("INVALID_REQUEST",
+                  "afterTie=<key> requires tiebreak=<col>"))
+              case (None, None) =>
+                // single-column cursor: over-fetch one probe row so a page
+                // boundary inside a run of equal keys is DETECTED — the
+                // strict > seek would silently skip the run's remainder
+                val seek = gt(col(ob), aTyped)
+                val page = df.filter(seek).orderBy(dir(col(ob))).limit(limit + 1)
+                val fetched = page.toJSON.collect().toVector.map(Json.parse)
+                val (rows, more) =
+                  if (fetched.length <= limit) (fetched, false)
+                  else {
+                    val kept = fetched.take(limit)
+                    val boundaryKey = cursorOf(kept.last, ob)
+                    if (cursorOf(fetched(limit), ob) != boundaryKey)
+                      (kept, true)
+                    else {
+                      // boundary splits a run: trim the run off this page;
+                      // the next seek (> previous key) re-serves it whole
+                      val trimmed = kept.reverse
+                        .dropWhile(r => cursorOf(r, ob) == boundaryKey).reverse
+                      if (trimmed.isEmpty) {
+                        reply(ex, 400, err("AMBIGUOUS_ORDER",
+                          s"orderBy=$ob is not unique: >= $limit rows share " +
+                            s"the value '$boundaryKey', so a strict keyset " +
+                            "seek would skip rows — add tiebreak=<unique " +
+                            "col> (cursor becomes after+afterTie) or raise " +
+                            "limit past the widest run"))
+                        return
+                      }
+                      (trimmed, true)
+                    }
+                  }
+                val nextAfter = rows.lastOption
+                  .map(r => cursorOf(r, ob))
+                  .filter(_ => more)
+                reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
+                  "page" -> JObj(
+                    pageEnvelope(limit, 0, rows.length, more).fields ++
+                      nextAfter.map(k => "nextAfter" -> (JStr(k): JVal)).toVector),
+                  "data" -> JArr(rows))))
+            }
         }
       case None =>
-        val ordCols = orderBy.map(Seq(_)).getOrElse(df.columns.toSeq.sorted)
+        val ordCols = orderBy.map(o => Seq(o) ++ tiebreak)
+          .getOrElse(df.columns.toSeq.sorted)
         val page = df.orderBy(ordCols.map(c => dir(col(c))): _*)
           .offset(offset).limit(limit)
         val rows = page.toJSON.collect().toVector.map(Json.parse)

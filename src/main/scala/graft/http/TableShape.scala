@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.{DataType, StringType}
   *
   *   columns=a,b,c            projection, validated against the schema
   *   where=day=2026-01-01;k>5 `;`-separated conjuncts, AND semantics
+  *                            (the split is quote-aware: `note='a;b'`
+  *                            keeps the `;` inside the quoted literal)
   *
   * Each conjunct is `col OP literal` with OP one of `= != <= >= < >`;
   * literals may be single-quoted (quotes stripped), the bare literal
@@ -50,9 +52,34 @@ private[graft] object TableShape {
   private val ConjunctRe =
     """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(!=|<=|>=|=|<|>)\s*(.*?)\s*$""".r
 
+  /** Split on `;` OUTSIDE single-quoted literals, so a quoted literal may
+    * contain the conjunct separator (`where=note='a;b'`). The grammar has
+    * no quote-escape form (tight by design); an unterminated quote is a
+    * loud parse error, never a silently mangled predicate. */
+  private[http] def splitConjuncts(w: String): Either[String, Seq[String]] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    w.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (inQuote)
+      Left(s"unterminated single quote in where=$w (quoted literals may " +
+        "contain ; and |, but the closing quote is required)")
+    else {
+      parts += cur.result()
+      Right(parts.result().filter(_.trim.nonEmpty))
+    }
+  }
+
   /** Parse `where=` into conjuncts — pure syntax, no schema yet. */
   def parseWhere(w: String): Either[String, Seq[Conjunct]] = {
-    val parts = w.split(";").toSeq.filter(_.trim.nonEmpty)
+    val parts = splitConjuncts(w) match {
+      case Left(m) => return Left(m)
+      case Right(ps) => ps
+    }
     if (parts.isEmpty) return Left("where= must contain a predicate")
     val parsed = parts.map {
       case ConjunctRe(c, op, rawV) =>

@@ -107,14 +107,12 @@ object IvfIndex {
 
   private final case class Meta(version: Long, rows: Long)
 
-  private def writeMeta(s: SparkSession, indexDir: String, m: Meta): Unit = {
-    val p = metaFile(indexDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"version":${m.version},"rows":${m.rows}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeMeta(s: SparkSession, indexDir: String, m: Meta): Unit =
+    // atomic overwrite-rename: an in-place create(overwrite) can tear
+    // mid-write and wedge sync() (see IvfPqIndex.writeMeta)
+    graft.core.AtomicWrite.replaceFile(s, metaFile(indexDir),
+      s"""{"version":${m.version},"rows":${m.rows}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def readMeta(s: SparkSession, indexDir: String): Meta = {
     val p = metaFile(indexDir)

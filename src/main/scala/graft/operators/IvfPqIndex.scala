@@ -113,22 +113,14 @@ object IvfPqIndex {
 
   private final case class Meta(version: Long, rows: Long)
 
-  private def writeMeta(s: SparkSession, indexDir: String, m: Meta): Unit = {
-    val p = metaFile(indexDir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    // tmp + rename, never create-in-place: a crash mid-write would leave a
-    // torn meta.json that sync() reads as "index exists" and routes to
-    // refresh(), which then throws on every run — a wedged state the
-    // torn-SWAP triage (which rebuilds) never reaches
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".meta-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"version":${m.version},"rows":${m.rows}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"ivfpq index meta install failed: $tmp -> $p")
-  }
+  private def writeMeta(s: SparkSession, indexDir: String, m: Meta): Unit =
+    // overwrite-rename, never create-in-place (a torn meta.json wedges
+    // sync() into a throwing refresh loop) and never delete+rename (the
+    // gap between them reads as "no index" and triggers a spurious full
+    // rebuild) — replaceFile's FileContext OVERWRITE rename closes both
+    graft.core.AtomicWrite.replaceFile(s, metaFile(indexDir),
+      s"""{"version":${m.version},"rows":${m.rows}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private def readMeta(s: SparkSession, indexDir: String): Meta = {
     val p = metaFile(indexDir)

@@ -230,9 +230,13 @@ object SinkCompaction {
   }
 
   /** In a dry run the counts mean "would remove" and `paths` lists the
-    * candidates (capped — the counts stay exact past the cap). */
+    * candidates (capped — the counts stay exact past the cap).
+    * `logSwapRepaired` surfaces the ONE mutation even a dry run performs:
+    * completing a crashed commit-log swap ([[graft.core.AtomicWrite
+    * .recoverSwap]]) — callers serving a "read-only" preview must report
+    * it rather than let a GET mutate state silently. */
   final case class VacuumReport(filesRemoved: Int, bytesRemoved: Long, dirsRemoved: Int,
-      paths: Seq[String] = Nil)
+      paths: Seq[String] = Nil, logSwapRepaired: Boolean = false)
 
   /** Remove data files the commit log does not reference — crash debris: a
     * micro-batch that wrote its file but died before the log append, or a
@@ -265,8 +269,10 @@ object SinkCompaction {
     val fs = root.getFileSystem(conf)
     val logDir = new Path(tablePath, "_spark_metadata")
     // repair a crashed log swap first — without the log every data file
-    // would look unreferenced, and this method DELETES unreferenced files
-    graft.core.AtomicWrite.recoverSwap(spark, logDir.toString)
+    // would look unreferenced, and this method DELETES unreferenced files.
+    // This runs under dryRun too (the preview's answer is wrong without
+    // it) — the report carries the fact so no caller hides the mutation.
+    val repaired = graft.core.AtomicWrite.recoverSwap(spark, logDir.toString)
     val (_, _, entries) = readLog(fs, logDir, compactInterval)
     val visible = entries.map(e => new Path(new java.net.URI(e.path)).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -310,7 +316,7 @@ object SinkCompaction {
           } else orphanFile(f)
         }
       }
-    VacuumReport(files, bytes, dirs, listed.toSeq)
+    VacuumReport(files, bytes, dirs, listed.toSeq, logSwapRepaired = repaired)
   }
 
   private def statusJson(p: Path, size: Long, modTime: Long): String =

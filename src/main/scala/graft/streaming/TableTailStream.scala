@@ -75,11 +75,38 @@ object TableTailStream {
       maxCommitsPerBatch: Int = Int.MaxValue,
       ignoreDeletes: Boolean = false)(
       f: (DataFrame, Long, Long) => Unit): Boolean = {
-    require(maxCommitsPerBatch > 0, "maxCommitsPerBatch must be positive")
     val from = cursor(spark, checkpointDir)
+    readTail(spark, table, partCol, from, ignoreChanges,
+        maxCommitsPerBatch, ignoreDeletes) match {
+      case None => false
+      case Some((appended, tip)) =>
+        f(appended, from, tip)
+        ChangeFeedStream.writeCursor(spark, checkpointDir, tip)
+        true
+    }
+  }
+
+  /** The STATELESS core of [[pollOnce]] — cursor in, `(appended rows,
+    * next cursor)` out, no checkpoint touched: the appended rows of
+    * commits `(from, tip]` with `tip = min(currentVersion, from +
+    * maxCommitsPerBatch)`. Serves consumers that hold their own cursor
+    * (the HTTP `GET /table/tail` route is the curl twin of a
+    * checkpointed drain). Returns None when `from` is already at (or
+    * past) the tip; throws [[IllegalStateException]] on a rewriting
+    * commit in range unless the opt-in flags cover it — see the class
+    * doc's two-tier caveat. */
+  def readTail(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      from: Long,
+      ignoreChanges: Boolean = false,
+      maxCommitsPerBatch: Int = Int.MaxValue,
+      ignoreDeletes: Boolean = false): Option[(DataFrame, Long)] = {
+    require(maxCommitsPerBatch > 0, "maxCommitsPerBatch must be positive")
     val tip = math.min(TxnLog.currentVersion(spark, table),
       from + maxCommitsPerBatch)
-    if (tip <= from) return false
+    if (tip <= from) return None
     val changes = ChangeFeed.readChanges(spark, table, partCol, from, Some(tip))
     if (!ignoreChanges) {
       // Delta's two-tier caveat, per COMMIT: a commit with only delete
@@ -113,9 +140,7 @@ object TableTailStream {
     val appended = changes
       .filter(col(ChangeFeed.ChangeTypeCol) === "insert")
       .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitVersionCol)
-    f(appended, from, tip)
-    ChangeFeedStream.writeCursor(spark, checkpointDir, tip)
-    true
+    Some((appended, tip))
   }
 
   /** Drain every committed append up to the current tip — the

@@ -130,6 +130,39 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.baselineBlown(Nil, 44.05)) // no rounds yet
   }
 
+  // --- r14 guard miss: repeat=2 published a contaminated mean ---
+
+  test("r14 replay: 2-round totals 146.2/314.1 must force a third round") {
+    // BENCH_r14: the driver's run stopped after 2 rounds (projected round 3
+    // did not fit the budget), totals 146.2/314.1 s — spread 2.15x, under
+    // the 3x limit — and published their 230 s MEAN as contended:false on
+    // code the judge then measured at 74 s. At exactly 2 rounds there is no
+    // robust estimator, so the tighter 1.5x spread limit must mark the run
+    // contended and buy the third round.
+    val totals = Seq(146.2, 314.1)
+    assert(BenchGuard.isContended(totals, budget))
+    assert(BenchGuard.shouldRunAnother(totals, 460300, 314100, 3, budget, 5))
+    // a quiet 2-round stop (projection says round 3 does not fit) is
+    // unaffected: spread 1.04 stays under even the tight limit
+    assert(!BenchGuard.isContended(Seq(290.0, 302.0), budget))
+    assert(!BenchGuard.shouldRunAnother(Seq(290.0, 302.0), 592000, 302000, 3, budget, 5))
+    // and the 3-round limit is unchanged (median is robust there)
+    assert(!BenchGuard.isContended(Seq(100.0, 210.0, 95.0), budget))
+  }
+
+  test("estimate: min at exactly 2 samples, true median otherwise") {
+    // one contaminated round of two: the old mean published 2.3x truth;
+    // the min publishes the quiet round
+    assert(BenchGuard.estimate(Seq(146.2, 314.1)) == 146.2)
+    // quiet 2-round pair: min ~= either sample
+    assert(BenchGuard.estimate(Seq(1.00, 1.04)) == 1.00)
+    // >=3 samples keep the median (robust to the one bad round)
+    assert(BenchGuard.estimate(Seq(1.0, 50.0, 1.2)) == 1.2)
+    assert(BenchGuard.estimate(Seq(1.0, 2.0, 3.0, 100.0)) == 2.5)
+    assert(BenchGuard.estimate(Seq(7.0)) == 7.0)
+    assert(BenchGuard.estimate(Nil) == 0.0)
+  }
+
   // --- loud failures: a throwing query must never become a "timing" ---
 
   test("a throwing query lands in errors, not in the timing map") {

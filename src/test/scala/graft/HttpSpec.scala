@@ -606,6 +606,209 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("keyset cursors: typed after=, timestamp walk, run trimming, tiebreak") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httpkeyset").toString + "/t"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // 40 rows; grp repeats in runs of 4 (non-unique), ts strictly increasing
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 40).map(i => ("2026-07-01", i.toLong, ((i - 1) / 4 + 1).toLong,
+          java.sql.Timestamp.valueOf(f"2026-07-01 00:00:$i%02d")))
+        .toDF("day", "k", "grp", "ts"), "day", Seq("k"))
+    val api = newApi()
+    try {
+      val base = s"/table/data?table=${enc(t)}&partCol=day"
+
+      // a cursor the orderBy column's type cannot parse is a loud 400 —
+      // previously `col(k) > "garbage"` coerced through double and served
+      // a silently empty page
+      val (gc, gb) = get(api.port, s"$base&orderBy=k&limit=10&after=garbage")
+      assert(gc == 400 && gb.asObj("error") == JStr("INVALID_CURSOR"), s"$gc $gb")
+      assert(get(api.port, s"$base&orderBy=k&tiebreak=ts&limit=10" +
+        "&after=5&afterTie=garbage")._1 == 400)
+      // afterTie without tiebreak, tiebreak without orderBy, tiebreak == orderBy
+      assert(get(api.port, s"$base&orderBy=k&limit=10&after=5&afterTie=1")._1 == 400)
+      assert(get(api.port, s"$base&tiebreak=k&limit=10")._1 == 400)
+      assert(get(api.port, s"$base&orderBy=k&tiebreak=k&limit=10")._1 == 400)
+
+      // timestamp-ordered keyset walk == offset walk, page-identical: the
+      // ISO cursor echoed in nextAfter round-trips through the typed cast
+      def offsetWalk(ob: String): Vector[Long] = {
+        var out = Vector.empty[Long]; var off = 0; var more = true
+        while (more) {
+          val (c, b) = get(api.port, s"$base&orderBy=$ob&tiebreak=k&limit=7&offset=$off")
+          assert(c == 200)
+          val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+          out ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+          more = b.asObj("page").asObj("hasMore") == JBool(true); off += 7
+        }
+        out
+      }
+      var tsWalk = Vector.empty[Long]
+      var cursor = enc("2026-06-30T00:00:00.000Z")
+      var more = true
+      while (more) {
+        val (c, b) = get(api.port, s"$base&orderBy=ts&limit=7&after=$cursor")
+        assert(c == 200, s"$c $b")
+        val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+        tsWalk ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+        val page = b.asObj("page").asObj
+        more = page("hasMore") == JBool(true)
+        page.get("nextAfter").foreach(n => cursor = enc(n.str))
+      }
+      assert(tsWalk == offsetWalk("ts"),
+        "timestamp keyset walk must be page-identical to offset paging")
+      assert(tsWalk == (1L to 40L).toVector)
+
+      // non-unique orderBy, run (4) narrower than the page (6): the page
+      // boundary lands inside a run -> the page trims back to the last
+      // complete run and the walk loses NOTHING (the r14 advisory's silent
+      // data loss, now impossible)
+      var grpWalk = Vector.empty[Long]
+      cursor = "0"; more = true
+      var sawTrimmed = false
+      while (more) {
+        val (c, b) = get(api.port, s"$base&orderBy=grp&limit=6&after=$cursor")
+        assert(c == 200, s"$c $b")
+        val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+        val page = b.asObj("page").asObj
+        if (page("hasMore") == JBool(true) &&
+            page("returned").asInstanceOf[JNum].v.toInt < 6) sawTrimmed = true
+        grpWalk ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+        more = page("hasMore") == JBool(true)
+        page.get("nextAfter").foreach(n => cursor = n.str)
+      }
+      assert(grpWalk.sorted == (1L to 40L).toVector,
+        s"non-unique keyset walk must not skip or duplicate rows: $grpWalk")
+      assert(sawTrimmed, "a 6-row page over 4-row runs must trim at least once")
+
+      // a run WIDER than the whole page cannot be trimmed -> loud 400
+      // naming the fix, never a silent skip
+      val (ac, ab) = get(api.port, s"$base&orderBy=grp&limit=3&after=0")
+      assert(ac == 400 && ab.asObj("error") == JStr("AMBIGUOUS_ORDER"), s"$ac $ab")
+      assert(ab.asObj("message").str.contains("tiebreak"))
+
+      // tiebreak=k makes the same limit=3 walk total: composite cursor
+      // (after+afterTie), full pages, nothing lost
+      var tbWalk = Vector.empty[Long]
+      var aCur = "0"; var tCur = "0"; more = true
+      while (more) {
+        val (c, b) = get(api.port,
+          s"$base&orderBy=grp&tiebreak=k&limit=3&after=$aCur&afterTie=$tCur")
+        assert(c == 200, s"$c $b")
+        val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+        tbWalk ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+        val page = b.asObj("page").asObj
+        more = page("hasMore") == JBool(true) && data.nonEmpty
+        page.get("nextAfter").foreach(n => aCur = n.str)
+        page.get("nextAfterTie").foreach(n => tCur = n.str)
+      }
+      assert(tbWalk == (1L to 40L).toVector,
+        s"tiebreak walk must serve every row exactly once in order: $tbWalk")
+    } finally api.stop()
+  }
+
+  test("cursor tail over the API: walk == programmatic drain, 409 on rewrites") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("httptail").toString + "/t"
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // commit 1+2: pure appends; commit 3: an UPDATE merge (insert+delete
+    // legs); commit 4: a delete-only commit; then a compaction (no rows
+    // changed — must contribute nothing to any tail)
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 20).map(i => ("2026-07-01", i.toLong, i * 1.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (21 to 30).map(i => ("2026-07-01", i.toLong, i * 1.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    graft.batch.Upsert.mergeByKey(spark, t,
+      Seq(("2026-07-01", 1L, 999.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    graft.batch.Upsert.deleteByKey(spark, t,
+      Seq(("2026-07-01", 30L)).toDF("day", "k"), "day", Seq("k"))
+    graft.batch.Upsert.compactPartitions(spark, t, "day", minFilesToCompact = 2)
+    val tip = graft.core.TxnLog.currentVersion(spark, t)
+
+    // programmatic drain under ignoreChanges (the only mode that can
+    // express the update-merge's appends)
+    val ckpt = Files.createTempDirectory("httptailckpt").toString
+    val drained = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    graft.streaming.TableTailStream.drain(spark, t, "day", ckpt,
+      ignoreChanges = true, maxCommitsPerBatch = 1) { (df, _, _) =>
+      drained ++= df.select("k", "v").as[(Long, Double)].collect()
+    }
+
+    val api = newApi()
+    try {
+      val base = s"/table/tail?table=${enc(t)}&partCol=day"
+      // HTTP cursor walk, one commit per poll, paging inside each range
+      var cursor = 0L
+      var walked = Vector.empty[(Long, Double)]
+      var polls = 0
+      var caughtUp = false
+      while (!caughtUp && polls < 50) {
+        polls += 1
+        var offset = 0
+        var more = true
+        var next = cursor
+        while (more) {
+          val (c, b) = get(api.port,
+            s"$base&cursor=$cursor&maxCommits=1&ignoreChanges=true" +
+              s"&orderBy=k&limit=7&offset=$offset")
+          assert(c == 200, s"$c $b")
+          val o = b.asObj
+          caughtUp = o("caughtUp") == JBool(true)
+          next = o("nextCursor").asInstanceOf[JNum].v.toLong
+          val data = o("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+          walked ++= data.map(r => (r("k").asInstanceOf[JNum].v.toLong,
+            r("v").asInstanceOf[JNum].v.toDouble))
+          more = o("page").asObj("hasMore") == JBool(true)
+          offset += 7
+        }
+        cursor = next
+      }
+      assert(caughtUp && cursor == tip, s"walk must reach the tip: $cursor vs $tip")
+      assert(walked.sorted == drained.toVector.sorted,
+        s"HTTP cursor walk must equal the programmatic drain: " +
+          s"${walked.size} vs ${drained.size} rows")
+
+      // without the opt-in flags, the rewriting commit's range is a loud
+      // 409 (never silently-wrong appends); ignoreDeletes alone does not
+      // cover an update-merge either
+      var c409 = 0L
+      var last = (200, JObj.of("caughtUp" -> JBool(false)): JVal)
+      while (last._1 == 200 &&
+          last._2.asObj.get("caughtUp") != Some(JBool(true))) {
+        last = get(api.port, s"$base&cursor=$c409&maxCommits=1&limit=100")
+        if (last._1 == 200)
+          c409 = last._2.asObj("nextCursor").asInstanceOf[JNum].v.toLong
+      }
+      assert(last._1 == 409 &&
+        last._2.asObj("error") == JStr("REWRITE_IN_RANGE"), s"$last")
+      assert(last._2.asObj("message").str.contains("ignoreChanges"))
+      assert(get(api.port, s"$base&cursor=$c409&maxCommits=1" +
+        "&ignoreDeletes=true&limit=100")._1 == 409,
+        "ignoreDeletes must not cover an update-merge")
+
+      // refusal matrix: bad cursors and flags are 400s
+      assert(get(api.port, s"$base&cursor=garbage")._1 == 400)
+      assert(get(api.port, s"$base&limit=5")._1 == 400, "cursor is required")
+      assert(get(api.port, s"$base&cursor=${tip + 10}")._1 == 400,
+        "a cursor beyond the tip is a client error")
+      assert(get(api.port, s"$base&cursor=0&maxCommits=0")._1 == 400)
+      assert(get(api.port, s"$base&cursor=0&ignoreChanges=banana")._1 == 400)
+
+      // shape hints ride the tail too: project + filter one range (the
+      // first merge is a begin+end commit PAIR, so maxCommits=2 spans
+      // exactly its appends)
+      val (hc, hb) = get(api.port, s"$base&cursor=0&maxCommits=2" +
+        s"&ignoreChanges=true&columns=k&where=${enc("k<=3")}&orderBy=k&limit=100")
+      assert(hc == 200, s"$hc $hb")
+      val hRows = hb.asObj("data") match { case JArr(r) => r.map(_.asObj); case _ => fail() }
+      assert(hRows.map(_("k").asInstanceOf[JNum].v.toLong) == Vector(1L, 2L, 3L) &&
+        hRows.forall(_.keySet == Set("k")))
+    } finally api.stop()
+  }
+
   test("vacuum preview route: 404 on a missing path, 400 on a non-sink dir") {
     val api = newApi()
     try {
@@ -711,6 +914,27 @@ class HttpSpec extends SparkSpec {
       assert(get(api.port, s"/table/data?table=${enc(t)}&partCol=day" +
         s"&where=${enc("k=1|abc")}&limit=5")._1 == 400,
         "every IN member must parse as the column's type")
+
+      // quote-aware conjunct split: a quoted literal may contain `;` (and
+      // `|`) — previously the pre-quote `;` split made such literals
+      // inexpressible (they failed as malformed conjuncts)
+      import graft.http.TableShape
+      assert(TableShape.parseWhere("note='a;b';k>5") == Right(Seq(
+        TableShape.Conjunct("note", "=", "a;b", isNull = false, quoted = true),
+        TableShape.Conjunct("k", ">", "5", isNull = false))))
+      assert(TableShape.parseWhere("note='x|y;z'").toOption.get.head.value == "x|y;z")
+      assert(TableShape.parseWhere("note='a;k>5").isLeft,
+        "an unterminated quote must fail loudly")
+      // HTTP round-trip on a string column: the quoted `;` is a plain
+      // character (matches nothing here), not a conjunct split
+      val (sc2, sb2) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&from=$v1&where=${enc("_change_type='in;sert'")}&limit=10")
+      assert(sc2 == 200 &&
+        (sb2.asObj("data") match { case JArr(r) => r; case _ => fail() }).isEmpty,
+        s"quoted ; must parse as a literal character: $sc2 $sb2")
+      assert(get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
+        s"&from=$v1&where=${enc("_change_type='in;sert")}&limit=10")._1 == 400,
+        "an unterminated quote over HTTP is a 400")
 
       // the change feed takes the same hints: page only the inserts
       val (cc, cb) = get(api.port, s"/table/changes?table=${enc(t)}&partCol=day" +
