@@ -93,6 +93,35 @@ class ConvertSpec extends SparkSpec {
     assert(hit.count() == 1)
   }
 
+  test("migration on-ramp e2e: convert a foreign table, adopt its id column as identity, merge") {
+    import spark.implicits._
+    // a foreign writer's table that already carries its own unique BIGINT
+    // ids — the realistic migration: adopt the directory, adopt the
+    // sequence, keep writing
+    val t = tmp("convert-migrate") + "/t"
+    (1 to 10).map(i => (s"2026-08-0${i % 2 + 1}", s"k$i", i.toLong))
+      .toDF("day", "k", "uid")
+      .write.partitionBy("day").mode("overwrite").parquet(t)
+    assert(Upsert.convert(spark, t, "day") == 1L)
+    graft.batch.IdentityColumns.add(spark, t, "uid")
+    // update an adopted row + insert a new one (key-only rows: uid is
+    // assigned, nothing else to cover): the adopted id sticks, the new
+    // row continues the adopted sequence past its max
+    Upsert.mergeByKey(spark, t,
+      Seq(("2026-08-01", "k2"), ("2026-08-02", "fresh"))
+        .toDF("day", "k"), "day", Seq("k"))
+    val ids = Upsert.readCommitted(spark, t, "day")
+      .select("k", "uid").as[(String, Long)].collect().toMap
+    assert(ids("k2") == 2L, "an adopted row's id survives its first managed update")
+    // the range covers every source row (the matched update burns one id,
+    // Delta-style: gaps allowed, monotonicity guaranteed), so the fresh
+    // row lands PAST the adopted max — not necessarily at max+1
+    assert(ids("fresh") > 10L, s"the sequence resumes past the adopted max: $ids")
+    assert(ids.size == 11 && ids.values.toSeq.distinct.size == 11)
+    // and the adopted history is still reachable: v1 = the foreign state
+    assert(Upsert.readAsOf(spark, t, 1L, "day").count() == 10)
+  }
+
   test("Maintain convert mode adopts over the ops surface") {
     val t = tmp("convert-maint") + "/t"
     seedPlain(t, n = 10)

@@ -125,6 +125,43 @@ class IdentitySpec extends SparkSpec {
       IdentityColumns.add(spark, t3, "ghost"))
   }
 
+  test("streaming upsert replay after a crash assigns no duplicate ids") {
+    import spark.implicits._
+    val t = tmp("ident-stream") + "/t"
+    IdentityColumns.add(spark, t, "id")
+    val merge = graft.streaming.StreamingUpsert
+      .mergeBatch(spark, t, "day", Seq("k"), "ident-app") _
+    val batch1 = Seq(("2026-08-01", "a", 1.0), ("2026-08-01", "b", 2.0))
+      .toDF("day", "k", "v")
+    merge(batch1, 1L)
+    val after1 = Upsert.readCommitted(spark, t, "day")
+      .select("k", "id").as[(String, Long)].collect().toMap
+
+    // crash BEFORE the txn marker: the ledger has no record, so the
+    // restart re-merges the same batch — every key matches, every id is
+    // preserved, the burned range is a gap (simulated by merging the same
+    // rows under a DIFFERENT batch id)
+    merge(batch1, 2L)
+    val replayed = Upsert.readCommitted(spark, t, "day")
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(replayed == after1, "a pre-marker crash replay must not move ids")
+
+    // crash AFTER the txn marker: the ledger absorbs the replayed batch
+    // id entirely — no merge, no allocation
+    val allocsBefore = TxnLog.commitsSince(spark, t, 0L).count(_.op == "identity")
+    merge(batch1, 2L) // same (appId, batchId): absorbed
+    assert(TxnLog.commitsSince(spark, t, 0L).count(_.op == "identity")
+      == allocsBefore, "an absorbed replay must not allocate")
+    assert(Upsert.readCommitted(spark, t, "day")
+      .select("k", "id").as[(String, Long)].collect().toMap == after1)
+
+    // a genuinely new batch draws ids past everything allocated so far
+    merge(Seq(("2026-08-01", "c", 3.0)).toDF("day", "k", "v"), 3L)
+    val ids = Upsert.readCommitted(spark, t, "day")
+      .select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size == 3, s"no duplicate ids anywhere: $ids")
+  }
+
   test("concurrent merges allocate disjoint ranges; deletes allocate nothing") {
     import spark.implicits._
     val t = tmp("ident-conc") + "/t"
