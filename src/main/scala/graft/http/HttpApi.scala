@@ -803,7 +803,21 @@ final class HttpApi(
     * page is TRIMMED back to the last complete run (the strict `>` seek
     * then re-serves the whole run on the next page), and a run wider than
     * the whole page — untrimmable — is a loud 400 naming the fix, never a
-    * silent skip. */
+    * silent skip.
+    *
+    * Walk start: the cursor-less first page (`orderBy` without `after`)
+    * over-fetches the same probe row, reports EXACT `hasMore`, and
+    * echoes `nextAfter` (+`nextAfterTie`) so a keyset walk starts
+    * without manufacturing a below-minimum cursor; when the first-page
+    * boundary splits a run (or ends on a NULL key) the cursor is
+    * WITHHELD and `cursorNote` names the fix — never a cursor that
+    * would skip rows. Offset clients see identical rows (the probe is
+    * never returned).
+    *
+    * NULLs: a strict seek (`>` / `<`) can never address a NULL key, so
+    * NULLs sort FIRST in both directions and are served by the
+    * cursor-less first page; a walk started from a manufactured cursor
+    * (rather than page-1's echo) skips them by construction. */
   private def servePage(
       ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
       limit: Int, offset: Int,
@@ -837,7 +851,10 @@ final class HttpApi(
           s"order=$other is not a direction (asc or desc)"))
         return
     }
-    def dir(c: org.apache.spark.sql.Column) = if (desc) c.desc else c.asc
+    // NULLs first in BOTH directions (asc is Spark's default): a keyset
+    // seek can never address a NULL, so the cursor-less first page must
+    // be where they surface — symmetrically for asc and desc walks
+    def dir(c: org.apache.spark.sql.Column) = if (desc) c.desc_nulls_first else c.asc
     // typed cursor literal, or Left(400 message) on a value the column's
     // type cannot parse (which compiled as-is would match nothing)
     def typed(cursorName: String, v: String, c: String)
@@ -854,6 +871,9 @@ final class HttpApi(
       case Some(other)   => other.render
       case None          => "" // column projected away — refused above
     }
+    // a column's cursor VALUE, None on NULL (toJSON omits null fields)
+    def cv(row: JVal, c: String): Option[String] = row.asObj.get(c)
+      .collect { case JStr(s) => s; case j if j != JNull => j.render }
     after match {
       case Some(a) =>
         orderBy match {
@@ -878,6 +898,17 @@ final class HttpApi(
                 val page = df.filter(seek)
                   .orderBy(dir(col(ob)), dir(col(tb))).limit(limit)
                 val rows = page.toJSON.collect().toVector.map(Json.parse)
+                // a NULL tiebreak can slip past the ob > A arm but no
+                // composite seek can ever resume past it — refuse loudly
+                // (the run-too-wide 400 precedent), never emit a cursor
+                // that skips rows or fails to parse on the next request
+                if (rows.lastOption.exists(r => cv(r, tb).isEmpty)) {
+                  reply(ex, 400, err("AMBIGUOUS_ORDER",
+                    s"tiebreak=$tb has NULLs at the page boundary — a " +
+                      "composite cursor cannot address them; pick a " +
+                      "non-null unique tiebreak column"))
+                  return
+                }
                 val nexts = rows.lastOption.toVector.flatMap(last => Vector(
                   "nextAfter" -> (JStr(cursorOf(last, ob)): JVal),
                   "nextAfterTie" -> (JStr(cursorOf(last, tb)): JVal)))
@@ -937,11 +968,50 @@ final class HttpApi(
       case None =>
         val ordCols = orderBy.map(o => Seq(o) ++ tiebreak)
           .getOrElse(df.columns.toSeq.sorted)
+        // over-fetch one probe row: exact hasMore, and — when ordered — a
+        // first-page keyset cursor, so a walk starts WITHOUT a
+        // manufactured below-minimum after=. The probe also detects a
+        // boundary splitting a run of equal keys, which a strict resume
+        // would silently skip: then the cursor is withheld and cursorNote
+        // names the fix. Offset clients see identical rows.
         val page = df.orderBy(ordCols.map(c => dir(col(c))): _*)
-          .offset(offset).limit(limit)
-        val rows = page.toJSON.collect().toVector.map(Json.parse)
+          .offset(offset).limit(limit + 1)
+        val fetched = page.toJSON.collect().toVector.map(Json.parse)
+        val rows = fetched.take(limit)
+        val more = fetched.length > limit
+        val cursorFields: Vector[(String, JVal)] = orderBy match {
+          case Some(ob) if rows.nonEmpty =>
+            def nullNote(c: String) = Vector("cursorNote" -> (JStr(
+              s"the page ends on a NULL $c — NULLs sort first and only " +
+                "the cursor-less first page serves them; raise limit past " +
+                "the null run to obtain a cursor"): JVal))
+            tiebreak match {
+              case Some(tb) =>
+                (cv(rows.last, ob), cv(rows.last, tb)) match {
+                  case (Some(a), Some(t)) => Vector(
+                    "nextAfter" -> (JStr(a): JVal),
+                    "nextAfterTie" -> (JStr(t): JVal))
+                  case (None, _) => nullNote(ob)
+                  case _         => nullNote(tb)
+                }
+              case None =>
+                (cv(rows.last, ob),
+                  if (more) cv(fetched(limit), ob) else None) match {
+                  case (Some(a), pk) if !pk.contains(a) =>
+                    Vector("nextAfter" -> (JStr(a): JVal))
+                  case (Some(a), _) => Vector("cursorNote" -> (JStr(
+                    s"orderBy=$ob is not unique and the page boundary " +
+                      s"splits a run of '$a' — resuming from after=$a " +
+                      "would skip the run's remainder; add " +
+                      "tiebreak=<unique col> or raise limit"): JVal))
+                  case (None, _) => nullNote(ob)
+                }
+            }
+          case _ => Vector.empty
+        }
         reply(ex, 200, JObj(head ++ Vector[(String, JVal)](
-          "page" -> pageEnvelope(limit, offset, rows.length, rows.length == limit),
+          "page" -> JObj(pageEnvelope(limit, offset, rows.length, more)
+            .fields ++ cursorFields),
           "data" -> JArr(rows))))
     }
   }

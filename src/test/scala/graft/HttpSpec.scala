@@ -708,6 +708,112 @@ class HttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("cursor-less first page starts a keyset walk; NULL keys live only there") {
+    import spark.implicits._
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // same shape as the keyset fixture: k unique, grp in runs of 4
+    val t = Files.createTempDirectory("httpkeyset0").toString + "/t"
+    graft.batch.Upsert.mergeByKey(spark, t,
+      (1 to 40).map(i => ("2026-07-01", i.toLong, ((i - 1) / 4 + 1).toLong))
+        .toDF("day", "k", "grp"), "day", Seq("k"))
+    // and a table whose v column has a NULL run (k 1..3)
+    val tn = Files.createTempDirectory("httpnulls").toString + "/t"
+    graft.batch.Upsert.mergeByKey(spark, tn,
+      (1 to 10).map(i => ("2026-07-01", i.toLong,
+          if (i <= 3) None else Some(i.toLong)))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+    val api = newApi()
+    try {
+      val base = s"/table/data?table=${enc(t)}&partCol=day"
+      val baseN = s"/table/data?table=${enc(tn)}&partCol=day"
+
+      // page 1 without after= echoes nextAfter: no manufactured
+      // below-minimum cursor needed to start the walk
+      var cursor: Option[String] = None
+      var walk = Vector.empty[Long]; var more = true
+      while (more) {
+        val (c, b) = get(api.port, s"$base&orderBy=k&limit=7" +
+          cursor.map(a => s"&after=$a").getOrElse(""))
+        assert(c == 200, s"$c $b")
+        val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+        walk ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+        val page = b.asObj("page").asObj
+        more = page("hasMore") == JBool(true)
+        page.get("nextAfter").foreach(n => cursor = Some(enc(n.str)))
+      }
+      assert(walk == (1L to 40L).toVector,
+        s"a walk started from the cursor-less first page serves everything: $walk")
+
+      // the probe row makes hasMore EXACT: an exactly-full final page no
+      // longer reports hasMore=true and costs the client an empty fetch
+      val (fc, fb) = get(api.port, s"$base&orderBy=k&limit=40")
+      assert(fc == 200 && fb.asObj("page").asObj("hasMore") == JBool(false))
+      assert(fb.asObj("page").asObj("nextAfter") == JStr("40"))
+
+      // first-page boundary splitting a grp run: the cursor is WITHHELD
+      // (resuming after=2 would skip half of run 2) and cursorNote names
+      // the fix — rows are untrimmed, so offset clients are unaffected
+      val (sc, sb) = get(api.port, s"$base&orderBy=grp&limit=6")
+      assert(sc == 200, s"$sc $sb")
+      val sPage = sb.asObj("page").asObj
+      assert(sPage.get("nextAfter").isEmpty,
+        s"a run-splitting first page must not emit a skipping cursor: $sPage")
+      assert(sPage("cursorNote").str.contains("tiebreak"))
+      assert(sb.asObj("data").asInstanceOf[JArr].items.length == 6)
+
+      // with tiebreak the same first page IS resumable: composite cursor
+      // from page 1, then the documented after+afterTie walk
+      var aCur: Option[(String, String)] = None
+      var tbWalk = Vector.empty[Long]; more = true
+      while (more) {
+        val (c, b) = get(api.port, s"$base&orderBy=grp&tiebreak=k&limit=6" +
+          aCur.map { case (a, at) => s"&after=$a&afterTie=$at" }.getOrElse(""))
+        assert(c == 200, s"$c $b")
+        val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+        tbWalk ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+        val page = b.asObj("page").asObj
+        more = page("hasMore") == JBool(true) && data.nonEmpty
+        for (a <- page.get("nextAfter"); at <- page.get("nextAfterTie"))
+          aCur = Some((enc(a.str), enc(at.str)))
+      }
+      assert(tbWalk == (1L to 40L).toVector,
+        s"first-page composite cursor must chain losslessly: $tbWalk")
+
+      // NULL keys sort first in BOTH directions and are served by the
+      // cursor-less first page — the only page a strict seek can't reach
+      for (dirQ <- Seq("", "&order=desc")) {
+        var cur: Option[String] = None
+        var ks = Vector.empty[Long]; var m = true
+        while (m) {
+          val (c, b) = get(api.port, s"$baseN&orderBy=v&limit=5$dirQ" +
+            cur.map(a => s"&after=$a").getOrElse(""))
+          assert(c == 200, s"$c $b")
+          val data = b.asObj("data") match { case JArr(r) => r; case _ => fail() }
+          ks ++= data.map(_.asObj("k").asInstanceOf[JNum].v.toLong)
+          val page = b.asObj("page").asObj
+          m = page("hasMore") == JBool(true)
+          page.get("nextAfter").foreach(n => cur = Some(enc(n.str)))
+        }
+        assert(ks.sorted == (1L to 10L).toVector,
+          s"walk '$dirQ' must serve NULL-keyed rows (page 1) and the rest: $ks")
+      }
+      // a sentinel-started walk skips NULLs by construction — documented
+      val (nc, nb) = get(api.port, s"$baseN&orderBy=v&limit=20&after=0")
+      assert(nc == 200)
+      assert(nb.asObj("data").asInstanceOf[JArr].items.length == 7,
+        "a strict seek addresses only non-NULL keys")
+      // an all-NULL first page has no usable cursor: note, not a skip
+      val (ac, ab) = get(api.port, s"$baseN&orderBy=v&limit=3")
+      assert(ac == 200 && ab.asObj("page").asObj.get("nextAfter").isEmpty)
+      assert(ab.asObj("page").asObj("cursorNote").str.contains("NULL"))
+      // a NULL tiebreak at a composite page boundary is a loud 400 —
+      // no cursor that skips rows or fails to parse on resume
+      val (bc, bb) = get(api.port,
+        s"$baseN&orderBy=k&tiebreak=v&limit=2&after=0&afterTie=0")
+      assert(bc == 400 && bb.asObj("error") == JStr("AMBIGUOUS_ORDER"), s"$bc $bb")
+    } finally api.stop()
+  }
+
   test("cursor tail over the API: walk == programmatic drain, 409 on rewrites") {
     import spark.implicits._
     val t = Files.createTempDirectory("httptail").toString + "/t"
