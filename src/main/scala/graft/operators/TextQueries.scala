@@ -211,6 +211,61 @@ object TextQueries extends QueryModule {
         (col("n_adj_dup").cast("double") / col("n_bigrams").cast("double")).as("adj_dup_frac"))
   }
 
+  /** Corpus-wide span dedup accounting (the C4 "three-sentence span" /
+    * Dolma paragraph dedup, at this corpus's deterministic unit: consecutive
+    * non-overlapping 8-token spans, trailing partial kept). Every span keeps
+    * its FIRST occurrence in (doc_id, span_idx) order; the report is
+    * per-document retention — how much of each doc survives global dedup.
+    * One exchange keyed on the span string (key space bounded by distinct
+    * corpus content — the dedup target itself), then a per-doc rollup;
+    * never all-pairs, linear at 100 TB like the decontamination scan. */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupOf(docs(s, d))
+
+  /** Core of [[spanDedup]] over any (doc_id, toks) frame (unit-testable). */
+  def spanDedupOf(docsDf: DataFrame): DataFrame = {
+    val spans = docsDf
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(toks) + 7) div 8 - 1),
+                     i -> concat_ws(' ', slice(toks, i*8+1, 8)))""")))
+      .toDF("doc_id", "span_idx", "span")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("span").orderBy("doc_id", "span_idx")
+    spans.withColumn("rk", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        (col("n_spans") - col("n_kept")).as("n_dropped"),
+        (col("n_kept").cast("double") / col("n_spans").cast("double"))
+          .as("kept_frac"))
+  }
+
+  /** Gopher's duplicate n-gram mass (Rae et al. 2021 §A1.1) at n=3: per
+    * document, the fraction of trigram OCCURRENCES whose trigram appears
+    * more than once in that document — the loop/boilerplate signal the
+    * top-bigram statistic ([[repetition]]) misses when the repeated mass
+    * is spread over many distinct grams. Same scale shape as repetition:
+    * one (doc_id, trigram) count shuffle, vocabulary-bounded. */
+  def dupNgramFrac(s: SparkSession, d: String): DataFrame =
+    dupNgramFracOf(docs(s, d))
+
+  /** Core of [[dupNgramFrac]] over any (doc_id, toks) frame. */
+  def dupNgramFracOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("tri", explode(expr(
+        """CASE WHEN size(toks) >= 3
+             THEN transform(sequence(0, size(toks)-3),
+                            i -> concat_ws(' ', slice(toks, i+1, 3)))
+             ELSE array() END""")))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum("n").as("n_trigrams"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_mass"))
+      .select(col("doc_id"), col("n_trigrams"), col("dup_mass"),
+        (col("dup_mass").cast("double") / col("n_trigrams").cast("double"))
+          .as("dup_frac"))
+
   /** Benchmark decontamination scan (the public 13-gram protocol of
     * GPT-3/PaLM appendix C, at 8 tokens for this corpus's ~55-token docs):
     * treat docs 0-9 as the held-out eval set, report the 20 most
@@ -472,6 +527,8 @@ object TextQueries extends QueryModule {
       " ELSE n_toks END AS BIGINT)"
 
   val queries: Map[String, Q] = Map(
+    "txt_span_dedup" -> (spanDedup _),
+    "txt_dup_ngram_frac" -> (dupNgramFrac _),
     "txt_redact_pii" -> (redactPii _),
     "txt_length_buckets" -> (lengthBuckets _),
     "txt_repetition" -> (repetition _),
@@ -526,6 +583,32 @@ object TextQueries extends QueryModule {
       FROM ex GROUP BY 1, 2"""
 
   val oracleSql: Map[String, String] = Map(
+    "txt_span_dedup" -> s"""$cte,
+      spans AS (
+        SELECT doc_id, i AS span_idx,
+               array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS span
+        FROM docs CROSS JOIN UNNEST(range(0, (len(toks) + 7) // 8)) AS u(i)),
+      ranked AS (
+        SELECT doc_id, span,
+               ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rk
+        FROM spans)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(COUNT(*) - SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
+      FROM ranked GROUP BY 1""",
+    "txt_dup_ngram_frac" -> s"""$cte,
+      grams AS (
+        SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS tri
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3),
+      counted AS (SELECT doc_id, tri, COUNT(*) AS n FROM grams GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(SUM(n) AS BIGINT) AS n_trigrams,
+        CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_mass,
+        CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n) AS dup_frac
+      FROM counted GROUP BY 1""",
     "txt_repetition" -> s"""$cte,
       grams AS (
         SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram

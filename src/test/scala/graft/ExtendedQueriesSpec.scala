@@ -26,11 +26,13 @@ class ExtendedQueriesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
       .toMap
     assert(mine.keySet == builtin.keySet)
+    // statsAgg ROUNDs to 6 decimals (cross-engine cast stability), so the
+    // bound is the rounding granule, not double precision.
     mine.foreach { case (flag, (v, s, c)) =>
       val (bv, bs, bc) = builtin(flag)
-      assert(math.abs(v - bv) / bv < 1e-9, s"$flag var: $v vs $bv")
-      assert(math.abs(s - bs) / bs < 1e-9, s"$flag stddev: $s vs $bs")
-      assert(math.abs(c - bc) < 1e-9, s"$flag corr: $c vs $bc")
+      assert(math.abs(v - bv) / bv < 1e-7, s"$flag var: $v vs $bv")
+      assert(math.abs(s - bs) / bs < 1e-7, s"$flag stddev: $s vs $bs")
+      assert(math.abs(c - bc) < 1e-6, s"$flag corr: $c vs $bc")
     }
   }
 

@@ -92,4 +92,39 @@ class TextSpec extends SparkSpec {
     assert(rows(1L)._1 == 1.0 && !rows(1L)._2.isNaN)
     assert(rows(2L)._1 == 0.25 && !rows(2L)._2.isNaN)
   }
+
+  test("span dedup: first occurrence wins in (doc_id, span_idx) order") {
+    // 8-token spans; doc 1 and doc 2 share an identical first span, doc 2's
+    // copy must be the dropped one. Doc 3 is a 3-token partial span, unique.
+    val shared = "a b c d e f g h"
+    val d = docsDf(
+      1L -> (shared + " i j k l m n o p"), // spans: shared + unique → keeps 2
+      2L -> (shared + " q r s t u v w x"), // spans: shared(dup) + unique → keeps 1
+      3L -> "y z zz")                      // one partial span, unique → keeps 1
+    val got = TextQueries.spanDedupOf(d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"), r.getAs[Double]("kept_frac"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 0L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 0L, 1.0)))
+  }
+
+  test("duplicate trigram mass: hand-computed fractions and short-doc drop") {
+    val d = docsDf(
+      1L -> "a b a b a b a", // trigrams aba×3, bab×2 → all 5 duplicated
+      2L -> "p q r s t",     // 3 distinct trigrams → dup_mass 0
+      3L -> "x y")           // <3 tokens → no trigram rows at all
+    val got = TextQueries.dupNgramFracOf(d)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Long]("dup_mass"),
+          r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(!got.contains(3L))
+  }
 }
