@@ -401,6 +401,49 @@ object DedupQueries extends QueryModule {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("id").as("vec_id"), col("cluster"), col("n_members"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * removal with the pairwise quadratic BOUNDED BY CLUSTERING — vectors
+    * are first assigned to their trained IVF cell
+    * ([[SimilarityQueries.assignedToCells]]), exact quantized cosine runs
+    * only WITHIN a cell (Σ|cell|² work, never corpus², the paper's core
+    * trick), duplicate groups are closed transitively (pointer-doubling
+    * [[connectedComponents]] — pairs never cross cells, so components
+    * stay cell-local), and each group keeps its min-id representative.
+    * Per-cell retention report. Cross-cell near-dups are inherently
+    * missed — that is SemDeDup's stated recall trade, and the oracle
+    * replays the identical cell geometry so the pruned answer is still
+    * hash-checked. At 100 TB: the assignment is the persisted
+    * cell-partitioned IVF table, and within-cell self-joins shuffle on
+    * `cid` — dense cells bound memory, not the corpus. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val assigned = SimilarityQueries.assignedToCells(s, d)
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine", expr("graft_dot(x.qv, y.qv)").cast("double") /
+        (sqrt(col("x.nrm").cast("double")) * sqrt(col("y.nrm").cast("double"))))
+      .filter(col("cosine") >= SemDedupTau)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+    val cc = connectedComponents(s, pairs)
+      .select(col("id").as("vec_id"), col("cluster"))
+    assigned.join(cc, Seq("vec_id"), "left")
+      .withColumn("kept",
+        col("cluster").isNull || col("cluster") === col("vec_id"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("cid"), col("n_vecs"), col("n_kept"),
+        (col("n_vecs") - col("n_kept")).as("n_dropped"),
+        ((col("n_vecs") - col("n_kept")).cast("double") /
+          col("n_vecs").cast("double")).as("drop_frac"))
+  }
+
+  /** SemDeDup similarity threshold: the corpus is random-ish, so 0.4 (the
+    * same bar the exact embedding near-dup queries use) marks the
+    * semantically-redundant tail rather than the paper's 0.95+ web-dup
+    * bar. */
+  private val SemDedupTau = 0.4
+
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> (clusters _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
@@ -410,6 +453,7 @@ object DedupQueries extends QueryModule {
     "dedup_winnow_pairs" -> (winnowPairs _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_embedding_pairs" -> (embeddingPairs _),
+    "dedup_semantic" -> (semanticDedup _),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -436,6 +480,31 @@ object DedupQueries extends QueryModule {
     s"md5('$b|' || sig$b || sig${b + B})").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic" -> s"""WITH RECURSIVE ${SimilarityQueries.qCte},
+         ${SimilarityQueries.sqlCentChain},
+         ${SimilarityQueries.sqlAssignFinal},
+         spairs AS (
+           SELECT x.vec_id AS src, y.vec_id AS dst
+           FROM afinal x JOIN afinal y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           JOIN n a ON a.vec_id = x.vec_id
+           JOIN n b ON b.vec_id = y.vec_id
+           WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE) /
+                 (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= 0.4),
+         sedges AS (SELECT src, dst FROM spairs
+                    UNION ALL SELECT dst, src FROM spairs),
+         sreach(src, dst) AS (
+           SELECT DISTINCT src, src FROM sedges
+           UNION
+           SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src),
+         slabels AS (SELECT src AS vec_id, MIN(dst) AS cluster
+                     FROM sreach GROUP BY 1)
+       SELECT f.cid,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(CASE WHEN l.cluster IS NULL OR l.cluster = f.vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN l.cluster IS NULL OR l.cluster = f.vec_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         CAST(SUM(CASE WHEN l.cluster IS NULL OR l.cluster = f.vec_id THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS drop_frac
+       FROM afinal f LEFT JOIN slabels l ON l.vec_id = f.vec_id
+       GROUP BY 1""",
     "dedup_clusters" -> s"""WITH RECURSIVE $docsCte,
          sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
          bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),

@@ -377,6 +377,54 @@ object SimilarityQueries extends QueryModule {
     ivfProbeTail(probeCells, assign)
   }
 
+  /** Every corpus vector assigned to its nearest trained IVF cell (argmax
+    * of the |x|-free cosine — |x| constant per vector, argmax unaffected —
+    * cid tiebreak): the clustering front end SemDeDup-style dedup and
+    * cluster-balanced sampling share. One broadcast centroids × corpus
+    * pass, embarrassingly parallel; no shuffle until the consumer's own
+    * rollup. At 100 TB this assignment is the persisted cell-partitioned
+    * table the IVF index already maintains ([[IvfIndex]]) — consumers
+    * would read it bucketed by `cid` instead of recomputing. */
+  private[operators] def assignedToCells(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val cent = broadcast(ivfCentroids(s, d))
+    val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("csim"), col("cid"))
+    q.as("a").join(cent)
+      .withColumn("csim", expr("graft_dot(a.qv, cqv)").cast("double") /
+        sqrt(col("cnrm").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("cid"),
+        col("a.qv").as("qv"), col("a.nrm").as("nrm"))
+  }
+
+  /** Cluster-balanced down-sampling (the D4-style curation stage after
+    * semantic dedup: over-dense regions of embedding space must not
+    * dominate the training mix). Every trained IVF cell is sampled toward
+    * a uniform per-cell target of [[ClusterSampleTarget]] vectors:
+    * rate = min(1, target/|cell|), accept = deterministic 16-bit md5 of
+    * the vec id under the rate threshold (the txt_source_mix discipline —
+    * stable across runs/engines, no RNG state, pure projection per row).
+    * Per-cell report: size, rate, sampled count. Scale shape: one
+    * assignment pass + a |cells|-row broadcast back — no corpus shuffle. */
+  def clusterSample(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignedToCells(s, d)
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("rate",
+        least(lit(1.0), lit(ClusterSampleTarget) / col("n_vecs").cast("double")))
+      .withColumn("threshold", floor(col("rate") * 65536.0).cast("long"))
+    assigned.join(broadcast(sizes), "cid")
+      .withColumn("h16",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .groupBy(col("cid"), col("n_vecs"), col("rate"))
+      .agg(sum(when(col("h16") < col("threshold"), 1L).otherwise(0L))
+        .as("n_sampled"))
+      .select(col("cid"), col("n_vecs"), col("rate"), col("n_sampled"))
+  }
+
+  private[operators] val ClusterSampleTarget = 30.0
+
   /** Scan-and-rank tail shared by the in-query IVF probe and the
     * persisted-index probe ([[IvfIndex]]): join the probe's cells against
     * the (cell-keyed) assignment, exact-score the candidates, keep the
@@ -779,11 +827,12 @@ object SimilarityQueries extends QueryModule {
       // the stacked-lossiness recall cost is measured, not assumed.
       IvfPqIndex.recall(s, d, IvfPqIndex.ensureBuilt(s, d))
     }),
+    "sim_cluster_sample" -> (clusterSample _),
   )
 
   // ----------------------------------------------------------------- oracle
 
-  private val qCte =
+  private[operators] val qCte =
     """q AS (
          SELECT vec_id, label,
            list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -823,7 +872,7 @@ object SimilarityQueries extends QueryModule {
     * mirrors [[ivfCentroids]] step for step (same |x|-free similarity,
     * same cid tiebreak, integer sum-vector centroids, 64-dim). Ends in a
     * CTE `cent(cid, cqv, cnrm)`. */
-  private val sqlCentChain: String = {
+  private[operators] val sqlCentChain: String = {
     def step(centName: String, i: Int): String =
       s"""a$i AS (
            SELECT vec_id, qv, cid FROM (
@@ -1088,10 +1137,43 @@ object SimilarityQueries extends QueryModule {
               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE) AS recall_at_5
        FROM base LEFT JOIN hits ON base.query_id = hits.query_id"""
 
+  /** Final cell assignment over the trained chain — CTE
+    * `afinal(vec_id, cid)`, mirroring [[assignedToCells]] (|x|-free
+    * similarity, cid tiebreak). Follows [[qCte]] and [[sqlCentChain]]. */
+  private[operators] val sqlAssignFinal: String =
+    """afinal AS (
+         SELECT vec_id, cid FROM (
+           SELECT nn.vec_id, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY nn.vec_id ORDER BY
+                    CAST(list_sum(list_transform(range(1, len(nn.qv) + 1), i -> nn.qv[i] * c.cqv[i])) AS DOUBLE) /
+                    SQRT(CAST(c.cnrm AS DOUBLE)) DESC,
+                    c.cid) AS rk
+           FROM n nn CROSS JOIN cent c) WHERE rk = 1)"""
+
+  /** Deterministic 16-bit md5 accept hash of an id column, DuckDB form —
+    * the txt_source_mix discipline (strpos over the hex alphabet). */
+  private def sqlHash16(idExpr: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
+    s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+  }
+
   val oracleSql: Map[String, String] = oracleSqlBase +
     // the indexed probe is row-identical with the in-query IVF by contract
     // (shared codebook, nprobe/margin, and scoring tail) — same oracle
     ("sim_topk_ivf_indexed" -> oracleSqlBase("sim_topk_ivf")) +
+    ("sim_cluster_sample" -> s"""WITH $qCte,
+       $sqlCentChain,
+       $sqlAssignFinal,
+       sizes AS (
+         SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                LEAST(1.0, $ClusterSampleTarget / CAST(COUNT(*) AS DOUBLE)) AS rate,
+                CAST(FLOOR(LEAST(1.0, $ClusterSampleTarget / CAST(COUNT(*) AS DOUBLE)) * 65536.0) AS BIGINT) AS threshold
+         FROM afinal GROUP BY 1)
+       SELECT f.cid, s.n_vecs, s.rate,
+         CAST(SUM(CASE WHEN ${sqlHash16("f.vec_id")} < s.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       FROM afinal f JOIN sizes s USING (cid)
+       GROUP BY 1, 2, 3""") +
     ("sim_pq_recall" -> s"WITH $qCte,\n       $sqlPqBody") +
     ("sim_pq_clustered_recall" -> s"WITH $clusteredCte,\n       $sqlPqBody") +
     // the indexed PQ probe is row-identical with the in-query PQ pipeline
