@@ -41,7 +41,10 @@ import graft.streaming.SinkCompaction
   * prior version as a new commit ([[graft.batch.Upsert.restoreTo]] —
   * incident recovery over the ops surface); `clone <partCol> <dstDir>
   * [version]` deep-copies a committed snapshot as an independent table
-  * ([[graft.batch.Upsert.cloneTo]]). All modes then share the
+  * ([[graft.batch.Upsert.cloneTo]]); `reorg <partCol>` force-materializes
+  * pending deletion vectors into the DV-carrying partitions
+  * ([[graft.batch.Upsert.reorgPurge]], Delta's `REORG … APPLY (PURGE)`).
+  * All modes then share the
   * manifest/history/registry sweeps ([[runSweeps]]). Every op yields one
   * JSON line for the scheduler's log scraper / the API's ops report; the
   * CLI exits non-zero on failure, the API run lands FAILED in the
@@ -54,7 +57,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone", "convert")
+      "restore", "clone", "convert", "reorg")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -149,6 +152,17 @@ object Maintain {
         val partCol = arg(0, "the partition column (convert <partCol>)")
         val v = graft.batch.Upsert.convert(spark, table, partCol)
         Seq(s"""{"op":"convert","table":$tableJson,"version":$v}""")
+      case "reorg" =>
+        // REORG … APPLY (PURGE) over the ops surface: force-materialize
+        // pending deletion vectors into exactly the DV-carrying partitions
+        // ([[graft.batch.Upsert.reorgPurge]] — the GDPR-deadline verb;
+        // follow with the history vacuum after the grace period to finish
+        // the erasure, like Delta's REORG-then-VACUUM recipe)
+        val partCol = arg(0, "the partition column (reorg <partCol>)")
+        val parts = graft.batch.Upsert.reorgPurge(spark, table, partCol,
+          targetBytes = m.targetBytes)
+        Seq(s"""{"op":"reorg-purge","table":$tableJson,""" +
+          s""""partitionsRewritten":${parts.size}}""")
       case "upsert" =>
         val partCol = arg(0, "the partition column (upsert <partCol>)")
         // a streaming-sink table's visible file set is its commit log, not

@@ -75,6 +75,7 @@ final class MaintenanceService(
       case "clone" =>
         for { p <- need("partCol"); d <- need("dstDir") }
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
+      case "convert" | "reorg" => need("partCol").map(Seq(_))
     }
     modeArgs match {
       case Left(msg) => Left(msg)

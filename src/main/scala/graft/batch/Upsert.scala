@@ -1679,6 +1679,66 @@ object Upsert {
     parts.length
   }
 
+  /** REORG … APPLY (PURGE) — Delta's deletion-vector materialization verb
+    * (`REORG TABLE t APPLY (PURGE)`): force-rewrite EXACTLY the partitions
+    * whose live files still carry pending deletion-vector positions, so
+    * the soft-deleted rows leave the data files NOW instead of waiting for
+    * an organic merge/compaction of those partitions. This is the verb a
+    * GDPR erasure deadline needs: [[graft.batch.DeletionVectors
+    * .deleteVectored]] makes the rows invisible in kilobytes, purge makes
+    * the bytes GONE (modulo retained time-travel generations — run
+    * [[vacuumHistory]] after the grace period to finish, exactly Delta's
+    * REORG-then-VACUUM erasure recipe).
+    *
+    * Cost is O(DV-carrying partitions), never O(table): the DV sidecars
+    * name their target files (bounded driver state — distinct files, not
+    * rows), and a partition none of them touch is not even listed into a
+    * job. Each rewrite runs through the shared [[compactOne]] machinery
+    * with `materializes = true`, i.e. a VERSION-DEFINING `upsert` claim
+    * (pre-DV snapshots keep resolving through the retained generation,
+    * where the old file names still bear the positions), retain-first
+    * publish, crash repair by the next claim holder, and inline sidecar
+    * refresh. No change-feed rows are written: the DV commit already
+    * emitted the logical deletes — purge changes bytes, not content.
+    * Re-running immediately is a no-op (the new file names match no
+    * pending position). Returns the partition values rewritten. */
+  def reorgPurge(
+      spark: SparkSession,
+      table: String,
+      partCol: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    // callers name columns LOGICALLY; the rewrite runs in physical space
+    val cmap = ColumnMapping.mapping(spark, table)
+    val partColP = ColumnMapping.physicalName(cmap, partCol)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
+      TxnLog.commitsSince(spark, table, 0L))
+    val dvFiles = dvTargetFiles(dvPairs)
+    if (dvFiles.isEmpty) return Seq.empty
+    val targets = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partColP="))
+      .flatMap { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        // output file count follows the partition's bytes, like OPTIMIZE —
+        // a purge must not collapse a 10 GB partition into one file
+        val nOut = math.max(1L,
+          (files.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+        if (files.exists(f => dvFiles(f.getPath.getName)))
+          Some((st.getPath.getName, nOut))
+        else None
+      }
+      .sortBy(_._1).toSeq
+    targets.foreach { case (dirName, nOut) =>
+      compactOne(spark, table, partColP, dirName, materializes = true,
+        dvPairs)(rows => rows.repartition(nOut))
+    }
+    if (targets.nonEmpty) refreshIndexSidecars(spark, table)
+    targets.map { case (dirName, _) => unescape(dirName, partColP) }
+  }
+
   /** DV-aware needle-in-haystack point lookup: the table filtered to
     * `column = value` through the per-file Bloom sidecar (only admitting
     * files enter the scan, [[graft.core.BloomIndex.lookup]]) with any

@@ -325,4 +325,77 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(rows(looked) == rows(Upsert.readCommitted(spark, t, "day")
       .filter(col("v").between(299.0, 302.0))))
   }
+
+  test("reorg purge rewrites exactly the DV-carrying partitions and scrubs the bytes") {
+    // four partitions so the cost claim is testable: DVs land in two,
+    // purge must not even list the other two into a job
+    val t = tmp("reorg") + "/t"
+    val df = spark.range(4000).select(
+      concat(lit("2026-01-0"), (col("id") % 4 + 1).cast("string")).as("day"),
+      col("id").as("k"),
+      (col("id") * 1.5).as("v"))
+    Upsert.mergeByKey(spark, t, df, "day", Seq("k"))
+    val v0 = TxnLog.currentVersion(spark, t)
+    DeletionVectors.deleteVectored(spark, t,
+      keysDf(("2026-01-01", 4L), ("2026-01-02", 5L)), "day", Seq("k"))
+    val v1 = TxnLog.currentVersion(spark, t)
+    val expected = committed(t)
+    val before3 = dataFiles(t, "2026-01-03")
+    val before4 = dataFiles(t, "2026-01-04")
+    // pre-purge: merge-on-read — the deleted rows' BYTES are still in the
+    // live files (that is the debt purge exists to pay down)
+    assert(rows(spark.read.parquet(s"$t/day=2026-01-01")
+      .withColumn("day", lit("2026-01-01"))).exists(_._2 == 4L))
+
+    val purged = Upsert.reorgPurge(spark, t, "day")
+    assert(purged == Seq("2026-01-01", "2026-01-02"),
+      s"purge must rewrite exactly the DV-carrying partitions: $purged")
+    // untouched partitions: byte-identical (names + mtimes)
+    assert(dataFiles(t, "2026-01-03") == before3)
+    assert(dataFiles(t, "2026-01-04") == before4)
+    // row-identical content, but the bytes are gone from the live files
+    assert(committed(t) == expected, "purge must not change table content")
+    assert(!rows(spark.read.parquet(s"$t/day=2026-01-01")
+      .withColumn("day", lit("2026-01-01"))).exists(_._2 == 4L),
+      "purge must materialize the delete into the files")
+    // time travel holds on both sides of the DV commit
+    assert(rows(Upsert.readAsOf(spark, t, v0, "day")).exists(_._2 == 4L),
+      "pre-DV snapshot must still resolve the deleted row")
+    assert(!rows(Upsert.readAsOf(spark, t, v1, "day")).exists(_._2 == 4L))
+    // no change-feed rows: the DV commit already emitted the logical
+    // deletes — purge changes bytes, not content
+    assert(ChangeFeed.readChanges(spark, t, "day", v1).isEmpty,
+      "purge must emit no change rows")
+    // idempotent: the new file names match no pending position
+    assert(Upsert.reorgPurge(spark, t, "day").isEmpty,
+      "an immediate re-purge must be a no-op")
+  }
+
+  test("purge + history vacuum completes the erasure: no file anywhere bears the row") {
+    import spark.implicits._
+    val t = tmp("reorg2") + "/t"
+    val df = spark.range(1000).select(
+      concat(lit("2026-01-0"), (col("id") % 2 + 1).cast("string")).as("day"),
+      col("id").as("k"),
+      (col("id") * 1.5).as("v"))
+    Upsert.mergeByKey(spark, t, df, "day", Seq("k"))
+    DeletionVectors.deleteVectored(spark, t,
+      keysDf(("2026-01-01", 4L)), "day", Seq("k"))
+    assert(Upsert.reorgPurge(spark, t, "day") == Seq("2026-01-01"))
+    Upsert.vacuumHistory(spark, t, minAgeMs = 0L)
+    // the GDPR claim, asserted the strong way: scan EVERY parquet file
+    // under the table root (live, retained, change files) for the row
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).map(_.toSeq.flatMap(parquets)).getOrElse(Nil)
+    val bearing = parquets(new java.io.File(t)).filter { f =>
+      val cols = spark.read.parquet(f.getPath).columns
+      cols.contains("k") &&
+        !spark.read.parquet(f.getPath).filter(col("k") === 4L).isEmpty
+    }
+    assert(bearing.isEmpty,
+      s"erased row must survive in no file after purge+vacuum: $bearing")
+    // and the table still serves: content minus the erased row
+    assert(!committed(t).exists(_._2 == 4L) && committed(t).size == 999)
+  }
 }

@@ -456,6 +456,51 @@ class HttpSpec extends SparkSpec {
       assert(ops6.head("op").str == "clone")
       assert(ops6.head("rows") == JNum(BigDecimal(60)))
       assert(spark.read.parquet(cloneDst).count() == 60L)
+
+      // REORG APPLY (PURGE) over the same route: a vectored delete leaves
+      // bytes behind; the reorg run materializes them out of the one
+      // DV-carrying partition
+      import spark.implicits._
+      graft.batch.DeletionVectors.deleteVectored(spark, vecTable,
+        Seq(("s0", 0L)).toDF("shard", "vec_id"), "shard", Seq("vec_id"))
+      // missing partCol is a 400 (the submit-time option check), never a
+      // worker-side crash
+      assert(post(api.port, "/maintenance/run",
+        s"""{"mode":"reorg","table":"$vecTable"}""")._1 == 400)
+      val (c7, b7) = post(api.port, "/maintenance/run",
+        s"""{"mode":"reorg","table":"$vecTable","partCol":"shard"}""")
+      assert(c7 == 202, s"got $c7 $b7")
+      val id7 = b7.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id7")._2.asObj("status").str == "COMPLETED")
+      val ops7 = get(api.port, s"/maintenance/status/$id7")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops7.head("op").str == "reorg-purge")
+      assert(ops7.head("partitionsRewritten") == JNum(BigDecimal(1)))
+      assert(spark.read.parquet(s"$vecTable/shard=s0")
+        .filter(col("vec_id") === 0L).isEmpty,
+        "the purged partition's files must no longer bear the deleted row")
+
+      // CONVERT TO over the same route: adopt a plain partitioned dir.
+      // Regression: 'convert' is in Maintain.modes but the service's
+      // option mapping once lacked its case — submit threw a MatchError
+      // (500-shaped) instead of launching; missing partCol must be a 400.
+      val convDir = Files.createTempDirectory("httpconv").toString + "/t"
+      Seq(("d1", 1L, 1.0), ("d2", 2L, 2.0)).toDF("day", "k", "v")
+        .write.partitionBy("day").parquet(convDir)
+      assert(post(api.port, "/maintenance/run",
+        s"""{"mode":"convert","table":"$convDir"}""")._1 == 400)
+      val (c8, b8) = post(api.port, "/maintenance/run",
+        s"""{"mode":"convert","table":"$convDir","partCol":"day"}""")
+      assert(c8 == 202, s"got $c8 $b8")
+      val id8 = b8.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id8")._2.asObj("status").str == "COMPLETED")
+      val ops8 = get(api.port, s"/maintenance/status/$id8")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops8.head("op").str == "convert")
+      assert(graft.core.TxnLog.currentVersion(spark, convDir) >= 1L,
+        "the adopted table must have a manifest")
     } finally api.stop()
   }
 
