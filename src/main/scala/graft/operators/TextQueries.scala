@@ -526,7 +526,116 @@ object TextQueries extends QueryModule {
         .mkString(" ") +
       " ELSE n_toks END AS BIGINT)"
 
+  // --- Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", Appendix A —
+  // the published rule set C4/MassiveText-style pipelines filter on).
+  // Thresholds are the paper's: word count ∈ [50, 100k], mean word length
+  // ∈ [3, 10], symbol-to-word ratio (# or …) ≤ 0.1, ≥ 80% of words carry
+  // an alphabetic character, ≥ 2 designated stop words present. The stop
+  // LIST is a parameter of the rule: Gopher's canonical eight is
+  // (the, be, to, of, and, that, have, with); the declared query
+  // instantiates it with this synthetic corpus's two function words so
+  // the rule discriminates here instead of vacuously rejecting everything
+  // (the corpus vocabulary contains no 'of'/'and'/'to').
+  private val gopherStops = Seq("the", "a")
+
+  /** Per-source Gopher-rule loss report: how many documents each rule
+    * rejects, how many survive all five. The per-doc stage is pure
+    * codegen'd projection (higher-order `filter`, `regexp_count`,
+    * `array_contains` — no UDF, no explode), so at 100 TB the cost is the
+    * corpus scan; the only shuffle is the |sources|-row rollup. Per-rule
+    * FAIL counts (not a single pass flag) are what a pipeline owner needs
+    * to tune thresholds — they name which rule eats the corpus. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val flagged = docs(s, d)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("mean_wl",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("sym_ratio",
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("alpha_frac",
+        expr("size(filter(toks, t -> t rlike '[A-Za-z]'))").cast("double") /
+          col("n_toks").cast("double"))
+      .withColumn("stop_hits",
+        gopherStops.map(w =>
+          when(array_contains(col("toks"), w), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("f_wc", col("n_toks") < 50 || col("n_toks") > 100000)
+      .withColumn("f_mwl", col("mean_wl") < 3.0 || col("mean_wl") > 10.0)
+      .withColumn("f_sym", col("sym_ratio") > 0.1)
+      .withColumn("f_alpha", col("alpha_frac") < 0.8)
+      .withColumn("f_stop", col("stop_hits") < 2)
+    def fails(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      fails("f_wc").as("fail_word_count"),
+      fails("f_mwl").as("fail_mean_word_len"),
+      fails("f_sym").as("fail_symbol_ratio"),
+      fails("f_alpha").as("fail_alpha_words"),
+      fails("f_stop").as("fail_stop_words"),
+      sum(when(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+        !col("f_alpha") && !col("f_stop"), 1L).otherwise(0L)).as("n_pass"),
+      (sum(when(!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+        !col("f_alpha") && !col("f_stop"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("pass_frac"))
+  }
+
+  // --- RAG chunking: fixed-size overlapping token windows (the standard
+  // retrieval-corpus preparation — e.g. LangChain/LlamaIndex defaults),
+  // window 64 tokens, stride 48 (16-token overlap).
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** Chunking accounting for a retrieval corpus: per source, how many
+    * chunks the window/stride policy yields, the token amplification the
+    * overlap costs (`overlap_frac`), and how many of the source's chunks
+    * are GLOBAL duplicates (`dup_chunks` — the chunk's fingerprint occurs
+    * more than once corpus-wide; cross-doc and cross-source boilerplate
+    * lands here, and every duplicate chunk is a wasted encoder call in
+    * the embedding budget). Chunk count per doc: 1 if n ≤ W, else
+    * 1 + ceil((n-W)/S) — exact integer arithmetic shared verbatim with
+    * the oracle. The explode amplifies rows by ~n/S per doc (a constant
+    * factor ≈ W/S of the corpus), all narrow-dependency; the shuffles are
+    * the fingerprint-frequency groupBy + join (both partial+final over
+    * 16-byte hashes, the exact-dedup shape that scales to 100 TB) and the
+    * |sources|-row rollup. */
+  def ragChunks(s: SparkSession, d: String): DataFrame = {
+    val chunks = docs(s, d)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .withColumn("n_chunks",
+        when(col("n_toks") <= ChunkW, 1L).otherwise(expr(
+          s"1 + CAST((n_toks - ${ChunkW - ChunkS + 1}) DIV $ChunkS AS BIGINT)")))
+      .withColumn("c", explode(expr(
+        s"""transform(sequence(0, CAST(n_chunks - 1 AS INT)),
+              i -> struct(
+                i AS ci,
+                md5(concat_ws(' ', slice(toks, i*$ChunkS + 1, $ChunkW))) AS h,
+                least(CAST($ChunkW AS BIGINT), n_toks - i*$ChunkS) AS clen))""")))
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("c.ci").as("ci"), col("c.h").as("h"), col("c.clen").as("clen"))
+    val freq = chunks.groupBy("h").agg(count(lit(1)).as("freq"))
+    chunks.join(freq, "h")
+      .groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("chunk_tokens"),
+        // doc token mass counted once per doc (on its first chunk), so the
+        // overlap amplification is measurable in one aggregation
+        sum(when(col("ci") === 0, col("n_toks")).otherwise(0L)).as("doc_tokens"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        ((sum(col("clen")) -
+          sum(when(col("ci") === 0, col("n_toks")).otherwise(0L))).cast("double") /
+          sum(col("clen")).cast("double")).as("overlap_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_gopher_rules" -> (gopherRules _),
+    "txt_rag_chunks" -> (ragChunks _),
     "txt_span_dedup" -> (spanDedup _),
     "txt_dup_ngram_frac" -> (dupNgramFrac _),
     "txt_redact_pii" -> (redactPii _),
@@ -582,7 +691,66 @@ object TextQueries extends QueryModule {
         MAX(doc_id) AS last_doc
       FROM ex GROUP BY 1, 2"""
 
+  private val sqlStopHits: String = gopherStops
+    .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "txt_gopher_rules" -> s"""$cte,
+      scored AS (
+        SELECT source,
+          CAST(len(toks) AS BIGINT) AS n_toks,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+            CAST(len(toks) AS DOUBLE) AS mean_wl,
+          CAST(len(regexp_extract_all(text, '#')) +
+               len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) /
+            CAST(len(toks) AS DOUBLE) AS sym_ratio,
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) /
+            CAST(len(toks) AS DOUBLE) AS alpha_frac,
+          ($sqlStopHits) AS stop_hits
+        FROM docs WHERE len(toks) > 0),
+      flagged AS (
+        SELECT source,
+          (n_toks < 50 OR n_toks > 100000) AS f_wc,
+          (mean_wl < 3.0 OR mean_wl > 10.0) AS f_mwl,
+          sym_ratio > 0.1 AS f_sym,
+          alpha_frac < 0.8 AS f_alpha,
+          stop_hits < 2 AS f_stop
+        FROM scored)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+        CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+        CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+        CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop_words,
+        CAST(SUM(CASE WHEN NOT(f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(SUM(CASE WHEN NOT(f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop)
+                 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_frac
+      FROM flagged GROUP BY 1""",
+    "txt_rag_chunks" -> s"""$cte,
+      sized AS (
+        SELECT source, doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+          CASE WHEN len(toks) <= $ChunkW THEN 1
+               ELSE 1 + (CAST(len(toks) AS BIGINT) - ${ChunkW - ChunkS + 1}) // $ChunkS
+          END AS n_chunks
+        FROM docs WHERE len(toks) > 0),
+      ch AS (
+        SELECT source, doc_id, n_toks, i,
+          md5(array_to_string(toks[(i*$ChunkS + 1):(i*$ChunkS + $ChunkW)], ' ')) AS h,
+          LEAST($ChunkW, n_toks - i*$ChunkS) AS clen
+        FROM sized CROSS JOIN UNNEST(range(0, n_chunks)) AS u(i)),
+      freq AS (SELECT h, COUNT(*) AS freq FROM ch GROUP BY 1)
+      SELECT source,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+        CAST(SUM(CASE WHEN i = 0 THEN n_toks ELSE 0 END) AS BIGINT) AS doc_tokens,
+        CAST(SUM(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        CAST(SUM(clen) - SUM(CASE WHEN i = 0 THEN n_toks ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(clen) AS DOUBLE) AS overlap_frac
+      FROM ch JOIN freq USING (h) GROUP BY 1""",
     "txt_span_dedup" -> s"""$cte,
       spans AS (
         SELECT doc_id, i AS span_idx,
