@@ -147,6 +147,20 @@ object StorageBench {
       require(Upsert.cloneTo(spark, table, s"$root/clone", "day") > 0)
     }
 
+    // REORG PURGE: fresh scattered DVs on 2 of `partitions` days, then
+    // the forced materialization — the cost argues O(DV-carrying
+    // partitions), never O(table) (the earlier dv sidecars' file names
+    // were all rewritten away by the merges above, so only these two
+    // partitions qualify). Includes the inline sidecar refresh the purge
+    // pays on an indexed table, like storage_merge_indexed does.
+    graft.batch.DeletionVectors.deleteVectored(spark, table,
+      Seq((days(2), "k9"), (days(3), "k9")).toDF("day", "k"), "day", Seq("k"))
+    val tReorg = time {
+      val parts = Upsert.reorgPurge(spark, table, "day")
+      require(parts.size == 2,
+        s"purge must rewrite only the DV-carrying partitions: $parts")
+    }
+
     // SERVING: the one-distributed-page discipline of the HTTP table
     // routes, measured at the plan level (the socket adds microseconds;
     // the claim under test is the page's plan shape) — an offset page
@@ -191,6 +205,7 @@ object StorageBench {
       "storage_merge_indexed" -> tMergeIndexed,
       "storage_restore" -> tRestore,
       "storage_clone" -> tClone,
+      "storage_reorg" -> tReorg,
       "storage_serve_offset" -> tServeOffset,
       "storage_serve_keyset" -> tServeKeyset,
       "storage_serve_indexed" -> tServeIndexed)
