@@ -33,10 +33,12 @@ import graft.streaming.SinkCompaction
   * catches external appends and builds the first sidecar); `stats <col>`
   * does the same for the per-file min/max zone-map sidecar
   * ([[graft.core.StatsIndex.refresh]] — footer-only reads of new files);
-  * `ivf|pq|ivfpq <partCol> <indexDir>` keeps a persisted ANN index in
-  * step with its source vector table ([[graft.operators.IvfIndex.sync]] /
+  * `ivf|pq|ivfpq|dedup <partCol> <indexDir>` keeps a persisted index in
+  * step with its source table ([[graft.operators.IvfIndex.sync]] /
   * [[graft.operators.PqIndex.sync]] / [[graft.operators.IvfPqIndex.sync]]
-  * — build when absent, else an O(changes) change-feed refresh);
+  * for the ANN indexes, [[graft.operators.DedupIndex.sync]] for the
+  * MinHash band sidecar — build when absent, else an O(changes)
+  * change-feed refresh);
   * `restore <partCol> <version> <key,key>` rolls table content back to a
   * prior version as a new commit ([[graft.batch.Upsert.restoreTo]] —
   * incident recovery over the ops surface); `clone <partCol> <dstDir>
@@ -57,7 +59,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone", "convert", "reorg")
+      "restore", "clone", "convert", "reorg", "dedup")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -77,9 +79,10 @@ object Maintain {
     def arg(i: Int, what: String): String = modeArgs.lift(i).getOrElse(
       sys.error(s"Maintain: $mode mode needs $what"))
     mode match {
-      case "ivf" | "pq" | "ivfpq" =>
-        // scheduled ANN-index maintenance: build the table-backed index if
-        // absent, else consume the change feed (O(changes) rewrite)
+      case "ivf" | "pq" | "ivfpq" | "dedup" =>
+        // scheduled index maintenance (three ANN indexes + the MinHash
+        // band sidecar): build the table-backed index if absent, else
+        // consume the change feed (O(changes) rewrite)
         val partCol = arg(0, s"the partition column ($mode <partCol> <indexDir>)")
         val indexDir = arg(1, s"the index directory ($mode <partCol> <indexDir>)")
         val (rebuilt, changed, to) = mode match {
@@ -89,6 +92,9 @@ object Maintain {
           case "pq" =>
             val s = graft.operators.PqIndex.sync(spark, table, partCol, indexDir)
             (s.rebuilt, s.changedRows, s.toVersion)
+          case "dedup" =>
+            val s = graft.operators.DedupIndex.sync(spark, table, partCol, indexDir)
+            (s.rebuilt, s.changedDocs, s.toVersion)
           case _ =>
             val s = graft.operators.IvfPqIndex.sync(spark, table, partCol, indexDir)
             (s.rebuilt, s.changedRows, s.toVersion)

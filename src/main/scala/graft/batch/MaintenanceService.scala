@@ -67,7 +67,7 @@ final class MaintenanceService(
       case "bloom" | "stats" => need("column").map(Seq(_))
       case "zorder" => for { p <- need("partCol"); c <- need("cols") } yield Seq(p, c)
       case "upsert" => need("partCol").map(p => Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
-      case "ivf" | "pq" | "ivfpq" =>
+      case "ivf" | "pq" | "ivfpq" | "dedup" =>
         for { p <- need("partCol"); d <- need("indexDir") } yield Seq(p, d)
       case "restore" =>
         for { p <- need("partCol"); v <- need("version"); k <- need("keys") }

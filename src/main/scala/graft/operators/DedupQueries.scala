@@ -39,6 +39,17 @@ object DedupQueries extends QueryModule {
   private val B = 8  // bands of 2 signatures each
   require(K % 4 == 0, s"K=$K: digest slicing derives 4 signatures per md5")
 
+  /** Adds `toks` + the distinct 3-gram shingle set `sh` to any frame with
+    * a `text` column (shared with [[DedupIndex]], which shingles table
+    * rows and probe batches rather than the corpus directory). */
+  private[operators] def shingleOf(df: DataFrame): DataFrame =
+    df.withColumn("toks", TextQueries.toks(col("text")))
+      .withColumn("sh", expr(
+        """CASE WHEN size(toks) >= 3
+             THEN array_distinct(transform(sequence(0, size(toks)-3),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             ELSE array() END"""))
+
   private def docs(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.documents(s, d)
     // A small corpus arrives as a single-row-group parquet file → ONE scan
@@ -48,13 +59,7 @@ object DedupQueries extends QueryModule {
     // already has ≥ parallelism partitions and this is a no-op.
     val par = s.sparkContext.defaultParallelism
     val wide = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
-    wide
-      .withColumn("toks", TextQueries.toks(col("text")))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3
-             THEN array_distinct(transform(sequence(0, size(toks)-3),
-                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-             ELSE array() END"""))
+    shingleOf(wide)
   }
 
   /** doc_id + 3-gram shingle set + the K lexicographic-min signatures.
@@ -68,9 +73,9 @@ object DedupQueries extends QueryModule {
     * `'{'` (0x7b) sorts above every hex char, so it is the fold's top
     * sentinel; shingle-less docs get NULL sigs (array_min-on-empty
     * semantics, matching the oracle's list_aggregate 'min'). */
-  private def signed(s: SparkSession, d: String): DataFrame = {
+  /** Adds sig0..sig(K-1) to a shingled frame ([[shingleOf]] output). */
+  private[operators] def signedOf(base: DataFrame): DataFrame = {
     val seeds = K / 4
-    val base = docs(s, d)
     val withMins = (0 until seeds).foldLeft(base) { (df, sd) =>
       df.withColumn(s"mn$sd", expr(
         s"""IF(size(sh) = 0, NULL,
@@ -88,7 +93,10 @@ object DedupQueries extends QueryModule {
     }.drop((0 until seeds).map(sd => s"mn$sd"): _*)
   }
 
-  private def bandsOf(df: DataFrame): DataFrame = {
+  private def signed(s: SparkSession, d: String): DataFrame =
+    signedOf(docs(s, d))
+
+  private[operators] def bandsOf(df: DataFrame): DataFrame = {
     // Band b pairs sig(b) and sig(b+B): with 4 signatures sliced per digest,
     // the two live in DIFFERENT md5 digests (seeds b/4 and b/4+2) — pairing
     // adjacent slices (sig 2b, 2b+1) would correlate the two hashes within a
@@ -131,6 +139,43 @@ object DedupQueries extends QueryModule {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Corpus split point for the incremental screen: doc_ids at or above
+    * this are "the new batch", below it "the already-ingested corpus". */
+  private val NewFrom = 400L
+
+  /** INCREMENTAL near-dup screen — the shape dedup actually runs at
+    * 100 TB: a batch of NEW documents is checked against the EXISTING
+    * corpus (new × old banded equi-join), never the corpus against itself
+    * (the full [[minhashPairs]] self-join is the one-time bootstrap; daily
+    * ingest re-pairing the whole corpus would be quadratic in corpus
+    * growth). Batch-internal duplicates are a separate pre-pass
+    * ([[minhashPairs]] scoped to the batch) by design — this operator's
+    * contract is exactly "which arrivals duplicate something we already
+    * have". The persisted form of the corpus side is
+    * [[DedupIndex]] (band sidecar + change-feed refresh, screen
+    * row-identical to this in-query computation — spec'd parity); here
+    * both sides derive in-query so the DuckDB oracle replays the whole
+    * pipeline. */
+  def incrementalScreen(s: SparkSession, d: String): DataFrame = {
+    val sig = signed(s, d)
+      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .cache()
+    val newBands = bandsOf(sig.filter(col("doc_id") >= NewFrom))
+    val oldBands = bandsOf(sig.filter(col("doc_id") < NewFrom))
+    val cand = newBands.as("x").join(oldBands.as("y"),
+        col("x.band") === col("y.band"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val sn = sig.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+    val so = sig.select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
+    cand.join(sn, "new_id").join(so, "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("new_id", "old_id", "jaccard")
   }
 
   /** Near-dup cluster formation — the step after pair generation in a real
@@ -449,6 +494,7 @@ object DedupQueries extends QueryModule {
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_pairs" -> (minhashPairs _),
+    "dedup_incremental" -> (incrementalScreen _),
     "dedup_simhash" -> (simhash _),
     "dedup_winnow_pairs" -> (winnowPairs _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -580,6 +626,20 @@ object DedupQueries extends QueryModule {
        FROM cand
        JOIN sig a ON a.doc_id = doc_a
        JOIN sig b ON b.doc_id = doc_b
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_incremental" -> s"""WITH $docsCte,
+         sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
+         bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+                  FROM bands x JOIN bands y ON x.band = y.band
+                  WHERE x.doc_id >= $NewFrom AND y.doc_id < $NewFrom)
+       SELECT new_id, old_id,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       FROM cand
+       JOIN sig a ON a.doc_id = new_id
+       JOIN sig b ON b.doc_id = old_id
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
     "dedup_simhash" -> {
