@@ -603,8 +603,13 @@ object TextQueries extends QueryModule {
     * the fingerprint-frequency groupBy + join (both partial+final over
     * 16-byte hashes, the exact-dedup shape that scales to 100 TB) and the
     * |sources|-row rollup. */
-  def ragChunks(s: SparkSession, d: String): DataFrame = {
-    val chunks = docs(s, d)
+  def ragChunks(s: SparkSession, d: String): DataFrame =
+    ragChunksOf(docs(s, d))
+
+  /** Frame-level form (needs `doc_id`, `source`, `toks`) for edge-case
+    * specs on hand-built corpora. */
+  private[graft] def ragChunksOf(docsDf: DataFrame): DataFrame = {
+    val chunks = docsDf
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .filter(col("n_toks") > 0)
       .withColumn("n_chunks",

@@ -112,6 +112,32 @@ class TextSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, 0L, 1.0)))
   }
 
+  test("RAG chunking: window/stride boundary math and duplicate-chunk accounting") {
+    import org.apache.spark.sql.functions._
+    // chunk policy W=64 S=48: n=64 → 1 chunk; n=65 → 2 (the second covers
+    // tokens 49..65, clen 17); n=112 → 2 exactly (49..112 fills chunk 2);
+    // n=113 → 3 (97..113, clen 16). Tokens per doc distinct so only the
+    // deliberate copy (docs 10/11) collides.
+    def words(id: Long, n: Int): String =
+      (0 until n).map(j => s"t${id}x$j").mkString(" ")
+    val d = docsDf(
+      1L -> words(1, 64), 2L -> words(2, 65),
+      3L -> words(3, 112), 4L -> words(4, 113),
+      10L -> words(10, 64), 11L -> words(10, 64)) // exact copies: dup chunks
+      .withColumn("source", when(col("doc_id") >= 10L, "dup").otherwise("base"))
+    import spark.implicits._
+    val got = TextQueries.ragChunksOf(d)
+      .select("source", "n_docs", "n_chunks", "chunk_tokens", "doc_tokens",
+        "dup_chunks", "overlap_frac")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // base: chunks 1+2+2+3 = 8; chunk tokens 64 + (64+17) + (64+64) + (64+64+17)
+    assert(got("base") == (("base", 4L, 8L, 418L, 354L, 0L,
+      (418.0 - 354.0) / 418.0)))
+    // dup: two identical 1-chunk docs → both chunks are global duplicates
+    assert(got("dup") == (("dup", 2L, 2L, 128L, 128L, 2L, 0.0)))
+  }
+
   test("duplicate trigram mass: hand-computed fractions and short-doc drop") {
     val d = docsDf(
       1L -> "a b a b a b a", // trigrams aba×3, bab×2 → all 5 duplicated
