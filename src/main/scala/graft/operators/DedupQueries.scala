@@ -141,9 +141,12 @@ object DedupQueries extends QueryModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Corpus split point for the incremental screen: doc_ids at or above
-    * this are "the new batch", below it "the already-ingested corpus". */
-  private val NewFrom = 400L
+  /** Corpus split for the incremental screen: the top [[NewTailFrac]] of
+    * the doc_id range is "the new batch", the rest "the already-ingested
+    * corpus" — RELATIVE, so the batch:corpus ratio stays a realistic
+    * daily-increment shape at every scale factor (a fixed id constant
+    * inverts into batch ≫ corpus as the corpus grows). */
+  private val NewTailFrac = 0.9
 
   /** INCREMENTAL near-dup screen — the shape dedup actually runs at
     * 100 TB: a batch of NEW documents is checked against the EXISTING
@@ -162,8 +165,14 @@ object DedupQueries extends QueryModule {
     val sig = signed(s, d)
       .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
       .cache()
-    val newBands = bandsOf(sig.filter(col("doc_id") >= NewFrom))
-    val oldBands = bandsOf(sig.filter(col("doc_id") < NewFrom))
+    // the split threshold rides the plan as a broadcast scalar — no
+    // driver-side collect, and the oracle computes the identical
+    // CAST(max * frac AS BIGINT)
+    val thr = sig.agg(
+      (max(col("doc_id")) * NewTailFrac).cast("long").as("thr"))
+    val sigT = sig.crossJoin(broadcast(thr))
+    val newBands = bandsOf(sigT.filter(col("doc_id") >= col("thr")))
+    val oldBands = bandsOf(sigT.filter(col("doc_id") < col("thr")))
     val cand = newBands.as("x").join(oldBands.as("y"),
         col("x.band") === col("y.band"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
@@ -631,9 +640,11 @@ object DedupQueries extends QueryModule {
     "dedup_incremental" -> s"""WITH $docsCte,
          sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
          bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         thr AS (SELECT CAST(MAX(doc_id) * $NewTailFrac AS BIGINT) AS t FROM docs),
          cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
                   FROM bands x JOIN bands y ON x.band = y.band
-                  WHERE x.doc_id >= $NewFrom AND y.doc_id < $NewFrom)
+                  CROSS JOIN thr
+                  WHERE x.doc_id >= thr.t AND y.doc_id < thr.t)
        SELECT new_id, old_id,
          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard

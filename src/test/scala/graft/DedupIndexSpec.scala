@@ -122,6 +122,59 @@ class DedupIndexSpec extends SparkSpec {
       "an inserted near-dup must match after refresh")
   }
 
+  test("streaming document ingestion: each wave screens, then joins the corpus (e2e)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Files.createTempDirectory("dedupidx5").toString + "/t"
+    Upsert.mergeByKey(spark, t, docsDf(0L until 20L), "src", Seq("doc_id"))
+    val idx = Files.createTempDirectory("dedupidx5-idx").toString
+    DedupIndex.buildFromTable(spark, t, "src", idx)
+
+    // the steady-state shape: documents ARRIVE as a stream; each
+    // micro-batch is screened against the index (the dedup decision),
+    // merged exactly-once, and the index catches up off the change feed —
+    // the corpus is never re-shingled
+    val mem = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("dedupidx5-ckpt").toString
+    val screened = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().select(col("value").as("doc_id"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ids = batch.as[Long].collect().toSeq
+        if (ids.nonEmpty) {
+          // waves plant one duplicate each: doc 100+i duplicates doc i
+          val docs = docsDf(ids,
+            dupOf = ids.filter(_ >= 100L).map(i => i -> (i - 100L)).toMap)
+          screened ++= pairs(DedupIndex.screen(spark, t, "src", idx, docs))
+          Upsert.mergeByKey(spark, t, docs, "src", Seq("doc_id"))
+          DedupIndex.refresh(spark, t, "src", idx)
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(100L, 50L)
+      q.processAllAvailable()
+      assert(screened.toSet == Set((100L, 0L)), s"wave 1 screen: $screened")
+      // wave 2: 101 duplicates seed doc 1; 150 duplicates doc 50, which
+      // was NOT in the seed corpus — it arrived in wave 1. Catching
+      // (150, 50) proves the refresh really made wave-1 docs screenable.
+      mem.addData(101L, 150L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(screened.toSet == Set((100L, 0L), (101L, 1L), (150L, 50L)),
+      s"$screened")
+    // and a post-hoc duplicate of wave-1's doc 50 is caught via the index —
+    // matching BOTH 50 and 150 (150 is itself a copy of 50, so all three
+    // texts coincide; the screen reports every indexed partner)
+    val probe = docsDf(Seq(999L), dupOf = Map(999L -> 50L))
+    assert(pairs(DedupIndex.screen(spark, t, "src", idx, probe)) ==
+      Set((999L, 50L), (999L, 150L)),
+      "wave-1 and wave-2 docs must be screenable partners after the refreshes")
+  }
+
   test("sync builds when absent, refreshes when present") {
     val t = Files.createTempDirectory("dedupidx4").toString + "/t"
     Upsert.mergeByKey(spark, t, docsDf(0L until 10L), "src", Seq("doc_id"))
