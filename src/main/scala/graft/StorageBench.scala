@@ -153,11 +153,12 @@ object StorageBench {
     // were all rewritten away by the merges above, so only these two
     // partitions qualify). Includes the inline sidecar refresh the purge
     // pays on an indexed table, like storage_merge_indexed does.
+    val dvDays = Seq(days(2 % partitions), days(3 % partitions)).distinct
     graft.batch.DeletionVectors.deleteVectored(spark, table,
-      Seq((days(2), "k9"), (days(3), "k9")).toDF("day", "k"), "day", Seq("k"))
+      dvDays.map(d => (d, "k9")).toDF("day", "k"), "day", Seq("k"))
     val tReorg = time {
       val parts = Upsert.reorgPurge(spark, table, "day")
-      require(parts.size == 2,
+      require(parts.size == dvDays.size,
         s"purge must rewrite only the DV-carrying partitions: $parts")
     }
 

@@ -10,6 +10,7 @@ class StorageBenchSpec extends SparkSpec {
       "storage_dv_read", "storage_read_committed_churn",
       "storage_bloom_build", "storage_stats_build", "storage_stats_scan",
       "storage_merge_indexed", "storage_restore", "storage_clone",
+      "storage_reorg",
       "storage_serve_offset", "storage_serve_keyset", "storage_serve_indexed"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
