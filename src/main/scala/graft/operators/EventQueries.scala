@@ -173,7 +173,35 @@ object EventQueries extends QueryModule {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SCD2 dimension reconstruction from the event stream — the standard
+    * lakehouse pattern for "what was this entity's state at time T":
+    * collapse each user's event history into change-capture rows (a row
+    * survives only when `event_type` differs from the previous event),
+    * then assemble validity intervals (`valid_from` = the change,
+    * `valid_to` = the next change, NULL = current, `version_n` the SCD2
+    * version counter). One shuffle total: both window passes (the
+    * change-capture lag and the interval lead/row_number) partition by
+    * the same `user_id` key, so Catalyst reuses the exchange. At 100 TB
+    * this is the CDF-to-dimension compaction a warehouse runs nightly —
+    * per-entity history is the only data movement. Bounded to the probe
+    * users so the declared result is page-sized. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ts"), col("event_id"))
+    val changed = ev(s, d)
+      .filter(col("user_id") < 10)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changed
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col("ts_ts").cast("string"))
+      .withColumn("valid_to", lead(col("ts_ts"), 1).over(w).cast("string"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version_n", "event_type", "valid_from", "valid_to",
+        "is_current")
+  }
+
   val queries: Map[String, Q] = Map(
+    "evt_scd2" -> (scd2 _),
     "evt_transitions" -> (transitions _),
     "evt_anomaly_days" -> (anomalyDays _),
     "evt_retention" -> (retention _),
@@ -186,6 +214,24 @@ object EventQueries extends QueryModule {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_scd2" ->
+      """WITH chg AS (
+           SELECT user_id, event_type, ts, event_id FROM (
+             SELECT user_id, event_type, ts, event_id,
+                    LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_type
+             FROM events WHERE user_id < 10)
+           WHERE prev_type IS NULL OR prev_type <> event_type),
+         scd AS (
+           SELECT user_id,
+                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+                  event_type,
+                  CAST(ts AS VARCHAR) AS valid_from,
+                  CAST(LEAD(ts) OVER w AS VARCHAR) AS valid_to
+           FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, version_n, event_type, valid_from, valid_to,
+                (valid_to IS NULL) AS is_current
+         FROM scd""",
     "evt_transitions" ->
       """WITH seq AS (
            SELECT event_type,

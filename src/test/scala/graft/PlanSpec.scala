@@ -77,6 +77,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("SCD2 reconstruction shuffles once: both window passes share the user_id exchange") {
+    val p = planOf("evt_scd2")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly 1 hash exchange, got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup screen joins bands, never cross product; split is a broadcast scalar") {
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop is the 1-row threshold crossJoin riding as a
+    // broadcast — candidate generation itself must be the band equi-join
+    assert(p.contains("band"), p)
+  }
+
+  test("chunk dedup accounting joins on the fingerprint, never cross product") {
+    val p = planOf("txt_rag_chunks")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text quality pipeline has no codegen barriers (no object ops/UDFs)") {
     // The initial AQE plan string doesn't render WholeStageCodegen spans, so
     // assert the absence of the operators that would break them instead.
