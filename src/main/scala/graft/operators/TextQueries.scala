@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryModule
@@ -638,7 +639,47 @@ object TextQueries extends QueryModule {
           sum(col("clen")).cast("double")).as("overlap_frac"))
   }
 
+  // --- Token-budget data selection: the curation step between scoring
+  // and training ("fill each source's token budget with its best
+  // documents") — the greedy quality-ranked form of data selection
+  // (the shape behind quality-filtered mixes in C4/FineWeb-style
+  // pipelines and budget-constrained selection generally).
+  private val BudgetFrac = 0.6
+
+  /** Per-source token-budget selection: rank documents by quality
+    * (deterministic doc_id tiebreak), keep in rank order while the
+    * cumulative token count stays within [[BudgetFrac]] of the source's
+    * token mass, report what survived and the effective quality floor
+    * (min kept quality, micro-quantized — the number that tells a
+    * pipeline owner what bar the budget actually bought). One shuffle:
+    * the running sum and the per-source total are windows over the SAME
+    * source partitioning, and the rollup reuses it. At 100 TB the
+    * per-source sort is the only super-linear step — and it sorts doc
+    * STATS (id, tokens, score), never text. */
+  def budgetSelect(s: SparkSession, d: String): DataFrame = {
+    val base = withQuality(docs(s, d)).filter(col("n_tokens") > 0)
+    val wRank = Window.partitionBy("source")
+      .orderBy(desc("quality_score"), col("doc_id"))
+    val wAll = Window.partitionBy("source")
+    val flagged = base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("keep", col("cum_tokens").cast("double") <=
+        col("total_tokens").cast("double") * BudgetFrac)
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      max(col("total_tokens")).as("total_tokens"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+      sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+      (sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("double") /
+        max(col("total_tokens")).cast("double")).as("kept_frac"),
+      min(when(col("keep"), floor(col("quality_score") * 1e6)))
+        .cast("long").as("quality_floor_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_budget_select" -> (budgetSelect _),
     "txt_gopher_rules" -> (gopherRules _),
     "txt_rag_chunks" -> (ragChunks _),
     "txt_span_dedup" -> (spanDedup _),
@@ -700,7 +741,40 @@ object TextQueries extends QueryModule {
     .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
+  /** The quality formula as shared DuckDB text (mirrors [[withQuality]]). */
+  private lazy val sqlQuality: String =
+    s"""(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5 +
+        (CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
+        LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2"""
+
   val oracleSql: Map[String, String] = Map(
+    "txt_budget_select" -> s"""$cte,
+      scored AS (
+        SELECT source, doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          $sqlQuality AS quality_score
+        FROM docs WHERE len(toks) > 0),
+      ranked AS (
+        SELECT source, doc_id, n_tokens, quality_score,
+          SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source) AS total_tokens
+        FROM scored),
+      flagged AS (
+        SELECT *, CAST(cum_tokens AS DOUBLE) <=
+          CAST(total_tokens AS DOUBLE) * $BudgetFrac AS keep
+        FROM ranked)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS DOUBLE) /
+          CAST(MAX(total_tokens) AS DOUBLE) AS kept_frac,
+        CAST(MIN(CASE WHEN keep THEN FLOOR(quality_score * 1e6) END) AS BIGINT)
+          AS quality_floor_micro
+      FROM flagged GROUP BY 1""",
     "txt_gopher_rules" -> s"""$cte,
       scored AS (
         SELECT source,
