@@ -45,8 +45,10 @@ import graft.streaming.SinkCompaction
   * [version]` deep-copies a committed snapshot as an independent table
   * ([[graft.batch.Upsert.cloneTo]]); `reorg <partCol>` force-materializes
   * pending deletion vectors into the DV-carrying partitions
-  * ([[graft.batch.Upsert.reorgPurge]], Delta's `REORG … APPLY (PURGE)`).
-  * All modes then share the
+  * ([[graft.batch.Upsert.reorgPurge]], Delta's `REORG … APPLY (PURGE)`);
+  * `scd2 <partCol> <key,key> <dimDir>` catches an SCD2 dimension mirror
+  * up to the table's tip off the change feed
+  * ([[graft.batch.Scd2Mirror.sync]]). All modes then share the
   * manifest/history/registry sweeps ([[runSweeps]]). Every op yields one
   * JSON line for the scheduler's log scraper / the API's ops report; the
   * CLI exits non-zero on failure, the API run lands FAILED in the
@@ -59,7 +61,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone", "convert", "reorg", "dedup")
+      "restore", "clone", "convert", "reorg", "dedup", "scd2")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -158,6 +160,20 @@ object Maintain {
         val partCol = arg(0, "the partition column (convert <partCol>)")
         val v = graft.batch.Upsert.convert(spark, table, partCol)
         Seq(s"""{"op":"convert","table":$tableJson,"version":$v}""")
+      case "scd2" =>
+        // SCD2 mirror maintenance over the ops surface: catch the
+        // dimension at <dimDir> up to this table's tip by consuming the
+        // change feed ([[graft.batch.Scd2Mirror.sync]] — the canonical
+        // CDF-to-dimension CDC pattern, O(changes) per run)
+        val partCol = arg(0, "the partition column (scd2 <partCol> <key,key> <dimDir>)")
+        val keys = arg(1, "the key columns (scd2 <partCol> <key,key> <dimDir>)")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "Maintain: scd2 mode needs non-empty key columns")
+        val dimDir = arg(2, "the mirror directory (scd2 <partCol> <key,key> <dimDir>)")
+        val st = graft.batch.Scd2Mirror.sync(spark, table, dimDir, partCol, keys)
+        Seq(s"""{"op":"scd2-sync","table":$tableJson,""" +
+          s""""dim":${graft.http.Json.quote(dimDir)},"opened":${st.opened},""" +
+          s""""closed":${st.closed},"toVersion":${st.toVersion}}""")
       case "reorg" =>
         // REORG … APPLY (PURGE) over the ops surface: force-materialize
         // pending deletion vectors into exactly the DV-carrying partitions

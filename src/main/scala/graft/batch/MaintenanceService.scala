@@ -76,6 +76,9 @@ final class MaintenanceService(
         for { p <- need("partCol"); d <- need("dstDir") }
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
       case "convert" | "reorg" => need("partCol").map(Seq(_))
+      case "scd2" =>
+        for { p <- need("partCol"); k <- need("keys"); d <- need("dimDir") }
+          yield Seq(p, k, d)
     }
     modeArgs match {
       case Left(msg) => Left(msg)
