@@ -75,14 +75,20 @@ class Scd2MirrorSpec extends SparkSpec {
     val k9 = vs.filter(_._2 == 9L)
     assert(k9.size == 1 && k9.head._5.isEmpty)
 
-    // as-of agreement: the source at the pre-churn version equals the
-    // versions valid AT that commit (valid_from <= v < valid_to)
-    val vPre = k1.head._4 // the bootstrap-era commit for d1
-    val atPre = vs.filter(r =>
-        r._4 <= vPre && r._5.forall(_ > vPre))
-      .map(r => (r._1, r._2, r._3))
-    assert(atPre == Set(("d1", 1L, 1.0), ("d1", 2L, 2.0), ("d2", 3L, 3.0)),
-      s"interval slice at v$vPre: $atPre")
+    // as-of agreement at EVERY version the mirror knows: the interval
+    // slice (valid_from <= v < valid_to) equals readAsOf(src, v) —
+    // commit versions are per-partition claims, so the slice and the
+    // as-of read must agree even at versions between two claims of one
+    // logical merge
+    import spark.implicits._
+    val boundary = vs.flatMap(r => Seq(r._4) ++ r._5).toSeq.sorted
+    boundary.foreach { v =>
+      val slice = vs.filter(r => r._4 <= v && r._5.forall(_ > v))
+        .map(r => (r._1, r._2, r._3))
+      val srcAt = Upsert.readAsOf(spark, src, v, "day")
+        .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+      assert(slice == srcAt, s"interval slice at v$v: $slice vs $srcAt")
+    }
   }
 
   test("an incremental mirror equals a from-scratch rebuild") {
