@@ -501,6 +501,49 @@ class HttpSpec extends SparkSpec {
       assert(ops8.head("op").str == "convert")
       assert(graft.core.TxnLog.currentVersion(spark, convDir) >= 1L,
         "the adopted table must have a manifest")
+
+      // SCD2 mirror over the same route: sync a dimension off the vector
+      // table's change feed (full option set required — missing keys is a
+      // 400, never a worker crash)
+      assert(post(api.port, "/maintenance/run",
+        s"""{"mode":"scd2","table":"$vecTable","partCol":"shard"}""")._1 == 400)
+      val scd2Dim = Files.createTempDirectory("httpscd2").toString + "/d"
+      val (c9, b9) = post(api.port, "/maintenance/run",
+        s"""{"mode":"scd2","table":"$vecTable","partCol":"shard",""" +
+          s""""keys":"vec_id","dimDir":"$scd2Dim"}""")
+      assert(c9 == 202, s"got $c9 $b9")
+      val id9 = b9.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id9")._2.asObj("status").str == "COMPLETED")
+      val ops9 = get(api.port, s"/maintenance/status/$id9")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops9.head("op").str == "scd2-sync")
+      // bootstrap: every current source row opened a mirror version, and
+      // the mirror's current slice equals the source snapshot
+      val srcRows = graft.batch.Upsert.readCommitted(spark, vecTable, "shard").count()
+      assert(graft.batch.Upsert.readCommitted(spark, scd2Dim, "shard")
+        .filter(col(graft.batch.Scd2Mirror.ValidTo).isNull).count() == srcRows)
+
+      // dedup band index over the same route: the ivf-family option shape
+      val dedupT = Files.createTempDirectory("httpdedup").toString + "/t"
+      graft.batch.Upsert.mergeByKey(spark, dedupT,
+        (0L until 10L).map(i =>
+          (i, s"s${i % 2}", (0 until 30).map(j => s"d${i}w$j").mkString(" ")))
+          .toDF("doc_id", "src", "text"),
+        "src", Seq("doc_id"))
+      val dedupIdx = Files.createTempDirectory("httpdedup-idx").toString
+      val (c10, b10) = post(api.port, "/maintenance/run",
+        s"""{"mode":"dedup","table":"$dedupT","partCol":"src",""" +
+          s""""indexDir":"$dedupIdx"}""")
+      assert(c10 == 202, s"got $c10 $b10")
+      val id10 = b10.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$id10")._2.asObj("status").str == "COMPLETED")
+      val ops10 = get(api.port, s"/maintenance/status/$id10")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(ops10.head("op").str == "dedup-sync")
+      assert(ops10.head("rebuilt") == JBool(true))
+      assert(new java.io.File(s"$dedupIdx/bands").isDirectory)
     } finally api.stop()
   }
 
