@@ -121,12 +121,15 @@ object Maintain {
           s""""filesIndexed":${st.filesIndexed},"entriesDropped":${st.entriesDropped},""" +
           s""""filesTotal":${st.filesTotal}}""")
       case "zorder" =>
-        val partCol = arg(0, "the partition column (zorder <partCol> <col,col>)")
-        val zCols = arg(1, "the cluster columns (zorder <partCol> <col,col>)")
+        val partCol = arg(0, "the partition column (zorder <partCol> <col,col> [partValues])")
+        val zCols = arg(1, "the cluster columns (zorder <partCol> <col,col> [partValues])")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(zCols.nonEmpty, "Maintain: zorder mode needs non-empty cluster columns")
+        // optional 3rd arg: OPTIMIZE … WHERE scope, comma-separated values
+        val scope = modeArgs.lift(2)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         val n = graft.batch.Upsert.optimizeZOrder(spark, table, partCol, zCols,
-          targetBytes = m.targetBytes)
+          targetBytes = m.targetBytes, onlyPartitions = scope)
         Seq(s"""{"op":"optimize-zorder","table":$tableJson,"partitions":$n}""")
       case "restore" =>
         // incident recovery over the ops surface: RESTORE VERSION AS OF as
@@ -195,14 +198,18 @@ object Maintain {
           s"$table is a streaming file-sink table (has _spark_metadata) — " +
             "use the default stream mode, not upsert")
         // optional 2nd arg: comma-separated layout columns for the rewrite
-        // (falls back to the config tree's layout-cols; empty = plain
-        // repartition)
-        val layout = modeArgs.lift(1)
+        // ('-' or absent falls back to the config tree's layout-cols;
+        // empty = plain repartition); optional 3rd arg: OPTIMIZE … WHERE
+        // scope as comma-separated partition values
+        val layout = modeArgs.lift(1).filter(_ != "-")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(m.layoutCols)
+        val scope = modeArgs.lift(2)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         val n = graft.batch.Upsert.compactPartitions(spark, table, partCol,
           targetBytes = m.targetBytes, minFilesToCompact = m.minFilesToCompact,
-          layoutCols = layout, layoutMode = m.layoutMode)
+          layoutCols = layout, layoutMode = m.layoutMode,
+          onlyPartitions = scope)
         Seq(s"""{"op":"compact-upsert","table":$tableJson,"partitions":$n}""")
       case "stream" =>
         val rep = SinkCompaction.compact(spark, table,

@@ -65,8 +65,21 @@ final class MaintenanceService(
     val modeArgs: Either[String, Seq[String]] = mode match {
       case "stream" => Right(Seq.empty)
       case "bloom" | "stats" => need("column").map(Seq(_))
-      case "zorder" => for { p <- need("partCol"); c <- need("cols") } yield Seq(p, c)
-      case "upsert" => need("partCol").map(p => Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
+      case "zorder" =>
+        for { p <- need("partCol"); c <- need("cols") }
+          yield Seq(p, c) ++ opts.get("partitions").filter(_.nonEmpty)
+      case "upsert" => need("partCol").map { p =>
+        // positional contract is <partCol> [layoutCols] [partValues]; a
+        // scoped run without layout columns ships the '-' sentinel in the
+        // cols slot (= "config default"), so the scope can never silently
+        // land in the wrong slot
+        val cols = opts.get("cols").filter(_.nonEmpty)
+        val scope = opts.get("partitions").filter(_.nonEmpty)
+        Seq(p) ++ (scope match {
+          case Some(s) => Seq(cols.getOrElse("-"), s)
+          case None => cols.toSeq
+        })
+      }
       case "ivf" | "pq" | "ivfpq" | "dedup" =>
         for { p <- need("partCol"); d <- need("indexDir") } yield Seq(p, d)
       case "restore" =>

@@ -1495,7 +1495,15 @@ object Upsert {
     * predicates — without a separate [[optimizeZOrder]] pass over bytes
     * this job already rewrote. Partitions NOT crowded keep their layout
     * (this is still a compaction; [[optimizeZOrder]] is the
-    * rewrite-everything layout op). */
+    * rewrite-everything layout op).
+    *
+    * `onlyPartitions` is Delta's `OPTIMIZE t WHERE partCol IN (…)`: scope
+    * the pass to the named partition VALUES — the 100 TB discipline where
+    * nightly maintenance touches the day that churned, never the 3,000
+    * days that did not (out-of-scope partitions are not even listed).
+    * Values with no partition directory are a no-op, like Delta's
+    * non-matching WHERE; an EMPTY set is refused loudly (it reads as
+    * "compact nothing succeeded"). */
   def compactPartitions(
       spark: SparkSession,
       table: String,
@@ -1503,17 +1511,21 @@ object Upsert {
       targetBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2,
       layoutCols: Seq[String] = Seq.empty,
-      layoutMode: String = "cluster"): Int = {
+      layoutMode: String = "cluster",
+      onlyPartitions: Option[Set[String]] = None): Int = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
     require(minFilesToCompact >= 2, "compacting fewer than 2 files is a no-op")
     require(Set("cluster", "zorder").contains(layoutMode),
       s"layoutMode must be 'cluster' or 'zorder', got '$layoutMode'")
+    require(onlyPartitions.forall(_.nonEmpty),
+      "onlyPartitions: pass None for the whole table, never an empty set " +
+        "(an empty WHERE that silently compacts nothing reads as success)")
     // callers name columns LOGICALLY; the rewrite runs in physical space
     val cmap = ColumnMapping.mapping(spark, table)
     val partColP = ColumnMapping.physicalName(cmap, partCol)
     val layoutColsP = layoutCols.map(ColumnMapping.physicalName(cmap, _))
     compactPartitionsPhysical(spark, table, partColP, targetBytes,
-      minFilesToCompact, layoutColsP, layoutMode)
+      minFilesToCompact, layoutColsP, layoutMode, onlyPartitions)
   }
 
   private def compactPartitionsPhysical(
@@ -1523,7 +1535,8 @@ object Upsert {
       targetBytes: Long,
       minFilesToCompact: Int,
       layoutCols: Seq[String],
-      layoutMode: String): Int = {
+      layoutMode: String,
+      onlyPartitions: Option[Set[String]] = None): Int = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // size-aware selection (the OPTIMIZE sizing contract): output file
@@ -1533,8 +1546,18 @@ object Upsert {
     val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
     val dvFiles = dvTargetFiles(dvPairs)
+    // OPTIMIZE … WHERE: the scope filter applies BEFORE any listing into
+    // a job — at 100 TB the maintenance pass over "just today's
+    // partitions" must not even stat the other 3,000 days' files
+    val inScope: String => Boolean = onlyPartitions match {
+      case None => _ => true
+      case Some(vals) =>
+        val dirs = vals.map(v => s"$partCol=${escapeValue(v)}")
+        dirs.contains _
+    }
     val crowded = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")
+        && inScope(st.getPath.getName))
       .flatMap { st =>
         val files = fs.listStatus(st.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1614,19 +1637,26 @@ object Upsert {
     * the pre-layout generation. Unlike compaction this is a LAYOUT op: it
     * rewrites regardless of file count (the point is bit-interleaved key
     * locality, not file sizing), with output file count still following
-    * partition bytes. Returns the number of partitions rewritten. */
+    * partition bytes. `onlyPartitions` scopes the rewrite to the named
+    * partition values (Delta's `OPTIMIZE … WHERE` — see
+    * [[compactPartitions]] for the contract). Returns the number of
+    * partitions rewritten. */
   def optimizeZOrder(
       spark: SparkSession,
       table: String,
       partCol: String,
       zCols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      onlyPartitions: Option[Set[String]] = None): Int = {
     require(targetBytes >= 1, "targetBytes must be >= 1")
+    require(onlyPartitions.forall(_.nonEmpty),
+      "onlyPartitions: pass None for the whole table, never an empty set")
     // callers name columns LOGICALLY; the rewrite runs in physical space
     val cmap = ColumnMapping.mapping(spark, table)
     val partColP = ColumnMapping.physicalName(cmap, partCol)
     val zColsP = zCols.map(ColumnMapping.physicalName(cmap, _))
-    optimizeZOrderPhysical(spark, table, partColP, zColsP, targetBytes)
+    optimizeZOrderPhysical(spark, table, partColP, zColsP, targetBytes,
+      onlyPartitions)
   }
 
   private def optimizeZOrderPhysical(
@@ -1634,14 +1664,23 @@ object Upsert {
       table: String,
       partCol: String,
       zCols: Seq[String],
-      targetBytes: Long): Int = {
+      targetBytes: Long,
+      onlyPartitions: Option[Set[String]] = None): Int = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dvPairs = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
     val dvFiles = dvTargetFiles(dvPairs)
+    // OPTIMIZE … WHERE scope, same contract as compactPartitions
+    val inScope: String => Boolean = onlyPartitions match {
+      case None => _ => true
+      case Some(vals) =>
+        val dirs = vals.map(v => s"$partCol=${escapeValue(v)}")
+        dirs.contains _
+    }
     val parts = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")
+        && inScope(st.getPath.getName))
       .flatMap { st =>
         val files = fs.listStatus(st.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -246,4 +246,45 @@ class LayoutSpec extends SparkSpec {
       LayoutOps.zOrderBy(df, Seq("a"), 4)
     }
   }
+
+  test("OPTIMIZE … WHERE: the scope bounds both compaction and layout to named partitions") {
+    import spark.implicits._
+    import graft.batch.Upsert
+    val table = tmp("optimize-where")
+    // three partitions, each crowded (4 files of interleaved keys)
+    (0 until 3000).map(i =>
+        (s"2026-02-0${i % 3 + 1}", i.toLong, (i.toLong * 2477L) % 500L,
+          (i.toLong * 3163L) % 500L))
+      .toDF("day", "id", "x", "y")
+      .repartition(4)
+      .write.partitionBy("day").mode("overwrite").parquet(table)
+    def files(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$table/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before2 = files("2026-02-02")
+    val before3 = files("2026-02-03")
+
+    // scoped compaction touches ONLY day 1; the others stay byte-identical
+    assert(Upsert.compactPartitions(spark, table, "day",
+      onlyPartitions = Some(Set("2026-02-01"))) == 1)
+    assert(files("2026-02-02") == before2 && files("2026-02-03") == before3,
+      "out-of-scope partitions must not be touched")
+    assert(files("2026-02-01").size == 1, "in-scope partition compacted")
+
+    // scoped layout: day 2 only; a value with no directory is a no-op
+    assert(Upsert.optimizeZOrder(spark, table, "day", Seq("x", "y"),
+      onlyPartitions = Some(Set("2026-02-02", "2026-02-09"))) == 1)
+    assert(files("2026-02-03") == before3, "day 3 still untouched")
+    assert(files("2026-02-02") != before2, "day 2 rewritten by the layout pass")
+    // rows unchanged by either pass
+    assert(spark.read.parquet(table).count() == 3000L)
+
+    // an empty scope is refused loudly — it reads as success over nothing
+    intercept[IllegalArgumentException] {
+      Upsert.compactPartitions(spark, table, "day",
+        onlyPartitions = Some(Set.empty))
+    }
+  }
 }
