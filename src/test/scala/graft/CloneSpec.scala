@@ -142,8 +142,23 @@ class CloneSpec extends SparkSpec {
     }, "clone-churn")
     churn.start()
     try {
-      val dst = tmp("clone-race-dst") + "/t"
-      assert(Upsert.cloneTo(spark, src, dst, "day") == 60L)
+      // losing a race with a source writer's install is cloneTo's
+      // DOCUMENTED loud-retryable failure (no dst is left behind) — a
+      // real consumer retries, so the spec does too, against a fresh dst
+      // each attempt
+      var dst: String = null
+      var attempts = 0
+      var done = false
+      while (!done) {
+        dst = tmp("clone-race-dst") + "/t"
+        attempts += 1
+        try { assert(Upsert.cloneTo(spark, src, dst, "day") == 60L); done = true }
+        catch {
+          case e: Throwable
+              if Option(e.getMessage).exists(_.contains("FILE_NOT_EXIST")) &&
+                attempts < 10 => // loud, retryable, retried
+        }
+      }
       // provenance names the pinned version; the clone equals EXACTLY that
       val prov = graft.http.Json.parse(java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$dst/_graft_meta/clone-v1.json"))).asObj
