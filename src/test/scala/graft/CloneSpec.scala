@@ -141,12 +141,15 @@ class CloneSpec extends SparkSpec {
       } catch { case t: Throwable => churnErr.set(t) }
     }, "clone-churn")
     churn.start()
+    // losing a race with a source writer's install is cloneTo's
+    // DOCUMENTED loud-retryable failure (no dst is left behind) — a real
+    // consumer retries, so the spec does too, against a fresh dst each
+    // attempt; the CLONE runs inside the churn window (that is the test),
+    // the verification below runs after it quiesces (readAsOf against a
+    // live writer has the same documented loud-retry contract, which is
+    // TimeTravelSpec's subject, not this test's)
+    var dst: String = null
     try {
-      // losing a race with a source writer's install is cloneTo's
-      // DOCUMENTED loud-retryable failure (no dst is left behind) — a
-      // real consumer retries, so the spec does too, against a fresh dst
-      // each attempt
-      var dst: String = null
       var attempts = 0
       var done = false
       while (!done) {
@@ -159,20 +162,20 @@ class CloneSpec extends SparkSpec {
                 attempts < 10 => // loud, retryable, retried
         }
       }
-      // provenance names the pinned version; the clone equals EXACTLY that
-      val prov = graft.http.Json.parse(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$dst/_graft_meta/clone-v1.json"))).asObj
-      val pinned = prov("sourceVersion").str.toLong
-      val asOf = Upsert.readAsOf(spark, src, pinned, "day")
-        .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
-      val cloned = spark.read.parquet(dst)
-        .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
-      assert(cloned == asOf,
-        s"clone must equal its pinned version v$pinned exactly")
     } finally {
       stop.set(true); churn.join()
     }
     if (churnErr.get != null) throw churnErr.get
+    // provenance names the pinned version; the clone equals EXACTLY that
+    val prov = graft.http.Json.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dst/_graft_meta/clone-v1.json"))).asObj
+    val pinned = prov("sourceVersion").str.toLong
+    val asOf = Upsert.readAsOf(spark, src, pinned, "day")
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+    val cloned = spark.read.parquet(dst)
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+    assert(cloned == asOf,
+      s"clone must equal its pinned version v$pinned exactly")
   }
 
   test("clone materializes pending deletion vectors; refuses existing dst") {
