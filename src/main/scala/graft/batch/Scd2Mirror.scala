@@ -131,13 +131,14 @@ object Scd2Mirror {
             .filter(col(ValidTo).isNotNull)
           Some(closed)
         }
-      val delta = closedRows.fold(openRows)(c =>
-        openRows.unionByName(c.select(openRows.columns.map(col): _*)))
-        .cache()
+      // eager, lineage-truncating pin BEFORE merging: the delta's
+      // closed-rows branch reads the dim table the merge is about to
+      // rewrite. cache()+count() is only best-effort — an evicted block
+      // would recompute against the half-rewritten mirror; the
+      // localCheckpoint severs the lineage so that cannot happen.
+      val (delta, freeDelta) = graft.core.Pin(closedRows.fold(openRows)(c =>
+        openRows.unionByName(c.select(openRows.columns.map(col): _*))))
       try {
-        // materialize the cache BEFORE merging: the delta's closed-rows
-        // branch reads the dim table the merge is about to rewrite — the
-        // count pins the rows so the merge never scans its own pre-image
         val total = delta.count()
         // in-range opens carry a ValidFrom inside the consumed range; the
         // pre-range current rows being closed carry an older one
@@ -149,7 +150,7 @@ object Scd2Mirror {
           Upsert.mergeByKey(spark, dim, delta, partCol, keyCols :+ ValidFrom)
         writeCursor(spark, dim, src, tip)
         SyncStats(nOpened, nClosedInRange + nClosedPrior, from, tip)
-      } finally delta.unpersist()
+      } finally freeDelta()
     } finally changes.unpersist()
   }
 }

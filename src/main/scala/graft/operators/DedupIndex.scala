@@ -69,9 +69,16 @@ object DedupIndex {
 
   /** `(doc_id, band, bp)` of any frame carrying `doc_id` + `text` — the
     * one banding rule every path shares (build, refresh, screen probe),
-    * or the incremental index would drift from a rebuild. */
+    * or the incremental index would drift from a rebuild. Shingle-less
+    * documents (<3 tokens) have NULL signatures and therefore NULL bands;
+    * a NULL band can never match a band equi-join, so those rows are
+    * dropped HERE — persisting them would land in the Hive default
+    * partition while [[refresh]]'s per-prefix swap addresses literal
+    * `bp=<hex>` dirs (and a null prefix would NPE the String sort),
+    * breaking refresh ≡ rebuild on legal short documents. */
   private def bandRows(df: DataFrame): DataFrame =
     DedupQueries.bandsOf(DedupQueries.signedOf(DedupQueries.shingleOf(df)))
+      .filter(col("band").isNotNull)
       .withColumn("bp", substring(col("band"), 1, 2))
 
   /** Build the band index over a TxnLog-maintained documents table
@@ -108,8 +115,11 @@ object DedupIndex {
       indexDir: String,
       batch: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    val bsig = DedupQueries.signedOf(DedupQueries.shingleOf(batch))
-      .select("doc_id", "sh").cache()
+    // No cache: screen runs per micro-batch in the streaming pattern, and
+    // a cached frame kept alive by the returned plan would accumulate
+    // blocks for the session lifetime. The verify side needs only the
+    // shingles (no md5 signing), so re-shingling the batch for it costs
+    // O(batch tokenization) — trivial next to the candidate join it feeds.
     val bBands = bandRows(batch)
     val idx = s.read.parquet(bandsDir(indexDir))
     val cand = bBands.as("x").join(idx.as("y"),
@@ -122,7 +132,8 @@ object DedupIndex {
         "left_semi")
     val po = DedupQueries.shingleOf(partners)
       .select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
-    val pn = bsig.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+    val pn = DedupQueries.shingleOf(batch)
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
     cand.join(pn, "new_id").join(po, "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /

@@ -166,10 +166,13 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
       .cache()
     // the split threshold rides the plan as a broadcast scalar — no
-    // driver-side collect, and the oracle computes the identical
-    // CAST(max * frac AS BIGINT)
+    // driver-side collect. floor() BEFORE the integer cast: a bare
+    // double→long cast truncates in Spark but rounds in DuckDB, so the
+    // two engines would disagree by 1 whenever max*frac has a fractional
+    // part ≥ 0.5 — floor makes both sides exact (the repo-wide pattern,
+    // e.g. floor(rate*65536) in TextQueries).
     val thr = sig.agg(
-      (max(col("doc_id")) * NewTailFrac).cast("long").as("thr"))
+      floor(max(col("doc_id")) * NewTailFrac).cast("long").as("thr"))
     val sigT = sig.crossJoin(broadcast(thr))
     val newBands = bandsOf(sigT.filter(col("doc_id") >= col("thr")))
     val oldBands = bandsOf(sigT.filter(col("doc_id") < col("thr")))
@@ -223,21 +226,12 @@ object DedupQueries extends QueryModule {
     * truncates lineage so the loop cannot grow the plan; each round's blocks
     * are unpersisted as soon as the next round's frame is materialized, so
     * block-manager usage is O(graph), not O(graph × rounds). */
-  /** Eager localCheckpoint plus a thunk that frees its blocks.
-    * `Dataset.unpersist` clears only cache-manager caches, never
-    * localCheckpoint RDD persists, so an iterative loop that checkpoints per
-    * round would otherwise hold every round's blocks until the
-    * ContextCleaner happens to GC them. The freshly-registered RDDs are
-    * diffed on `SparkContext.getPersistentRDDs`; callers run rounds
-    * sequentially, so the diff is precise. */
-  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val cp = df.localCheckpoint(true)
-    val fresh = sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
-      .values.toSeq
-    (cp, () => fresh.foreach(_.unpersist(blocking = false)))
-  }
+  /** Eager localCheckpoint plus a thunk that frees its blocks — an
+    * iterative loop that checkpoints per round would otherwise hold every
+    * round's blocks until the ContextCleaner happens to GC them
+    * ([[graft.core.Pin]] has the full rationale). */
+  private def checkpointed(df: DataFrame): (DataFrame, () => Unit) =
+    graft.core.Pin(df)
 
   /** Rounds the most recent [[connectedComponents]] call took to converge —
     * scale observability for the stress suite (pointer doubling must keep
@@ -640,7 +634,7 @@ object DedupQueries extends QueryModule {
     "dedup_incremental" -> s"""WITH $docsCte,
          sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
          bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
-         thr AS (SELECT CAST(MAX(doc_id) * $NewTailFrac AS BIGINT) AS t FROM docs),
+         thr AS (SELECT CAST(FLOOR(MAX(doc_id) * $NewTailFrac) AS BIGINT) AS t FROM docs),
          cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
                   FROM bands x JOIN bands y ON x.band = y.band
                   CROSS JOIN thr

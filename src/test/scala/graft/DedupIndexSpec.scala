@@ -175,6 +175,44 @@ class DedupIndexSpec extends SparkSpec {
       "wave-1 and wave-2 docs must be screenable partners after the refreshes")
   }
 
+  test("shingle-less short documents: build, screen, and refresh all survive") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("dedupidx6").toString + "/t"
+    // corpus mixes normal docs with legal <3-token docs (NULL signatures →
+    // NULL bands) — these must simply be invisible to the band index, not
+    // crash it or pollute a Hive default partition
+    val seed = docsDf(0L until 10L).unionByName(
+      Seq((900L, "s0", "hi"), (901L, "s1", "one two")).toDF("doc_id", "src", "text"))
+    Upsert.mergeByKey(spark, t, seed, "src", Seq("doc_id"))
+    val idx = Files.createTempDirectory("dedupidx6-idx").toString
+    DedupIndex.buildFromTable(spark, t, "src", idx)
+    val bandDirs = new java.io.File(s"$idx/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!bandDirs.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      s"short docs must never persist a null band prefix: $bandDirs")
+    // a batch containing a short doc screens fine (short doc matches nothing)
+    val batch = docsDf(Seq(40L), dupOf = Map(40L -> 5L)).unionByName(
+      Seq((41L, "s1", "tiny")).toDF("doc_id", "src", "text"))
+    assert(pairs(DedupIndex.screen(spark, t, "src", idx, batch)) == Set((40L, 5L)))
+    // churn a SHORT doc (the r15 advisory's crash shape: a changed doc with
+    // no shingles put a null in refresh's affected-prefix sort) and a
+    // normal doc in the same range; refresh must equal a rebuild
+    Upsert.mergeByKey(spark, t,
+      Seq((900L, "s0", "hi there")).toDF("doc_id", "src", "text"),
+      "src", Seq("doc_id"))
+    Upsert.mergeByKey(spark, t,
+      docsDf(Seq(300L), dupOf = Map(300L -> 2L)), "src", Seq("doc_id"))
+    val st = DedupIndex.refresh(spark, t, "src", idx)
+    assert(!st.rebuilt, s"short-doc churn must refresh incrementally: $st")
+    val idx2 = Files.createTempDirectory("dedupidx6-re").toString
+    DedupIndex.buildFromTable(spark, t, "src", idx2)
+    def bands(d: String): Set[(Long, String)] =
+      spark.read.parquet(s"$d/bands").select("doc_id", "band")
+        .as[(Long, String)].collect().toSet
+    assert(bands(idx) == bands(idx2),
+      "refresh must equal rebuild exactly with short docs in the churn")
+  }
+
   test("sync builds when absent, refreshes when present") {
     val t = Files.createTempDirectory("dedupidx4").toString + "/t"
     Upsert.mergeByKey(spark, t, docsDf(0L until 10L), "src", Seq("doc_id"))
