@@ -72,21 +72,16 @@ object IdentityColumns {
       column: String,
       start: Long = 1L,
       step: Long = 1L): Unit = {
-    require(step != 0, "identity step must be non-zero")
     require(!list(spark, table).contains(column),
       s"$column is already an identity column of $table")
-    require(!GeneratedColumns.list(spark, table).contains(column),
-      s"$column is a generated column of $table — a column is either " +
-        "expression-generated or identity-generated, not both")
-    val m = ColumnMapping.mapping(spark, table)
-    require(!m.contains(column) &&
-        ColumnMapping.physicalName(m, column) == column,
-      s"identity column $column is renamed or dropped in the column map — " +
-        "identity binds unmapped names only")
     val existing =
       try Some(spark.read.parquet(table))
       catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null && e.getMessage.contains("PATH_NOT_FOUND") =>
+          if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
+            // a table dir holding only metadata (manifest/registries, no
+            // data files yet) is declaration-legal too — the first merge
+            // materializes the column exactly like the no-dir case
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
         None }
     existing.foreach { df =>
       require(df.columns.contains(column),
@@ -109,6 +104,33 @@ object IdentityColumns {
         writeHwm(spark, table, column,
           version = TxnLog.currentVersion(spark, table), last = row.getLong(0))
     }
+    declare(spark, table, column, start, step)
+  }
+
+  /** Registration WITHOUT the adoption probe: the registration-time
+    * invariant checks plus the meta write, nothing else. For system
+    * features that backfill the column themselves immediately after
+    * registering — [[RowTracking.enable]] registers first so the backfill
+    * merge's identity assignment mints the ids through the normal
+    * allocation protocol (calling [[add]] instead would refuse: the
+    * column does not exist yet on the already-written table). */
+  private[batch] def declare(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      start: Long = 1L,
+      step: Long = 1L): Unit = {
+    require(step != 0, "identity step must be non-zero")
+    require(!list(spark, table).contains(column),
+      s"$column is already an identity column of $table")
+    require(!GeneratedColumns.list(spark, table).contains(column),
+      s"$column is a generated column of $table — a column is either " +
+        "expression-generated or identity-generated, not both")
+    val m = ColumnMapping.mapping(spark, table)
+    require(!m.contains(column) &&
+        ColumnMapping.physicalName(m, column) == column,
+      s"identity column $column is renamed or dropped in the column map — " +
+        "identity binds unmapped names only")
     TableMeta.write(spark, table, FilePrefix,
       list(spark, table).map { case (c, s) => c -> s"${s.start}:${s.step}" } +
         (column -> s"$start:$step"))

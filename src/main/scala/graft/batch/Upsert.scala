@@ -100,7 +100,8 @@ object Upsert {
       partCol: String,
       keyCols: Seq[String],
       parallelism: Int = 4,
-      deleteWhen: Option[String] = None): Seq[String] = {
+      deleteWhen: Option[String] = None,
+      keepSuppliedIdentity: Boolean = false): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
     // GENERATED columns ([[GeneratedColumns]], Delta's GENERATED ALWAYS
@@ -135,9 +136,15 @@ object Upsert {
     // rows draw a freshly OCC-allocated disjoint range. Runs after
     // generated-column fill (the partition column may itself be
     // generated) and counts as covering the column.
+    // `keepSuppliedIdentity` is the SYSTEM escape hatch for verbs that
+    // re-install committed identity values verbatim (RESTORE: the as-of
+    // snapshot's ids ARE the values being restored — reassigning them
+    // would break the stability the column promises; row-tracking ids
+    // likewise must come back exactly). The caller warrants uniqueness;
+    // the high-water mark never rewinds, so later mints stay disjoint.
     val idSpecs = IdentityColumns.list(spark, table).toSeq.sortBy(_._1)
     idSpecs.foreach { case (c, _) =>
-      if (generated.columns.contains(c))
+      if (generated.columns.contains(c) && !keepSuppliedIdentity)
         throw new IllegalArgumentException(
           s"column $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
             "are refused (Delta contract); omit the column and let the " +
@@ -152,7 +159,8 @@ object Upsert {
     // data partition, so they conflict with nothing.)
     val snapshot = TxnLog.currentVersion(spark, table)
     val updates = idSpecs.foldLeft(generated) { case (u, (c, _)) =>
-      IdentityColumns.assign(spark, table, u, partCol, keyCols, c, deleteWhen)
+      if (u.columns.contains(c)) u // keepSuppliedIdentity: values ride as-is
+      else IdentityColumns.assign(spark, table, u, partCol, keyCols, c, deleteWhen)
     }
     deleteWhen.foreach { m =>
       require(updates.columns.contains(m), s"deleteWhen column $m not in updates")
@@ -1134,8 +1142,10 @@ object Upsert {
         scoped(cur)
           .join(scoped(asOf).select(joinKeys.map(col): _*), joinKeys, "left_anti")
           .withColumn(marker, lit(true)))
+    // identity values (row-tracking ids included) restore VERBATIM: the
+    // as-of snapshot's ids are committed history, unique by construction
     mergeByKey(spark, table, updates, partCol, keyCols, parallelism,
-      deleteWhen = Some(marker))
+      deleteWhen = Some(marker), keepSuppliedIdentity = true)
   }
 
   /** The committed snapshot at the CURRENT version — cross-partition
