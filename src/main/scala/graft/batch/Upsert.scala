@@ -732,9 +732,15 @@ object Upsert {
     * driver. */
   /** TIMESTAMP AS OF resolution (Delta's second time-travel axis): the
     * newest retained commit at or before `tsMillis`. Commit timestamps
-    * are writer clocks — monotone enough for the "state as of last
-    * Tuesday" use this serves, with exactly Delta's caveat (a clock-skewed
-    * writer can reorder neighbors; version numbers are the precise axis).
+    * are IN-COMMIT (Delta 3.3 `delta.enableInCommitTimestamps` analog,
+    * always on here): `TxnLog.commit` clamps each ts to strictly exceed
+    * its predecessor's, so ts is monotone in version — "newest at or
+    * before T" is well-defined even across clock-skewed writers or
+    * same-millisecond commits — and the ts lives inside the commit
+    * record (not file mtimes), so copying/restoring a table keeps this
+    * axis exact. A timestamp that falls INSIDE a write (after its begin
+    * record, before its end) resolves to the pre-state — the write was
+    * not yet committed at that instant, which is the honest answer.
     * Refuses a timestamp before the oldest retained commit — the history
     * there has been truncated, same contract as a too-old version. */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {

@@ -71,6 +71,11 @@ object TxnLog {
       all: Boolean = false,
       txn: Option[String] = None)
 
+  /** Wall-clock source for commit timestamps — injectable so specs can
+    * prove the in-commit-timestamp clamp under a skewed/backward clock
+    * (production never overrides it). */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   private val Pad = 20
   /** Compact the retained manifest into one checkpoint file every this many
     * commits (Delta defaults to 10). A checkpoint always carries EVERY
@@ -163,7 +168,11 @@ object TxnLog {
       if (attempts > 1000)
         throw new IllegalStateException(
           s"TxnLog.commit: $table still contended after $attempts attempts")
-      val since = commitsSince(spark, table, snapshotVersion)
+      // read one version BELOW the snapshot too: the tip's ts seeds the
+      // in-commit-timestamp clamp (see below) even when nothing committed
+      // after this writer's snapshot
+      val withTip = commitsSince(spark, table, math.max(snapshotVersion - 1, -1L))
+      val since = withTip.filter(_.version > snapshotVersion)
       since.find(c => overlaps(c.partitions, c.all, partitions, all))
         .foreach { c =>
           throw new ConcurrentWriteException(
@@ -177,7 +186,21 @@ object TxnLog {
       // (and conflict-checked) every version below N — a racing commit that
       // claimed N first makes our create fail, and the retry re-reads it.
       val next = since.lastOption.map(_.version).getOrElse(snapshotVersion) + 1
-      val c = Commit(next, op, partitions, System.currentTimeMillis(), ref, all, txn)
+      // IN-COMMIT TIMESTAMPS (Delta 3.3 `delta.enableInCommitTimestamps`
+      // analog, on always): the commit ts is clamped to STRICTLY exceed the
+      // previous commit's ts, so the (version, ts) axes agree — ts is
+      // monotone in version no matter how writer clocks skew, step
+      // backward, or collide within one millisecond. `TIMESTAMP AS OF`
+      // (`Upsert.versionAt`) binary-searches this ts, so monotonicity is
+      // what makes "newest commit at or before T" well-defined. The ts
+      // lives INSIDE the commit record (and its checkpoints), never in
+      // file mtimes — copying or restoring a table keeps the time axis
+      // exact. A clamped-forward ts (skewed predecessor) ages out of the
+      // begin-staleness window later than wall clock would — the safe
+      // direction (a claim is held longer, never usurped early).
+      val prevTs = withTip.lastOption.map(_.ts).getOrElse(0L)
+      val c = Commit(next, op, partitions,
+        math.max(clock(), prevTs + 1), ref, all, txn)
       if (createExclusive(fs, vFile(dir, next), render(c))) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, fs, dir, next)
         return c
@@ -212,7 +235,7 @@ object TxnLog {
       all: Boolean = false): Commit = {
     val allCommits = commitsSince(spark, table, 0L)
     val closed = allCommits.flatMap(_.ref).toSet
-    val now = System.currentTimeMillis()
+    val now = clock()
     allCommits.find { c =>
       c.op.endsWith("-begin") && !closed.contains(c.version) &&
         now - c.ts < staleLockMs && overlaps(c.partitions, c.all, partitions, all)
@@ -290,7 +313,7 @@ object TxnLog {
       allClaimsOnly: Boolean = false): (Long, Boolean) = {
     val allCommits = commitsSince(spark, table, 0L)
     val closed = allCommits.flatMap(_.ref).toSet
-    val now = System.currentTimeMillis()
+    val now = clock()
     val inFlight = allCommits.exists(c => c.op.endsWith("-begin") &&
       (c.all || !allClaimsOnly) &&
       !closed.contains(c.version) && now - c.ts < staleLockMs)
