@@ -61,7 +61,7 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone", "convert", "reorg", "dedup", "scd2")
+      "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -131,6 +131,24 @@ object Maintain {
         val n = graft.batch.Upsert.optimizeZOrder(spark, table, partCol, zCols,
           targetBytes = m.targetBytes, onlyPartitions = scope)
         Seq(s"""{"op":"optimize-zorder","table":$tableJson,"partitions":$n}""")
+      case "cluster" =>
+        // incremental (liquid) clustering over the ops surface: register
+        // the keys once (2nd arg), then every scheduled run costs O(churn)
+        // — candidates from the txn log, fingerprint skips, footer-stats
+        // tightness recognition; only drifted partitions rewrite
+        // ([[graft.batch.LiquidClustering.optimize]])
+        val partCol = arg(0, "the partition column (cluster <partCol> [col,col])")
+        modeArgs.lift(1).foreach { cols =>
+          graft.batch.LiquidClustering.setClusterBy(spark, table,
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        }
+        val rep = graft.batch.LiquidClustering.optimize(spark, table, partCol,
+          targetBytes = m.targetBytes)
+        Seq(s"""{"op":"cluster","table":$tableJson,""" +
+          s""""mode":${graft.http.Json.quote(rep.mode)},""" +
+          s""""candidates":${rep.candidates},"skippedUnchanged":${rep.skippedUnchanged},""" +
+          s""""recognizedTight":${rep.recognizedTight.size},""" +
+          s""""rewritten":${rep.rewritten.size}}""")
       case "restore" =>
         // incident recovery over the ops surface: RESTORE VERSION AS OF as
         // a drivable maintenance op (content rollback forward-written as a

@@ -89,6 +89,11 @@ final class MaintenanceService(
         for { p <- need("partCol"); d <- need("dstDir") }
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
       case "convert" | "reorg" => need("partCol").map(Seq(_))
+      case "cluster" =>
+        // optional cols registers/changes the CLUSTER BY spec in the same
+        // call; without it the table must already be registered
+        need("partCol").map(p =>
+          Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
       case "scd2" =>
         for { p <- need("partCol"); k <- need("keys"); d <- need("dimDir") }
           yield Seq(p, k, d)

@@ -304,7 +304,7 @@ object Upsert {
     * .lookup]] / [[graft.core.StatsIndex.rangeScan]] handle conservatively
     * (unknown files are scanned) — so it must not fail the
     * already-committed write. */
-  private def refreshIndexSidecars(spark: SparkSession, table: String): Unit = {
+  private[batch] def refreshIndexSidecars(spark: SparkSession, table: String): Unit = {
     graft.core.BloomIndex.indexedColumns(spark, table).foreach { c =>
       try graft.core.BloomIndex.refresh(spark, table, c)
       catch {
@@ -611,7 +611,7 @@ object Upsert {
       spark: SparkSession, table: String, dirName: String,
       p: String, ourClaim: Long): Unit =
     repairCrashedWriter(spark, table, dirName, p, ourClaim)
-  private def unescape(dirName: String, partCol: String): String =
+  private[batch] def unescape(dirName: String, partCol: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(dirName.stripPrefix(s"$partCol="))
 
@@ -1605,7 +1605,7 @@ object Upsert {
   /** File basenames any deletion pair targets — bounded driver state
     * (distinct FILES carrying deletes, not rows), used to decide whether a
     * rewrite changes the effective row set. */
-  private def dvTargetFiles(dvPairs: Option[DataFrame]): Set[String] =
+  private[batch] def dvTargetFiles(dvPairs: Option[DataFrame]): Set[String] =
     dvPairs.map(_.select(DeletionVectors.FileCol).distinct()
       .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
 
@@ -1618,10 +1618,10 @@ object Upsert {
     * claim stays invisible to snapshot resolution, preserving the
     * "compaction never affects time travel" contract when nothing is
     * materialized. */
-  private def compactOne(
+  private[batch] def compactOne(
       spark: SparkSession, table: String, partCol: String, dirName: String,
       materializes: Boolean, dvPairs: Option[DataFrame])(
-      shape: DataFrame => DataFrame): Unit = {
+      shape: DataFrame => DataFrame): Long = {
     val value = unescape(dirName, partCol)
     val op = if (materializes) "upsert" else "compact"
     val claim = TxnLog.begin(spark, table, op, Set(value),
@@ -1636,6 +1636,7 @@ object Upsert {
         shape(rows).write.parquet(tmp)
       }
       TxnLog.end(spark, table, claim)
+      claim.version // begin version: end records carry it as their ref
     } catch {
       case scala.util.control.NonFatal(e) =>
         scala.util.Try(rollbackFailedPublish(spark, table, partCol, value, claim))

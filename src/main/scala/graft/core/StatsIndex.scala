@@ -461,6 +461,45 @@ object StatsIndex {
       rel.copy(location = new StatsFileIndex(rel.location, loaded))(classic))
   }
 
+  /** TRUE iff the files' per-file [min,max] intervals on `column` are
+    * pairwise non-overlapping up to boundary equality — i.e. the file set
+    * is ALREADY range-clustered on the column, so a layout rewrite would
+    * move bytes without narrowing any interval. This is
+    * [[graft.batch.LiquidClustering]]'s tightness probe: a churned
+    * partition whose merge happened to land in key order (append-mostly
+    * time keys are the common case) is recognized as satisfying the
+    * layout with zero bytes rewritten. Footer-only (one metadata task per
+    * file, no row IO). Conservative: a file with missing/incomplete
+    * footer stats, an unsupported column type, or all-null values makes
+    * the answer false — "cannot prove tight" must read as "not tight",
+    * never the reverse. */
+  private[graft] def disjointOn(
+      spark: SparkSession,
+      files: Seq[String],
+      column: String,
+      dt: DataType): Boolean = {
+    if (files.size <= 1) return true
+    val typ = typeTag(dt).getOrElse(return false)
+    val entries = footerEntries(spark, files, column, typ)
+    def boundsOf(e: Entry): Option[(Bound, Bound)] = typ match {
+      case "long" | "date" | "ts" =>
+        for (lo <- e.lmin; hi <- e.lmax) yield (LBound(lo), LBound(hi))
+      case "double" =>
+        for (lo <- e.dmin; hi <- e.dmax) yield (DBound(lo), DBound(hi))
+      case "string" =>
+        for (lo <- e.smin; hi <- e.smax) yield (SBound(lo), SBound(hi))
+    }
+    val bounds = entries.map { e =>
+      if (!e.bounded || e.nulls > 0) return false // can't place null rows
+      boundsOf(e).getOrElse(return false)
+    }
+    bounds.sortWith((a, b) => cmpBound(a._1, b._1) < 0)
+      .sliding(2).forall {
+        case Seq((_, prevMax), (nextMin, _)) => cmpBound(prevMax, nextMin) <= 0
+        case _ => true
+      }
+  }
+
   /** Equality probe — a degenerate range. For high-cardinality non-layout
     * columns prefer [[BloomIndex]] (intervals on an unclustered column
     * span the domain); on a clustered/Z-ordered key this prunes like the

@@ -502,6 +502,32 @@ class HttpSpec extends SparkSpec {
       assert(graft.core.TxnLog.currentVersion(spark, convDir) >= 1L,
         "the adopted table must have a manifest")
 
+      // liquid clustering over the same route: first run registers the
+      // CLUSTER BY spec inline and lays out all partitions; a second run
+      // on the quiet table is O(0) — the txn log vouches, no candidates
+      val (cL, bL) = post(api.port, "/maintenance/run",
+        s"""{"mode":"cluster","table":"$vecTable","partCol":"shard",""" +
+          s""""cols":"vec_id"}""")
+      assert(cL == 202, s"got $cL $bL")
+      val idL = bL.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$idL")._2.asObj("status").str == "COMPLETED")
+      val opsL = get(api.port, s"/maintenance/status/$idL")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(opsL.head("op").str == "cluster")
+      assert(opsL.head("mode").str == "full")
+      val (cL2, bL2) = post(api.port, "/maintenance/run",
+        s"""{"mode":"cluster","table":"$vecTable","partCol":"shard"}""")
+      assert(cL2 == 202, s"got $cL2 $bL2")
+      val idL2 = bL2.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$idL2")._2.asObj("status").str == "COMPLETED")
+      val opsL2 = get(api.port, s"/maintenance/status/$idL2")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(opsL2.head("mode").str == "incremental" &&
+        opsL2.head("candidates") == JNum(BigDecimal(0)),
+        s"quiet table must list nothing: ${opsL2.head}")
+
       // SCD2 mirror over the same route: sync a dimension off the vector
       // table's change feed (full option set required — missing keys is a
       // 400, never a worker crash)
