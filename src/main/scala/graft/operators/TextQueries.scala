@@ -678,8 +678,89 @@ object TextQueries extends QueryModule {
         .cast("long").as("quality_floor_micro"))
   }
 
+  // --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): estimate target and raw
+  // distributions over HASHED n-gram features, weight every raw document
+  // by its target/raw log-likelihood ratio, keep the top fraction. This
+  // is the published data-selection method that complements
+  // [[budgetSelect]]'s quality-rank form: budget select keeps what scores
+  // well absolutely; DSIR keeps what LOOKS LIKE the target domain.
+
+  /** Hashed-feature bucket count (DSIR's paper uses 10k; 256 keeps the
+    * bucket table broadcast-trivial and the oracle replay exact). */
+  private val DsirBuckets = 256
+  /** The target-domain source: documents from this source define the
+    * distribution raw documents are scored against. */
+  private val DsirTarget = "src0"
+  private val DsirKeepFrac = 0.2
+
+  /** DSIR selection over the corpus: per-source counts of documents the
+    * importance-resampling filter keeps.
+    *
+    * Determinism discipline (the cross-engine gate): the log in the
+    * log-likelihood ratio is the one transcendental the oracle cannot
+    * share bit-exactly (`Math.log` vs libm differ in the last ulp), so
+    * the per-bucket log-ratio uses the monotone Padé form
+    * `ln r ≈ 2(r−1)/(r+1)` — IEEE add/div on bit-identical operands, <1%
+    * error on the smoothed ratios this corpus produces — quantized to
+    * q16 fixed point with the repo's `floor(x·65536)` pattern. A doc's
+    * score is then an exact BIGINT sum (order-independent under any
+    * parallelism), and every boundary the query compares is integer.
+    *
+    * 100 TB shape: tokenize/hash/explode is narrow on the scan; the two
+    * distribution estimates aggregate to ≤ [[DsirBuckets]] rows
+    * (map-side combine, candle-sized shuffle); the bucket→weight table is
+    * BROADCAST into the scoring join, so scoring is one map-side join +
+    * a per-doc combine whose shuffle is O(docs); totals ride the plan as
+    * broadcast scalars ([[graft.operators.DedupQueries]]' incremental-
+    * screen pattern — no driver collect). The final rank orders doc
+    * STATS (doc_id, source, score — ~24 B/doc), never text. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
+      .withColumn("b", conv(substring(md5(col("t")), 1, 2), 16, 10).cast("long"))
+      .drop("t")
+    val isTarget = col("source") === DsirTarget
+    val tCnt = tok.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
+    val sCnt = tok.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("sc"))
+    val tTot = tok.filter(isTarget).agg(count(lit(1)).as("t_tot"))
+    val sTot = tok.filter(!isTarget).agg(count(lit(1)).as("s_tot"))
+    val bl = lit(DsirBuckets.toLong)
+    // add-one smoothed ratio, factored as two exact-operand divisions so
+    // no integer product can outgrow a double's 2^53 exactness window
+    val lam = sCnt.join(tCnt, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .withColumn("r",
+        (coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_tot") + bl).cast("double") *
+          ((col("s_tot") + bl).cast("double") /
+            (col("sc") + lit(1L)).cast("double")))
+      .withColumn("lam_q16",
+        floor(lit(2.0) * (col("r") - lit(1.0)) / (col("r") + lit(1.0)) *
+          lit(65536.0)).cast("long"))
+      .select("b", "lam_q16")
+    val perDoc = tok.filter(!isTarget)
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("lam_q16")).as("score_q16"))
+    val ranked = perDoc
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score_q16"), col("doc_id"))))
+      .withColumn("n_raw", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sel",
+        col("rn") <= floor(col("n_raw").cast("double") * lit(DsirKeepFrac)))
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("sel"), 1L).otherwise(0L)).as("sel_docs"),
+      (sum(when(col("sel"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("sel_frac"),
+      sum(when(col("sel"), col("score_q16")).otherwise(0L)).as("sel_score_q16"),
+      min(when(col("sel"), col("score_q16"))).as("cut_score_q16"))
+  }
+
   val queries: Map[String, Q] = Map(
     "txt_budget_select" -> (budgetSelect _),
+    "txt_dsir_select" -> (dsirSelect _),
     "txt_gopher_rules" -> (gopherRules _),
     "txt_rag_chunks" -> (ragChunks _),
     "txt_span_dedup" -> (spanDedup _),
@@ -774,6 +855,53 @@ object TextQueries extends QueryModule {
           CAST(MAX(total_tokens) AS DOUBLE) AS kept_frac,
         CAST(MIN(CASE WHEN keep THEN FLOOR(quality_score * 1e6) END) AS BIGINT)
           AS quality_floor_micro
+      FROM flagged GROUP BY 1""",
+    "txt_dsir_select" -> s"""$cte,
+      tok AS (
+        SELECT doc_id, source,
+          (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) AS b
+        FROM (SELECT doc_id, source, unnest(toks) AS t FROM docs)),
+      tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM tok
+             WHERE source = '$DsirTarget' GROUP BY 1),
+      sc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sc FROM tok
+             WHERE source <> '$DsirTarget' GROUP BY 1),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_tot FROM tok
+             WHERE source = '$DsirTarget'),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_tot FROM tok
+             WHERE source <> '$DsirTarget'),
+      ratio AS (
+        SELECT s.b,
+          (CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) /
+             CAST(tt.t_tot + $DsirBuckets AS DOUBLE)) *
+          (CAST(st.s_tot + $DsirBuckets AS DOUBLE) /
+             CAST(s.sc + 1 AS DOUBLE)) AS r
+        FROM sc s LEFT JOIN tc t ON s.b = t.b CROSS JOIN tt CROSS JOIN st),
+      lam AS (
+        SELECT b, CAST(FLOOR(2.0 * (r - 1.0) / (r + 1.0) * 65536.0) AS BIGINT)
+          AS lam_q16
+        FROM ratio),
+      score AS (
+        SELECT tok.doc_id, tok.source, SUM(lam.lam_q16) AS score_q16
+        FROM tok JOIN lam ON tok.b = lam.b
+        WHERE tok.source <> '$DsirTarget'
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT *,
+          row_number() OVER (ORDER BY score_q16 DESC, doc_id) AS rn,
+          COUNT(*) OVER () AS n_raw
+        FROM score),
+      flagged AS (
+        SELECT *, rn <= FLOOR(CAST(n_raw AS DOUBLE) * $DsirKeepFrac) AS sel
+        FROM ranked)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+        CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE) AS sel_frac,
+        CAST(SUM(CASE WHEN sel THEN score_q16 ELSE 0 END) AS BIGINT)
+          AS sel_score_q16,
+        CAST(MIN(CASE WHEN sel THEN score_q16 END) AS BIGINT) AS cut_score_q16
       FROM flagged GROUP BY 1""",
     "txt_gopher_rules" -> s"""$cte,
       scored AS (
