@@ -145,4 +145,47 @@ class MetadataScaleSpec extends SparkSpec {
     assert(TxnLog.currentVersion(spark, table) == 600L)
     assert(TxnLog.commitsSince(spark, table, 597L).size == 3)
   }
+
+  test("5,000-commit lifetime with periodic truncation: flat latency, monotone in-commit ts") {
+    // the OPERATIONAL shape of a year of hourly merges: the manifest is
+    // periodically truncated by scheduled maintenance, so checkpoints
+    // stay bounded and commit cost must be independent of LIFETIME commit
+    // count, not just of retained depth. Also stress-proves the in-commit
+    // timestamp clamp at depth: ts must stay strictly monotone across
+    // 5,000 claims, checkpoint compactions, and truncations.
+    val table = tmp("meta-txn5k")
+    var snapshot = 0L
+    def commitRange(a: Int, b: Int): Long = timeMs {
+      (a until b).foreach { i =>
+        snapshot = TxnLog.commit(spark, table, "merge",
+          Set(s"day=d${i % 8}"), snapshot).version
+      }
+    }
+    val first50 = commitRange(0, 50)
+    (1 to 9).foreach { k =>
+      commitRange(k * 500 - 450, k * 500 + 50)
+      TxnLog.truncate(spark, table, keep = 100)
+    }
+    commitRange(4550, 4950)
+    val last50 = commitRange(4950, 5000)
+    info(s"5k-commit latency: first 50 in $first50 ms, last 50 in $last50 ms")
+    assert(snapshot == 5000L)
+    assert(last50 < math.max(2000L, 8L * first50),
+      s"commit latency grew with lifetime depth: $first50 ms -> $last50 ms")
+    // the retained manifest is bounded: one truncation brings it to ~keep,
+    // and the log directory holds O(keep) files, not O(lifetime)
+    TxnLog.truncate(spark, table, keep = 100)
+    val retained = TxnLog.commitsSince(spark, table, 0L)
+    assert(retained.size <= 120, s"retained manifest must stay bounded: ${retained.size}")
+    assert(retained.last.version == 5000L)
+    val logFiles = new java.io.File(s"$table/_graft_txn").listFiles().length
+    assert(logFiles <= 150, s"log dir must hold O(keep) files after truncation: $logFiles")
+    // in-commit timestamps: strictly monotone across the whole retained
+    // range (checkpoint round-trips and truncation preserved them)
+    assert(retained.map(_.ts).sliding(2).forall(p => p(0) < p(1)),
+      "commit ts must be strictly increasing at depth")
+    // near-tip probes stay O(tail)
+    assert(TxnLog.commitsSince(spark, table, 4997L).map(_.version) ==
+      Seq(4998L, 4999L, 5000L))
+  }
 }
