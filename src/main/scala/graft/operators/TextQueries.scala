@@ -711,9 +711,10 @@ object TextQueries extends QueryModule {
     * distribution estimates aggregate to ≤ [[DsirBuckets]] rows
     * (map-side combine, candle-sized shuffle); the bucket→weight table is
     * BROADCAST into the scoring join, so scoring is one map-side join +
-    * a per-doc combine whose shuffle is O(docs); totals ride the plan as
-    * broadcast scalars ([[graft.operators.DedupQueries]]' incremental-
-    * screen pattern — no driver collect). The final rank orders doc
+    * a per-doc combine whose shuffle is O(docs); totals ride the plan
+    * inside the broadcast weight table (no driver collect). The whole
+    * query reads the corpus exactly TWICE (estimation pass + scoring
+    * pass — DSIR's own two-phase shape). The final rank orders doc
     * STATS (doc_id, source, score — ~24 B/doc), never text. */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
@@ -721,17 +722,29 @@ object TextQueries extends QueryModule {
       .withColumn("b", conv(substring(md5(col("t")), 1, 2), 16, 10).cast("long"))
       .drop("t")
     val isTarget = col("source") === DsirTarget
-    val tCnt = tok.filter(isTarget).groupBy("b").agg(count(lit(1)).as("tc"))
-    val sCnt = tok.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("sc"))
-    val tTot = tok.filter(isTarget).agg(count(lit(1)).as("t_tot"))
-    val sTot = tok.filter(!isTarget).agg(count(lit(1)).as("s_tot"))
+    // BOTH distribution estimates in ONE pass over the tokenized scan
+    // (conditional counts), and both totals as a second agg over the
+    // 256-row result — the whole estimation phase costs one scan + one
+    // candle-sized shuffle, not four scan subtrees (.explain-audited:
+    // the first form read the corpus 4x)
+    val cnt = tok.groupBy("b").agg(
+      count(when(isTarget, 1)).as("tc"),
+      count(when(!isTarget, 1)).as("sc"))
     val bl = lit(DsirBuckets.toLong)
     // add-one smoothed ratio, factored as two exact-operand divisions so
-    // no integer product can outgrow a double's 2^53 exactness window
-    val lam = sCnt.join(tCnt, Seq("b"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+    // no integer product can outgrow a double's 2^53 exactness window.
+    // Totals come from a window over the 256-row count frame (a separate
+    // .agg would recompute the whole scan subtree — .explain-audited);
+    // totals BEFORE the sc>0 filter (a bucket only target tokens hash to
+    // still counts toward t_tot), filter after (such a bucket can never
+    // score a raw doc, matching the oracle's raw-side-driven base)
+    val wBuckets = Window.partitionBy()
+    val lam = cnt
+      .withColumn("t_tot", sum("tc").over(wBuckets))
+      .withColumn("s_tot", sum("sc").over(wBuckets))
+      .filter(col("sc") > 0)
       .withColumn("r",
-        (coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tc") + lit(1L)).cast("double") /
           (col("t_tot") + bl).cast("double") *
           ((col("s_tot") + bl).cast("double") /
             (col("sc") + lit(1L)).cast("double")))
