@@ -61,7 +61,8 @@ object Maintain {
   /** Modes [[runMode]] accepts, in CLI-arg order. */
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
-      "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster")
+      "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster",
+      "view")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -149,6 +150,16 @@ object Maintain {
           s""""candidates":${rep.candidates},"skippedUnchanged":${rep.skippedUnchanged},""" +
           s""""recognizedTight":${rep.recognizedTight.size},""" +
           s""""rewritten":${rep.rewritten.size}}""")
+      case "view" =>
+        // incremental materialized-view refresh over the ops surface: the
+        // table arg IS the view directory; its registration names the
+        // source; each run consumes only the commits since the cursor
+        // ([[graft.batch.IncrementalView.sync]] — O(changes), never a
+        // source rescan)
+        val st = graft.batch.IncrementalView.sync(spark, table)
+        Seq(s"""{"op":"view-sync","table":$tableJson,""" +
+          s""""groupsTouched":${st.groupsTouched},""" +
+          s""""fromVersion":${st.fromVersion},"toVersion":${st.toVersion}}""")
       case "restore" =>
         // incident recovery over the ops surface: RESTORE VERSION AS OF as
         // a drivable maintenance op (content rollback forward-written as a

@@ -1,0 +1,240 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TxnLog
+
+/** Incremental materialized view — a grouped aggregate of a managed
+  * table, materialized as its own managed table and maintained from the
+  * source's CHANGE DATA FEED at O(changes since last sync), never a
+  * source rescan (the Databricks/Delta materialized-view economics; the
+  * refresh pattern every warehouse doc calls "incremental refresh").
+  *
+  * The view is `source.groupBy(groupCols).agg(count(*), sum(c)…)`. Count
+  * and sum are the SIGNED-MERGEABLE aggregates: an insert leg contributes
+  * +1/+x, a delete leg −1/−x, so a change-feed delta folds into the
+  * materialized groups with pure addition — an update-merge's delete+
+  * insert pair nets to the exact group delta. Averages are a read-time
+  * division (`sum_c / n_rows`). MIN/MAX are deliberately NOT offered:
+  * they are not incrementally maintainable under deletes (losing the
+  * current extremum forces a per-group source recompute), and a view
+  * that silently rescans would betray the O(changes) contract this
+  * module exists for.
+  *
+  * Exactness discipline: integral sums accumulate as BIGINT; float/
+  * double sums accumulate as DECIMAL(27,6) — order-independent and
+  * drift-free, so an incremental view equals a from-scratch rebuild
+  * EXACTLY (spec'd), not just approximately. This mirrors the repo-wide
+  * oracle rule: never let the result depend on double summation order.
+  *
+  * The view table inherits everything managed tables have (OCC claims,
+  * time travel, CDF — so a dashboard can tail the VIEW's own feed —
+  * serving, maintenance). One view follows one source ([[sync]] refuses
+  * a source switch, same contract as [[Scd2Mirror]]). */
+object IncrementalView {
+
+  /** Materialized row count per group. */
+  val CountCol = "n_rows"
+  /** Materialized sum of source column `c`. */
+  def sumCol(c: String): String = s"sum_$c"
+
+  private val Prefix = "incview-v"
+
+  private def cursorFile(view: String) =
+    new org.apache.hadoop.fs.Path(s"$view/_graft_meta/incview_cursor.json")
+
+  private def readCursor(
+      spark: SparkSession, view: String, src: String): Option[Long] = {
+    val p = cursorFile(view)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val o = graft.http.Json.parse(txt).asObj
+    val recorded = o.get("src") match {
+      case Some(graft.http.JStr(s)) => s
+      case other => throw new IllegalStateException(s"incview cursor src: $other")
+    }
+    require(recorded == src,
+      s"view at $view follows $recorded, not $src — one view follows one " +
+        "source; use a fresh view directory")
+    o.get("version") match {
+      case Some(graft.http.JNum(n)) => Some(n.toLong)
+      case other => throw new IllegalStateException(s"incview cursor: $other")
+    }
+  }
+
+  private def writeCursor(
+      spark: SparkSession, view: String, src: String, v: Long): Unit =
+    graft.core.AtomicWrite.replaceFile(spark, cursorFile(view),
+      s"""{"src":${graft.http.Json.quote(src)},"version":$v}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Declare the view: `src.groupBy(groupCols).agg(count, sum(sumCols)…)`
+    * materialized at `view`, partitioned by `viewPartCol` (which must be
+    * one of the group columns — the view's merge unit). Registration is
+    * metadata-only; the first [[sync]] builds the content by replaying
+    * the source's change feed from version 0. */
+  def register(
+      spark: SparkSession,
+      view: String,
+      src: String,
+      srcPartCol: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      viewPartCol: String): Unit = {
+    require(groupCols.nonEmpty, "a materialized view needs group columns")
+    require(groupCols.contains(viewPartCol),
+      s"view partition column $viewPartCol must be one of the group " +
+        s"columns ${groupCols.mkString(",")} — it is the merge unit")
+    require(groupCols.exists(_ != viewPartCol),
+      "need at least one group column besides the partition column — " +
+        "within a partition the remaining group columns are the merge key")
+    require((groupCols ++ sumCols).distinct.size == groupCols.size + sumCols.size,
+      "group and sum columns must be distinct")
+    val reserved = CountCol +: sumCols.map(sumCol)
+    require(!groupCols.exists(reserved.contains),
+      s"group columns collide with materialized names $reserved")
+    require(TableMeta.read(spark, view, Prefix).isEmpty,
+      s"$view already has a view registration")
+    TableMeta.write(spark, view, Prefix, Map(
+      "src" -> src, "srcPartCol" -> srcPartCol,
+      "groupCols" -> groupCols.mkString(","),
+      "sumCols" -> sumCols.mkString(","),
+      "viewPartCol" -> viewPartCol))
+  }
+
+  /** The registered definition, if any: (src, srcPartCol, groupCols,
+    * sumCols, viewPartCol). */
+  def spec(spark: SparkSession, view: String)
+      : Option[(String, String, Seq[String], Seq[String], String)] = {
+    val m = TableMeta.read(spark, view, Prefix)
+    m.get("src").map { src =>
+      (src, m("srcPartCol"),
+        m("groupCols").split(",").toSeq,
+        m.get("sumCols").filter(_.nonEmpty).map(_.split(",").toSeq)
+          .getOrElse(Seq.empty),
+        m("viewPartCol"))
+    }
+  }
+
+  /** What the view computes, as a plain aggregate over `df` — the
+    * definition of record (the spec compares the incremental view
+    * against exactly this on the source snapshot). */
+  def aggregateOf(
+      df: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as(CountCol),
+      sumCols.map(c =>
+        stableSum(df.schema(c).dataType,
+          sum(exactTerm(df, c, lit(1L)))).as(sumCol(c))): _*)
+
+  /** Pin a sum's storage type so it never drifts across merges (Spark
+    * widens decimal sums per aggregation; cur+delta would widen again). */
+  private def stableSum(dt: DataType, s: Column): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => s.cast(LongType)
+    case _ => s.cast(DecimalType(27, 6))
+  }
+
+  /** The signed, exactness-cast term a sum accumulates: BIGINT for
+    * integral columns, DECIMAL(27,6) for float/double. */
+  private def exactTerm(df: DataFrame, c: String, sign: Column): Column =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        sign * col(c).cast(LongType)
+      case FloatType | DoubleType | _: DecimalType =>
+        sign.cast(DecimalType(27, 6)) * col(c).cast(DecimalType(27, 6))
+      case other => throw new IllegalArgumentException(
+        s"sum column $c: unsupported type $other (numeric only)")
+    }
+
+  /** What a sync did. `groupsTouched` counts merged group rows (updated,
+    * inserted, or deleted). */
+  final case class SyncStats(
+      groupsTouched: Long, fromVersion: Long, toVersion: Long)
+
+  /** Catch the view up to its source's tip by consuming the change feed
+    * since the cursor. First call bootstraps from version 0 (the feed
+    * replays the first retained commit's rows as inserts, so the fresh
+    * view IS the from-scratch build). Idempotent at tip. */
+  def sync(spark: SparkSession, view: String): SyncStats = {
+    val (src, srcPartCol, groupCols, sumCols, viewPartCol) =
+      spec(spark, view).getOrElse(throw new IllegalArgumentException(
+        s"$view has no materialized-view registration — call register first"))
+    val tip = TxnLog.currentVersion(spark, src)
+    val from = readCursor(spark, view, src).getOrElse(0L)
+    if (tip <= from) return SyncStats(0L, from, tip)
+    import graft.batch.{ChangeFeed => CF}
+    val changes = CF.readChanges(spark, src, srcPartCol, from, Some(tip))
+    val sign = when(col(CF.ChangeTypeCol) === "insert", 1L).otherwise(-1L)
+    // the whole in-range delta folds to ONE row per touched group —
+    // O(changes) in, O(touched groups) out, map-side combined
+    val delta = changes.groupBy(groupCols.map(col): _*).agg(
+      sum(sign).as("_d_n"),
+      sumCols.map(c => sum(exactTerm(changes, c, sign)).as(s"_d_$c")): _*)
+    // groups whose net effect is zero (an update that left every
+    // aggregated column unchanged) are dropped — merging them would
+    // rewrite partitions for nothing
+    val touched = delta.filter(
+      sumCols.map(c => col(s"_d_$c") =!= lit(0)).foldLeft(
+        col("_d_n") =!= 0L)(_ || _))
+    val viewExists = {
+      val p = new org.apache.hadoop.fs.Path(view)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && TxnLog.currentVersion(spark, view) > 0
+    }
+    val joined =
+      if (!viewExists) touched
+      else touched.join(
+        Upsert.readCommitted(spark, view, viewPartCol)
+          .select((groupCols.map(col) :+ col(CountCol).as("_cur_n")) ++
+            sumCols.map(c => col(sumCol(c)).as(s"_cur_$c")): _*),
+        groupCols, "left")
+    val dt = (c: String) => changes.schema(c).dataType
+    def zero(c: String): Column = stableSum(dt(c), lit(0))
+    val curN = if (viewExists) coalesce(col("_cur_n"), lit(0L)) else lit(0L)
+    def curSum(c: String): Column =
+      if (viewExists) coalesce(col(s"_cur_$c"), zero(c)) else zero(c)
+    val updates0 = joined
+      .withColumn(CountCol, (curN + col("_d_n")).cast(LongType))
+      .withColumn("_gone", col(CountCol) === 0L)
+    val updates = sumCols.foldLeft(updates0) { (u, c) =>
+      // a delta whose rows are all NULL in c sums to NULL = "no change"
+      u.withColumn(sumCol(c),
+        stableSum(dt(c), curSum(c) + coalesce(col(s"_d_$c"), zero(c))))
+    }.select((groupCols.map(col) :+ col(CountCol) :+ col("_gone")) ++
+      sumCols.map(c => col(sumCol(c))): _*)
+    // eager pin BEFORE merging: the join above reads the view table the
+    // merge is about to rewrite (the Scd2Mirror.sync discipline)
+    val (pinned, free) = graft.core.Pin(updates)
+    try {
+      val n = pinned.count()
+      // a negative group count means the feed and the view disagree —
+      // refuse to persist garbage (someone wrote the view out-of-band)
+      require(pinned.filter(col(CountCol) < 0L).isEmpty,
+        s"view $view would go NEGATIVE on some group — the view no longer " +
+          "matches its source's change feed (out-of-band write?); rebuild " +
+          "into a fresh directory")
+      if (n > 0) {
+        // merge keys: the group columns MINUS the partition column (the
+        // partition value is fixed inside each per-partition rewrite, and
+        // mergeByKey's existing-side read has no partition column to join)
+        val keys = groupCols.filterNot(_ == viewPartCol)
+        if (viewExists)
+          Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys,
+            deleteWhen = Some("_gone"))
+        else
+          // bootstrap: nothing can vanish from an empty view, and the
+          // marker column must not leak into the new table's schema
+          Upsert.mergeByKey(spark, view, pinned.drop("_gone"),
+            viewPartCol, keys)
+      }
+      writeCursor(spark, view, src, tip)
+      SyncStats(n, from, tip)
+    } finally free()
+  }
+}

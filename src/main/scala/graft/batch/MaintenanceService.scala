@@ -94,6 +94,7 @@ final class MaintenanceService(
         // call; without it the table must already be registered
         need("partCol").map(p =>
           Seq(p) ++ opts.get("cols").filter(_.nonEmpty))
+      case "view" => Right(Seq.empty) // the view's registration has the rest
       case "scd2" =>
         for { p <- need("partCol"); k <- need("keys"); d <- need("dimDir") }
           yield Seq(p, k, d)

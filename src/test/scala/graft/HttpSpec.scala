@@ -528,6 +528,28 @@ class HttpSpec extends SparkSpec {
         opsL2.head("candidates") == JNum(BigDecimal(0)),
         s"quiet table must list nothing: ${opsL2.head}")
 
+      // incremental materialized view over the same route: registered
+      // programmatically, refreshed by the maintenance run off the CDF
+      val mvDir = Files.createTempDirectory("httpmv").toString + "/v"
+      graft.batch.IncrementalView.register(spark, mvDir, vecTable, "shard",
+        Seq("shard", "vec_id"), Seq.empty, "shard")
+      val (cV, bV) = post(api.port, "/maintenance/run",
+        s"""{"mode":"view","table":"$mvDir"}""")
+      assert(cV == 202, s"got $cV $bV")
+      val idV = bV.asObj("maintenanceId").str
+      await(get(api.port, s"/maintenance/status/$idV")._2.asObj("status").str == "COMPLETED")
+      val opsV = get(api.port, s"/maintenance/status/$idV")._2.asObj("ops") match {
+        case JArr(items) => items.map(_.asObj); case _ => fail()
+      }
+      assert(opsV.head("op").str == "view-sync")
+      val mvRows = graft.batch.Upsert.readCommitted(spark, mvDir, "shard")
+      val mvWant = graft.batch.IncrementalView.aggregateOf(
+        graft.batch.Upsert.readCommitted(spark, vecTable, "shard"),
+        Seq("shard", "vec_id"), Seq.empty)
+      assert(mvRows.select("shard", "vec_id", "n_rows")
+        .except(mvWant.select("shard", "vec_id", "n_rows")).isEmpty,
+        "the synced view must equal its definition")
+
       // SCD2 mirror over the same route: sync a dimension off the vector
       // table's change feed (full option set required — missing keys is a
       // 400, never a worker crash)

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.batch.{IncrementalView, Upsert}
+import graft.core.TxnLog
+
+/** Incremental materialized views: O(changes) sync off the change feed,
+  * exact equality with the from-scratch aggregate at every sync point
+  * (decimal-stable sums), group vanish on count-zero, zero-delta skips,
+  * and the refusal matrix. */
+class IncrementalViewSpec extends SparkSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString + "/t"
+
+  private def rows(kvs: (String, String, Long, Long, Double)*): DataFrame = {
+    import spark.implicits._
+    kvs.map { case (d, c, k, q, a) => (d, c, k, q, a) }
+      .toDF("day", "cat", "k", "qty", "amt")
+  }
+
+  /** The view must equal its definition on the committed snapshot. */
+  private def assertFresh(view: String, src: String): Unit = {
+    val cols = Seq("day", "cat", "n_rows", "sum_qty", "sum_amt")
+    val got = Upsert.readCommitted(spark, view, "day")
+      .select(cols.map(col): _*)
+    val want = IncrementalView.aggregateOf(
+      Upsert.readCommitted(spark, src, "day"), Seq("day", "cat"), Seq("qty", "amt"))
+      .select(cols.map(col): _*)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"view != definition:\nview: ${got.orderBy("day", "cat").collect().toSeq}\n" +
+        s"def:  ${want.orderBy("day", "cat").collect().toSeq}")
+  }
+
+  test("bootstrap, inserts, updates, deletes: view == definition at every sync; vanished groups go") {
+    val src = tmp("ivsrc")
+    val view = tmp("ivview")
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 2L, 1.50), ("d1", "a", 2L, 3L, 2.25),
+      ("d1", "b", 3L, 5L, 0.75), ("d2", "a", 4L, 7L, 4.00)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    val s1 = IncrementalView.sync(spark, view)
+    assert(s1.groupsTouched == 3L, s"$s1")
+    assertFresh(view, src)
+    // inserts into an existing and a brand-new group, an update that
+    // CHANGES an aggregated column, and a full-group delete
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 5L, 10L, 1.00), ("d2", "c", 6L, 1L, 9.99),
+      ("d1", "a", 2L, 4L, 2.25)), "day", Seq("k"))
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "b", 3L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val s2 = IncrementalView.sync(spark, view)
+    assert(s2.groupsTouched == 3L, s"d1/a updated, d2/c born, d1/b gone: $s2")
+    assertFresh(view, src)
+    import spark.implicits._
+    val groups = Upsert.readCommitted(spark, view, "day")
+      .select("day", "cat").as[(String, String)].collect().toSet
+    assert(groups == Set(("d1", "a"), ("d2", "a"), ("d2", "c")),
+      s"the emptied group must VANISH from the view: $groups")
+    // the view carries exact sums: spot-check the updated group
+    val d1a = Upsert.readCommitted(spark, view, "day")
+      .filter(col("day") === "d1" && col("cat") === "a")
+      .select(col("n_rows"), col("sum_qty"),
+        col("sum_amt").cast("string")).collect().head
+    assert(d1a.getLong(0) == 3L && d1a.getLong(1) == 2L + 4L + 10L, s"$d1a")
+    assert(BigDecimal(d1a.getString(2)) == BigDecimal("4.750000"), s"$d1a")
+  }
+
+  test("idempotent at tip; an update touching no aggregated column moves nothing") {
+    val src = tmp("ivsrc2")
+    val view = tmp("ivview2")
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 2L, 1.0), ("d1", "a", 2L, 3L, 2.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    IncrementalView.sync(spark, view)
+    val vTip = TxnLog.currentVersion(spark, view)
+    // at tip: no-op, no commit
+    val s = IncrementalView.sync(spark, view)
+    assert(s.groupsTouched == 0L && s.fromVersion == s.toVersion)
+    assert(TxnLog.currentVersion(spark, view) == vTip)
+    // update ONLY the un-aggregated key payload: the change feed nets a
+    // zero delta for the group, so the view is not even merged
+    Upsert.mergeByKey(spark, src,
+      rows(("d1", "a", 1L, 2L, 1.0)), "day", Seq("k"))
+    val s2 = IncrementalView.sync(spark, view)
+    assert(s2.groupsTouched == 0L,
+      s"zero-net group deltas must not rewrite the view: $s2")
+    assert(TxnLog.currentVersion(spark, view) == vTip)
+    assertFresh(view, src)
+  }
+
+  test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
+    val src = tmp("ivsrc3")
+    val src2 = tmp("ivsrc3b")
+    val view = tmp("ivview3")
+    Upsert.mergeByKey(spark, src,
+      rows(("d1", "a", 1L, 2L, 1.0), ("d1", "a", 2L, 5L, 2.0),
+        ("d1", "a", 3L, 1L, 3.0)), "day", Seq("k"))
+    Upsert.mergeByKey(spark, src2, rows(("d1", "a", 1L, 2L, 1.0)), "day", Seq("k"))
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalView.sync(spark, view)
+    }
+    assert(e1.getMessage.contains("no materialized-view registration"), e1.getMessage)
+    // registration invariants
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalView.register(spark, view, src, "day",
+        Seq("cat"), Seq("qty"), "day")
+    }
+    assert(e2.getMessage.contains("must be one of the group"), e2.getMessage)
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty"), "day")
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalView.register(spark, view, src, "day",
+        Seq("day", "cat"), Seq("qty"), "day")
+    }
+    assert(e3.getMessage.contains("already has a view registration"), e3.getMessage)
+    IncrementalView.sync(spark, view)
+    // one view follows one source: cross-wiring the cursor is loud
+    val viewMeta = new java.io.File(s"$view/_graft_meta")
+    assert(viewMeta.exists)
+    val e4 = intercept[IllegalArgumentException] {
+      // re-register pointing elsewhere is refused above; a cursor left by
+      // an older deployment is the way the mismatch reaches sync
+      graft.batch.IncrementalViewTestHook.syncAgainstWrongSource(spark, view, src2)
+    }
+    assert(e4.getMessage.contains("one view follows one source"), e4.getMessage)
+    // corrupted view: shrink a group out-of-band, then delete enough
+    // source rows to drive its count negative — the sync must refuse
+    import spark.implicits._
+    Upsert.mergeByKey(spark, view,
+      Seq(("d1", "a", 1L, 2L)).toDF("day", "cat", "n_rows", "sum_qty"),
+      "day", Seq("cat"))
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 1L, 0L, 0.0), ("d1", "a", 2L, 0L, 0.0))
+        .select("day", "k"), "day", Seq("k"))
+    val e5 = intercept[IllegalArgumentException] {
+      IncrementalView.sync(spark, view)
+    }
+    assert(e5.getMessage.contains("NEGATIVE"), e5.getMessage)
+  }
+}
