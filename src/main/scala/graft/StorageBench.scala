@@ -162,6 +162,40 @@ object StorageBench {
         s"purge must rewrite only the DV-carrying partitions: $parts")
     }
 
+    // LIQUID CLUSTERING: first pass lays out every partition; the second
+    // pass is the nightly shape — nothing churned, so the txn log vouches
+    // and the pass must cost METADATA only (no listing, no data IO). The
+    // in-bench requires pin the O(churn) claim, not just the wall time.
+    graft.batch.LiquidClustering.setClusterBy(spark, table, Seq("k"))
+    val tClusterFull = time {
+      val r = graft.batch.LiquidClustering.optimize(spark, table, "day")
+      require(r.mode == "full" && r.candidates == partitions, s"$r")
+    }
+    val tClusterQuiet = time {
+      val r = graft.batch.LiquidClustering.optimize(spark, table, "day")
+      require(r.mode == "incremental" && r.candidates == 0,
+        s"quiet pass must examine nothing: $r")
+    }
+
+    // INCREMENTAL VIEW: bootstrap is one snapshot-aggregate pass pinned
+    // at the tip; the steady-state sync consumes ONE merge's changes —
+    // the O(changes) claim is the delta between the two.
+    val viewDir = s"$root/view"
+    graft.batch.IncrementalView.register(spark, viewDir, table, "day",
+      Seq("day", "k"), Seq("v"), "day")
+    val tViewBootstrap = time {
+      graft.batch.IncrementalView.sync(spark, viewDir)
+    }
+    // churn ONE day: the sync's merge must rewrite one view partition,
+    // not the whole view (the nightly economics)
+    Upsert.mergeByKey(spark, table,
+      frame(9.0, rowsPerPartition / 100).filter(col("day") === days.head),
+      "day", Seq("k"))
+    val tViewSync = time {
+      val st = graft.batch.IncrementalView.sync(spark, viewDir)
+      require(st.groupsTouched > 0, s"$st")
+    }
+
     // SERVING: the one-distributed-page discipline of the HTTP table
     // routes, measured at the plan level (the socket adds microseconds;
     // the claim under test is the page's plan shape) — an offset page
@@ -207,6 +241,10 @@ object StorageBench {
       "storage_restore" -> tRestore,
       "storage_clone" -> tClone,
       "storage_reorg" -> tReorg,
+      "storage_cluster_full" -> tClusterFull,
+      "storage_cluster_quiet" -> tClusterQuiet,
+      "storage_view_bootstrap" -> tViewBootstrap,
+      "storage_view_sync" -> tViewSync,
       "storage_serve_offset" -> tServeOffset,
       "storage_serve_keyset" -> tServeKeyset,
       "storage_serve_indexed" -> tServeIndexed)

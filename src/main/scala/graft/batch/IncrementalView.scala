@@ -77,8 +77,8 @@ object IncrementalView {
   /** Declare the view: `src.groupBy(groupCols).agg(count, sum(sumCols)…)`
     * materialized at `view`, partitioned by `viewPartCol` (which must be
     * one of the group columns — the view's merge unit). Registration is
-    * metadata-only; the first [[sync]] builds the content by replaying
-    * the source's change feed from version 0. */
+    * metadata-only; the first [[sync]] builds the content from the
+    * source's pinned snapshot. */
   def register(
       spark: SparkSession,
       view: String,
@@ -157,16 +157,41 @@ object IncrementalView {
   final case class SyncStats(
       groupsTouched: Long, fromVersion: Long, toVersion: Long)
 
-  /** Catch the view up to its source's tip by consuming the change feed
-    * since the cursor. First call bootstraps from version 0 (the feed
-    * replays the first retained commit's rows as inserts, so the fresh
-    * view IS the from-scratch build). Idempotent at tip. */
+  /** Catch the view up to its source's tip. The FIRST call bootstraps
+    * from the source's pinned snapshot (`readAsOf(tip)` — one aggregate
+    * pass), NOT from a feed replay: a feed-from-zero silently misses
+    * every row that never entered through the commit protocol (a table
+    * whose first rows were plain parquet writes, a CONVERT-adopted
+    * table, a log truncated past its first commits), and a view that
+    * starts wrong stays wrong. Later calls consume only the commits
+    * since the cursor — O(changes). Idempotent at tip. */
   def sync(spark: SparkSession, view: String): SyncStats = {
     val (src, srcPartCol, groupCols, sumCols, viewPartCol) =
       spec(spark, view).getOrElse(throw new IllegalArgumentException(
         s"$view has no materialized-view registration — call register first"))
     val tip = TxnLog.currentVersion(spark, src)
-    val from = readCursor(spark, view, src).getOrElse(0L)
+    val from = readCursor(spark, view, src) match {
+      case Some(v) => v
+      case None =>
+        require(tip > 0,
+          s"view source $src has no commit log — a plain parquet " +
+            "directory has no feed to sync from later; CONVERT it first")
+        // bootstrap: aggregate the snapshot pinned at tip (exact under
+        // concurrent writers — rows committed after tip arrive through
+        // the feed on the next sync, never double-counted)
+        val snap = aggregateOf(
+          Upsert.readAsOf(spark, src, tip, srcPartCol), groupCols, sumCols)
+        val (pinned, free) = graft.core.Pin(snap)
+        try {
+          val n = pinned.count()
+          if (n > 0) {
+            val keys = groupCols.filterNot(_ == viewPartCol)
+            Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys)
+          }
+          writeCursor(spark, view, src, tip)
+          return SyncStats(n, 0L, tip)
+        } finally free()
+    }
     if (tip <= from) return SyncStats(0L, from, tip)
     import graft.batch.{ChangeFeed => CF}
     val changes = CF.readChanges(spark, src, srcPartCol, from, Some(tip))

@@ -94,6 +94,37 @@ class IncrementalViewSpec extends SparkSpec {
     assertFresh(view, src)
   }
 
+  test("bootstrap is the SNAPSHOT, not a feed replay: adopted tables start exact") {
+    // a CONVERT-adopted table's pre-adoption rows never rode the change
+    // feed — a feed-from-zero bootstrap would silently miss them all and
+    // the first source delete would drive a group negative. The snapshot
+    // bootstrap starts exact and the feed takes over from the cursor.
+    val src = tmp("ivadopt")
+    val view = tmp("ivadoptview")
+    import spark.implicits._
+    rows(("d1", "a", 1L, 2L, 1.0), ("d1", "a", 2L, 3L, 2.0),
+      ("d2", "b", 3L, 5L, 4.0))
+      .write.partitionBy("day").parquet(src)
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    // a plain directory with no manifest has no feed to sync from later
+    val e0 = intercept[IllegalArgumentException] {
+      IncrementalView.sync(spark, view)
+    }
+    assert(e0.getMessage.contains("CONVERT"), e0.getMessage)
+    Upsert.convert(spark, src, "day")
+    val s1 = IncrementalView.sync(spark, view)
+    assert(s1.groupsTouched == 2L, s"adopted rows must all be counted: $s1")
+    assertFresh(view, src)
+    // post-adoption churn rides the feed incrementally — including a
+    // delete of a pre-adoption row, the case a feed bootstrap breaks on
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 1L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val s2 = IncrementalView.sync(spark, view)
+    assert(s2.groupsTouched == 1L, s"$s2")
+    assertFresh(view, src)
+  }
+
   test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
     val src = tmp("ivsrc3")
     val src2 = tmp("ivsrc3b")
