@@ -492,6 +492,48 @@ object DedupQueries extends QueryModule {
     * bar. */
   private val SemDedupTau = 0.4
 
+  /** Cross-source near-duplicate LEAKAGE matrix — the contamination
+    * report a source-mixed training corpus needs before anyone trusts a
+    * held-out source as an eval set: the same banded MinHash candidate
+    * generation as [[minhashPairs]] (never all-pairs), verified pairs
+    * restricted to DIFFERENT sources, rolled up per unordered source
+    * pair with the distinct leaked documents counted on each side.
+    * Sources join the verified pairs as a BROADCAST of (doc_id, source)
+    * — the matrix costs two broadcast joins and a |source-pairs|-row
+    * shuffle on top of the dedup scan it shares. */
+  def crossSourceLeakage(s: SparkSession, d: String): DataFrame = {
+    val sig = signed(s, d)
+      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .cache()
+    val bands = bandsOf(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .join(broadcast(srcs.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a"))), "doc_a")
+      .join(broadcast(srcs.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b"))), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .withColumn("src_lo", least(col("src_a"), col("src_b")))
+      .withColumn("src_hi", greatest(col("src_a"), col("src_b")))
+      .groupBy("src_lo", "src_hi")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("src_a") === col("src_lo"), col("doc_a"))
+          .otherwise(col("doc_b"))).as("n_docs_lo"),
+        countDistinct(when(col("src_a") === col("src_lo"), col("doc_b"))
+          .otherwise(col("doc_a"))).as("n_docs_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> (clusters _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
@@ -503,6 +545,7 @@ object DedupQueries extends QueryModule {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_embedding_pairs" -> (embeddingPairs _),
     "dedup_semantic" -> (semanticDedup _),
+    "dedup_cross_source" -> (crossSourceLeakage _),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -631,6 +674,32 @@ object DedupQueries extends QueryModule {
        JOIN sig b ON b.doc_id = doc_b
        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""",
+    "dedup_cross_source" -> s"""WITH $docsCte,
+         sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
+         bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.doc_id < y.doc_id),
+         verified AS (
+           SELECT doc_a, doc_b FROM cand
+           JOIN sig a ON a.doc_id = doc_a
+           JOIN sig b ON b.doc_id = doc_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+         tagged AS (
+           SELECT v.doc_a, v.doc_b, da.source AS src_a, db.source AS src_b
+           FROM verified v
+           JOIN documents da ON da.doc_id = v.doc_a
+           JOIN documents db ON db.doc_id = v.doc_b
+           WHERE da.source <> db.source)
+       SELECT LEAST(src_a, src_b) AS src_lo,
+              GREATEST(src_a, src_b) AS src_hi,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(COUNT(DISTINCT CASE WHEN src_a = LEAST(src_a, src_b)
+                   THEN doc_a ELSE doc_b END) AS BIGINT) AS n_docs_lo,
+              CAST(COUNT(DISTINCT CASE WHEN src_a = LEAST(src_a, src_b)
+                   THEN doc_b ELSE doc_a END) AS BIGINT) AS n_docs_hi
+       FROM tagged GROUP BY 1, 2""",
     "dedup_incremental" -> s"""WITH $docsCte,
          sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
          bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),

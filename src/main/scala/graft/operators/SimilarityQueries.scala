@@ -466,6 +466,31 @@ object SimilarityQueries extends QueryModule {
         col("n_similar").cast("double") / col("n_pairs").cast("double"))
   }
 
+  /** Hard-negative mining — the contrastive-training curation step
+    * (retrieval/embedding fine-tuning wants, per anchor, the most
+    * SIMILAR examples of a DIFFERENT label: easy negatives teach
+    * nothing): per bounded-probe anchor, the top-3 different-label
+    * neighbors by cosine. Brute over the probe set here is the measured
+    * ground-truth form; at scale the different-label predicate composes
+    * with IVF cell pruning exactly like [[topkIvfFiltered]]'s
+    * `candidateFilter` (the trained geometry is label-independent), so
+    * the mining scan is probed-cells × label-fraction, never corpus². */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val probes = q.filter(col("vec_id") < 100)
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(desc("cosine"), col("b.vec_id"))
+    probes.as("a")
+      .join(q.as("b"), col("a.label") =!= col("b.label"))
+      .withColumn("dot", expr("graft_dot(a.qv, b.qv)"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("cosine"), col("rank"))
+  }
+
   /** Multi-table LSH top-5: candidates are the UNION of matches across
     * [[LshTables]] independent tables (OR-amplification) — the standard
     * recall knob: each table misses independently, so recall ≈
@@ -882,6 +907,7 @@ object SimilarityQueries extends QueryModule {
     }),
     "sim_range_count" -> (rangeCount _),
     "sim_label_affinity" -> (labelAffinity _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_pq_recall" -> (pqRecall _),
     "sim_pq_clustered_recall" -> (pqClusteredRecall _),
     "sim_topk_pq_indexed" -> ((s: SparkSession, d: String) => {
@@ -1332,6 +1358,17 @@ object SimilarityQueries extends QueryModule {
        LEFT JOIN h1 ON base.query_id = h1.query_id
        LEFT JOIN h4 ON base.query_id = h4.query_id
        LEFT JOIN h8 ON base.query_id = h8.query_id""",
+    "sim_hard_negatives" -> s"""WITH $qCte
+       SELECT query_id, neighbor_id, label_a, label_b, cosine, rank
+       FROM (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           a.label AS label_a, b.label AS label_b,
+           $cosSql AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY $cosSql DESC, b.vec_id) AS rank
+         FROM n a JOIN n b ON a.label <> b.label
+         WHERE a.vec_id < 100)
+       WHERE rank <= 3""",
     "sim_label_affinity" -> s"""WITH $qCte
        SELECT a.label AS label_a, b.label AS label_b,
          COUNT(*) AS n_pairs,
