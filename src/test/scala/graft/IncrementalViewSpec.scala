@@ -125,6 +125,43 @@ class IncrementalViewSpec extends SparkSpec {
     assertFresh(view, src)
   }
 
+  test("the view is a managed table: its OWN change feed drives a downstream mirror") {
+    // the CDC chain composes: source feed -> view sync -> the view's feed
+    // -> any consumer (a dashboard mirror here). Each hop is O(changes).
+    val src = tmp("ivchain")
+    val view = tmp("ivchainview")
+    val mirror = java.nio.file.Files.createTempDirectory("ivchainmir").toString + "/m"
+    val ckpt = java.nio.file.Files.createTempDirectory("ivchainckpt").toString
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 2L, 1.0), ("d1", "b", 2L, 3L, 2.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty"), "day")
+    IncrementalView.sync(spark, view)
+    import graft.streaming.ChangeFeedStream
+    def mirrored(): Set[(String, String, Long, Long)] = {
+      import spark.implicits._
+      Upsert.readCommitted(spark, mirror, "day")
+        .select("day", "cat", "n_rows", "sum_qty")
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    def viewRows(): Set[(String, String, Long, Long)] = {
+      import spark.implicits._
+      Upsert.readCommitted(spark, view, "day")
+        .select("day", "cat", "n_rows", "sum_qty")
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    ChangeFeedStream.mirrorTo(spark, view, "day", Seq("cat"), mirror, ckpt)
+    assert(mirrored() == viewRows(), "mirror after the view's bootstrap")
+    // churn the SOURCE; the delta flows hop by hop
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 3L, 10L, 0.5), ("d2", "c", 4L, 7L, 1.0)), "day", Seq("k"))
+    IncrementalView.sync(spark, view)
+    ChangeFeedStream.mirrorTo(spark, view, "day", Seq("cat"), mirror, ckpt)
+    assert(mirrored() == viewRows(), "mirror after source churn flowed through")
+    assert(mirrored().exists { case (d, c, n, q) => d == "d1" && c == "a" && n == 2L && q == 12L },
+      s"the churned group must have flowed through both hops: ${mirrored()}")
+  }
+
   test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
     val src = tmp("ivsrc3")
     val src2 = tmp("ivsrc3b")
