@@ -11,6 +11,8 @@ class StorageBenchSpec extends SparkSpec {
       "storage_bloom_build", "storage_stats_build", "storage_stats_scan",
       "storage_merge_indexed", "storage_restore", "storage_clone",
       "storage_reorg",
+      "storage_cluster_full", "storage_cluster_quiet",
+      "storage_view_bootstrap", "storage_view_sync",
       "storage_serve_offset", "storage_serve_keyset", "storage_serve_indexed"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
