@@ -45,8 +45,18 @@ object IncrementalView {
   private def cursorFile(view: String) =
     new org.apache.hadoop.fs.Path(s"$view/_graft_meta/incview_cursor.json")
 
+  /** Cursor state. `version` = the source version the view is clean at.
+    * `applyingTo`/`basis` mark an IN-FLIGHT incremental batch: the sync
+    * records (target source version, pre-merge view version) atomically
+    * BEFORE merging, so a crash between the merge and the clean-cursor
+    * write is recoverable — the re-derivation against `readAsOf(view,
+    * basis)` reproduces the exact absolute rows and re-applies
+    * idempotently (see [[sync]]). */
+  private final case class Cursor(
+      version: Long, applyingTo: Option[Long], basis: Option[Long])
+
   private def readCursor(
-      spark: SparkSession, view: String, src: String): Option[Long] = {
+      spark: SparkSession, view: String, src: String): Option[Cursor] = {
     val p = cursorFile(view)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
@@ -62,17 +72,25 @@ object IncrementalView {
     require(recorded == src,
       s"view at $view follows $recorded, not $src — one view follows one " +
         "source; use a fresh view directory")
-    o.get("version") match {
-      case Some(graft.http.JNum(n)) => Some(n.toLong)
-      case other => throw new IllegalStateException(s"incview cursor: $other")
+    def num(k: String): Option[Long] = o.get(k).collect {
+      case graft.http.JNum(n) => n.toLong
     }
+    Some(Cursor(
+      num("version").getOrElse(
+        throw new IllegalStateException(s"incview cursor without version")),
+      num("applyingTo"), num("basis")))
   }
 
   private def writeCursor(
-      spark: SparkSession, view: String, src: String, v: Long): Unit =
+      spark: SparkSession, view: String, src: String, c: Cursor): Unit = {
+    val inflight = (c.applyingTo, c.basis) match {
+      case (Some(to), Some(b)) => s""","applyingTo":$to,"basis":$b"""
+      case _ => ""
+    }
     graft.core.AtomicWrite.replaceFile(spark, cursorFile(view),
-      s"""{"src":${graft.http.Json.quote(src)},"version":$v}"""
+      s"""{"src":${graft.http.Json.quote(src)},"version":${c.version}$inflight}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Declare the view: `src.groupBy(groupCols).agg(count, sum(sumCols)…)`
     * materialized at `view`, partitioned by `viewPartCol` (which must be
@@ -170,15 +188,17 @@ object IncrementalView {
       spec(spark, view).getOrElse(throw new IllegalArgumentException(
         s"$view has no materialized-view registration — call register first"))
     val tip = TxnLog.currentVersion(spark, src)
-    val from = readCursor(spark, view, src) match {
-      case Some(v) => v
+    val cursor = readCursor(spark, view, src) match {
+      case Some(c) => c
       case None =>
         require(tip > 0,
           s"view source $src has no commit log — a plain parquet " +
             "directory has no feed to sync from later; CONVERT it first")
         // bootstrap: aggregate the snapshot pinned at tip (exact under
         // concurrent writers — rows committed after tip arrive through
-        // the feed on the next sync, never double-counted)
+        // the feed on the next sync, never double-counted). A crash
+        // anywhere here replays safely: the snapshot rows are ABSOLUTE,
+        // so the re-merge converges and only then records the cursor.
         val snap = aggregateOf(
           Upsert.readAsOf(spark, src, tip, srcPartCol), groupCols, sumCols)
         val (pinned, free) = graft.core.Pin(snap)
@@ -188,13 +208,51 @@ object IncrementalView {
             val keys = groupCols.filterNot(_ == viewPartCol)
             Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys)
           }
-          writeCursor(spark, view, src, tip)
+          writeCursor(spark, view, src, Cursor(tip, None, None))
           return SyncStats(n, 0L, tip)
         } finally free()
     }
-    if (tip <= from) return SyncStats(0L, from, tip)
+    // CRASH RECOVERY: an in-flight record means a previous sync died
+    // between its merge and its clean-cursor write, with unknown
+    // partitions applied. Relative (cur + delta) updates recomputed
+    // against the live view would double-apply the applied partitions —
+    // so the recovery re-derives the EXACT original batch against the
+    // recorded pre-merge view snapshot (`readAsOf(view, basis)` — the
+    // partial merge's retained generations reconstruct it) and re-merges:
+    // the rows are the same ABSOLUTE group values, so applied partitions
+    // rewrite identically and unapplied ones catch up.
+    var from = cursor.version
+    var recovered = 0L
+    (cursor.applyingTo, cursor.basis) match {
+      case (Some(to), Some(basis)) =>
+        recovered = applyRange(spark, view, src, srcPartCol, groupCols,
+          sumCols, viewPartCol, cursor.version, to, recoveryBasis = Some(basis))
+        from = to
+      case _ => ()
+    }
+    if (tip <= from) return SyncStats(recovered, cursor.version, tip)
+    val n = applyRange(spark, view, src, srcPartCol, groupCols, sumCols,
+      viewPartCol, from, tip, recoveryBasis = None)
+    SyncStats(recovered + n, cursor.version, tip)
+  }
+
+  /** Apply the feed range `(from, to]` to the view. `recoveryBasis =
+    * Some(v)` re-derives against the view AS OF `v` (crash recovery — see
+    * [[sync]]); `None` is the normal path, which records the in-flight
+    * `(to, basis)` pair atomically BEFORE merging. Returns groups merged. */
+  private def applyRange(
+      spark: SparkSession,
+      view: String,
+      src: String,
+      srcPartCol: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      viewPartCol: String,
+      from: Long,
+      to: Long,
+      recoveryBasis: Option[Long]): Long = {
     import graft.batch.{ChangeFeed => CF}
-    val changes = CF.readChanges(spark, src, srcPartCol, from, Some(tip))
+    val changes = CF.readChanges(spark, src, srcPartCol, from, Some(to))
     val sign = when(col(CF.ChangeTypeCol) === "insert", 1L).otherwise(-1L)
     // the whole in-range delta folds to ONE row per touched group —
     // O(changes) in, O(touched groups) out, map-side combined
@@ -212,10 +270,17 @@ object IncrementalView {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.exists(p) && TxnLog.currentVersion(spark, view) > 0
     }
+    // normal path: current committed groups; recovery: the pre-merge
+    // snapshot, so the re-derived rows are bit-identical to the batch
+    // the crashed sync was applying
+    def curView: org.apache.spark.sql.DataFrame = recoveryBasis match {
+      case Some(basis) => Upsert.readAsOf(spark, view, basis, viewPartCol)
+      case None => Upsert.readCommitted(spark, view, viewPartCol)
+    }
     val joined =
       if (!viewExists) touched
       else touched.join(
-        Upsert.readCommitted(spark, view, viewPartCol)
+        curView
           .select((groupCols.map(col) :+ col(CountCol).as("_cur_n")) ++
             sumCols.map(c => col(sumCol(c)).as(s"_cur_$c")): _*),
         groupCols, "left")
@@ -249,17 +314,24 @@ object IncrementalView {
         // partition value is fixed inside each per-partition rewrite, and
         // mergeByKey's existing-side read has no partition column to join)
         val keys = groupCols.filterNot(_ == viewPartCol)
-        if (viewExists)
+        if (viewExists) {
+          // record the in-flight batch BEFORE touching data (normal path;
+          // a recovery IS the in-flight batch, already recorded)
+          if (recoveryBasis.isEmpty)
+            writeCursor(spark, view, src, Cursor(from,
+              applyingTo = Some(to),
+              basis = Some(TxnLog.currentVersion(spark, view))))
           Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys,
             deleteWhen = Some("_gone"))
-        else
-          // bootstrap: nothing can vanish from an empty view, and the
-          // marker column must not leak into the new table's schema
+        } else
+          // first incremental content (source was empty at bootstrap):
+          // nothing can vanish from an empty view, absolute rows replay
+          // safely, and the marker column must not leak into the schema
           Upsert.mergeByKey(spark, view, pinned.drop("_gone"),
             viewPartCol, keys)
       }
-      writeCursor(spark, view, src, tip)
-      SyncStats(n, from, tip)
+      writeCursor(spark, view, src, Cursor(to, None, None))
+      n
     } finally free()
   }
 }

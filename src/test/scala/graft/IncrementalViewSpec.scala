@@ -162,6 +162,45 @@ class IncrementalViewSpec extends SparkSpec {
       s"the churned group must have flowed through both hops: ${mirrored()}")
   }
 
+  test("a crash between the merge and the cursor write replays WITHOUT double-applying") {
+    // relative (cur + delta) updates recomputed against the live view
+    // would double-count the applied partitions; the recovery re-derives
+    // against the recorded pre-merge basis snapshot, so the replay's
+    // absolute rows are identical and the re-merge converges.
+    val src = tmp("ivcrash")
+    val view = tmp("ivcrashview")
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 2L, 1.0), ("d1", "b", 2L, 3L, 2.0),
+      ("d2", "a", 3L, 5L, 3.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    IncrementalView.sync(spark, view)
+    val srcV1 = TxnLog.currentVersion(spark, src)
+    val viewBasis = TxnLog.currentVersion(spark, view)
+    // the batch a sync would apply: an update + an insert + a delete
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 10L, 1.0), ("d2", "c", 4L, 1L, 4.0)), "day", Seq("k"))
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "b", 2L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val srcV2 = TxnLog.currentVersion(spark, src)
+    IncrementalView.sync(spark, view) // the "crashed" sync: merge applied…
+    assertFresh(view, src)
+    // …but its clean cursor never landed: restore the in-flight record
+    graft.batch.IncrementalViewTestHook.simulateCrashAfterMerge(
+      spark, view, src, srcV1, srcV2, viewBasis)
+    // more source churn BEFORE anyone notices the crash
+    Upsert.mergeByKey(spark, src,
+      rows(("d2", "a", 5L, 2L, 0.5)), "day", Seq("k"))
+    // one sync: completes the in-flight batch against its basis (exact
+    // replay, no double-apply), then processes the newer commits
+    val s = IncrementalView.sync(spark, view)
+    assert(s.groupsTouched > 0, s"$s")
+    assertFresh(view, src)
+    // and the cursor is clean: the next sync is a no-op
+    assert(IncrementalView.sync(spark, view).groupsTouched == 0L)
+    assertFresh(view, src)
+  }
+
   test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
     val src = tmp("ivsrc3")
     val src2 = tmp("ivsrc3b")

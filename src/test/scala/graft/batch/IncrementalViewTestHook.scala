@@ -14,4 +14,15 @@ object IncrementalViewTestHook {
     try IncrementalView.sync(spark, view)
     finally TableMeta.write(spark, view, "incview-v", m)
   }
+
+  /** Rewrite the cursor as the in-flight record a sync that crashed
+    * between its merge and its clean-cursor write would leave behind. */
+  def simulateCrashAfterMerge(
+      spark: org.apache.spark.sql.SparkSession, view: String, src: String,
+      cleanVersion: Long, applyingTo: Long, basis: Long): Unit =
+    graft.core.AtomicWrite.replaceFile(spark,
+      new org.apache.hadoop.fs.Path(s"$view/_graft_meta/incview_cursor.json"),
+      (s"""{"src":${graft.http.Json.quote(src)},"version":$cleanVersion,""" +
+        s""""applyingTo":$applyingTo,"basis":$basis}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
