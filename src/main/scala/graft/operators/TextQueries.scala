@@ -678,6 +678,40 @@ object TextQueries extends QueryModule {
         .cast("long").as("quality_floor_micro"))
   }
 
+  /** Epoch planning under a token budget — the data-constrained scaling
+    * recipe (Muennighoff et al. 2023: repeating a source up to ~4 epochs
+    * is nearly as good as fresh data; beyond that returns decay): give
+    * every source an equal share of a budget of half the corpus's
+    * tokens, and report how many passes (epochs, capped at 4) each
+    * source needs to fill its share, the tokens it can actually
+    * contribute, and the shortfall where even 4 epochs fall short. All
+    * integer arithmetic on exact token counts (the ceil rides the
+    * engines' shared IEEE division on exact operands); one
+    * |sources|-row aggregate + a window total — nothing corpus-sized
+    * moves. */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSource = docs(s, d).filter(size(col("toks")) > 0)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tokens"))
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("total_tokens", sum("tokens").over(wAll))
+      .withColumn("n_sources", count(lit(1)).over(wAll))
+      .withColumn("target_tokens",
+        floor(col("total_tokens").cast("double") / lit(2.0) /
+          col("n_sources").cast("double")).cast("long"))
+      .withColumn("epochs",
+        least(lit(4L), floor(
+          (col("target_tokens") + col("tokens") - lit(1L)).cast("double") /
+            col("tokens").cast("double")).cast("long")))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("epochs") * col("tokens")))
+      .withColumn("shortfall", col("target_tokens") - col("effective_tokens"))
+      .select("source", "n_docs", "tokens", "target_tokens", "epochs",
+        "effective_tokens", "shortfall")
+  }
+
   // --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
   // Language Models via Importance Resampling"): estimate target and raw
   // distributions over HASHED n-gram features, weight every raw document
@@ -774,6 +808,7 @@ object TextQueries extends QueryModule {
   val queries: Map[String, Q] = Map(
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
+    "txt_mix_epochs" -> (mixEpochs _),
     "txt_gopher_rules" -> (gopherRules _),
     "txt_rag_chunks" -> (ragChunks _),
     "txt_span_dedup" -> (spanDedup _),
@@ -869,6 +904,29 @@ object TextQueries extends QueryModule {
         CAST(MIN(CASE WHEN keep THEN FLOOR(quality_score * 1e6) END) AS BIGINT)
           AS quality_floor_micro
       FROM flagged GROUP BY 1""",
+    "txt_mix_epochs" -> s"""$cte,
+      per AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS tokens
+        FROM docs WHERE len(toks) > 0 GROUP BY 1),
+      tot AS (
+        SELECT *, SUM(tokens) OVER () AS total_tokens,
+               COUNT(*) OVER () AS n_sources
+        FROM per),
+      tgt AS (
+        SELECT *, CAST(FLOOR(CAST(total_tokens AS DOUBLE) / 2.0 /
+               CAST(n_sources AS DOUBLE)) AS BIGINT) AS target_tokens
+        FROM tot),
+      ep AS (
+        SELECT *, LEAST(4, CAST(FLOOR(
+               CAST(target_tokens + tokens - 1 AS DOUBLE) /
+               CAST(tokens AS DOUBLE)) AS BIGINT)) AS epochs
+        FROM tgt)
+      SELECT source, n_docs, tokens, target_tokens, epochs,
+        LEAST(target_tokens, epochs * tokens) AS effective_tokens,
+        target_tokens - LEAST(target_tokens, epochs * tokens) AS shortfall
+      FROM ep""",
     "txt_dsir_select" -> s"""$cte,
       tok AS (
         SELECT doc_id, source,
