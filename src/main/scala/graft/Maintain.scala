@@ -149,7 +149,8 @@ object Maintain {
           s""""mode":${graft.http.Json.quote(rep.mode)},""" +
           s""""candidates":${rep.candidates},"skippedUnchanged":${rep.skippedUnchanged},""" +
           s""""recognizedTight":${rep.recognizedTight.size},""" +
-          s""""rewritten":${rep.rewritten.size}}""")
+          s""""rewritten":${rep.rewritten.size},""" +
+          s""""skippedBusy":${rep.skippedBusy.size}}""")
       case "view" =>
         // incremental materialized-view refresh over the ops surface: the
         // table arg IS the view directory; its registration names the

@@ -68,7 +68,13 @@ object LiquidClustering {
       candidates: Int,
       skippedUnchanged: Int,
       recognizedTight: Seq[String],
-      rewritten: Seq[String])
+      rewritten: Seq[String],
+      /** Partitions a concurrent writer held when the pass reached them:
+        * skipped this pass, NOT recorded as clustered, re-examined next
+        * run (the version floor does not advance past a busy partition's
+        * churn). One hot partition must not abort the whole nightly
+        * pass. */
+      skippedBusy: Seq[String] = Seq.empty)
 
   /** Register (or change) the cluster keys — Delta's
     * `ALTER TABLE … CLUSTER BY`. Logical names; a spec change makes the
@@ -161,6 +167,7 @@ object LiquidClustering {
     var skipped = 0
     val tight = Seq.newBuilder[String]
     val rewritten = Seq.newBuilder[String]
+    val busy = Seq.newBuilder[String]
     val ourBegins = Set.newBuilder[Long]
     val newState = scala.collection.mutable.Map[String, String]()
     candidates.foreach { dirName =>
@@ -188,33 +195,49 @@ object LiquidClustering {
             tight += dirName
             newState(dirName) = fp
           } else {
-            ourBegins += Upsert.compactOne(
-              spark, table, partColP, dirName, carriesDv, dvPairs) {
-              rows => LayoutOps.clusterBy(rows, colsP, nOut)
+            // a concurrent writer holding this partition skips it, not
+            // the pass: one hot partition must not abort the nightly run.
+            // Nothing is recorded for it and the version floor stays put
+            // (below), so the next pass re-examines it.
+            try {
+              ourBegins += Upsert.compactOne(
+                spark, table, partColP, dirName, carriesDv, dvPairs) {
+                rows => LayoutOps.clusterBy(rows, colsP, nOut)
+              }
+              rewritten += dirName
+              fingerprint(dirName).foreach { case (fp2, _) => newState(dirName) = fp2 }
+            } catch {
+              case _: graft.core.TxnLog.ConcurrentWriteException =>
+                busy += dirName
             }
-            rewritten += dirName
-            fingerprint(dirName).foreach { case (fp2, _) => newState(dirName) = fp2 }
           }
       }
     }
     val rewrote = rewritten.result()
+    val busySkipped = busy.result()
     if (rewrote.nonEmpty) Upsert.refreshIndexSidecars(spark, table)
     // Version floor for the NEXT pass: advance past this pass's OWN
     // rewrite commits (otherwise tonight's pass re-lists everything last
     // night's pass rewrote), but only while the tail above vNow is PURELY
     // ours — a foreign commit interleaved mid-pass keeps the floor at
-    // vNow so its partitions are re-examined next time.
+    // vNow so its partitions are re-examined next time. A busy-skipped
+    // partition keeps the floor at the PREVIOUS pass's version entirely:
+    // the churn that made it a candidate must stay above the floor, or a
+    // writer that ABORTS after blocking us would leave it unclustered
+    // and never re-examined.
     val ours = ourBegins.result()
-    val vNext = TxnLog.commitsSince(spark, table, vNow)
-      .takeWhile(c => ours(c.version) || c.ref.exists(ours))
-      .lastOption.map(_.version).getOrElse(vNow)
+    val vNext =
+      if (busySkipped.nonEmpty) lastV
+      else Some(TxnLog.commitsSince(spark, table, vNow)
+        .takeWhile(c => ours(c.version) || c.ref.exists(ours))
+        .lastOption.map(_.version).getOrElse(vNow))
     // carry forward records for partitions that were NOT candidates (still
     // clustered, untouched since) and fold in this pass's results
     val carried = state.view.filterKeys(k =>
       !k.startsWith("_") && !candidates.contains(k)).toMap
     TableMeta.write(spark, table, Prefix,
-      carried ++ newState ++ Map(
-        ColsKey -> cols.mkString(","), VersionKey -> vNext.toString))
-    Report(mode, candidates.size, skipped, tight.result(), rewrote)
+      carried ++ newState ++ Map(ColsKey -> cols.mkString(",")) ++
+        vNext.map(v => VersionKey -> v.toString))
+    Report(mode, candidates.size, skipped, tight.result(), rewrote, busySkipped)
   }
 }

@@ -125,6 +125,29 @@ class LiquidClusteringSpec extends SparkSpec {
     assert(r2.skippedUnchanged >= 1, s"unchanged d2 skips by fingerprint: $r2")
   }
 
+  test("a busy partition is skipped, not fatal — and is re-examined next pass") {
+    val t = tmp()
+    Upsert.mergeByKey(spark, t,
+      scrambled("d1", 0, 150).unionByName(scrambled("d2", 500, 150)), "day", Seq("k"))
+    LiquidClustering.setClusterBy(spark, t, Seq("k"))
+    // a concurrent writer holds d1 when the pass reaches it
+    val claim = TxnLog.begin(spark, t, "upsert", Set("d1"),
+      TxnLog.currentVersion(spark, t))
+    val r1 = LiquidClustering.optimize(spark, t, "day")
+    assert(r1.skippedBusy == Seq("day=d1"),
+      s"the held partition is reported busy: $r1")
+    assert(r1.rewritten == Seq("day=d2"),
+      s"the rest of the pass still runs: $r1")
+    // writer ABORTS (nothing changed) — the next pass must still see d1
+    // (the floor did not advance past the churn that made it a candidate)
+    TxnLog.abort(spark, t, claim)
+    val r2 = LiquidClustering.optimize(spark, t, "day")
+    assert(r2.rewritten == Seq("day=d1") && r2.skippedBusy.isEmpty,
+      s"the busy partition is caught up next pass: $r2")
+    // quiet from here
+    assert(LiquidClustering.optimize(spark, t, "day").candidates == 0)
+  }
+
   test("time travel to pre-layout versions and refusal without a spec") {
     val t = tmp()
     Upsert.mergeByKey(spark, t, scrambled("d1", 0, 80), "day", Seq("k"))
