@@ -72,8 +72,11 @@ object IdentityColumns {
       column: String,
       start: Long = 1L,
       step: Long = 1L): Unit = {
-    require(!list(spark, table).contains(column),
-      s"$column is already an identity column of $table")
+    // validate-before-write: the declaration invariants run BEFORE the
+    // adoption probe can write the high-water-mark sidecar — a failing
+    // require must not leave an orphan hwm file for a column that was
+    // never registered
+    validateDeclaration(spark, table, column, step)
     val existing =
       try Some(spark.read.parquet(table))
       catch { case e: org.apache.spark.sql.AnalysisException
@@ -120,6 +123,17 @@ object IdentityColumns {
       column: String,
       start: Long = 1L,
       step: Long = 1L): Unit = {
+    validateDeclaration(spark, table, column, step)
+    TableMeta.write(spark, table, FilePrefix,
+      list(spark, table).map { case (c, s) => c -> s"${s.start}:${s.step}" } +
+        (column -> s"$start:$step"))
+  }
+
+  /** The registration-time invariants, check-only (no writes): shared by
+    * [[add]] (which must validate BEFORE its adoption probe touches the
+    * hwm sidecar) and [[declare]]. */
+  private def validateDeclaration(
+      spark: SparkSession, table: String, column: String, step: Long): Unit = {
     require(step != 0, "identity step must be non-zero")
     require(!list(spark, table).contains(column),
       s"$column is already an identity column of $table")
@@ -131,9 +145,6 @@ object IdentityColumns {
         ColumnMapping.physicalName(m, column) == column,
       s"identity column $column is renamed or dropped in the column map — " +
         "identity binds unmapped names only")
-    TableMeta.write(spark, table, FilePrefix,
-      list(spark, table).map { case (c, s) => c -> s"${s.start}:${s.step}" } +
-        (column -> s"$start:$step"))
   }
 
   /** Unregister; unknown columns fail loudly. Allocation state is kept —

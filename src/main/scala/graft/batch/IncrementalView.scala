@@ -39,6 +39,15 @@ object IncrementalView {
   val CountCol = "n_rows"
   /** Materialized sum of source column `c`. */
   def sumCol(c: String): String = s"sum_$c"
+  /** Materialized NON-NULL count of source column `c` — the support
+    * column that keeps sums NULL-exact under the signed fold: a rebuild
+    * yields `sum_c = NULL` for a group whose every value of c is NULL,
+    * and the incremental path can only reproduce that distinction by
+    * tracking how many non-null values the group holds (when `nn_c`
+    * reaches 0 the materialized sum is written as NULL, not 0 — so
+    * downstream `avg = sum/n` reads NULL exactly like a from-scratch
+    * aggregate). Maintained with the same signed fold as the sum. */
+  def nnCol(c: String): String = s"nn_$c"
 
   private val Prefix = "incview-v"
 
@@ -51,9 +60,16 @@ object IncrementalView {
     * BEFORE merging, so a crash between the merge and the clean-cursor
     * write is recoverable — the re-derivation against `readAsOf(view,
     * basis)` reproduces the exact absolute rows and re-applies
-    * idempotently (see [[sync]]). */
+    * idempotently (see [[sync]]). `bootstrappingTo` is the bootstrap's
+    * equivalent pin, written BEFORE the first merge: a crashed bootstrap
+    * retried at a NEW tip would miss groups fully deleted from the
+    * source in between (the keyed merge never deletes rows absent from
+    * an absolute batch), leaving partially-committed orphans in the view
+    * forever — re-aggregating at the SAME pinned tip reproduces the
+    * exact original batch, then the feed carries the deletes. */
   private final case class Cursor(
-      version: Long, applyingTo: Option[Long], basis: Option[Long])
+      version: Long, applyingTo: Option[Long], basis: Option[Long],
+      bootstrappingTo: Option[Long] = None)
 
   private def readCursor(
       spark: SparkSession, view: String, src: String): Option[Cursor] = {
@@ -78,15 +94,15 @@ object IncrementalView {
     Some(Cursor(
       num("version").getOrElse(
         throw new IllegalStateException(s"incview cursor without version")),
-      num("applyingTo"), num("basis")))
+      num("applyingTo"), num("basis"), num("bootstrappingTo")))
   }
 
   private def writeCursor(
       spark: SparkSession, view: String, src: String, c: Cursor): Unit = {
-    val inflight = (c.applyingTo, c.basis) match {
+    val inflight = ((c.applyingTo, c.basis) match {
       case (Some(to), Some(b)) => s""","applyingTo":$to,"basis":$b"""
       case _ => ""
-    }
+    }) + c.bootstrappingTo.map(t => s""","bootstrappingTo":$t""").getOrElse("")
     graft.core.AtomicWrite.replaceFile(spark, cursorFile(view),
       s"""{"src":${graft.http.Json.quote(src)},"version":${c.version}$inflight}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -114,7 +130,7 @@ object IncrementalView {
         "within a partition the remaining group columns are the merge key")
     require((groupCols ++ sumCols).distinct.size == groupCols.size + sumCols.size,
       "group and sum columns must be distinct")
-    val reserved = CountCol +: sumCols.map(sumCol)
+    val reserved = CountCol +: (sumCols.map(sumCol) ++ sumCols.map(nnCol))
     require(!groupCols.exists(reserved.contains),
       s"group columns collide with materialized names $reserved")
     require(TableMeta.read(spark, view, Prefix).isEmpty,
@@ -147,9 +163,10 @@ object IncrementalView {
       df: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as(CountCol),
-      sumCols.map(c =>
+      sumCols.flatMap(c => Seq(
         stableSum(df.schema(c).dataType,
-          sum(exactTerm(df, c, lit(1L)))).as(sumCol(c))): _*)
+          sum(exactTerm(df, c, lit(1L)))).as(sumCol(c)),
+        count(col(c)).as(nnCol(c)))): _*)
 
   /** Pin a sum's storage type so it never drifts across merges (Spark
     * widens decimal sums per aggregation; cur+delta would widen again). */
@@ -188,6 +205,24 @@ object IncrementalView {
       spec(spark, view).getOrElse(throw new IllegalArgumentException(
         s"$view has no materialized-view registration — call register first"))
     val tip = TxnLog.currentVersion(spark, src)
+    // one aggregate pass over the snapshot pinned at `pin`, merged as
+    // absolute rows, clean cursor written at `pin` — retried with the
+    // SAME pin the batch is bit-identical, so partially-applied
+    // partitions rewrite identically and unapplied ones catch up
+    def bootstrapAt(pin: Long): Long = {
+      val snap = aggregateOf(
+        Upsert.readAsOf(spark, src, pin, srcPartCol), groupCols, sumCols)
+      val (pinned, free) = graft.core.Pin(snap)
+      try {
+        val n = pinned.count()
+        if (n > 0) {
+          val keys = groupCols.filterNot(_ == viewPartCol)
+          Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys)
+        }
+        writeCursor(spark, view, src, Cursor(pin, None, None))
+        n
+      } finally free()
+    }
     val cursor = readCursor(spark, view, src) match {
       case Some(c) => c
       case None =>
@@ -196,21 +231,14 @@ object IncrementalView {
             "directory has no feed to sync from later; CONVERT it first")
         // bootstrap: aggregate the snapshot pinned at tip (exact under
         // concurrent writers — rows committed after tip arrive through
-        // the feed on the next sync, never double-counted). A crash
-        // anywhere here replays safely: the snapshot rows are ABSOLUTE,
-        // so the re-merge converges and only then records the cursor.
-        val snap = aggregateOf(
-          Upsert.readAsOf(spark, src, tip, srcPartCol), groupCols, sumCols)
-        val (pinned, free) = graft.core.Pin(snap)
-        try {
-          val n = pinned.count()
-          if (n > 0) {
-            val keys = groupCols.filterNot(_ == viewPartCol)
-            Upsert.mergeByKey(spark, view, pinned, viewPartCol, keys)
-          }
-          writeCursor(spark, view, src, Cursor(tip, None, None))
-          return SyncStats(n, 0L, tip)
-        } finally free()
+        // the feed on the next sync, never double-counted). The pin is
+        // recorded BEFORE the first merge: absolute rows make the merge
+        // idempotent only at the SAME source version — a retry at a new
+        // tip would never delete groups that vanished in between (see
+        // [[Cursor]].bootstrappingTo).
+        writeCursor(spark, view, src,
+          Cursor(0L, None, None, bootstrappingTo = Some(tip)))
+        return SyncStats(bootstrapAt(tip), 0L, tip)
     }
     // CRASH RECOVERY: an in-flight record means a previous sync died
     // between its merge and its clean-cursor write, with unknown
@@ -220,15 +248,24 @@ object IncrementalView {
     // recorded pre-merge view snapshot (`readAsOf(view, basis)` — the
     // partial merge's retained generations reconstruct it) and re-merges:
     // the rows are the same ABSOLUTE group values, so applied partitions
-    // rewrite identically and unapplied ones catch up.
+    // rewrite identically and unapplied ones catch up. A crashed
+    // BOOTSTRAP re-runs against the source pinned at its recorded tip
+    // (same principle, source-side pin), then the feed carries anything
+    // that changed since — including whole-group deletes.
     var from = cursor.version
     var recovered = 0L
-    (cursor.applyingTo, cursor.basis) match {
-      case (Some(to), Some(basis)) =>
-        recovered = applyRange(spark, view, src, srcPartCol, groupCols,
-          sumCols, viewPartCol, cursor.version, to, recoveryBasis = Some(basis))
-        from = to
-      case _ => ()
+    cursor.bootstrappingTo match {
+      case Some(pin) =>
+        recovered = bootstrapAt(pin)
+        from = pin
+      case None => (cursor.applyingTo, cursor.basis) match {
+        case (Some(to), Some(basis)) =>
+          recovered = applyRange(spark, view, src, srcPartCol, groupCols,
+            sumCols, viewPartCol, cursor.version, to,
+            recoveryBasis = Some(basis))
+          from = to
+        case _ => ()
+      }
     }
     if (tip <= from) return SyncStats(recovered, cursor.version, tip)
     val n = applyRange(spark, view, src, srcPartCol, groupCols, sumCols,
@@ -258,12 +295,17 @@ object IncrementalView {
     // O(changes) in, O(touched groups) out, map-side combined
     val delta = changes.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_d_n"),
-      sumCols.map(c => sum(exactTerm(changes, c, sign)).as(s"_d_$c")): _*)
+      sumCols.flatMap(c => Seq(
+        sum(exactTerm(changes, c, sign)).as(s"_d_$c"),
+        sum(when(col(c).isNotNull, sign).otherwise(0L)).as(s"_dnn_$c"))): _*)
     // groups whose net effect is zero (an update that left every
     // aggregated column unchanged) are dropped — merging them would
-    // rewrite partitions for nothing
+    // rewrite partitions for nothing. A non-null-count shift alone IS a
+    // change (c: 0 → NULL nets d_sum 0 but must flip sum_c to NULL when
+    // the group's last non-null value goes).
     val touched = delta.filter(
-      sumCols.map(c => col(s"_d_$c") =!= lit(0)).foldLeft(
+      (sumCols.map(c => col(s"_d_$c") =!= lit(0)) ++
+        sumCols.map(c => col(s"_dnn_$c") =!= 0L)).foldLeft(
         col("_d_n") =!= 0L)(_ || _))
     val viewExists = {
       val p = new org.apache.hadoop.fs.Path(view)
@@ -282,7 +324,9 @@ object IncrementalView {
       else touched.join(
         curView
           .select((groupCols.map(col) :+ col(CountCol).as("_cur_n")) ++
-            sumCols.map(c => col(sumCol(c)).as(s"_cur_$c")): _*),
+            sumCols.flatMap(c => Seq(
+              col(sumCol(c)).as(s"_cur_$c"),
+              col(nnCol(c)).as(s"_curnn_$c"))): _*),
         groupCols, "left")
     val dt = (c: String) => changes.schema(c).dataType
     def zero(c: String): Column = stableSum(dt(c), lit(0))
@@ -292,20 +336,29 @@ object IncrementalView {
     val updates0 = joined
       .withColumn(CountCol, (curN + col("_d_n")).cast(LongType))
       .withColumn("_gone", col(CountCol) === 0L)
+    def curNn(c: String): Column =
+      if (viewExists) coalesce(col(s"_curnn_$c"), lit(0L)) else lit(0L)
     val updates = sumCols.foldLeft(updates0) { (u, c) =>
-      // a delta whose rows are all NULL in c sums to NULL = "no change"
-      u.withColumn(sumCol(c),
-        stableSum(dt(c), curSum(c) + coalesce(col(s"_d_$c"), zero(c))))
+      // a delta whose rows are all NULL in c sums to NULL = "no change";
+      // a group whose non-null count reaches 0 materializes sum = NULL
+      // (what a from-scratch rebuild yields), never 0
+      u.withColumn(nnCol(c),
+        (curNn(c) + coalesce(col(s"_dnn_$c"), lit(0L))).cast(LongType))
+        .withColumn(sumCol(c), stableSum(dt(c),
+          when(col(nnCol(c)) === 0L, lit(null))
+            .otherwise(curSum(c) + coalesce(col(s"_d_$c"), zero(c)))))
     }.select((groupCols.map(col) :+ col(CountCol) :+ col("_gone")) ++
-      sumCols.map(c => col(sumCol(c))): _*)
+      sumCols.flatMap(c => Seq(col(sumCol(c)), col(nnCol(c)))): _*)
     // eager pin BEFORE merging: the join above reads the view table the
     // merge is about to rewrite (the Scd2Mirror.sync discipline)
     val (pinned, free) = graft.core.Pin(updates)
     try {
       val n = pinned.count()
-      // a negative group count means the feed and the view disagree —
-      // refuse to persist garbage (someone wrote the view out-of-band)
-      require(pinned.filter(col(CountCol) < 0L).isEmpty,
+      // a negative group count (row or non-null) means the feed and the
+      // view disagree — refuse to persist garbage (out-of-band write)
+      require(pinned.filter(
+        sumCols.map(c => col(nnCol(c)) < 0L)
+          .foldLeft(col(CountCol) < 0L)(_ || _)).isEmpty,
         s"view $view would go NEGATIVE on some group — the view no longer " +
           "matches its source's change feed (out-of-band write?); rebuild " +
           "into a fresh directory")

@@ -200,12 +200,29 @@ object LiquidClustering {
             // Nothing is recorded for it and the version floor stays put
             // (below), so the next pass re-examines it.
             try {
-              ourBegins += Upsert.compactOne(
+              val bv = Upsert.compactOne(
                 spark, table, partColP, dirName, carriesDv, dvPairs) {
                 rows => LayoutOps.clusterBy(rows, colsP, nOut)
               }
+              ourBegins += bv
               rewritten += dirName
-              fingerprint(dirName).foreach { case (fp2, _) => newState(dirName) = fp2 }
+              // The fingerprint is listed AFTER compactOne releases its
+              // claim, so a concurrent writer could rewrite the partition
+              // in that window and WE would record ITS listing as the
+              // clustered state (a churned partition skipped as clustered
+              // next pass). List first, then drop the record if any
+              // commit since our begin — other than our own begin/end
+              // pair — names this partition: a foreign BEGIN before our
+              // listing means the files may not be ours (its publish can
+              // precede its end record), so the partition stays
+              // unrecorded and is re-examined next pass.
+              val fpNow = fingerprint(dirName)
+              val value = Upsert.unescape(dirName, partColP)
+              val foreignTail = TxnLog.commitsSince(spark, table, bv - 1)
+                .exists(c => c.version != bv && !c.ref.contains(bv) &&
+                  (c.all || c.partitions.contains(value)))
+              if (!foreignTail)
+                fpNow.foreach { case (fp2, _) => newState(dirName) = fp2 }
             } catch {
               case _: graft.core.TxnLog.ConcurrentWriteException =>
                 busy += dirName

@@ -498,9 +498,11 @@ object DedupQueries extends QueryModule {
     * generation as [[minhashPairs]] (never all-pairs), verified pairs
     * restricted to DIFFERENT sources, rolled up per unordered source
     * pair with the distinct leaked documents counted on each side.
-    * Sources join the verified pairs as a BROADCAST of (doc_id, source)
-    * — the matrix costs two broadcast joins and a |source-pairs|-row
-    * shuffle on top of the dedup scan it shares. */
+    * The VERIFIED PAIRS are the broadcast side of both source joins —
+    * they passed a 0.8-Jaccard bar, a vanishing fraction of the corpus —
+    * while the corpus-sized (doc_id, source) projection streams through
+    * as the probe side (broadcasting it instead would push billions of
+    * rows through the driver at 100 TB). */
   def crossSourceLeakage(s: SparkSession, d: String): DataFrame = {
     val sig = signed(s, d)
       .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
@@ -512,16 +514,17 @@ object DedupQueries extends QueryModule {
       .distinct()
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= 0.8)
-      .join(broadcast(srcs.select(col("doc_id").as("doc_a"),
-        col("source").as("src_a"))), "doc_a")
-      .join(broadcast(srcs.select(col("doc_id").as("doc_b"),
-        col("source").as("src_b"))), "doc_b")
+      .select("doc_a", "doc_b")
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val withA = srcs.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
+      .join(broadcast(verified), "doc_a")
+    srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+      .join(broadcast(withA), "doc_b")
       .filter(col("src_a") =!= col("src_b"))
       .withColumn("src_lo", least(col("src_a"), col("src_b")))
       .withColumn("src_hi", greatest(col("src_a"), col("src_b")))

@@ -748,8 +748,10 @@ object TextQueries extends QueryModule {
     * a per-doc combine whose shuffle is O(docs); totals ride the plan
     * inside the broadcast weight table (no driver collect). The whole
     * query reads the corpus exactly TWICE (estimation pass + scoring
-    * pass — DSIR's own two-phase shape). The final rank orders doc
-    * STATS (doc_id, source, score — ~24 B/doc), never text. */
+    * pass — DSIR's own two-phase shape). The keep-set is a THRESHOLD
+    * cut, not a global rank: no unpartitioned window ever sees a
+    * doc-grained frame (the one single-partition window runs over the
+    * coarse score-bucket list, pure metadata). */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("t"))
@@ -790,13 +792,47 @@ object TextQueries extends QueryModule {
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(sum(col("lam_q16")).as("score_q16"))
-    val ranked = perDoc
-      .withColumn("rn", row_number().over(
-        Window.orderBy(desc("score_q16"), col("doc_id"))))
-      .withColumn("n_raw", count(lit(1)).over(Window.partitionBy()))
+    // ---- selection by THRESHOLD, not by global rank ----
+    // keep-set = top floor(n_raw·frac) docs by (score desc, doc_id asc),
+    // computed without ranking every doc through one partition: a
+    // per-score histogram (distributed shuffle on the score value), a
+    // two-phase cumulative over coarse score buckets (the
+    // [[packSequencesSharded]] pattern — the only unpartitioned window
+    // runs over the BUCKET list, score-range/2^16 rows of metadata), and
+    // a deterministic tie cut at the boundary score. Bit-identical to the
+    // rank form: docs strictly above the cut score are kept outright; at
+    // the cut score the `need` smallest doc_ids win.
+    val hist = perDoc.groupBy("score_q16").agg(count(lit(1)).as("n_at"))
+      .withColumn("hbkt",
+        expr("(score_q16 - pmod(score_q16, 65536L)) DIV 65536L"))
+    val buckets = hist.groupBy("hbkt").agg(sum("n_at").as("n_b"))
+      .withColumn("above_b",
+        sum("n_b").over(Window.orderBy(desc("hbkt"))) - col("n_b"))
+      .select("hbkt", "above_b")
+    val scoreCum = hist.join(broadcast(buckets), Seq("hbkt"))
+      .withColumn("above", col("above_b") +
+        sum("n_at").over(
+          Window.partitionBy("hbkt").orderBy(desc("score_q16"))) -
+        col("n_at"))
+    val kRow = perDoc.agg(count(lit(1)).as("n_raw"))
+      .select(floor(col("n_raw").cast("double") * lit(DsirKeepFrac))
+        .cast("long").as("k"))
+    // the unique score where the rank-k boundary falls; agg keeps the
+    // frame 1-row even when k = 0 selects nothing (nulls → sel false)
+    val cutRow = scoreCum.crossJoin(broadcast(kRow))
+      .filter(col("above") < col("k") &&
+        col("k") <= col("above") + col("n_at"))
+      .agg(max(col("score_q16")).as("cut_s"),
+        max(col("k") - col("above")).as("need"))
+    val flagged = perDoc
+      .withColumn("tie_rn", row_number().over(
+        Window.partitionBy("score_q16").orderBy("doc_id")))
+      .crossJoin(broadcast(cutRow))
       .withColumn("sel",
-        col("rn") <= floor(col("n_raw").cast("double") * lit(DsirKeepFrac)))
-    ranked.groupBy("source").agg(
+        col("score_q16") > col("cut_s") ||
+          (col("score_q16") === col("cut_s") &&
+            col("tie_rn") <= col("need")))
+    flagged.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("sel"), 1L).otherwise(0L)).as("sel_docs"),
       (sum(when(col("sel"), 1L).otherwise(0L)).cast("double") /

@@ -22,9 +22,11 @@ class IncrementalViewSpec extends SparkSpec {
       .toDF("day", "cat", "k", "qty", "amt")
   }
 
-  /** The view must equal its definition on the committed snapshot. */
+  /** The view must equal its definition on the committed snapshot —
+    * including the non-null support counts and NULL-vs-0 sum identity. */
   private def assertFresh(view: String, src: String): Unit = {
-    val cols = Seq("day", "cat", "n_rows", "sum_qty", "sum_amt")
+    val cols = Seq("day", "cat", "n_rows", "sum_qty", "sum_amt",
+      "nn_qty", "nn_amt")
     val got = Upsert.readCommitted(spark, view, "day")
       .select(cols.map(col): _*)
     val want = IncrementalView.aggregateOf(
@@ -201,6 +203,84 @@ class IncrementalViewSpec extends SparkSpec {
     assertFresh(view, src)
   }
 
+  test("NULL sum values: incremental == rebuild exactly, including sum = NULL groups") {
+    // the signed fold must reproduce the rebuild's NULL-vs-0 distinction:
+    // a group whose every c is NULL rebuilds to sum_c = NULL; only the
+    // materialized non-null count can tell that apart from sum_c = 0.
+    val src = tmp("ivnull")
+    val view = tmp("ivnullview")
+    def nrows(kvs: (String, String, Long, Option[Long], Double)*): DataFrame = {
+      import spark.implicits._
+      kvs.toDF("day", "cat", "k", "qty", "amt")
+    }
+    Upsert.mergeByKey(spark, src, nrows(
+      ("d1", "a", 1L, Some(2L), 1.0), ("d1", "a", 2L, None, 2.0),
+      ("d1", "b", 3L, None, 3.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    IncrementalView.sync(spark, view)
+    assertFresh(view, src)
+    import spark.implicits._
+    def qtyOf(cat: String): Option[Long] = {
+      val r = Upsert.readCommitted(spark, view, "day")
+        .filter(col("cat") === cat).select("sum_qty").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(qtyOf("b").isEmpty, "bootstrap all-NULL group must carry sum_qty = NULL")
+    // a brand-new all-NULL group arrives through the FEED (the r16 gap:
+    // the incremental path materialized 0 here)
+    Upsert.mergeByKey(spark, src,
+      nrows(("d1", "c", 4L, None, 4.0), ("d1", "c", 5L, None, 5.0)),
+      "day", Seq("k"))
+    IncrementalView.sync(spark, view)
+    assertFresh(view, src)
+    assert(qtyOf("c").isEmpty, "feed-born all-NULL group must carry sum_qty = NULL")
+    // the group's LAST non-null value is updated to NULL: sum 2 -> NULL
+    Upsert.mergeByKey(spark, src,
+      nrows(("d1", "a", 1L, None, 1.0)), "day", Seq("k"))
+    IncrementalView.sync(spark, view)
+    assertFresh(view, src)
+    assert(qtyOf("a").isEmpty, "losing the last non-null value must flip the sum to NULL")
+    // and back: a non-null value returns, the sum returns
+    Upsert.mergeByKey(spark, src,
+      nrows(("d1", "c", 4L, Some(7L), 4.0)), "day", Seq("k"))
+    IncrementalView.sync(spark, view)
+    assertFresh(view, src)
+    assert(qtyOf("c").contains(7L), "a returning non-null value must revive the sum")
+  }
+
+  test("a crashed BOOTSTRAP retries at its pinned tip: no orphan groups after a full-group delete") {
+    // without the pin, a retry re-aggregates at the NEW tip: a group
+    // fully deleted between crash and retry is absent from the absolute
+    // batch, the keyed merge never deletes it, and the partially-applied
+    // orphan stays in the view forever.
+    val src = tmp("ivbcrash")
+    val view = tmp("ivbcrashview")
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 2L, 1.0), ("d2", "b", 2L, 3L, 2.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty", "amt"), "day")
+    val pin = TxnLog.currentVersion(spark, src)
+    // "crashed" bootstrap: the merge fully applied, the clean cursor
+    // never landed — the pin record is what the retry finds
+    IncrementalView.sync(spark, view)
+    graft.batch.IncrementalViewTestHook.simulateCrashDuringBootstrap(
+      spark, view, src, pin)
+    // the d2/b group is FULLY deleted from the source before the retry
+    Upsert.deleteByKey(spark, src,
+      rows(("d2", "b", 2L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val s = IncrementalView.sync(spark, view)
+    assert(s.groupsTouched > 0, s"$s")
+    assertFresh(view, src)
+    import spark.implicits._
+    val groups = Upsert.readCommitted(spark, view, "day")
+      .select("day", "cat").as[(String, String)].collect().toSet
+    assert(groups == Set(("d1", "a")),
+      s"the deleted group must NOT survive as a bootstrap orphan: $groups")
+    // clean cursor: next sync is a no-op
+    assert(IncrementalView.sync(spark, view).groupsTouched == 0L)
+  }
+
   test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
     val src = tmp("ivsrc3")
     val src2 = tmp("ivsrc3b")
@@ -240,7 +320,7 @@ class IncrementalViewSpec extends SparkSpec {
     // source rows to drive its count negative — the sync must refuse
     import spark.implicits._
     Upsert.mergeByKey(spark, view,
-      Seq(("d1", "a", 1L, 2L)).toDF("day", "cat", "n_rows", "sum_qty"),
+      Seq(("d1", "a", 1L, 2L, 1L)).toDF("day", "cat", "n_rows", "sum_qty", "nn_qty"),
       "day", Seq("cat"))
     Upsert.deleteByKey(spark, src,
       rows(("d1", "a", 1L, 0L, 0.0), ("d1", "a", 2L, 0L, 0.0))

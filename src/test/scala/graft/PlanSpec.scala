@@ -129,6 +129,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cross-source leakage never broadcasts a raw corpus projection") {
+    // The r16 weak mark: the source labels joined in as
+    // broadcast(documents.select(doc_id, source)) — a corpus-sized build
+    // side that OOMs the driver at 100 TB. The fixed plan broadcasts the
+    // VERIFIED PAIRS (post-0.8-Jaccard, vanishing fraction) and streams
+    // the corpus projection. Probe: no broadcast join may build from a
+    // subtree that is nothing but project/filter over the documents scan.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    def rawCorpusProjection(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec => s.toString.contains("documents")
+      case pr: ProjectExec => rawCorpusProjection(pr.child)
+      case f: FilterExec => rawCorpusProjection(f.child)
+      case _ => false
+    }
+    val plan = SparkEntry.queries("dedup_cross_source")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: BroadcastHashJoinExec
+        if rawCorpusProjection(if (j.buildSide == BuildLeft) j.left else j.right) => j
+      case j: BroadcastNestedLoopJoinExec
+        if rawCorpusProjection(if (j.buildSide == BuildLeft) j.left else j.right) => j
+    }
+    assert(bad.isEmpty, s"corpus-sized broadcast build side:\n${bad.mkString("\n")}")
+  }
+
+  test("dsir selection has no doc-grained single-partition window") {
+    // The r16 weak mark: the keep-set came from row_number()/count() over
+    // Window.partitionBy() — every raw doc's stats through ONE task. The
+    // fixed plan cuts by threshold; an unpartitioned window is only legal
+    // over aggregated metadata (the 256-bucket weight table, the coarse
+    // score-bucket list), never over a frame whose nearest aggregate is
+    // doc-grained.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def topAggs(p: SparkPlan): Seq[BaseAggregateExec] = p match {
+      case a: BaseAggregateExec => Seq(a)
+      case o => o.children.flatMap(topAggs)
+    }
+    val plan = SparkEntry.queries("txt_dsir_select")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        topAggs(w.child).exists(_.groupingExpressions.exists(
+          _.references.exists(_.name == "doc_id"))) => w
+    }
+    assert(bad.isEmpty, s"doc-grained unpartitioned window:\n${bad.mkString("\n")}")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
     // At 100 TB the win is shuffle-volume reduction: a selective dimension
     // predicate is turned into a bloom filter applied to the fact side

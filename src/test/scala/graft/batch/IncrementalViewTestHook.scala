@@ -25,4 +25,15 @@ object IncrementalViewTestHook {
       (s"""{"src":${graft.http.Json.quote(src)},"version":$cleanVersion,""" +
         s""""applyingTo":$applyingTo,"basis":$basis}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Rewrite the cursor as the pin record a BOOTSTRAP that crashed
+    * between its merge and its clean-cursor write would leave behind. */
+  def simulateCrashDuringBootstrap(
+      spark: org.apache.spark.sql.SparkSession, view: String, src: String,
+      bootstrappingTo: Long): Unit =
+    graft.core.AtomicWrite.replaceFile(spark,
+      new org.apache.hadoop.fs.Path(s"$view/_graft_meta/incview_cursor.json"),
+      (s"""{"src":${graft.http.Json.quote(src)},"version":0,""" +
+        s""""bootstrappingTo":$bootstrappingTo}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
