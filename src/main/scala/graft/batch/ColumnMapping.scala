@@ -129,6 +129,7 @@ object ColumnMapping {
     require(m.get(to).forall(_.nonEmpty),
       s"$to is the physical name of a DROPPED column of $table")
     val next = if (to == phys) m - phys else m + (phys -> to)
+    TableFeatures.declare(spark, table, TableFeatures.ColumnMapping)
     TableMeta.write(spark, table, FilePrefix, next)
   }
 
@@ -143,6 +144,7 @@ object ColumnMapping {
     val phys = physicalName(m, name)
     refusePartitionColumn(df, name, phys, "drop")
     refuseReferenced(spark, table, name, phys, "drop")
+    TableFeatures.declare(spark, table, TableFeatures.ColumnMapping)
     TableMeta.write(spark, table, FilePrefix, m + (phys -> ""))
   }
 

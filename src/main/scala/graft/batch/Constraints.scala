@@ -50,6 +50,7 @@ object Constraints {
       throw new IllegalArgumentException(
         s"cannot add constraint $name CHECK ($exprSql): existing rows " +
           s"violate it (first: ${violating.head})")
+    TableFeatures.declare(spark, table, TableFeatures.CheckConstraints)
     write(spark, table, list(spark, table) + (name -> exprSql))
   }
 

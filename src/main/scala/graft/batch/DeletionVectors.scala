@@ -81,6 +81,10 @@ object DeletionVectors {
       parallelism: Int = 4): Seq[String] = {
     require(keyCols.nonEmpty, "deleteVectored needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
+    // protocol gate + declaration: a DV is the canonical READER-level
+    // feature — ignoring the position sidecar resurrects deleted rows
+    TableFeatures.checkWrite(spark, table)
+    TableFeatures.declare(spark, table, TableFeatures.DeletionVectors)
     require(keys.columns.contains(partCol), s"keys must carry $partCol")
     keyCols.foreach(k =>
       require(keys.columns.contains(k), s"keys must carry key column $k"))

@@ -53,6 +53,7 @@ object GeneratedColumns {
       throw new IllegalArgumentException(
         s"cannot register $column GENERATED ALWAYS AS ($exprSql): existing " +
           s"rows do not match the expression (first: ${mismatched.head})")
+    TableFeatures.declare(spark, table, TableFeatures.GeneratedColumns)
     TableMeta.write(spark, table, FilePrefix,
       list(spark, table) + (column -> exprSql))
   }

@@ -124,6 +124,7 @@ object IdentityColumns {
       start: Long = 1L,
       step: Long = 1L): Unit = {
     validateDeclaration(spark, table, column, step)
+    TableFeatures.declare(spark, table, TableFeatures.Identity)
     TableMeta.write(spark, table, FilePrefix,
       list(spark, table).map { case (c, s) => c -> s"${s.start}:${s.step}" } +
         (column -> s"$start:$step"))

@@ -86,6 +86,7 @@ object LiquidClustering {
     if (state.get(ColsKey).contains(cols.mkString(","))) return // idempotent
     // a spec change invalidates every recorded fingerprint — keep ONLY the
     // spec so the next pass re-evaluates from scratch
+    TableFeatures.declare(spark, table, TableFeatures.Clustering)
     TableMeta.write(spark, table, Prefix, Map(ColsKey -> cols.mkString(",")))
   }
 

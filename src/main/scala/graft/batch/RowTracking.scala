@@ -92,6 +92,7 @@ object RowTracking {
         // declaration case: IdentityColumns.add handles both "no dir" and
         // "metadata-only dir"; the first merge materializes the column
         IdentityColumns.add(spark, table, RowIdCol)
+        TableFeatures.declare(spark, table, TableFeatures.RowTracking)
         TableMeta.write(spark, table, FilePrefix, Map("enabled" -> "true"))
         0L
       case Some(snapshot) =>
@@ -112,6 +113,7 @@ object RowTracking {
         withAutoMerge(spark) {
           Upsert.mergeByKey(spark, table, snapshot, partCol, keyCols)
         }
+        TableFeatures.declare(spark, table, TableFeatures.RowTracking)
         TableMeta.write(spark, table, FilePrefix, Map("enabled" -> "true"))
         n
     }

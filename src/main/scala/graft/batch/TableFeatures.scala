@@ -1,0 +1,126 @@
+package graft.batch
+
+import org.apache.spark.sql.SparkSession
+
+/** Table-feature protocol gating — the Delta protocol-versioning analog
+  * (`minReaderVersion`/`minWriterVersion` + table features; the reference
+  * inherits the full mechanism by enabling Delta, ref
+  * SparkManager.scala:36-37). The engine has format-level features a
+  * naive directory reader or out-of-band writer can MIS-read rather than
+  * fail on — deletion vectors (deleted rows resurrect), column mapping
+  * (physical names lie), row tracking, identity, the change feed,
+  * constraints, generated columns, clustering state, in-commit
+  * timestamps. This registry records which of them a table actually
+  * USES, and [[checkRead]]/[[checkWrite]] refuse — loudly, naming the
+  * feature — when a build that does not know a used feature opens the
+  * table.
+  *
+  * Levels mirror Delta's reader/writer split:
+  *  - `reader`: ignoring the feature returns WRONG DATA (deletion
+  *    vectors, column mapping). Readers and writers must both know it.
+  *  - `writer`: reads are safe without it, but an ignorant writer would
+  *    corrupt the table's invariants (constraints, generated/identity
+  *    columns, row tracking, CDF, clustering, in-commit timestamps).
+  *    Only writers must know it.
+  *
+  * Features are AUTO-DECLARED by the verbs that introduce them (the DDL
+  * that registers a constraint declares `check-constraints`, the first
+  * vectored delete declares `deletion-vectors`, …) — a user never
+  * manages this registry directly. An unknown LEVEL string is treated
+  * as `reader`, the conservative direction: a future feature class this
+  * build cannot even classify must refuse reads too. */
+object TableFeatures {
+
+  private val Prefix = "features-v"
+
+  val DeletionVectors = "deletion-vectors"
+  val ColumnMapping = "column-mapping"
+  val InCommitTimestamps = "in-commit-timestamps"
+  val RowTracking = "row-tracking"
+  val Identity = "identity-columns"
+  val ChangeDataFeed = "change-data-feed"
+  val CheckConstraints = "check-constraints"
+  val GeneratedColumns = "generated-columns"
+  val Clustering = "clustering"
+
+  /** Feature → required level, for every feature THIS build implements.
+    * The key set is what this build supports; the refusal matrix compares
+    * a table's declared features against it. */
+  val Supported: Map[String, String] = Map(
+    DeletionVectors -> "reader",
+    ColumnMapping -> "reader",
+    InCommitTimestamps -> "writer",
+    RowTracking -> "writer",
+    Identity -> "writer",
+    ChangeDataFeed -> "writer",
+    CheckConstraints -> "writer",
+    GeneratedColumns -> "writer",
+    Clustering -> "writer")
+
+  /** The features `table` has declared, feature → level. */
+  def features(spark: SparkSession, table: String): Map[String, String] =
+    TableMeta.read(spark, table, Prefix)
+
+  /** Record that `table` uses `feature` (idempotent; level from
+    * [[Supported]]). Called by the verb that introduces the feature,
+    * AFTER its own validation passes — a refused DDL must not leave a
+    * feature declared. */
+  def declare(spark: SparkSession, table: String, feature: String): Unit =
+    declareAll(spark, table, Seq(feature))
+
+  /** Declare several features in one registry read/write (the merge hot
+    * path declares its base set per call; this keeps that one listing).
+    * Declaration is NOT DDL: two concurrent merges both declaring the
+    * base set must both succeed, so a lost create-exclusive race re-reads
+    * and retries (monotone — features only accumulate, so the loser's
+    * re-read usually finds the winner already declared everything). */
+  def declareAll(spark: SparkSession, table: String, feats: Seq[String]): Unit = {
+    val want = feats.map { f =>
+      f -> Supported.getOrElse(f, throw new IllegalArgumentException(
+        s"cannot declare unknown feature $f (this build supports: " +
+          s"${Supported.keys.toSeq.sorted.mkString(", ")})"))
+    }.toMap
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val cur = features(spark, table)
+      if (want.forall { case (k, v) => cur.get(k).contains(v) }) return
+      try {
+        TableMeta.write(spark, table, Prefix, cur ++ want)
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // racer won
+      }
+    }
+    throw new IllegalStateException(
+      s"feature declaration on $table still contended after $attempts attempts")
+  }
+
+  /** Refuse to read `table` if it declares a reader-level feature this
+    * build does not know. Unknown levels count as reader-level — a
+    * feature class we cannot classify must gate reads too. */
+  def checkRead(spark: SparkSession, table: String): Unit = {
+    val unknown = features(spark, table).collect {
+      case (f, level) if !Supported.contains(f) &&
+        level != "writer" => f
+    }
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot READ $table: it uses reader-level table feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} unknown to this build — " +
+          "a read that ignored them would return wrong data, not fail. " +
+          s"This build supports: ${Supported.keys.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** Refuse to write `table` if it declares ANY feature this build does
+    * not know — an ignorant writer corrupts invariants it cannot see. */
+  def checkWrite(spark: SparkSession, table: String): Unit = {
+    val unknown = features(spark, table).keys.filterNot(Supported.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot WRITE $table: it uses table feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} unknown to this build — " +
+          "a write that ignored them would corrupt the table's invariants. " +
+          s"This build supports: ${Supported.keys.toSeq.sorted.mkString(", ")}")
+  }
+}

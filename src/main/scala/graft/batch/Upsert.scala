@@ -104,6 +104,16 @@ object Upsert {
       keepSuppliedIdentity: Boolean = false): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
+    // protocol gate: refuse tables carrying features this build does not
+    // know, then declare what THIS merge introduces — every managed
+    // table's commits carry in-commit timestamps, and the change feed
+    // rides the merge unless disabled (one registry read, write only on
+    // first declaration)
+    TableFeatures.checkWrite(spark, table)
+    TableFeatures.declareAll(spark, table,
+      TableFeatures.InCommitTimestamps +:
+        (if (changeFeedEnabled(spark)) Seq(TableFeatures.ChangeDataFeed)
+         else Seq.empty))
     // GENERATED columns ([[GeneratedColumns]], Delta's GENERATED ALWAYS
     // AS): updates that omit a registered column get it computed here —
     // including the PARTITION column, so producers can ship raw rows and
@@ -129,6 +139,19 @@ object Upsert {
         u.withColumn(c, expr(sql))
       else u
     }
+    // EXPECTATIONS ([[Expectations]], the DLT expect-or-quarantine
+    // analog): rule-failing rows route to `<table>/_quarantine` and the
+    // merge commits the survivors, with exact per-rule counts in the
+    // ledger. Runs after generated fill (rules may reference generated
+    // values) and before identity assignment (a quarantined row consumes
+    // no ids). The survivors read a pinned evaluation; its free thunk is
+    // released with the updates persist below.
+    val expectRules = Expectations.list(spark, table).toSeq.sortBy(_._1)
+    val (screened, freeScreen) =
+      if (expectRules.isEmpty) (generated, () => ())
+      else Expectations.screen(spark, table, generated, partCol, keyCols,
+        deleteWhen, expectRules)
+    try {
     // IDENTITY columns ([[IdentityColumns]], Delta's GENERATED ALWAYS AS
     // IDENTITY): explicit values are refused BY NAME (the Delta contract —
     // uniqueness is the column's promise, not the producer's); omitted
@@ -144,7 +167,7 @@ object Upsert {
     // the high-water mark never rewinds, so later mints stay disjoint.
     val idSpecs = IdentityColumns.list(spark, table).toSeq.sortBy(_._1)
     idSpecs.foreach { case (c, _) =>
-      if (generated.columns.contains(c) && !keepSuppliedIdentity)
+      if (screened.columns.contains(c) && !keepSuppliedIdentity)
         throw new IllegalArgumentException(
           s"column $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
             "are refused (Delta contract); omit the column and let the " +
@@ -158,7 +181,7 @@ object Upsert {
     // reserved synthetic `_graft_identity:*` values — disjoint from every
     // data partition, so they conflict with nothing.)
     val snapshot = TxnLog.currentVersion(spark, table)
-    val updates = idSpecs.foldLeft(generated) { case (u, (c, _)) =>
+    val updates = idSpecs.foldLeft(screened) { case (u, (c, _)) =>
       if (u.columns.contains(c)) u // keepSuppliedIdentity: values ride as-is
       else IdentityColumns.assign(spark, table, u, partCol, keyCols, c, deleteWhen)
     }
@@ -293,6 +316,7 @@ object Upsert {
       refreshIndexSidecars(spark, table)
       touched
     } finally updates.unpersist()
+    } finally freeScreen()
   }
 
   /** Catch any per-file index sidecars (Bloom filters, min/max stats) up
@@ -767,6 +791,7 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String): DataFrame = {
+    TableFeatures.checkRead(spark, table)
     // time travel shows OLD versions under the CURRENT logical names,
     // exactly Delta's column-mapping semantics
     val colMap = ColumnMapping.mapping(spark, table)
@@ -965,7 +990,13 @@ object Upsert {
       mappedColumns: Seq[String],
       bloomIndexes: Seq[String],
       statsIndexes: Seq[String],
-      pendingDvSidecars: Long)
+      pendingDvSidecars: Long,
+      /** registered expectations, `name EXPECT (expr)` */
+      expectations: Seq[String] = Seq.empty,
+      /** newest screening record, `rule=failing-rows` (ledger, no job) */
+      lastExpectCounts: Seq[String] = Seq.empty,
+      /** declared table features, `feature (level)` */
+      tableFeatures: Seq[String] = Seq.empty)
 
   def detail(spark: SparkSession, table: String): TableDetail = {
     val root = new org.apache.hadoop.fs.Path(table)
@@ -1007,7 +1038,14 @@ object Upsert {
         if (l.isEmpty) s"$p (dropped)" else s"$p -> $l" },
       bloomIndexes = graft.core.BloomIndex.indexedColumns(spark, table),
       statsIndexes = graft.core.StatsIndex.indexedColumns(spark, table),
-      pendingDvSidecars = dvCount)
+      pendingDvSidecars = dvCount,
+      expectations = Expectations.list(spark, table).toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"$n EXPECT ($sql)" },
+      lastExpectCounts = Expectations.recent(spark, table, limit = 1)
+        .headOption.toSeq.flatMap { case (v, counts) =>
+          counts.toSeq.sortBy(_._1).map { case (r, n) => s"$r=$n @v$v" } },
+      tableFeatures = TableFeatures.features(spark, table).toSeq.sortBy(_._1)
+        .map { case (f, level) => s"$f ($level)" })
   }
 
   /** Deep CLONE (Delta `CREATE TABLE … CLONE src [VERSION AS OF v]`): an
@@ -1177,6 +1215,9 @@ object Upsert {
       table: String,
       partCol: String,
       maxAttempts: Int = 80): DataFrame = {
+    // protocol gate: a reader-level feature this build does not know
+    // means a read would return wrong data, not fail — refuse loudly
+    TableFeatures.checkRead(spark, table)
     val colMap = ColumnMapping.mapping(spark, table)
     ColumnMapping.applyLogical(
       readCommittedPhysical(spark, table,

@@ -69,7 +69,11 @@ object TxnLog {
       /** for `*-end` records: the version of the `*-begin` they close */
       ref: Option[Long] = None,
       all: Boolean = false,
-      txn: Option[String] = None)
+      txn: Option[String] = None,
+      /** named counters a ledger commit carries (e.g. per-rule
+        * expectation metrics — see [[graft.batch.Expectations]]); pure
+        * audit payload, never consulted by conflict checks. */
+      counts: Option[Map[String, Long]] = None)
 
   /** Wall-clock source for commit timestamps — injectable so specs can
     * prove the in-commit-timestamp clamp under a skewed/backward clock
@@ -158,7 +162,8 @@ object TxnLog {
       snapshotVersion: Long,
       ref: Option[Long] = None,
       all: Boolean = false,
-      txn: Option[String] = None): Commit = {
+      txn: Option[String] = None,
+      counts: Option[Map[String, Long]] = None): Commit = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     fs.mkdirs(dir)
@@ -200,7 +205,7 @@ object TxnLog {
       // direction (a claim is held longer, never usurped early).
       val prevTs = withTip.lastOption.map(_.ts).getOrElse(0L)
       val c = Commit(next, op, partitions,
-        math.max(clock(), prevTs + 1), ref, all, txn)
+        math.max(clock(), prevTs + 1), ref, all, txn, counts)
       if (createExclusive(fs, vFile(dir, next), render(c))) {
         if (next % CheckpointInterval == 0) writeCheckpoint(spark, table, fs, dir, next)
         return c
@@ -277,6 +282,15 @@ object TxnLog {
   def commitTxn(spark: SparkSession, table: String, txnId: String): Commit =
     commit(spark, table, "txn", Set.empty,
       currentVersion(spark, table), txn = Some(txnId))
+
+  /** Record a named-counter ledger entry (op + counts). Touches no
+    * partitions, so it conflicts with nothing — pure audit payload (the
+    * per-rule expectation metrics ride on this). */
+  def commitCounts(
+      spark: SparkSession, table: String, op: String,
+      counts: Map[String, Long]): Commit =
+    commit(spark, table, op, Set.empty,
+      currentVersion(spark, table), counts = Some(counts))
 
   /** Has [[commitTxn]] recorded `txnId` within the retained manifest?
     * Retention caveat (same as Delta's): [[truncate]] can age out a marker,
@@ -530,8 +544,12 @@ object TxnLog {
     val refField = c.ref.map(r => s""""ref":$r,""").getOrElse("")
     val allField = if (c.all) """"all":true,""" else ""
     val txnField = c.txn.map(t => s""""txn":${graft.http.Json.quote(t)},""").getOrElse("")
+    val countsField = c.counts.map(m =>
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${graft.http.Json.quote(k)}:$v"
+      }.mkString(""""counts":{""", ",", "},")).getOrElse("")
     s"""{"version":${c.version},"op":${graft.http.Json.quote(c.op)},""" +
-      s""""partitions":$parts,"ts":${c.ts},$refField$allField$txnField"complete":true}"""
+      s""""partitions":$parts,"ts":${c.ts},$refField$allField$txnField$countsField"complete":true}"""
   }
 
   private def commitFromJson(op: Map[String, graft.http.JVal]): Commit =
@@ -546,7 +564,12 @@ object TxnLog {
       ts = op.get("ts").collect { case graft.http.JNum(n) => n.toLong }.getOrElse(0L),
       ref = op.get("ref").collect { case graft.http.JNum(n) => n.toLong },
       all = op.get("all").contains(graft.http.JBool(true)),
-      txn = op.get("txn").map(_.str))
+      txn = op.get("txn").map(_.str),
+      counts = op.get("counts").collect {
+        case graft.http.JObj(fields) => fields.collect {
+          case (k, graft.http.JNum(n)) => k -> n.toLong
+        }.toMap
+      })
 
   private def parse(v: Long, txt: String): Option[Commit] =
     // "complete":true is the last byte group written — its presence proves

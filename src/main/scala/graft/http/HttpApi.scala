@@ -392,7 +392,10 @@ final class HttpApi(
           "mappedColumns" -> strs(d.mappedColumns),
           "bloomIndexes" -> strs(d.bloomIndexes),
           "statsIndexes" -> strs(d.statsIndexes),
-          "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars))))
+          "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars)),
+          "expectations" -> strs(d.expectations),
+          "lastExpectCounts" -> strs(d.lastExpectCounts),
+          "tableFeatures" -> strs(d.tableFeatures)))
     }
   }
 

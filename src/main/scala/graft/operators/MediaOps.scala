@@ -50,6 +50,29 @@ object MediaOps {
     /** "Resize": every-other-byte resample (half resolution). */
     def downsample(bytes: Array[Byte]): Array[Byte] =
       bytes.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b }
+    /** Perceptual dHash (difference hash, the published image near-dup
+      * fingerprint): an 8×8 grid of horizontal gradient bits over a
+      * 9-column luminance grid — bit (r,c) set iff cell (r,c) is
+      * brighter than (r,c+1). Real pipelines downscale to the 9×8 grid
+      * first; the stub reads the first 72 payload bytes AS the grid
+      * (deterministic, SQL-replayable). Hamming distance between
+      * dHashes survives re-encoding/resize noise — the property the
+      * banded near-dup join exploits. */
+    def dHash(bytes: Array[Byte]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val i = r * 9 + c
+          if ((bytes(i) & 0xff) > (bytes(i + 1) & 0xff))
+            h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
   }
 
   /** Deterministic synthetic media corpus (no media files in the container):
@@ -130,6 +153,29 @@ object MediaOps {
           (codec.luma(seg) / 255.0).toFloat
         }
         MediaFeature(m.media_id, m.kind, feat)
+      }
+    }
+  }
+
+  final case class ImageHash(img_id: Long, dhash: Long)
+
+  /** Perceptual hashes for the image corpus PLUS a "re-encoded twin" per
+    * image (payload with its first byte zeroed — the compression-artifact
+    * stand-in): even ids are originals, odd ids their twins. A twin's
+    * dHash differs from its original in AT MOST the (0,0) gradient bit,
+    * so the downstream banded join provably has near-dups to find —
+    * exactly the situation a real corpus presents (the same photo
+    * re-encoded at different qualities). Per-partition codec init, same
+    * batch shape as every media operator. */
+  def dHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.filter(col("kind") === "image").mapPartitions { rows =>
+      val codec = new StubCodec
+      rows.flatMap { m =>
+        val reencoded = m.bytes.clone()
+        reencoded(0) = 0
+        Seq(ImageHash(m.media_id * 2, codec.dHash(m.bytes)),
+          ImageHash(m.media_id * 2 + 1, codec.dHash(reencoded)))
       }
     }
   }

@@ -99,7 +99,33 @@ object MediaQueries extends QueryModule {
       .agg(count(lit(1)).as("n_similar"), max(col("cosine")).as("best_cosine"))
   }
 
+  /** Perceptual-hash image dedup — the cross-modal completion of the
+    * text dedup family: dHash every image (plus its deterministic
+    * "re-encoded twin", [[MediaOps.dHashes]]), band the 64-bit hash into
+    * 4×16-bit keys, equi-join on (band index, band value) — NEVER
+    * all-pairs, the same banding economics as `dedup_simhash` — and
+    * verify candidates by exact Hamming distance ≤ 6. Random images
+    * collide on a band with probability 4·2⁻¹⁶ and then fail the
+    * Hamming bar, so the output is the re-encoding pairs plus any true
+    * band-collision near-dups, at O(images) join cost. */
+  def mediaPhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = MediaOps.dHashes(corpus(s, d)).toDF()
+    val bands = hashes
+      .withColumn("j", explode(expr("sequence(0, 3)")))
+      .withColumn("band", expr("(dhash >> (j * 16)) & 65535"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.band") === col("y.band") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("id_a"), col("y.img_id").as("id_b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+  }
+
   val queries: Map[String, Q] = Map(
+    "media_phash_pairs" -> (mediaPhashPairs _),
     "media_decode_stats" -> (mediaDecodeStats _),
     "media_resize_stats" -> (mediaResizeStats _),
     "media_frame_sample" -> (mediaFrameSample _),
@@ -128,6 +154,49 @@ object MediaQueries extends QueryModule {
          WHERE id < c.n$kindFilter)"""
 
   val oracleSql: Map[String, String] = Map(
+    "media_phash_pairs" ->
+      s"""WITH RECURSIVE ${paramsCte(" AND id % 3 = 0")},
+         gen(id, k, s) AS (
+           SELECT id, -1, s0 FROM params
+           UNION ALL
+           SELECT id, k + 1, ${lcgNext("s")} FROM gen WHERE k < 71),
+         bytes AS (
+           SELECT id, k, s // 72057594037927936 AS b FROM gen WHERE k >= 0),
+         grads AS (
+           SELECT a.id, (a.k // 9) * 8 + (a.k % 9) AS bit, a.b > n.b AS g
+           FROM bytes a JOIN bytes n ON n.id = a.id AND n.k = a.k + 1
+           WHERE a.k % 9 < 8 AND a.k < 71),
+         h0 AS (
+           SELECT id,
+             CAST(SUM(CASE WHEN g THEN CAST(pow(2, bit) AS HUGEINT)
+               ELSE 0 END) AS HUGEINT) AS h,
+             MAX(CASE WHEN bit = 0 AND g THEN 1 ELSE 0 END) AS bit0
+           FROM grads GROUP BY id),
+         hashes AS (
+           SELECT id * 2 AS img_id, h FROM h0
+           UNION ALL
+           SELECT id * 2 + 1, h - bit0 FROM h0),
+         bands AS (
+           SELECT img_id, h, j,
+             (h // CAST(pow(2, j * 16) AS HUGEINT)) % 65536 AS band
+           FROM hashes, range(4) t(j)),
+         cand AS (
+           SELECT DISTINCT x.img_id AS id_a, y.img_id AS id_b,
+             x.h AS ha, y.h AS hb
+           FROM bands x JOIN bands y
+             ON x.j = y.j AND x.band = y.band AND x.img_id < y.img_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(
+             CAST(ha - CASE WHEN ha >= 9223372036854775808 THEN
+               18446744073709551616 ELSE 0 END AS BIGINT),
+             CAST(hb - CASE WHEN hb >= 9223372036854775808 THEN
+               18446744073709551616 ELSE 0 END AS BIGINT))) AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(xor(
+             CAST(ha - CASE WHEN ha >= 9223372036854775808 THEN
+               18446744073709551616 ELSE 0 END AS BIGINT),
+             CAST(hb - CASE WHEN hb >= 9223372036854775808 THEN
+               18446744073709551616 ELSE 0 END AS BIGINT))) <= 6""",
     "media_decode_stats" ->
       s"""WITH RECURSIVE ${paramsCte(" AND id % 3 = 0")},
          gen(id, k, s, h_acc, luma_sum, size) AS (

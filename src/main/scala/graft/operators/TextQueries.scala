@@ -841,7 +841,62 @@ object TextQueries extends QueryModule {
       min(when(col("sel"), col("score_q16"))).as("cut_score_q16"))
   }
 
+  /** The broadcast BPE merges table: (left, right) pairs, rank =
+    * position. A FIXED shipped artifact, exactly how GPT-2 inference
+    * works (the merges file is trained once, distributed with the
+    * tokenizer, and the encoder never derives it from the corpus at
+    * hand — ref: the published GPT-2 BPE; Sennrich et al. 2016). Rules
+    * cascade: later ranks consume earlier ranks' outputs ("data" builds
+    * d+a → da+t → dat+a). Tiny here; at 50k rules the same table rides
+    * one broadcast exactly like [[dsirSelect]]'s weight table. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("a", "t"), ("s", "t"),
+    ("o", "r"), ("a", "n"), ("i", "n"), ("d", "a"), ("da", "t"),
+    ("dat", "a"), ("j", "o"), ("jo", "in"), ("s", "c"), ("sc", "an"),
+    ("b", "at"), ("bat", "c"), ("batc", "h"), ("m", "er"), ("mer", "g"),
+    ("merg", "e"), ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"))
+
+  /** The BPE merge LOOP as a pure expression both engines run
+    * byte-identically: symbols ride a '|'-delimited string
+    * (`|h|e|l|l|o|`), and applying merge (l, r) is one non-overlapping
+    * left-to-right `replace('|l|r|' -> '|lr|')` — the exact greedy
+    * semantics of applying BPE merges in rank order. `init` is the
+    * dialect-specific char-interleave expression. */
+  private def bpeChain(init: String): String =
+    BpeMerges.foldLeft(init) { case (e, (l, r)) =>
+      s"replace($e, '|$l|$r|', '|$l$r|')"
+    }
+
+  /** Subword (BPE) vs whitespace token accounting per source: every
+    * token budget in this module (packing, length buckets, budget
+    * select, epoch planning) counts whitespace tokens; this query
+    * measures the drift a real tokenizer implies — `drift_q16` is the
+    * q16 fixed-point subword-per-word
+    * ratio, all-integer so Spark and DuckDB agree bit-for-bit. Words
+    * outside the tokenizer's alphabet count 1 (the <unk> convention).
+    *
+    * 100 TB shape: tokenize/explode is narrow on the scan; the merge
+    * chain is per-row string work inside whole-stage codegen (no UDF,
+    * no shuffle); the only exchange is the |sources|-row final agg. */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(col("doc_id"), col("source"),
+      explode(col("toks")).as("w"))
+    val enc = bpeChain("concat('|', regexp_replace(w, '(.)', '$1|'))")
+    val sym = words.withColumn("s",
+      when(col("w").rlike("^[a-z]+$"), expr(enc)))
+    val counted = sym.withColumn("bpe_w",
+      when(col("s").isNull, lit(1L)).otherwise(
+        (length(col("s")) - length(expr("replace(s, '|', '')")) - lit(1))
+          .cast("long")))
+    counted.groupBy("source").agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("ws_tokens"),
+      sum(col("bpe_w")).as("bpe_tokens"))
+      .withColumn("drift_q16", expr("(bpe_tokens * 65536) DIV ws_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "txt_bpe_tokens" -> (bpeTokens _),
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
     "txt_mix_epochs" -> (mixEpochs _),
@@ -913,6 +968,26 @@ object TextQueries extends QueryModule {
         LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2"""
 
   val oracleSql: Map[String, String] = Map(
+    "txt_bpe_tokens" -> s"""$cte,
+      words AS (
+        SELECT doc_id, source, unnest(toks) AS w FROM docs),
+      enc AS (
+        SELECT doc_id, source, w,
+          CASE WHEN regexp_full_match(w, '[a-z]+') THEN
+            ${bpeChain("""('|' || regexp_replace(w, '(.)', '\1|', 'g'))""")}
+          END AS s
+        FROM words),
+      per_source AS (
+        SELECT source,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+          CAST(SUM(CASE WHEN s IS NULL THEN 1
+            ELSE length(s) - length(replace(s, '|', '')) - 1 END) AS BIGINT)
+            AS bpe_tokens
+        FROM enc GROUP BY 1)
+      SELECT source, n_docs, ws_tokens, bpe_tokens,
+        CAST((bpe_tokens * 65536) // ws_tokens AS BIGINT) AS drift_q16
+      FROM per_source""",
     "txt_budget_select" -> s"""$cte,
       scored AS (
         SELECT source, doc_id,

@@ -281,6 +281,71 @@ class IncrementalViewSpec extends SparkSpec {
     assert(IncrementalView.sync(spark, view).groupsTouched == 0L)
   }
 
+  test("MIN/MAX views: signed fast path for inserts, extremum-loss recompute only for deletes that hit it") {
+    val src = tmp("ivmm")
+    val view = tmp("ivmmview")
+    def check(): Unit = {
+      val cols = Seq("day", "cat", "n_rows", "min_qty", "max_qty", "min_amt")
+      val got = Upsert.readCommitted(spark, view, "day").select(cols.map(col): _*)
+      val want = IncrementalView.aggregateOf(
+        Upsert.readCommitted(spark, src, "day"), Seq("day", "cat"),
+        Seq.empty, Seq("qty", "amt"), Seq("qty"))
+        .select(cols.map(col): _*)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"view != rebuild:\nview: ${got.orderBy("day", "cat").collect().toSeq}\n" +
+          s"def:  ${want.orderBy("day", "cat").collect().toSeq}")
+    }
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 1L, 5L, 1.5), ("d1", "a", 2L, 9L, 0.5),
+      ("d2", "b", 3L, 7L, 2.0)), "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq.empty, "day",
+      minCols = Seq("qty", "amt"), maxCols = Seq("qty"))
+    IncrementalView.sync(spark, view)
+    check()
+    // INSERTS only improve extrema: pure merge arithmetic, ZERO recompute
+    Upsert.mergeByKey(spark, src, rows(
+      ("d1", "a", 4L, 3L, 9.9), ("d2", "b", 5L, 11L, 0.1)), "day", Seq("k"))
+    val sIns = IncrementalView.sync(spark, view)
+    assert(sIns.recomputedGroups == 0L && sIns.recomputeParts.isEmpty,
+      s"insert-only churn must stay on the signed fast path: $sIns")
+    check()
+    // deleting a NON-extremum row: still no recompute
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 1L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val sMid = IncrementalView.sync(spark, view)
+    assert(sMid.recomputedGroups == 0L,
+      s"losing a middle value must not trigger a recompute: $sMid")
+    check()
+    // deleting the CURRENT max of d1/a (qty 9): exactly that group
+    // recomputes, and the scan is pruned to exactly its partition —
+    // d2 sees churn too (an insert) but must NOT be in the recompute
+    Upsert.mergeByKey(spark, src, rows(("d2", "b", 6L, 8L, 5.0)), "day", Seq("k"))
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 2L, 0L, 0.0)).select("day", "k"), "day", Seq("k"))
+    val sLoss = IncrementalView.sync(spark, view)
+    assert(sLoss.recomputedGroups == 1L,
+      s"exactly the extremum-loss group recomputes: $sLoss")
+    assert(sLoss.recomputeParts == Seq("d1"),
+      s"the recompute scan must be pruned to the loss group's partition: $sLoss")
+    check()
+    // an UPDATE that moves the minimum amt away (delete+insert legs)
+    Upsert.mergeByKey(spark, src, rows(("d2", "b", 5L, 11L, 6.0)), "day", Seq("k"))
+    val sUpd = IncrementalView.sync(spark, view)
+    assert(sUpd.recomputedGroups == 1L && sUpd.recomputeParts == Seq("d2"), s"$sUpd")
+    check()
+    // full-group delete: the group vanishes, no recompute for it
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 3L, 0L, 0.0), ("d1", "a", 4L, 0L, 0.0))
+        .select("day", "k"), "day", Seq("k"))
+    IncrementalView.sync(spark, view)
+    check()
+    import spark.implicits._
+    val groups = Upsert.readCommitted(spark, view, "day")
+      .select("day", "cat").as[(String, String)].collect().toSet
+    assert(groups == Set(("d2", "b")), s"$groups")
+  }
+
   test("refusal matrix: unregistered, second source, bad registration, corrupted view") {
     val src = tmp("ivsrc3")
     val src2 = tmp("ivsrc3b")
