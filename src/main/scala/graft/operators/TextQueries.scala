@@ -792,6 +792,7 @@ object TextQueries extends QueryModule {
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(sum(col("lam_q16")).as("score_q16"))
+      .cache() // ~24 B/doc stats frame; four tiny passes read it below
     // ---- selection by THRESHOLD, not by global rank ----
     // keep-set = top floor(n_raw·frac) docs by (score desc, doc_id asc),
     // computed without ranking every doc through one partition: a
@@ -805,6 +806,7 @@ object TextQueries extends QueryModule {
     val hist = perDoc.groupBy("score_q16").agg(count(lit(1)).as("n_at"))
       .withColumn("hbkt",
         expr("(score_q16 - pmod(score_q16, 65536L)) DIV 65536L"))
+      .cache() // ≤ one row per distinct score; read thrice below
     val buckets = hist.groupBy("hbkt").agg(sum("n_at").as("n_b"))
       .withColumn("above_b",
         sum("n_b").over(Window.orderBy(desc("hbkt"))) - col("n_b"))
@@ -814,7 +816,7 @@ object TextQueries extends QueryModule {
         sum("n_at").over(
           Window.partitionBy("hbkt").orderBy(desc("score_q16"))) -
         col("n_at"))
-    val kRow = perDoc.agg(count(lit(1)).as("n_raw"))
+    val kRow = hist.agg(sum("n_at").as("n_raw"))
       .select(floor(col("n_raw").cast("double") * lit(DsirKeepFrac))
         .cast("long").as("k"))
     // the unique score where the rank-k boundary falls; agg keeps the
@@ -824,14 +826,24 @@ object TextQueries extends QueryModule {
         col("k") <= col("above") + col("n_at"))
       .agg(max(col("score_q16")).as("cut_s"),
         max(col("k") - col("above")).as("need"))
-    val flagged = perDoc
-      .withColumn("tie_rn", row_number().over(
+    // the `need`-th smallest doc_id AT the cut score. Only the docs
+    // sharing the exact boundary BIGINT score enter this window —
+    // near-singleton in practice (ties on an exact 64-bit token-sum are
+    // duplicate-content docs) — and it is hash-partitioned on the score,
+    // never Window.partitionBy().
+    val tieCut = perDoc.join(broadcast(cutRow),
+        col("score_q16") === col("cut_s"))
+      .withColumn("rn", row_number().over(
         Window.partitionBy("score_q16").orderBy("doc_id")))
+      .filter(col("rn") === col("need"))
+      .agg(max(col("doc_id")).as("tie_doc"))
+    val flagged = perDoc
       .crossJoin(broadcast(cutRow))
+      .crossJoin(broadcast(tieCut))
       .withColumn("sel",
         col("score_q16") > col("cut_s") ||
           (col("score_q16") === col("cut_s") &&
-            col("tie_rn") <= col("need")))
+            col("doc_id") <= col("tie_doc")))
     flagged.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("sel"), 1L).otherwise(0L)).as("sel_docs"),

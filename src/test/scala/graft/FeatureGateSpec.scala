@@ -124,6 +124,19 @@ class FeatureGateSpec extends SparkSpec {
     assert(e.getMessage.contains("strange-thing"), e.getMessage)
   }
 
+  test("CLONE carries the feature declarations (the gate travels with the bytes)") {
+    val t = mkTable()
+    Constraints.add(spark, t, "pos", "v >= 0")
+    LiquidClustering.setClusterBy(spark, t, Seq("v"))
+    val dst = tmp("fgclone")
+    Upsert.cloneTo(spark, t, dst, "day")
+    val f = TableFeatures.features(spark, dst)
+    assert(f.contains(TableFeatures.CheckConstraints) &&
+      f.contains(TableFeatures.Clustering) &&
+      f.contains(TableFeatures.InCommitTimestamps),
+      s"clone must carry the registry: $f")
+  }
+
   test("declare refuses names this build does not support") {
     val t = mkTable()
     val e = intercept[IllegalArgumentException] {

@@ -641,6 +641,25 @@ class HttpSpec extends SparkSpec {
       assert(det("constraints") == JArr(Vector(JStr("v_pos CHECK (v > 0)"))))
       assert(det("statsIndexes") == JArr(Vector(JStr("v"))))
       assert(det("pendingDvSidecars") == JNum(BigDecimal(0)))
+      // r17 surfaces: declared table features + expectation rules/counts
+      det("tableFeatures") match {
+        case JArr(fs) =>
+          assert(fs.contains(JStr("check-constraints (writer)")) &&
+            fs.contains(JStr("in-commit-timestamps (writer)")), s"$fs")
+        case other => fail(s"tableFeatures: $other")
+      }
+      graft.batch.Expectations.add(spark, t, "v_cap", "v < 1000000")
+      graft.batch.Upsert.mergeByKey(spark, t,
+        Seq(("2026-05-01", 2L, 3.0)).toDF("day", "k", "v"), "day", Seq("k"))
+      val det2 = get(api.port,
+        s"/table/detail?table=${java.net.URLEncoder.encode(t, "UTF-8")}")._2.asObj
+      assert(det2("expectations") ==
+        JArr(Vector(JStr("v_cap EXPECT (v < 1000000)"))), det2("expectations"))
+      det2("lastExpectCounts") match {
+        case JArr(cs) =>
+          assert(cs.size == 1 && cs.head.str.startsWith("v_cap=0 @v"), s"$cs")
+        case other => fail(s"lastExpectCounts: $other")
+      }
     } finally api.stop()
   }
 

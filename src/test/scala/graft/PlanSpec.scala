@@ -180,6 +180,19 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"doc-grained unpartitioned window:\n${bad.mkString("\n")}")
   }
 
+  test("BPE token accounting stays inside codegen: the merge loop is pure string expressions") {
+    val p = planOf("txt_bpe_tokens")
+    for (barrier <- Seq("DeserializeToObject", "MapPartitions", "BatchEvalPython", "SerializeFromObject"))
+      assert(!p.contains(barrier), s"codegen barrier $barrier:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("perceptual-hash dedup joins on bands, never a cross product") {
+    val p = planOf("media_phash_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
     // At 100 TB the win is shuffle-volume reduction: a selective dimension
     // predicate is turned into a bloom filter applied to the fact side
