@@ -94,6 +94,16 @@ object LiquidClustering {
   def clusterSpec(spark: SparkSession, table: String): Option[Seq[String]] =
     TableMeta.read(spark, table, Prefix).get(ColsKey).map(_.split(",").toSeq)
 
+  /** Unregister clustering — Delta's `ALTER TABLE … CLUSTER BY NONE`.
+    * Data files keep whatever layout the last pass gave them (harmless —
+    * clustering is a performance property, not a correctness one); the
+    * fingerprint/version state goes with the spec, so a later
+    * [[setClusterBy]] starts from scratch. Idempotent. This is the verb
+    * that clears [[TableFeatures.residue]] for the clustering feature. */
+  def clusterByNone(spark: SparkSession, table: String): Unit =
+    if (clusterSpec(spark, table).isDefined)
+      TableMeta.write(spark, table, Prefix, Map.empty)
+
   /** One incremental clustering pass. Returns what it did; see class doc
     * for the cost shape. `targetBytes` sizes output files exactly like
     * OPTIMIZE (a partition is "over-filed" when it holds more than twice

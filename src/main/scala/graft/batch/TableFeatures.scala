@@ -96,6 +96,116 @@ object TableFeatures {
       s"feature declaration on $table still contended after $attempts attempts")
   }
 
+  /** Drop `feature` from `table`'s declaration — Delta's `ALTER TABLE …
+    * DROP FEATURE`. A feature may be dropped only when the table carries
+    * NO RESIDUE of it: nothing on disk an unaware build could mis-read or
+    * fail to maintain once the gate is gone. [[residue]] names the exact
+    * remains and the verb that clears them (drop the constraints, run
+    * `clusterByNone`, REORG PURGE + vacuum, …) — the Delta discipline,
+    * where dropping `deletionVectors` demands `REORG … APPLY (PURGE)` and
+    * a truncated history before the protocol downgrade is legal.
+    *
+    * Concurrency: removal re-reads the registry and re-checks residue on
+    * every attempt, so a verb concurrently RE-INTRODUCING the feature
+    * (a merge declaring CDF, a new constraint) either lands before the
+    * drop (the re-check refuses loudly) or after it (the verb's own
+    * declare puts the feature back — accumulation is always safe). */
+  def dropFeature(spark: SparkSession, table: String, feature: String): Unit = {
+    require(Supported.contains(feature),
+      s"unknown feature $feature (this build supports: " +
+        s"${Supported.keys.toSeq.sorted.mkString(", ")})")
+    require(features(spark, table).contains(feature),
+      s"$table does not declare feature $feature — nothing to drop")
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val cur = features(spark, table)
+      if (!cur.contains(feature)) return // concurrent drop finished it
+      residue(spark, table, feature).foreach { r =>
+        throw new IllegalStateException(
+          s"cannot drop feature $feature from $table: $r")
+      }
+      try {
+        TableMeta.write(spark, table, Prefix, cur - feature)
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // re-read
+      }
+    }
+    throw new IllegalStateException(
+      s"feature drop on $table still contended after $attempts attempts")
+  }
+
+  /** Why `feature` cannot be dropped from `table` right now — None when
+    * the table is residue-free and the drop is legal. Public so callers
+    * can probe droppability without catching. */
+  def residue(
+      spark: SparkSession, table: String, feature: String): Option[String] =
+    feature match {
+      case InCommitTimestamps => Some(
+        "in-commit timestamps are structural in this format — every END " +
+          "record carries its clamped wall-clock and TIMESTAMP AS OF " +
+          "resolution depends on the unbroken axis; the feature is never " +
+          "droppable")
+      case CheckConstraints =>
+        val cs = Constraints.list(spark, table)
+        if (cs.isEmpty) None else Some(
+          s"constraint(s) still registered: " +
+            s"${cs.keys.toSeq.sorted.mkString(", ")} — Constraints.drop " +
+            "them first")
+      case GeneratedColumns =>
+        val gs = graft.batch.GeneratedColumns.list(spark, table)
+        if (gs.isEmpty) None else Some(
+          s"generated column(s) still registered: " +
+            s"${gs.keys.toSeq.sorted.mkString(", ")} — GeneratedColumns.drop " +
+            "them first")
+      case Identity =>
+        val ids = IdentityColumns.list(spark, table)
+        if (ids.isEmpty) None else Some(
+          s"identity column(s) still registered: " +
+            s"${ids.keys.toSeq.sorted.mkString(", ")} — IdentityColumns.drop " +
+            "them first")
+      case Clustering =>
+        LiquidClustering.clusterSpec(spark, table).map(cols =>
+          s"CLUSTER BY (${cols.mkString(", ")}) is still registered — run " +
+            "LiquidClustering.clusterByNone first")
+      case RowTracking =>
+        if (!graft.batch.RowTracking.isEnabled(spark, table)) None
+        else Some(
+          "row tracking is enabled and its ids are materialized in every " +
+            "data file — the feature is permanent once rows carry ids " +
+            "(clone through RowTracking.strip to shed it)")
+      case ChangeDataFeed =>
+        sidecarResidue(spark, table, ChangeFeed.ChangesDir,
+          "change-record dir(s)",
+          "they age out with their generations — vacuumHistory past the " +
+            "last change commit first")
+      case DeletionVectors =>
+        sidecarResidue(spark, table, "_graft_dv",
+          "deletion-vector sidecar dir(s)",
+          "REORG (Upsert.reorgPurge) materializes pending deletes, then " +
+            "vacuumHistory clears the dead sidecars")
+      case ColumnMapping =>
+        val m = graft.batch.ColumnMapping.mapping(spark, table)
+        if (m.isEmpty) None else Some(
+          s"column mapping in force for physical column(s) " +
+            s"${m.keys.toSeq.sorted.mkString(", ")} — physical file names " +
+            "diverge from the logical schema; a deep clone writes " +
+            "identity-named files")
+      case other => Some(s"no residue rule for $other — refusing to guess")
+    }
+
+  private def sidecarResidue(
+      spark: SparkSession, table: String, dir: String,
+      what: String, guidance: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/$dir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val n = fs.listStatus(p).count(_.getPath.getName.matches("v\\d+"))
+    if (n == 0) None
+    else Some(s"$n $what still present under $dir — $guidance")
+  }
+
   /** Refuse to read `table` if it declares a reader-level feature this
     * build does not know. Unknown levels count as reader-level — a
     * feature class we cannot classify must gate reads too. */

@@ -101,7 +101,26 @@ object Upsert {
       keyCols: Seq[String],
       parallelism: Int = 4,
       deleteWhen: Option[String] = None,
-      keepSuppliedIdentity: Boolean = false): Seq[String] = {
+      keepSuppliedIdentity: Boolean = false): Seq[String] =
+    mergeByKeyAt(spark, table, updatesIn, partCol, keyCols, parallelism,
+      deleteWhen, keepSuppliedIdentity, snapshotAt = None)
+
+  /** [[mergeByKey]] with the OCC snapshot PINNED by the caller: the
+    * partition claims begin on `snapshotAt`, so any commit landing after
+    * it on a touched partition fails the merge loudly. This is how a verb
+    * whose delta is DERIVED FROM A READ of the table ([[replaceWhere]]'s
+    * matching-row scan) closes its read-compute-write race — the read and
+    * the claims share one version. */
+  private[batch] def mergeByKeyAt(
+      spark: SparkSession,
+      table: String,
+      updatesIn: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      parallelism: Int,
+      deleteWhen: Option[String],
+      keepSuppliedIdentity: Boolean,
+      snapshotAt: Option[Long]): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
     // protocol gate: refuse tables carrying features this build does not
@@ -180,7 +199,7 @@ object Upsert {
     // assignment itself makes land after the snapshot but claim only the
     // reserved synthetic `_graft_identity:*` values — disjoint from every
     // data partition, so they conflict with nothing.)
-    val snapshot = TxnLog.currentVersion(spark, table)
+    val snapshot = snapshotAt.getOrElse(TxnLog.currentVersion(spark, table))
     val updates = idSpecs.foldLeft(screened) { case (u, (c, _)) =>
       if (u.columns.contains(c)) u // keepSuppliedIdentity: values ride as-is
       else IdentityColumns.assign(spark, table, u, partCol, keyCols, c, deleteWhen)
@@ -369,6 +388,77 @@ object Upsert {
     require(!keys.columns.contains(marker), s"keys must not contain $marker")
     mergeByKey(spark, table, keys.withColumn(marker, lit(true)),
       partCol, keyCols, parallelism, deleteWhen = Some(marker))
+  }
+
+  /** INSERT OVERWRITE a predicate-selected slice — Delta's `replaceWhere`
+    * write option (`option("replaceWhere", pred)`): rows matching
+    * `predicateSql` leave the table, `rows` enter it, in one verb. The
+    * Delta contract is enforced both ways: every INCOMING row must itself
+    * satisfy the predicate (refused loudly otherwise — a replaceWhere
+    * that smuggles rows outside its slice is a silent corruption), and
+    * only matching EXISTING rows are replaced (predicate-UNKNOWN rows
+    * survive, SQL three-valued semantics).
+    *
+    * Keyed refinement over Delta (whose tables are keyless): an incoming
+    * row that reuses a matching existing row's key REPLACES it as one
+    * upsert — identity and row-tracking ids are retained for the key, and
+    * the change feed shows an update (pre+post legs), not a
+    * delete-then-insert of the same key.
+    *
+    * Read-compute-write race, closed: the matching keys are read at a
+    * snapshot pinned BEFORE the scan, and the merge's partition claims
+    * begin on that SAME version ([[mergeByKeyAt]]) — a concurrent commit
+    * landing on any touched partition after the pin fails the whole verb
+    * loudly ([[graft.core.TxnLog.ConcurrentWriteException]]), never
+    * silently resurrects rows the scan missed. Partitions this replace
+    * does not touch are not serialized against (Delta WriteSerializable's
+    * stance).
+    *
+    * Scale shape: ONE filtered scan of the table finds the replaced keys
+    * (predicate and key-column projection pushed to parquet; a predicate
+    * on `partCol` prunes partitions), then the ordinary per-partition
+    * merge machinery — everything else (CDF, constraints, expectations,
+    * generated/identity/row-tracking, retain-first publish, time travel)
+    * is inherited, not reimplemented. An empty `rows` is the pure
+    * predicate DELETE.
+    *
+    * @return touched partition values (replaced slices + inserted rows') */
+  def replaceWhere(
+      spark: SparkSession,
+      table: String,
+      rows: DataFrame,
+      partCol: String,
+      keyCols: Seq[String],
+      predicateSql: String,
+      parallelism: Int = 4): Seq[String] = {
+    require(keyCols.nonEmpty, "replaceWhere needs the table's key columns")
+    val marker = "_graft_replace_delete"
+    require(!rows.columns.contains(marker), s"rows must not contain $marker")
+    val pred = expr(predicateSql)
+    val violator = rows.filter(!coalesce(pred, lit(false))).limit(1).collect()
+    if (violator.nonEmpty)
+      throw new IllegalArgumentException(
+        s"replaceWhere: every incoming row must satisfy the predicate " +
+          s"($predicateSql); first violator: ${violator.head}. " +
+          "The verb wrote nothing.")
+    val keyFields = (partCol +: keyCols).distinct
+    // pin BEFORE the matching-row scan; the merge claims on this version
+    val v0 = TxnLog.currentVersion(spark, table)
+    val upserts = rows.withColumn(marker, lit(false))
+    val updates =
+      if (v0 == 0L) upserts // brand-new table: pure insert
+      else {
+        val delKeys = readAsOf(spark, table, v0, partCol).filter(pred)
+          .select(keyFields.map(col): _*)
+          // keys the incoming rows re-insert ride the upsert side alone —
+          // a delete+upsert pair of one key is the ambiguity merge refuses
+          .join(rows.select(keyFields.map(col): _*), keyFields, "left_anti")
+          .withColumn(marker, lit(true))
+        upserts.unionByName(delKeys, allowMissingColumns = true)
+      }
+    mergeByKeyAt(spark, table, updates, partCol, keyCols, parallelism,
+      deleteWhen = Some(marker), keepSuppliedIdentity = false,
+      snapshotAt = Some(v0))
   }
 
   /** Merge one partition under a two-phase TxnLog claim:

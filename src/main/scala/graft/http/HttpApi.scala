@@ -97,6 +97,7 @@ final class HttpApi(
         case ("GET", "stream" :: "status" :: Nil)             => streamStatus(ex)
         case ("POST", "maintenance" :: "run" :: Nil)          => maintenanceRun(ex)
         case ("GET", "maintenance" :: "status" :: id :: Nil)  => maintenanceStatus(ex, id)
+        case ("POST", "table" :: "feature" :: "drop" :: Nil)  => featureDrop(ex)
         case ("GET", "table" :: "history" :: Nil)             => tableHistory(ex)
         case ("GET", "table" :: "detail" :: Nil)              => tableDetail(ex)
         case ("GET", "table" :: "vacuum" :: "preview" :: Nil) => vacuumPreview(ex)
@@ -366,6 +367,36 @@ final class HttpApi(
   /** `GET /table/detail?table=<path>` — DESCRIBE DETAIL over the API: one
     * object of table-level facts from driver metadata only (no Spark
     * job). */
+  /** `POST /table/feature/drop {table, feature}` — Delta's `ALTER TABLE …
+    * DROP FEATURE` over the API. 409 when residue blocks the drop (the
+    * body names the remains and the clearing verb), 400 on unknown or
+    * undeclared features. */
+  private def featureDrop(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val fields =
+      try Json.parse(if (body.trim.isEmpty) "{}" else body).asObj
+      catch {
+        case e: Exception =>
+          reply(ex, 400, err("INVALID_REQUEST", s"Malformed JSON body: ${e.getMessage}"))
+          return
+      }
+    (fields.get("table"), fields.get("feature")) match {
+      case (Some(JStr(table)), Some(JStr(feature))) =>
+        try {
+          graft.batch.TableFeatures.dropFeature(spark, table, feature)
+          reply(ex, 200, JObj.of(
+            "table" -> JStr(table), "dropped" -> JStr(feature)))
+        } catch {
+          case e: IllegalStateException =>
+            reply(ex, 409, err("FEATURE_RESIDUE", e.getMessage))
+          case e: IllegalArgumentException =>
+            reply(ex, 400, err("INVALID_REQUEST", e.getMessage))
+        }
+      case _ =>
+        reply(ex, 400, err("INVALID_REQUEST", "Missing required fields: table, feature"))
+    }
+  }
+
   private def tableDetail(ex: HttpExchange): Unit = {
     val q = query(ex)
     q.get("table").filter(_.nonEmpty) match {

@@ -144,4 +144,85 @@ class FeatureGateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("made-up-feature"), e.getMessage)
   }
+
+  test("DROP FEATURE: refused while residue remains, legal once cleared") {
+    val t = mkTable()
+    Constraints.add(spark, t, "pos", "v >= 0")
+    val e = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.CheckConstraints)
+    }
+    assert(e.getMessage.contains("pos"),
+      s"the refusal must NAME the remaining constraint: ${e.getMessage}")
+    Constraints.drop(spark, t, "pos")
+    TableFeatures.dropFeature(spark, t, TableFeatures.CheckConstraints)
+    assert(!TableFeatures.features(spark, t)
+      .contains(TableFeatures.CheckConstraints),
+      "dropped feature must leave the declaration")
+    // re-introduction re-declares — accumulation is always safe
+    Constraints.add(spark, t, "pos2", "v >= 0")
+    assert(TableFeatures.features(spark, t)
+      .contains(TableFeatures.CheckConstraints),
+      "a later ADD CONSTRAINT must re-declare the feature")
+  }
+
+  test("DROP FEATURE clustering: CLUSTER BY NONE is the clearing verb") {
+    val t = mkTable()
+    LiquidClustering.setClusterBy(spark, t, Seq("v"))
+    val e = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.Clustering)
+    }
+    assert(e.getMessage.contains("clusterByNone"), e.getMessage)
+    LiquidClustering.clusterByNone(spark, t)
+    assert(LiquidClustering.clusterSpec(spark, t).isEmpty)
+    TableFeatures.dropFeature(spark, t, TableFeatures.Clustering)
+    assert(!TableFeatures.features(spark, t)
+      .contains(TableFeatures.Clustering))
+  }
+
+  test("DROP FEATURE deletion-vectors: REORG + vacuum clears the residue") {
+    import spark.implicits._
+    val t = mkTable()
+    DeletionVectors.deleteVectored(spark, t,
+      Seq(("d1", 1L)).toDF("day", "k"), "day", Seq("k"))
+    val e = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.DeletionVectors)
+    }
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("reorgPurge"), e.getMessage)
+    assert(Upsert.reorgPurge(spark, t, "day") == Seq("d1"))
+    Upsert.vacuumHistory(spark, t, minAgeMs = 0L)
+    TableFeatures.dropFeature(spark, t, TableFeatures.DeletionVectors)
+    assert(!TableFeatures.features(spark, t)
+      .contains(TableFeatures.DeletionVectors))
+    // and the table still reads exactly right after the downgrade
+    assert(Upsert.readCommitted(spark, t, "day")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("DROP FEATURE refusals: ICT is structural; CDF names its sweep; " +
+      "row tracking is permanent; undeclared drops are loud") {
+    val t = mkTable()
+    val eIct = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.InCommitTimestamps)
+    }
+    assert(eIct.getMessage.contains("structural"), eIct.getMessage)
+    val eCdf = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.ChangeDataFeed)
+    }
+    assert(eCdf.getMessage.contains("vacuumHistory"), eCdf.getMessage)
+    RowTracking.enable(spark, t, "day", Seq("k"))
+    val eRt = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.RowTracking)
+    }
+    assert(eRt.getMessage.contains("permanent"), eRt.getMessage)
+    val eUndeclared = intercept[IllegalArgumentException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.ColumnMapping)
+    }
+    assert(eUndeclared.getMessage.contains("nothing to drop"),
+      eUndeclared.getMessage)
+    val eUnknown = intercept[IllegalArgumentException] {
+      TableFeatures.dropFeature(spark, t, "made-up-feature")
+    }
+    assert(eUnknown.getMessage.contains("made-up-feature"), eUnknown.getMessage)
+  }
 }

@@ -660,6 +660,21 @@ class HttpSpec extends SparkSpec {
           assert(cs.size == 1 && cs.head.str.startsWith("v_cap=0 @v"), s"$cs")
         case other => fail(s"lastExpectCounts: $other")
       }
+
+      // DROP FEATURE over the API: 409 + the clearing verb while residue
+      // remains, 200 once cleared, 400 on an unknown feature
+      val dropBody =
+        s"""{"table":"$t","feature":"check-constraints"}"""
+      val (rc, rb) = post(api.port, "/table/feature/drop", dropBody)
+      assert(rc == 409 && rb.asObj("message").str.contains("v_pos"),
+        s"residue must 409 naming the constraint: $rc $rb")
+      graft.batch.Constraints.drop(spark, t, "v_pos")
+      val (okc, okb) = post(api.port, "/table/feature/drop", dropBody)
+      assert(okc == 200 && okb.asObj("dropped").str == "check-constraints",
+        s"$okc $okb")
+      assert(post(api.port, "/table/feature/drop",
+        s"""{"table":"$t","feature":"no-such-feature"}""")._1 == 400)
+      assert(post(api.port, "/table/feature/drop", "{}")._1 == 400)
     } finally api.stop()
   }
 
