@@ -204,6 +204,47 @@ object DedupQueries extends QueryModule {
     connectedComponents(s, minhashPairs(s, d).select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("cluster"), col("n_members"))
 
+  /** Canonical-document selection — the KEEP policy that turns near-dup
+    * clusters into an actual dedup decision (the step every published
+    * pipeline runs after clustering: keep ONE representative per cluster,
+    * drop the rest). The representative is the cluster's highest
+    * [[TextQueries.withQuality]] score, doc_id as the deterministic tie
+    * break; the report is the per-source removal bill — docs and
+    * whitespace-token mass dropped — the number a curation run budgets by.
+    *
+    * Scale shape: the cluster labels come from the banded pair list +
+    * pointer-doubling CC (never all-pairs); the winner per cluster is ONE
+    * argmax aggregation (`max(struct(score, -id))` — no window, map-side
+    * combined), the join back is an equi-join on cluster, and the report
+    * is a |sources|-row agg. Everything is bounded by CLUSTERED docs, a
+    * small fraction of the corpus. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val labeled = connectedComponents(s, minhashPairs(s, d)
+        .select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val q = TextQueries.quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      // source rides a second 2-column scan of the same table (pure
+      // columnar projection) — the quality frame is already past its
+      // tokenize stage when this joins, mirroring the oracle's shape
+      .join(graft.core.Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id")
+    val member = labeled.join(q, "doc_id")
+    val winners = member.groupBy("cluster")
+      .agg(max(struct(col("quality_score"),
+        (-col("doc_id")).as("neg_id"))).as("w"))
+    val marked = member.join(winners, "cluster")
+      .withColumn("kept",
+        col("quality_score") === col("w.quality_score") &&
+          -col("doc_id") === col("w.neg_id"))
+    marked.groupBy("source").agg(
+      count(lit(1)).as("clustered_docs"),
+      sum(col("kept").cast("long")).as("kept_docs"),
+      sum((!col("kept")).cast("long")).as("removed_docs"),
+      sum(when(!col("kept"), col("n_tokens")).otherwise(lit(0L)))
+        .as("removed_tokens"))
+  }
+
   /** Distributed connected components over an undirected pair list
     * (`doc_a`, `doc_b`): min-label propagation ACCELERATED by pointer
     * doubling, to fixpoint. Labels = component minimum (iteration-order
@@ -539,6 +580,7 @@ object DedupQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> (clusters _),
+    "dedup_keep_best" -> (keepBest _),
     "dedup_embedding_clusters" -> (embeddingClusters _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_pairs" -> (minhashPairs _),
@@ -575,6 +617,42 @@ object DedupQueries extends QueryModule {
     s"md5('$b|' || sig$b || sig${b + B})").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_keep_best" -> s"""WITH RECURSIVE $docsCte,
+         sig AS (SELECT doc_id, sh, $sigSelect FROM shingled),
+         bands AS (SELECT doc_id, UNNEST($bandList) AS band FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.doc_id < y.doc_id),
+         pairs AS (
+           SELECT doc_a, doc_b FROM cand
+           JOIN sig a ON a.doc_id = doc_a
+           JOIN sig b ON b.doc_id = doc_b
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         labels AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY 1),
+         qdocs AS (
+           SELECT doc_id, src.source,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  ${TextQueries.sqlQuality} AS quality_score
+           FROM docs
+           JOIN (SELECT doc_id, source FROM documents) src USING (doc_id)),
+         member AS (
+           SELECT l.cluster, q.doc_id, q.source, q.n_tokens, q.quality_score,
+                  ROW_NUMBER() OVER (PARTITION BY l.cluster
+                    ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn
+           FROM labels l JOIN qdocs q USING (doc_id))
+       SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS clustered_docs,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS removed_docs,
+         CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE n_tokens END) AS BIGINT) AS removed_tokens
+       FROM member GROUP BY 1""",
     "dedup_semantic" -> s"""WITH RECURSIVE ${SimilarityQueries.qCte},
          ${SimilarityQueries.sqlCentChain},
          ${SimilarityQueries.sqlAssignFinal},

@@ -973,8 +973,10 @@ object TextQueries extends QueryModule {
     .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
-  /** The quality formula as shared DuckDB text (mirrors [[withQuality]]). */
-  private lazy val sqlQuality: String =
+  /** The quality formula as shared DuckDB text (mirrors [[withQuality]]);
+    * expects `toks` + `text` in scope. Shared with [[DedupQueries]]'s
+    * keep-best oracle so both engines rank by the SAME score text. */
+  private[operators] lazy val sqlQuality: String =
     s"""(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5 +
         (CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
         LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2"""

@@ -193,6 +193,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("keep-best selection: argmax aggregation, no per-cluster window, no cross product") {
+    val p = planOf("dedup_keep_best")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the winner per cluster is max(struct(score, -id)) — an ordinary
+    // partial+final aggregate; a Window over clusters would serialize the
+    // clustered-docs frame through sort-per-partition machinery instead
+    assert(!p.contains("Window"), s"winner must be an argmax agg, not a window:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
     // At 100 TB the win is shuffle-volume reduction: a selective dimension
     // predicate is turned into a bloom filter applied to the fact side
