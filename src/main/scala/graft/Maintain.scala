@@ -62,7 +62,7 @@ object Maintain {
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
       "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster",
-      "view")
+      "view", "shallow", "materialize")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -185,6 +185,23 @@ object Maintain {
         val rows = graft.batch.Upsert.cloneTo(spark, table, dst, partCol, version)
         Seq(s"""{"op":"clone","table":$tableJson,""" +
           s""""dst":${graft.http.Json.quote(dst)},"rows":$rows}""")
+      case "shallow" =>
+        // SHALLOW CLONE over the ops surface: metadata-only pointer clone
+        // at the pinned version — milliseconds at any table size
+        val partCol = arg(0, "the partition column (shallow <partCol> <dstDir> [version])")
+        val dst = arg(1, "the destination directory (shallow <partCol> <dstDir> [version])")
+        val version = modeArgs.lift(2).map(v => v.toLongOption.getOrElse(
+          sys.error("Maintain: shallow version must be numeric")))
+        val pinned = graft.batch.ShallowClone.create(spark, table, dst, partCol, version)
+        Seq(s"""{"op":"shallow","table":$tableJson,""" +
+          s""""dst":${graft.http.Json.quote(dst)},"pinnedVersion":$pinned}""")
+      case "materialize" =>
+        // localize every still-remote partition of a shallow clone; after
+        // this, DROP FEATURE shallow-clone graduates it to an ordinary table
+        val partCol = arg(0, "the partition column (materialize <partCol>)")
+        val parts = graft.batch.ShallowClone.materialize(spark, table, partCol)
+        Seq(s"""{"op":"materialize","table":$tableJson,""" +
+          s""""localized":${parts.size}}""")
       case "convert" =>
         // CONVERT TO over the ops surface: adopt an existing plain
         // partitioned-parquet directory into a managed table — one v1

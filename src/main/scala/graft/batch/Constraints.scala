@@ -44,6 +44,8 @@ object Constraints {
     // columns — see [[ColumnMapping.refuseMappedInExpression]]
     ColumnMapping.refuseMappedInExpression(spark, table,
       s"constraint $name CHECK", exprSql)
+    // the existing-rows validation scan must see the WHOLE table
+    ShallowClone.refuseDirect(spark, table, "ADD CONSTRAINT")
     val df = spark.read.parquet(table)
     val violating = df.filter(not(expr(exprSql))).limit(1).collect()
     if (violating.nonEmpty)

@@ -84,6 +84,9 @@ object DeletionVectors {
     // protocol gate + declaration: a DV is the canonical READER-level
     // feature — ignoring the position sidecar resurrects deleted rows
     TableFeatures.checkWrite(spark, table)
+    // DV pairs bind to the clone's OWN files; keys in still-remote
+    // partitions would silently no-op — localize (merge) first
+    ShallowClone.refuseDirect(spark, table, "deleteVectored")
     TableFeatures.declare(spark, table, TableFeatures.DeletionVectors)
     require(keys.columns.contains(partCol), s"keys must carry $partCol")
     keyCols.foreach(k =>

@@ -49,6 +49,8 @@ object Expectations {
       s"expectation name must be a plain identifier: $name")
     ColumnMapping.refuseMappedInExpression(spark, table,
       s"expectation $name EXPECT", exprSql)
+    // the analyzability probe reads the table's files directly
+    ShallowClone.refuseDirect(spark, table, "ADD EXPECTATION")
     // a rule that cannot even analyze against the table is a typo, not a
     // screen — refuse at DDL time (the Constraints.add discipline)
     val df = spark.read.parquet(table)

@@ -85,10 +85,10 @@ final class MaintenanceService(
       case "restore" =>
         for { p <- need("partCol"); v <- need("version"); k <- need("keys") }
           yield Seq(p, v, k)
-      case "clone" =>
+      case "clone" | "shallow" =>
         for { p <- need("partCol"); d <- need("dstDir") }
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
-      case "convert" | "reorg" => need("partCol").map(Seq(_))
+      case "convert" | "reorg" | "materialize" => need("partCol").map(Seq(_))
       case "cluster" =>
         // optional cols registers/changes the CLUSTER BY spec in the same
         // call; without it the table must already be registered

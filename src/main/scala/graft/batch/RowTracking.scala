@@ -82,6 +82,9 @@ object RowTracking {
       partCol: String,
       keyCols: Seq[String]): Long = {
     require(!isEnabled(spark, table), s"row tracking is already on for $table")
+    // the backfill is a keyed self-merge of the committed snapshot — on a
+    // shallow clone that snapshot is partly remote
+    ShallowClone.refuseDirect(spark, table, "RowTracking.enable")
     val existing =
       try {
         val df = Upsert.readCommitted(spark, table, partCol)

@@ -42,6 +42,7 @@ object TableFeatures {
   val CheckConstraints = "check-constraints"
   val GeneratedColumns = "generated-columns"
   val Clustering = "clustering"
+  val ShallowCloneFeature = "shallow-clone"
 
   /** Feature → required level, for every feature THIS build implements.
     * The key set is what this build supports; the refusal matrix compares
@@ -55,7 +56,10 @@ object TableFeatures {
     ChangeDataFeed -> "writer",
     CheckConstraints -> "writer",
     GeneratedColumns -> "writer",
-    Clustering -> "writer")
+    Clustering -> "writer",
+    // reader: a build that does not know shallow clones reads only the
+    // localized partitions — wrong data, the gate's defining case
+    ShallowCloneFeature -> "reader")
 
   /** The features `table` has declared, feature → level. */
   def features(spark: SparkSession, table: String): Map[String, String] =
@@ -192,6 +196,19 @@ object TableFeatures {
             s"${m.keys.toSeq.sorted.mkString(", ")} — physical file names " +
             "diverge from the logical schema; a deep clone writes " +
             "identity-named files")
+      case ShallowCloneFeature =>
+        TableMeta.read(spark, table, "clone-v").get("srcPartCol") match {
+          case None => Some("no shallow clone-v record — refusing to guess")
+          case Some(partColP) =>
+            val remote = ShallowClone.remoteParts(spark, table, partColP)
+            if (remote.isEmpty) None
+            else Some(
+              s"${remote.size} partition(s) still read from the pinned " +
+                "source — ShallowClone.materialize localizes them; " +
+                "dropping the feature now would silently truncate the " +
+                s"table (first remote: ${
+                  remote.toSeq.sorted.take(3).mkString(", ")})")
+        }
       case other => Some(s"no residue rule for $other — refusing to guess")
     }
 
@@ -210,7 +227,15 @@ object TableFeatures {
     * build does not know. Unknown levels count as reader-level — a
     * feature class we cannot classify must gate reads too. */
   def checkRead(spark: SparkSession, table: String): Unit = {
-    val unknown = features(spark, table).collect {
+    checkReadOf(features(spark, table), table); ()
+  }
+
+  /** [[checkRead]] against an already-read feature map — hot paths read
+    * the registry ONCE and share it between the gate and the
+    * shallow-clone dispatch. Returns the map for chaining. */
+  private[batch] def checkReadOf(
+      feats: Map[String, String], table: String): Map[String, String] = {
+    val unknown = feats.collect {
       case (f, level) if !Supported.contains(f) &&
         level != "writer" => f
     }
@@ -220,17 +245,26 @@ object TableFeatures {
           s"${unknown.toSeq.sorted.mkString(", ")} unknown to this build — " +
           "a read that ignored them would return wrong data, not fail. " +
           s"This build supports: ${Supported.keys.toSeq.sorted.mkString(", ")}")
+    feats
   }
 
   /** Refuse to write `table` if it declares ANY feature this build does
     * not know — an ignorant writer corrupts invariants it cannot see. */
   def checkWrite(spark: SparkSession, table: String): Unit = {
-    val unknown = features(spark, table).keys.filterNot(Supported.contains)
+    checkWriteOf(features(spark, table), table); ()
+  }
+
+  /** [[checkWrite]] against an already-read feature map (see
+    * [[checkReadOf]]). Returns the map for chaining. */
+  private[batch] def checkWriteOf(
+      feats: Map[String, String], table: String): Map[String, String] = {
+    val unknown = feats.keys.filterNot(Supported.contains)
     if (unknown.nonEmpty)
       throw new IllegalStateException(
         s"cannot WRITE $table: it uses table feature(s) " +
           s"${unknown.toSeq.sorted.mkString(", ")} unknown to this build — " +
           "a write that ignored them would corrupt the table's invariants. " +
           s"This build supports: ${Supported.keys.toSeq.sorted.mkString(", ")}")
+    feats
   }
 }

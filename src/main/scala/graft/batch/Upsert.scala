@@ -120,15 +120,25 @@ object Upsert {
       parallelism: Int,
       deleteWhen: Option[String],
       keepSuppliedIdentity: Boolean,
-      snapshotAt: Option[Long]): Seq[String] = {
+      snapshotAt: Option[Long],
+      viaShallowPath: Boolean = false): Seq[String] = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     require(parallelism >= 1, "parallelism must be >= 1")
     // protocol gate: refuse tables carrying features this build does not
     // know, then declare what THIS merge introduces — every managed
     // table's commits carry in-commit timestamps, and the change feed
-    // rides the merge unless disabled (one registry read, write only on
-    // first declaration)
-    TableFeatures.checkWrite(spark, table)
+    // rides the merge unless disabled (one registry read, shared with the
+    // shallow dispatch; write only on first declaration)
+    val feats = TableFeatures.checkWriteOf(
+      TableFeatures.features(spark, table), table)
+    // a direct merge on a shallow clone would treat a still-remote
+    // partition as brand new and silently DROP its pinned rows —
+    // [[ShallowClone.mergeByKey]] localizes first, then re-enters here
+    if (!viaShallowPath && ShallowClone.isShallowIn(feats))
+      throw new IllegalStateException(
+        s"$table is a shallow clone — merge through " +
+          "ShallowClone.mergeByKey (copy-on-write localization), or " +
+          "materialize the clone first")
     TableFeatures.declareAll(spark, table,
       TableFeatures.InCommitTimestamps +:
         (if (changeFeedEnabled(spark)) Seq(TableFeatures.ChangeDataFeed)
@@ -881,7 +891,13 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String): DataFrame = {
-    TableFeatures.checkRead(spark, table)
+    if (ShallowClone.isShallowIn(TableFeatures.checkReadOf(
+        TableFeatures.features(spark, table), table)))
+      throw new IllegalStateException(
+        s"time travel on shallow clone $table is undefined before " +
+          "materialization — the clone's version axis begins at its own " +
+          "writes; read the live state (readCommitted/ShallowClone.read) " +
+          "or materialize first")
     // time travel shows OLD versions under the CURRENT logical names,
     // exactly Delta's column-mapping semantics
     val colMap = ColumnMapping.mapping(spark, table)
@@ -1163,6 +1179,7 @@ object Upsert {
     val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(dstPath),
       s"clone: destination $dst already exists — refusing to overwrite")
+    ShallowClone.refuseDirect(spark, src, "deep clone")
     val colMap = ColumnMapping.mapping(spark, src)
     val partColP = ColumnMapping.physicalName(colMap, partCol)
     // PIN the snapshot version BEFORE reading: a clone racing source
@@ -1307,8 +1324,17 @@ object Upsert {
       maxAttempts: Int = 80): DataFrame = {
     // protocol gate: a reader-level feature this build does not know
     // means a read would return wrong data, not fail — refuse loudly
-    TableFeatures.checkRead(spark, table)
+    // (one registry read shared with the shallow-clone dispatch)
+    val feats = TableFeatures.checkReadOf(
+      TableFeatures.features(spark, table), table)
     val colMap = ColumnMapping.mapping(spark, table)
+    // a shallow clone's committed state is localized ∪ pinned source —
+    // delegating keeps every readCommitted consumer (HTTP serving
+    // included) seeing the FULL clone
+    if (ShallowClone.isShallowIn(feats))
+      return ColumnMapping.applyLogical(
+        ShallowClone.readPhysical(spark, table,
+          ColumnMapping.physicalName(colMap, partCol)), colMap)
     ColumnMapping.applyLogical(
       readCommittedPhysical(spark, table,
         ColumnMapping.physicalName(colMap, partCol), maxAttempts), colMap)
@@ -1942,6 +1968,7 @@ object Upsert {
       table: String,
       column: String,
       value: String): DataFrame = {
+    ShallowClone.refuseDirect(spark, table, "pointLookup")
     // the Bloom sidecar is keyed by PHYSICAL column name — a rename
     // invalidates nothing; callers probe by logical name
     val colMap = ColumnMapping.mapping(spark, table)
@@ -1977,6 +2004,7 @@ object Upsert {
       spark: SparkSession,
       table: String,
       probes: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    ShallowClone.refuseDirect(spark, table, "rangeLookup")
     // stats sidecars are keyed by PHYSICAL column name, like bloom's
     val colMap = ColumnMapping.mapping(spark, table)
     val (raw, _, _) = graft.core.StatsIndex.rangeScanAll(spark, table,

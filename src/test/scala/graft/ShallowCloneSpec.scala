@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.batch._
+import graft.core.TxnLog
+
+/** Shallow (zero-copy) clone: metadata-only creation, pinned-source
+  * reads, copy-on-write localization on merge, and graduation to an
+  * ordinary table via materialize + DROP FEATURE. */
+class ShallowCloneSpec extends SparkSpec {
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString + "/t"
+
+  private def seed(t: String): Unit = {
+    import spark.implicits._
+    Upsert.mergeByKey(spark, t,
+      Seq(("d1", 1L, 10.0), ("d1", 2L, 20.0),
+        ("d2", 3L, 30.0), ("d3", 4L, 40.0))
+        .toDF("day", "k", "v"),
+      "day", Seq("k"))
+  }
+
+  private def rowsOf(t: String): Set[(String, Long, Double)] = {
+    import spark.implicits._
+    Upsert.readCommitted(spark, t, "day")
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+  }
+
+  private def parquetsUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    walk(new java.io.File(dir))
+  }
+
+  test("create is metadata-only; reads serve the PINNED snapshot, immune " +
+      "to later source writes") {
+    import spark.implicits._
+    val src = tmp("scsrc"); seed(src)
+    val dst = tmp("scdst")
+    val pinned = ShallowClone.create(spark, src, dst, "day")
+    assert(pinned == TxnLog.currentVersion(spark, src))
+    assert(parquetsUnder(dst).isEmpty,
+      "a shallow clone must copy ZERO data files at creation")
+    assert(TableFeatures.features(spark, dst)
+      .get(ShallowClone.Feature).contains("reader"),
+      "shallow-clone is a reader-level feature")
+    assert(rowsOf(dst) == rowsOf(src))
+    // source moves on; the clone does not
+    Upsert.mergeByKey(spark, src,
+      Seq(("d1", 1L, 99.0), ("d4", 9L, 90.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    assert(rowsOf(dst) == Set(("d1", 1L, 10.0), ("d1", 2L, 20.0),
+      ("d2", 3L, 30.0), ("d3", 4L, 40.0)),
+      "the clone reads its pinned version, not the source tip")
+  }
+
+  test("copy-on-write merge: only the touched partition localizes; the " +
+      "source is untouched bytes; re-localize never clobbers merged data") {
+    import spark.implicits._
+    val src = tmp("scw"); seed(src)
+    val srcFiles = parquetsUnder(src).map(f => f.getPath -> f.lastModified()).toMap
+    val dst = tmp("scwd")
+    ShallowClone.create(spark, src, dst, "day")
+    val touched = ShallowClone.mergeByKey(spark, dst,
+      Seq(("d1", 1L, 11.0), ("d1", 5L, 50.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    assert(touched == Seq("d1"))
+    assert(ShallowClone.localizedParts(spark, dst, "day") == Set("d1"),
+      "only the touched partition may localize")
+    assert(rowsOf(dst) == Set(("d1", 1L, 11.0), ("d1", 2L, 20.0),
+      ("d1", 5L, 50.0), ("d2", 3L, 30.0), ("d3", 4L, 40.0)))
+    assert(parquetsUnder(src).map(f => f.getPath -> f.lastModified()).toMap
+      == srcFiles, "COW must never write into the source")
+    // localize of an already-merged partition is a no-op, not a clobber
+    assert(ShallowClone.localize(spark, dst, "day", Seq("d1")).isEmpty)
+    assert(rowsOf(dst).contains(("d1", 1L, 11.0)))
+    // the clone's own change feed starts at its writes
+    val ch = ChangeFeed.readChanges(spark, dst, "day", 0L)
+      .filter(col(ChangeFeed.ChangeTypeCol) === "insert")
+      .select("k").as[Long].collect().toSet
+    assert(ch.contains(5L), s"the merge's insert leg must ride the feed: $ch")
+  }
+
+  test("refusal matrix: every verb whose view would be PARTIAL refuses " +
+      "loudly with guidance") {
+    import spark.implicits._
+    val src = tmp("scr"); seed(src)
+    val dst = tmp("scrd")
+    ShallowClone.create(spark, src, dst, "day")
+    val eMerge = intercept[IllegalStateException] {
+      Upsert.mergeByKey(spark, dst,
+        Seq(("d1", 1L, 11.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    }
+    assert(eMerge.getMessage.contains("ShallowClone.mergeByKey"), eMerge.getMessage)
+    val eAsOf = intercept[IllegalStateException] {
+      Upsert.readAsOf(spark, dst, 1L, "day")
+    }
+    assert(eAsOf.getMessage.contains("materialize"), eAsOf.getMessage)
+    val ePoint = intercept[IllegalStateException] {
+      Upsert.pointLookup(spark, dst, "k", "1")
+    }
+    assert(ePoint.getMessage.contains("LOCALIZED"), ePoint.getMessage)
+    val eDv = intercept[IllegalStateException] {
+      DeletionVectors.deleteVectored(spark, dst,
+        Seq(("d1", 1L)).toDF("day", "k"), "day", Seq("k"))
+    }
+    assert(eDv.getMessage.contains("materialize"), eDv.getMessage)
+    val eDeep = intercept[IllegalStateException] {
+      Upsert.cloneTo(spark, dst, tmp("scdeep"), "day")
+    }
+    assert(eDeep.getMessage.contains("deep clone"), eDeep.getMessage)
+    val eDdl = intercept[IllegalStateException] {
+      Constraints.add(spark, dst, "pos", "v >= 0")
+    }
+    assert(eDdl.getMessage.contains("ADD CONSTRAINT"), eDdl.getMessage)
+    val eChain = intercept[IllegalArgumentException] {
+      ShallowClone.create(spark, dst, tmp("scchain"), "day")
+    }
+    assert(eChain.getMessage.contains("materialize"), eChain.getMessage)
+    val eDrop = intercept[IllegalStateException] {
+      TableFeatures.dropFeature(spark, dst, ShallowClone.Feature)
+    }
+    assert(eDrop.getMessage.contains("still read from the pinned source"),
+      eDrop.getMessage)
+    // and an unversioned source has nothing to pin
+    val plain = tmp("scplain")
+    import spark.implicits._
+    Seq(("d1", 1L, 1.0)).toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(plain)
+    val ePin = intercept[IllegalArgumentException] {
+      ShallowClone.create(spark, plain, tmp("scpd"), "day")
+    }
+    assert(ePin.getMessage.contains("VERSIONED"), ePin.getMessage)
+  }
+
+  test("materialize localizes the remainder; DROP FEATURE graduates the " +
+      "clone into an ordinary table (merge + time travel work)") {
+    import spark.implicits._
+    val src = tmp("scm"); seed(src)
+    val dst = tmp("scmd")
+    ShallowClone.create(spark, src, dst, "day")
+    ShallowClone.mergeByKey(spark, dst,
+      Seq(("d2", 3L, 33.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val done = ShallowClone.materialize(spark, dst, "day")
+    assert(done.toSet == Set("d1", "d3"), s"localized by materialize: $done")
+    TableFeatures.dropFeature(spark, dst, ShallowClone.Feature)
+    assert(!ShallowClone.isShallow(spark, dst))
+    // ordinary verbs now work
+    Upsert.mergeByKey(spark, dst,
+      Seq(("d3", 4L, 44.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    val vNow = TxnLog.currentVersion(spark, dst)
+    assert(rowsOf(dst) == Set(("d1", 1L, 10.0), ("d1", 2L, 20.0),
+      ("d2", 3L, 33.0), ("d3", 4L, 44.0)))
+    assert(Upsert.readAsOf(spark, dst, vNow, "day")
+      .select("day", "k", "v").as[(String, Long, Double)].collect().toSet
+      == rowsOf(dst), "time travel works after graduation")
+    // deleting the departed source proves nothing remote remains
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(src))
+    assert(rowsOf(dst).size == 4, "a graduated clone owns every byte")
+  }
+
+  test("Maintain drives the lifecycle: shallow → materialize, one JSON line each") {
+    val src = tmp("scmm"); seed(src)
+    val dst = tmp("scmmd")
+    val m = graft.core.GraftConfig.load().maintenance
+    val mk = Maintain.runMode(spark, src, "shallow", Seq("day", dst), m)
+    assert(mk.exists(l => l.contains("\"op\":\"shallow\"") &&
+      l.contains("\"pinnedVersion\"")), s"$mk")
+    assert(ShallowClone.isShallow(spark, dst))
+    assert(rowsOf(dst) == rowsOf(src))
+    val mat = Maintain.runMode(spark, dst, "materialize", Seq("day"), m)
+    assert(mat.exists(_.contains("\"localized\":3")), s"$mat")
+    TableFeatures.dropFeature(spark, dst, ShallowClone.Feature)
+    assert(rowsOf(dst) == rowsOf(src))
+  }
+}

@@ -25,7 +25,8 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 QUERIES = [
     # documents 500 -> 500 -> 5,000 (10x at the last step)
     "dedup_exact", "dedup_minhash_pairs", "dedup_incremental",
-    "dedup_semantic", "dedup_clusters", "txt_span_dedup", "txt_dsir_select",
+    "dedup_semantic", "dedup_clusters", "dedup_keep_best",
+    "txt_span_dedup", "txt_dsir_select", "txt_bpe_tokens",
     # embeddings 500 -> 500 -> 2,000 (4x at the last step)
     "sim_topk_brute", "sim_topk_ivf", "sim_pq_recall",
     # lineitem 6k -> 60k -> 600k (10x each step)
