@@ -147,6 +147,20 @@ object StorageBench {
       require(Upsert.cloneTo(spark, table, s"$root/clone", "day") > 0)
     }
 
+    // shallow clone economics: CREATE is metadata-only (pin + registry
+    // copy — must be orders cheaper than the deep copy above), and the
+    // first write pays exactly ONE partition's localization + merge (the
+    // copy-on-write unit, independent of table size)
+    val tShallowCreate = time {
+      require(graft.batch.ShallowClone.create(
+        spark, table, s"$root/shallow", "day") > 0)
+    }
+    val tShallowCow = time {
+      require(graft.batch.ShallowClone.mergeByKey(spark, s"$root/shallow",
+        Seq((days(0), "k1", -100.0)).toDF("day", "k", "v"),
+        "day", Seq("k")) == Seq(days(0)))
+    }
+
     // REORG PURGE: fresh scattered DVs on 2 of `partitions` days, then
     // the forced materialization — the cost argues O(DV-carrying
     // partitions), never O(table) (the earlier dv sidecars' file names
@@ -240,6 +254,8 @@ object StorageBench {
       "storage_merge_indexed" -> tMergeIndexed,
       "storage_restore" -> tRestore,
       "storage_clone" -> tClone,
+      "storage_shallow_create" -> tShallowCreate,
+      "storage_shallow_cow" -> tShallowCow,
       "storage_reorg" -> tReorg,
       "storage_cluster_full" -> tClusterFull,
       "storage_cluster_quiet" -> tClusterQuiet,
