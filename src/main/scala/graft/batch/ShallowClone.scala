@@ -126,6 +126,9 @@ object ShallowClone {
       "srcPartCol" -> partColP,
       "clonedAtMs" -> System.currentTimeMillis().toString))
     TableFeatures.declare(spark, dst, Feature)
+    // pin the source's retention: vacuumHistory on the source now keeps
+    // every generation this clone's as-of reads resolve through
+    registerRef(spark, src, dst, pinned)
     pinned
   }
 
@@ -264,6 +267,68 @@ object ShallowClone {
       .select(col(partColP).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     all -- localizedParts(spark, table, partColP)
+  }
+
+  // ---- source-side retention pins ------------------------------------
+  // Delta documents "VACUUM on the source breaks shallow clones" as a
+  // footgun and leaves it to the operator. Here the SOURCE records each
+  // live clone's pin (`clonerefs-v` registry: clone dir → pinned
+  // version) and [[Upsert.vacuumHistory]] refuses to remove any history
+  // generation a live pin still resolves through — a clone can only be
+  // broken by deleting it, never by routine source maintenance.
+  // Graduation (DROP FEATURE after [[materialize]]) releases the pin;
+  // a clone directory that simply vanished is swept as stale on the
+  // source's next vacuum.
+
+  private[batch] val RefsPrefix = "clonerefs-v"
+
+  private[batch] def registerRef(
+      spark: SparkSession, src: String, dst: String, pinned: Long): Unit =
+    updateRefs(spark, src)(_ + (dst -> pinned.toString))
+
+  /** Release `dst`'s pin on its source (called by the feature drop after
+    * graduation). Best-effort against a vanished source: the pin dies
+    * with the source's own registry. */
+  private[batch] def releaseRef(spark: SparkSession, dst: String): Unit = {
+    val src = TableMeta.read(spark, dst, MetaPrefix).get("source")
+    src.foreach { s =>
+      scala.util.Try(updateRefs(spark, s)(_ - dst)); ()
+    }
+  }
+
+  private def updateRefs(spark: SparkSession, src: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val cur = TableMeta.read(spark, src, RefsPrefix)
+      val next = f(cur)
+      if (next == cur) return
+      try {
+        TableMeta.write(spark, src, RefsPrefix, next)
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => // retry
+      }
+    }
+    throw new IllegalStateException(
+      s"clone-ref registry on $src still contended after $attempts attempts")
+  }
+
+  /** The LIVE pins on `src` (stale refs — clone dir gone, or no longer a
+    * shallow clone — are swept here, so an abandoned clone only pins one
+    * vacuum cycle). Returns the pinned versions still in force. */
+  private[batch] def livePins(spark: SparkSession, src: String): Seq[Long] = {
+    val refs = TableMeta.read(spark, src, RefsPrefix)
+    if (refs.isEmpty) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val (live, stale) = refs.partition { case (dst, _) =>
+      val p = new Path(dst)
+      p.getFileSystem(conf).exists(p) && isShallow(spark, dst)
+    }
+    if (stale.nonEmpty)
+      scala.util.Try(updateRefs(spark, src)(_ -- stale.keys))
+    live.values.map(_.toLong).toSeq
   }
 
   /** The shallow refusal for verbs whose dir-listing view of a shallow

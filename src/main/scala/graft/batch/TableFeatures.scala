@@ -131,6 +131,9 @@ object TableFeatures {
       }
       try {
         TableMeta.write(spark, table, Prefix, cur - feature)
+        // graduation releases the source-retention pin the clone held
+        if (feature == ShallowCloneFeature)
+          ShallowClone.releaseRef(spark, table)
         return
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => // re-read

@@ -2048,11 +2048,19 @@ object Upsert {
         e.version > c.version && (e.all || e.partitions.contains(pv))))
     val pinned = commits.filter(c => RetainingBegins.contains(c.op) &&
       !endClosed.contains(c.version) && !superseded(c)).map(_.version).toSet
+    // shallow clones PIN retention: a live clone pinned at v resolves
+    // rewritten partitions through generations with version > v (the
+    // first post-pin rewrite retains exactly the pinned content), so no
+    // generation above the oldest live pin may be removed — the Delta
+    // "vacuum breaks shallow clones" footgun, closed at the source
+    val clonePinFloor = ShallowClone.livePins(spark, table).minOption
     val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = fs.listStatus(hist)
       .filter { st =>
+        val v = st.getPath.getName.stripPrefix("v").toLongOption
         st.getPath.getName.matches("v\\d+") && st.getModificationTime < cutoff &&
-          !pinned.contains(st.getPath.getName.stripPrefix("v").toLong)
+          !pinned.contains(v.get) &&
+          clonePinFloor.forall(floor => v.get <= floor)
       }
     victims.foreach(st => fs.delete(st.getPath, true))
     // change files age out WITH their commit's generation (keyed by the

@@ -167,6 +167,47 @@ class ShallowCloneSpec extends SparkSpec {
     assert(rowsOf(dst).size == 4, "a graduated clone owns every byte")
   }
 
+  test("a live clone PINS source retention: vacuum cannot break it; " +
+      "graduation releases the pin; a deleted clone's stale ref sweeps") {
+    import spark.implicits._
+    val src = tmp("scpin"); seed(src)
+    val dst = tmp("scpind")
+    ShallowClone.create(spark, src, dst, "day")
+    // rewrite a partition the clone still reads remotely — its pinned
+    // content now lives ONLY in the source's retained generation
+    Upsert.mergeByKey(spark, src,
+      Seq(("d1", 1L, 99.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    // generations are keyed by the claim's BEGIN version — take the
+    // newest retained dir, which is this rewrite's pre-image
+    val gen = new java.io.File(s"$src/_graft_history").listFiles()
+      .filter(_.getName.matches("v\\d+"))
+      .maxBy(_.getName.stripPrefix("v").toLong)
+    assert(gen.exists(), s"the rewrite must retain the pinned pre-image: $gen")
+    Upsert.vacuumHistory(spark, src, minAgeMs = 0L) // below-pin debris may go
+    assert(gen.exists(),
+      "no generation above a live pin may be vacuumed")
+    assert(rowsOf(dst).contains(("d1", 1L, 10.0)),
+      "the clone still reads its pinned content after source vacuum")
+    // graduation releases the pin; the source slims on the next vacuum
+    ShallowClone.materialize(spark, dst, "day")
+    TableFeatures.dropFeature(spark, dst, ShallowClone.Feature)
+    assert(Upsert.vacuumHistory(spark, src, minAgeMs = 0L) > 0,
+      "a graduated clone must not pin the source forever")
+    assert(!gen.exists(), "the pin released with the graduation")
+    assert(rowsOf(dst).contains(("d1", 1L, 10.0)), "the clone owns its bytes")
+    // a clone that simply vanished is swept as stale, not pinned forever
+    val dst2 = tmp("scpind2")
+    ShallowClone.create(spark, src, dst2, "day")
+    Upsert.mergeByKey(spark, src,
+      Seq(("d2", 3L, 77.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(dst2))
+    assert(Upsert.vacuumHistory(spark, src, minAgeMs = 0L) > 0,
+      "a deleted clone's ref is stale — it must not pin the source")
+  }
+
   test("Maintain drives the lifecycle: shallow → materialize, one JSON line each") {
     val src = tmp("scmm"); seed(src)
     val dst = tmp("scmmd")
