@@ -1102,7 +1102,11 @@ object Upsert {
       /** newest screening record, `rule=failing-rows` (ledger, no job) */
       lastExpectCounts: Seq[String] = Seq.empty,
       /** declared table features, `feature (level)` */
-      tableFeatures: Seq[String] = Seq.empty)
+      tableFeatures: Seq[String] = Seq.empty,
+      /** shallow-clone state: on a clone, `source @vN, K remote / M
+        * localized partition(s)`; on a pinned SOURCE, one
+        * `<- cloneDir @vN` per live pin */
+      cloneState: Seq[String] = Seq.empty)
 
   def detail(spark: SparkSession, table: String): TableDetail = {
     val root = new org.apache.hadoop.fs.Path(table)
@@ -1151,7 +1155,23 @@ object Upsert {
         .headOption.toSeq.flatMap { case (v, counts) =>
           counts.toSeq.sortBy(_._1).map { case (r, n) => s"$r=$n @v$v" } },
       tableFeatures = TableFeatures.features(spark, table).toSeq.sortBy(_._1)
-        .map { case (f, level) => s"$f ($level)" })
+        .map { case (f, level) => s"$f ($level)" },
+      cloneState = {
+        val asClone =
+          if (!ShallowClone.isShallow(spark, table)) Seq.empty
+          else {
+            // metadata only — the still-remote COUNT needs a source scan
+            // (TableFeatures.residue reports it when a drop is attempted)
+            val m = TableMeta.read(spark, table, "clone-v")
+            val local = ShallowClone.localizedParts(
+              spark, table, m("srcPartCol"))
+            Seq(s"${m("source")} @v${m("sourceVersion")}, " +
+              s"${local.size} localized partition(s)")
+          }
+        val asSource = TableMeta.read(spark, table, ShallowClone.RefsPrefix)
+          .toSeq.sortBy(_._1).map { case (d, v) => s"<- $d @v$v" }
+        asClone ++ asSource
+      })
   }
 
   /** Deep CLONE (Delta `CREATE TABLE … CLONE src [VERSION AS OF v]`): an

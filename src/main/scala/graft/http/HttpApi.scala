@@ -426,7 +426,8 @@ final class HttpApi(
           "pendingDvSidecars" -> JNum(BigDecimal(d.pendingDvSidecars)),
           "expectations" -> strs(d.expectations),
           "lastExpectCounts" -> strs(d.lastExpectCounts),
-          "tableFeatures" -> strs(d.tableFeatures)))
+          "tableFeatures" -> strs(d.tableFeatures),
+          "cloneState" -> strs(d.cloneState)))
     }
   }
 

@@ -115,6 +115,28 @@ class ExpectationsSpec extends SparkSpec {
       .filter(col("k") === 7L).count() == 1L)
   }
 
+  test("streaming micro-batches screen too: the exactly-once merge path " +
+      "quarantines failures, survivors commit, replay absorbs") {
+    val t = tmp("expstream")
+    Upsert.mergeByKey(spark, t, rows(("d1", 1L, 5L, 1.0)), "day", Seq("k"))
+    Expectations.add(spark, t, "qty_pos", "qty >= 0")
+    val merge = graft.streaming.StreamingUpsert
+      .mergeBatch(spark, t, "day", Seq("k"), "exp-stream") _
+    merge(rows(("d1", 2L, 7L, 2.0), ("d1", 3L, -9L, 3.0)), 1L)
+    import spark.implicits._
+    assert(Upsert.readCommitted(spark, t, "day")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L),
+      "the failing row must be quarantined, the survivor committed")
+    assert(Upsert.readCommitted(spark, Expectations.quarantineDir(t), "day")
+      .select("k").as[Long].collect().toSet == Set(3L))
+    assert(Expectations.recent(spark, t).head._2 == Map("qty_pos" -> 1L))
+    // a restart replays the same (appId, batchId): absorbed, not re-screened
+    val before = TxnLog.currentVersion(spark, t)
+    merge(rows(("d1", 2L, 7L, 2.0), ("d1", 3L, -9L, 3.0)), 1L)
+    assert(TxnLog.currentVersion(spark, t) == before,
+      "a replayed micro-batch must be absorbed by the txn marker")
+  }
+
   test("refusals: bad name, unknown drop, rule that cannot analyze") {
     val t = tmp("exprefuse")
     Upsert.mergeByKey(spark, t, rows(("d1", 1L, 1L, 1.0)), "day", Seq("k"))

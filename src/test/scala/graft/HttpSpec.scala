@@ -661,6 +661,25 @@ class HttpSpec extends SparkSpec {
         case other => fail(s"lastExpectCounts: $other")
       }
 
+      // shallow-clone state on the detail surface: the clone names its
+      // source + pin + localized count, the source names its live pins
+      val scDst = Files.createTempDirectory("httpsc").toString + "/t"
+      graft.batch.ShallowClone.create(spark, t, scDst, "day")
+      val detSrc = get(api.port,
+        s"/table/detail?table=${java.net.URLEncoder.encode(t, "UTF-8")}")._2.asObj
+      detSrc("cloneState") match {
+        case JArr(cs) => assert(cs.exists(_.str.startsWith(s"<- $scDst @v")), s"$cs")
+        case other => fail(s"cloneState: $other")
+      }
+      val detClone = get(api.port,
+        s"/table/detail?table=${java.net.URLEncoder.encode(scDst, "UTF-8")}")._2.asObj
+      detClone("cloneState") match {
+        case JArr(cs) =>
+          assert(cs.exists(s => s.str.contains(t) &&
+            s.str.contains("0 localized")), s"$cs")
+        case other => fail(s"cloneState: $other")
+      }
+
       // DROP FEATURE over the API: 409 + the clearing verb while residue
       // remains, 200 once cleared, 400 on an unknown feature
       val dropBody =

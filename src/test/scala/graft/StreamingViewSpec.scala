@@ -110,6 +110,40 @@ class StreamingViewSpec extends SparkSpec {
     assert(StreamingView.drainAvailable(spark, view) == 0)
   }
 
+  test("MIN/MAX views stream too: extremum-loss deletes recompute under " +
+      "the same drain loop, view ≡ rebuild after every wave") {
+    val src = tmp("svmmsrc")
+    val view = tmp("svmmview")
+    Upsert.mergeByKey(spark, src,
+      rows(("d1", "a", 1L, 5L), ("d1", "a", 2L, 9L), ("d1", "b", 3L, 4L)),
+      "day", Seq("k"))
+    IncrementalView.register(spark, view, src, "day",
+      Seq("day", "cat"), Seq("qty"), "day",
+      minCols = Seq("qty"), maxCols = Seq("qty"))
+    def fresh(): Unit = {
+      val cols = Seq("day", "cat", "n_rows", "min_qty", "max_qty")
+      val got = Upsert.readCommitted(spark, view, "day").select(cols.map(col): _*)
+      val want = IncrementalView.aggregateOf(
+        Upsert.readCommitted(spark, src, "day"),
+        Seq("day", "cat"), Seq("qty"), Seq("qty"), Seq("qty"))
+        .select(cols.map(col): _*)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"view != rebuild:\n${got.collect().toSeq}\n${want.collect().toSeq}")
+    }
+    assert(StreamingView.drainAvailable(spark, view) == 1)
+    fresh()
+    // wave 1: delete the current MAX of (d1, a) — the extremum-loss path
+    Upsert.deleteByKey(spark, src,
+      rows(("d1", "a", 2L, 0L)).select("day", "k"), "day", Seq("k"))
+    assert(StreamingView.drainAvailable(spark, view) >= 1)
+    fresh()
+    // wave 2: inserts only — the least/greatest fast path
+    Upsert.mergeByKey(spark, src,
+      rows(("d1", "a", 4L, 1L), ("d1", "b", 5L, 99L)), "day", Seq("k"))
+    assert(StreamingView.drainAvailable(spark, view) >= 1)
+    fresh()
+  }
+
   test("the live heartbeat query follows the source; restart needs no stream state") {
     val src = tmp("svlivesrc")
     val view = tmp("svliveview")
