@@ -712,6 +712,68 @@ object TextQueries extends QueryModule {
         "effective_tokens", "shortfall")
   }
 
+  /** UniMax epoch cap (the paper's N; 4 matches [[mixEpochs]]' cap so the
+    * two recipes read against the same repetition bar). */
+  private val UniMaxCap = 4L
+
+  /** UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total training budget UNIFORMLY across
+    * sources, each capped at [[UniMaxCap]] epochs of its own data — the
+    * published fix for temperature sampling's twin failure modes (head
+    * sources starve the tail at low T; tail sources over-epoch at high
+    * T). Where [[mixEpochs]] computes epochs for a GIVEN per-source
+    * target, UniMax computes the mix itself.
+    *
+    * Closed-form integer water-filling: with sources sorted by capacity
+    * (`tokens × cap`) ascending, the capped set is the LONGEST PREFIX
+    * where `cap_i × (sources remaining at i) ≤ budget − caps already
+    * taken` (once that fails it fails for every later source — caps
+    * ascending make the inequality absorbing), and every uncapped source
+    * takes the equal integer share of what remains. The comparison is
+    * cross-MULTIPLIED (never divided) and runs in DECIMAL(38,0) /
+    * HUGEINT, so both engines agree bit-for-bit at any token scale; the
+    * reported per-source epochs are q16 fixed point.
+    *
+    * 100 TB shape: one map-side-combined |sources|-row aggregate; the
+    * only unpartitioned windows run over that metadata-sized frame (the
+    * [[mixEpochs]]/[[dsirSelect]] discipline — never a doc-grained
+    * frame). Budget = total_tokens/2, the mixEpochs target discipline. */
+  def mixUnimax(s: SparkSession, d: String): DataFrame = {
+    val perSource = docs(s, d).filter(size(col("toks")) > 0)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tokens"))
+    val wAll = Window.partitionBy()
+    val byCap = Window.orderBy(col("cap_tokens"), col("source"))
+    val runByCap = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource
+      .withColumn("cap_tokens", col("tokens") * lit(UniMaxCap))
+      .withColumn("total_tokens", sum("tokens").over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("total_tokens DIV 2"))
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("prefix_cap", sum("cap_tokens").over(runByCap))
+      .withColumn("cond",
+        col("cap_tokens").cast("decimal(38,0)") *
+          (col("m") - col("i") + lit(1L)).cast("decimal(38,0)") <=
+          (col("budget") - col("prefix_cap") + col("cap_tokens"))
+            .cast("decimal(38,0)"))
+      .withColumn("capped",
+        min(col("cond").cast("int")).over(runByCap) === 1)
+      .withColumn("k", sum(col("capped").cast("long")).over(wAll))
+      .withColumn("capped_sum",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(lit(0L)))
+          .over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .when(col("m") === col("k"), lit(0L))
+          .otherwise(expr("(budget - capped_sum) DIV (m - k)")))
+      .withColumn("epochs_q16", expr("(alloc_tokens * 65536) DIV tokens"))
+      .select("source", "n_docs", "tokens", "cap_tokens", "capped",
+        "alloc_tokens", "epochs_q16")
+  }
+
   // --- DSIR importance resampling (Xie et al. 2023, "Data Selection for
   // Language Models via Importance Resampling"): estimate target and raw
   // distributions over HASHED n-gram features, weight every raw document
@@ -912,6 +974,7 @@ object TextQueries extends QueryModule {
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
     "txt_mix_epochs" -> (mixEpochs _),
+    "txt_mix_unimax" -> (mixUnimax _),
     "txt_gopher_rules" -> (gopherRules _),
     "txt_rag_chunks" -> (ragChunks _),
     "txt_span_dedup" -> (spanDedup _),
@@ -1052,6 +1115,46 @@ object TextQueries extends QueryModule {
         LEAST(target_tokens, epochs * tokens) AS effective_tokens,
         target_tokens - LEAST(target_tokens, epochs * tokens) AS shortfall
       FROM ep""",
+    "txt_mix_unimax" -> s"""$cte,
+      per AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS tokens
+        FROM docs WHERE len(toks) > 0 GROUP BY 1),
+      tot AS (
+        SELECT *, tokens * 4 AS cap_tokens,
+               SUM(tokens) OVER () AS total_tokens,
+               COUNT(*) OVER () AS m
+        FROM per),
+      ord AS (
+        SELECT *, total_tokens // 2 AS budget,
+               CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+               SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                 ROWS UNBOUNDED PRECEDING) AS prefix_cap
+        FROM tot),
+      cnd AS (
+        SELECT *, CAST(cap_tokens AS HUGEINT) * (m - i + 1) <=
+               CAST(budget - prefix_cap + cap_tokens AS HUGEINT) AS cond
+        FROM ord),
+      cp AS (
+        SELECT *, MIN(CASE WHEN cond THEN 1 ELSE 0 END) OVER
+               (ORDER BY cap_tokens, source ROWS UNBOUNDED PRECEDING) = 1
+               AS capped
+        FROM cnd),
+      fin AS (
+        SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+               SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
+                 AS capped_sum
+        FROM cp),
+      alloc AS (
+        SELECT *, CAST(CASE WHEN capped THEN cap_tokens
+                            WHEN m = k THEN 0
+                            ELSE (budget - capped_sum) // (m - k)
+                       END AS BIGINT) AS alloc_tokens
+        FROM fin)
+      SELECT source, n_docs, tokens, cap_tokens, capped, alloc_tokens,
+        CAST((alloc_tokens * 65536) // tokens AS BIGINT) AS epochs_q16
+      FROM alloc""",
     "txt_dsir_select" -> s"""$cte,
       tok AS (
         SELECT doc_id, source,
