@@ -343,9 +343,54 @@ object Upsert {
         results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
       } finally pool.shutdown()
       refreshIndexSidecars(spark, table)
+      autoCompactIfDue(spark, table, partColP, touched)
       touched
     } finally updates.unpersist()
     } finally freeScreen()
+  }
+
+  /** Post-merge auto-compaction — Delta's `autoCompact` analog: when a
+    * just-touched partition holds `graft.autoCompact.minFiles` or more
+    * data files (default 16), the merge pays one bounded compaction of
+    * EXACTLY those partitions before returning. On this engine the
+    * fragmentation source is the merge's own TASK FAN-OUT (a wide
+    * shuffle writes one small file per task into the rewritten
+    * partition), so auto mode keeps a high-frequency merge table at
+    * size-targeted files in steady state instead of task-count files.
+    * OFF by default (`graft.autoCompact.enabled=false`, matching Delta):
+    * the scheduled Maintain pass is the normal pressure valve. Cost when enabled: one listing of
+    * the touched partitions' dirs (O(touched), never the table). The
+    * compaction is BEST-EFFORT after the already-committed merge — a
+    * failure (e.g. a concurrent writer's claim on the same partition)
+    * never fails the merge, it just leaves the files for the next merge
+    * or the scheduled pass (the sidecar-refresh contract). */
+  private def autoCompactIfDue(
+      spark: SparkSession,
+      table: String,
+      partColP: String,
+      touched: Seq[String]): Unit = {
+    if (!spark.conf.get("graft.autoCompact.enabled", "false").toBoolean) return
+    val minFiles = spark.conf.get("graft.autoCompact.minFiles", "16").toInt
+    val targetBytes = spark.conf.get("graft.autoCompact.targetBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val fs = fsFor(spark, table)
+    val due = touched.filter { p =>
+      val dir = new org.apache.hadoop.fs.Path(s"$table/$partColP=${escape(p)}")
+      fs.exists(dir) && fs.listStatus(dir)
+        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles
+    }
+    if (due.nonEmpty)
+      try {
+        compactPartitionsPhysical(spark, table, partColP, targetBytes,
+          minFilesToCompact = 2, Seq.empty, "cluster", Some(due.toSet))
+        ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] auto-compact of $table (${due.mkString(", ")}) " +
+              s"skipped: ${e.getMessage} — the merge itself is committed; " +
+              "the next merge or scheduled pass retries")
+      }
   }
 
   /** Catch any per-file index sidecars (Bloom filters, min/max stats) up

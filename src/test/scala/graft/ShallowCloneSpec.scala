@@ -208,6 +208,59 @@ class ShallowCloneSpec extends SparkSpec {
       "a deleted clone's ref is stale — it must not pin the source")
   }
 
+  test("concurrency hammer: racing COW merges and localizes never lose " +
+      "pinned rows, never duplicate, fail only loudly") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2))
+    // pure localize race: both threads race the create-exclusive rename;
+    // the slice lands EXACTLY once
+    val src0 = tmp("schlsrc"); seed(src0)
+    val dst0 = tmp("schldst")
+    ShallowClone.create(spark, src0, dst0, "day")
+    val locs = Seq(1, 2).map(_ => Future(
+      ShallowClone.localize(spark, dst0, "day", Seq("d1")))(ec))
+      .map(f => Await.result(f, Duration.Inf))
+    assert(locs.flatten == Seq("d1"),
+      s"exactly one localizer may win: $locs")
+    assert(Upsert.readCommitted(spark, dst0, "day")
+      .filter(col("day") === "d1").count() == 2L, "no duplicated slice")
+
+    // COW merge race on ONE partition, disjoint keys: serialized by the
+    // OCC claims — each attempt either commits or fails loudly; pinned
+    // rows survive every interleaving, winners' rows all land
+    (1 to 3).foreach { round =>
+      val src = tmp(s"schsrc$round"); seed(src)
+      val dst = tmp(s"schdst$round")
+      ShallowClone.create(spark, src, dst, "day")
+      val attempts = Seq(100L, 200L).map { base =>
+        Future(
+          try {
+            ShallowClone.mergeByKey(spark, dst,
+              Seq(("d1", base + round, base.toDouble)).toDF("day", "k", "v"),
+              "day", Seq("k"))
+            Right(base)
+          } catch {
+            case e: graft.core.TxnLog.ConcurrentWriteException => Left(e)
+          })(ec)
+      }.map(f => Await.result(f, Duration.Inf))
+      val won = attempts.collect { case Right(b) => b }
+      assert(won.nonEmpty, "at least one racing merge must commit")
+      val got = rowsOf(dst)
+      assert(got.filter(_._1 == "d1").map(_._2)
+        .intersect(Set(1L, 2L)) == Set(1L, 2L),
+        s"pinned d1 rows must survive every interleaving: $got")
+      won.foreach { b =>
+        assert(got.contains(("d1", b + round, b.toDouble)),
+          s"winner $b's row must land: $got")
+      }
+      assert(got.count(r => r._1 == "d1") == 2 + won.size,
+        s"no duplicates, no losers' rows: $got")
+    }
+  }
+
   test("Maintain drives the lifecycle: shallow → materialize, one JSON line each") {
     val src = tmp("scmm"); seed(src)
     val dst = tmp("scmmd")
