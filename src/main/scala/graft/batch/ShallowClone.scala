@@ -193,29 +193,58 @@ object ShallowClone {
     val fs = new Path(table).getFileSystem(conf)
     val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP)
     val already = localizedParts(spark, table, partColP)
-    parts.distinct.filterNot(already).flatMap { p =>
-      val live = new Path(s"$table/$partColP=${Upsert.escapeValue(p)}")
-      val slice = remote.filter(col(partColP).cast("string") === p)
-        .drop(partColP) // partition dirs carry the value; files never do
-      if (slice.limit(1).isEmpty) None // absent at pin: nothing to localize
-      else {
-        val tmp = new Path(s"$table/.localize-${live.getName}-" +
+    val want = parts.distinct.filterNot(already)
+    // exclusive dir install: the rename refuses an existing dest, so a
+    // racing localizer (or a partition merged since the existence check)
+    // loses harmlessly — both staged the same pinned bytes
+    def install(tmp: Path, live: Path): Boolean =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(live.toUri, conf)
+          .rename(tmp, live) // no OVERWRITE
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.rename(tmp, live) && !fs.exists(new Path(live, tmp.getName))
+      }
+    want match {
+      case Seq() => Seq.empty
+      case Seq(p) =>
+        // single-partition fast path (the merge's COW unit): one slice job
+        val live = new Path(s"$table/$partColP=${Upsert.escapeValue(p)}")
+        val slice = remote.filter(col(partColP).cast("string") === p)
+          .drop(partColP) // partition dirs carry the value; files never do
+        if (slice.limit(1).isEmpty) Seq.empty // absent at pin
+        else {
+          val tmp = new Path(s"$table/.localize-${live.getName}-" +
+            java.util.UUID.randomUUID.toString.take(8))
+          try {
+            slice.write.parquet(tmp.toString)
+            if (install(tmp, live)) Seq(p) else Seq.empty
+          } finally { scala.util.Try(fs.delete(tmp, true)); () }
+        }
+      case many =>
+        // bulk path (materialize's shape): ONE partitioned job writes
+        // every wanted slice into a staging tree, then O(partitions)
+        // exclusive renames install them — a 5,000-partition materialize
+        // is one Spark job, never 5,000 sequential ones
+        val stage = new Path(s"$table/.localize-bulk-" +
           java.util.UUID.randomUUID.toString.take(8))
         try {
-          slice.write.parquet(tmp.toString)
-          val won =
-            try {
-              org.apache.hadoop.fs.FileContext.getFileContext(live.toUri, conf)
-                .rename(tmp, live) // no OVERWRITE: exclusive install
-              true
-            } catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-                fs.rename(tmp, live) && !fs.exists(new Path(live, tmp.getName))
-            }
-          if (won) Some(p) else None
-        } finally { scala.util.Try(fs.delete(tmp, true)); () }
-      }
+          remote.filter(col(partColP).cast("string")
+              .isin(many.toSeq.sorted: _*))
+            .write.partitionBy(partColP).parquet(stage.toString)
+          val staged =
+            if (!fs.exists(stage)) Array.empty[org.apache.hadoop.fs.FileStatus]
+            else fs.listStatus(stage).filter(st =>
+              st.isDirectory && st.getPath.getName.startsWith(s"$partColP="))
+          staged.flatMap { st =>
+            val live = new Path(s"$table/${st.getPath.getName}")
+            if (install(st.getPath, live))
+              Some(Upsert.unescape(st.getPath.getName, partColP))
+            else None
+          }.toSeq.sorted
+        } finally { scala.util.Try(fs.delete(stage, true)); () }
     }
   }
 
