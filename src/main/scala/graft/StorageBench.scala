@@ -160,6 +160,12 @@ object StorageBench {
         Seq((days(0), "k1", -100.0)).toDF("day", "k", "v"),
         "day", Seq("k")) == Seq(days(0)))
     }
+    // bulk localization of everything still remote: ONE partitioned job +
+    // O(partitions) renames — the materialize shape
+    val tShallowMaterialize = time {
+      require(graft.batch.ShallowClone.materialize(
+        spark, s"$root/shallow", "day").size == partitions - 1)
+    }
 
     // REORG PURGE: fresh scattered DVs on 2 of `partitions` days, then
     // the forced materialization — the cost argues O(DV-carrying
@@ -256,6 +262,7 @@ object StorageBench {
       "storage_clone" -> tClone,
       "storage_shallow_create" -> tShallowCreate,
       "storage_shallow_cow" -> tShallowCow,
+      "storage_shallow_materialize" -> tShallowMaterialize,
       "storage_reorg" -> tReorg,
       "storage_cluster_full" -> tClusterFull,
       "storage_cluster_quiet" -> tClusterQuiet,

@@ -208,6 +208,36 @@ class ShallowCloneSpec extends SparkSpec {
       "a deleted clone's ref is stale — it must not pin the source")
   }
 
+  test("bulk materialize is ONE staged job, not a job per partition: " +
+      "job count stays flat as partitions grow") {
+    import spark.implicits._
+    val src = tmp("scjobs")
+    Upsert.mergeByKey(spark, src,
+      (1 to 10).map(i => (f"d$i%02d", i.toLong, i * 1.0)).toDF("day", "k", "v"),
+      "day", Seq("k"))
+    val dst = tmp("scjobsd")
+    ShallowClone.create(spark, src, dst, "day")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val done =
+      try ShallowClone.materialize(spark, dst, "day")
+      finally {
+        Thread.sleep(200) // listener events settle (start events, upper bound)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(done.size == 10, s"all 10 partitions localize: $done")
+    // one partitionBy stage job + the remote-partition probe and small
+    // planning jobs — a per-partition loop would run >= 10 write jobs
+    assert(jobs.get() <= 6,
+      s"10-partition materialize must stay ~one data job, ran ${jobs.get()}")
+  }
+
   test("concurrency hammer: racing COW merges and localizes never lose " +
       "pinned rows, never duplicate, fail only loudly") {
     import spark.implicits._

@@ -11,6 +11,7 @@ class StorageBenchSpec extends SparkSpec {
       "storage_bloom_build", "storage_stats_build", "storage_stats_scan",
       "storage_merge_indexed", "storage_restore", "storage_clone",
       "storage_shallow_create", "storage_shallow_cow",
+      "storage_shallow_materialize",
       "storage_reorg",
       "storage_cluster_full", "storage_cluster_quiet",
       "storage_view_bootstrap", "storage_view_sync",
