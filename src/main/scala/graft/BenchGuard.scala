@@ -31,8 +31,18 @@ object BenchGuard {
     * spread must force round 3, because there is no robust estimator yet. */
   val TwoRoundSpreadLimit = 1.5
 
+  /** The r17 guard miss: at exactly THREE rounds the median tolerates ONE
+    * bad round, but r17's official run had TWO — totals 147.3/97.7/209.9 s
+    * (2.15× spread, under [[SpreadLimit]]) published 109 s medians as
+    * `contended:false` that the quiet re-measure put at 78–96 s. A >2×
+    * swing at n=3 must buy a fourth round; from n≥4 the median is robust
+    * to two contaminated rounds and the 3× limit stands. */
+  val ThreeRoundSpreadLimit = 2.0
+
   def spreadLimitFor(n: Int): Double =
-    if (n == 2) TwoRoundSpreadLimit else SpreadLimit
+    if (n == 2) TwoRoundSpreadLimit
+    else if (n == 3) ThreeRoundSpreadLimit
+    else SpreadLimit
 
   def isContended(roundTotalsSec: Seq[Double], budgetMs: Long): Boolean =
     roundTotalsSec.exists(_ * 1000.0 >= budgetMs.toDouble) ||

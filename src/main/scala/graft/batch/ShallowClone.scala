@@ -105,14 +105,18 @@ object ShallowClone {
     fs.mkdirs(dstPath)
     // registries carry over verbatim, exactly like deep clone (the
     // features registry rides along, so the clone inherits the source's
-    // declared features); the source's own lineage record does not
+    // declared features); the source's own lineage record does not, and
+    // neither does its clone-ref registry — those pins belong to the
+    // source's OTHER clones, and a copy would make this clone report
+    // phantom pins and block its own post-graduation vacuum forever
     val srcMeta = new Path(s"$src/_graft_meta")
     val srcFs = srcMeta.getFileSystem(conf)
     if (srcFs.exists(srcMeta)) {
       val dstMeta = new Path(s"$dst/_graft_meta")
       fs.mkdirs(dstMeta)
       srcFs.listStatus(srcMeta)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith(MetaPrefix))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith(MetaPrefix) &&
+          !st.getPath.getName.startsWith(RefsPrefix))
         .foreach { st =>
           org.apache.hadoop.fs.FileUtil.copy(
             srcFs, st.getPath, fs, new Path(dstMeta, st.getPath.getName),
@@ -205,7 +209,17 @@ object ShallowClone {
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          fs.rename(tmp, live) && !fs.exists(new Path(live, tmp.getName))
+          // FileSystem.rename moves tmp INSIDE an existing live dir
+          // instead of refusing; detect the nested move and UNDO it —
+          // in the bulk path tmp is named `partCol=value` (not
+          // dot-prefixed), so a leftover nested dir would read back as
+          // duplicate data inside the live partition
+          if (!fs.rename(tmp, live)) false
+          else {
+            val nested = new Path(live, tmp.getName)
+            if (fs.exists(nested)) { fs.delete(nested, true); false }
+            else true
+          }
       }
     want match {
       case Seq() => Seq.empty
@@ -287,15 +301,26 @@ object ShallowClone {
       remoteParts(spark, table, partColP).toSeq.sorted)
   }
 
-  /** Pinned-source partitions the clone still reads remotely. */
+  /** Pinned-source partitions the clone still reads remotely ("reads" =
+    * has surviving rows at the pin). Resolved DRIVER-SIDE from the
+    * source's manifest ([[Upsert.partValsAsOf]]) — no Spark job over the
+    * snapshot's files, so `materialize`/`dropFeature` residue checks stay
+    * O(partitions) at 100 TB. The one case metadata cannot decide — a
+    * deletion vector in force at the pin may have emptied a partition —
+    * falls back to a scan scoped to EXACTLY the still-remote values
+    * (bounded by DV-era partitions, never the whole snapshot). */
   private[batch] def remoteParts(
       spark: SparkSession, table: String, partColP: String): Set[String] = {
     val m = meta(spark, table)
-    val all = Upsert.readAsOfPhysical(
-        spark, m("source"), m("sourceVersion").toLong, partColP)
-      .select(col(partColP).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    all -- localizedParts(spark, table, partColP)
+    val (src, pinned) = (m("source"), m("sourceVersion").toLong)
+    val (candidates, hasDv) = Upsert.partValsAsOf(spark, src, pinned, partColP)
+    val remote = candidates -- localizedParts(spark, table, partColP)
+    if (remote.isEmpty || !hasDv) remote
+    else
+      Upsert.readAsOfPhysical(spark, src, pinned, partColP)
+        .filter(col(partColP).cast("string").isin(remote.toSeq.sorted: _*))
+        .select(col(partColP).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
   }
 
   // ---- source-side retention pins ------------------------------------

@@ -31,6 +31,13 @@ import org.apache.spark.sql.SparkSession
   * build cannot even classify must refuse reads too. */
 object TableFeatures {
 
+  /** A DROP FEATURE refused because residue remains — the message names
+    * the remains and the clearing verb. A dedicated type (still an
+    * IllegalStateException for existing catch sites) so the HTTP layer
+    * can map residue refusals to 409 CONFLICT while contention/internal
+    * failures map to 5xx instead of masquerading as residue. */
+  final class ResidueException(msg: String) extends IllegalStateException(msg)
+
   private val Prefix = "features-v"
 
   val DeletionVectors = "deletion-vectors"
@@ -126,7 +133,7 @@ object TableFeatures {
       val cur = features(spark, table)
       if (!cur.contains(feature)) return // concurrent drop finished it
       residue(spark, table, feature).foreach { r =>
-        throw new IllegalStateException(
+        throw new ResidueException(
           s"cannot drop feature $feature from $table: $r")
       }
       try {

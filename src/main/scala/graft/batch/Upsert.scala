@@ -1017,6 +1017,57 @@ object Upsert {
         "failure here is a broken table, not contention)", lastErr)
   }
 
+  /** Partition VALUES of the snapshot at `version`, resolved DRIVER-SIDE —
+    * the metadata half of [[readAsOfPhysical]] (manifest math plus cached
+    * generation listings), never a Spark job over the snapshot's files.
+    * O(partitions) where the distributed `select(partCol).distinct()` it
+    * replaces is O(files) task scheduling at 100 TB. Also returns whether
+    * any deletion-vector commit ≤ `version` exists (driver-side manifest
+    * scan): metadata cannot see ROW emptiness, so a caller that needs
+    * "has surviving rows" must probe exactly when that flag is set.
+    * Same retry discipline as [[readAsOfPhysical]] against mid-install
+    * writers (resolution refuses loudly; a retry re-reads the manifest). */
+  private[batch] def partValsAsOf(
+      spark: SparkSession,
+      table: String,
+      version: Long,
+      partCol: String): (Set[String], Boolean) = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < 10) {
+      attempt += 1
+      try {
+        val all = TxnLog.commitsSince(spark, table, 0L)
+        val tip = all.lastOption.map(_.version).getOrElse(0L)
+        if (version > tip)
+          throw new IllegalStateException(
+            s"partValsAsOf: version $version is beyond the current tip v$tip")
+        all.headOption.map(_.version).filter(version < _ - 1).foreach { floor =>
+          throw new IllegalStateException(
+            s"partValsAsOf: version $version predates the manifest horizon " +
+              s"(oldest retained commit is v$floor)")
+        }
+        val liveDirs = fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+          .map(_.getPath.getName).sorted.toSeq
+        val r = resolveDirs(fs, table, version, partCol, all, liveDirs)
+        val vals = (r.liveVals ++ r.fromHistory.map(h => unescape(h._2, partCol))).toSet
+        val hasDv = all.exists(c =>
+          c.op == "dv-end" && c.ref.isDefined && c.version <= version)
+        return (vals, hasDv)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          Thread.sleep(math.min(25L * attempt, 250L))
+      }
+    }
+    throw new IllegalStateException(
+      s"partValsAsOf: $table did not yield a stable v$version partition " +
+        "listing in 10 attempts", lastErr)
+  }
+
   /** DESCRIBE HISTORY analog (Delta `DESCRIBE HISTORY <table>`): the
     * table's retained commits, newest first, as a small DataFrame —
     * version, operation, partitions touched, commit timestamp, the begin

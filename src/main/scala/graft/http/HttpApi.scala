@@ -367,36 +367,6 @@ final class HttpApi(
   /** `GET /table/detail?table=<path>` — DESCRIBE DETAIL over the API: one
     * object of table-level facts from driver metadata only (no Spark
     * job). */
-  /** `POST /table/feature/drop {table, feature}` — Delta's `ALTER TABLE …
-    * DROP FEATURE` over the API. 409 when residue blocks the drop (the
-    * body names the remains and the clearing verb), 400 on unknown or
-    * undeclared features. */
-  private def featureDrop(ex: HttpExchange): Unit = {
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val fields =
-      try Json.parse(if (body.trim.isEmpty) "{}" else body).asObj
-      catch {
-        case e: Exception =>
-          reply(ex, 400, err("INVALID_REQUEST", s"Malformed JSON body: ${e.getMessage}"))
-          return
-      }
-    (fields.get("table"), fields.get("feature")) match {
-      case (Some(JStr(table)), Some(JStr(feature))) =>
-        try {
-          graft.batch.TableFeatures.dropFeature(spark, table, feature)
-          reply(ex, 200, JObj.of(
-            "table" -> JStr(table), "dropped" -> JStr(feature)))
-        } catch {
-          case e: IllegalStateException =>
-            reply(ex, 409, err("FEATURE_RESIDUE", e.getMessage))
-          case e: IllegalArgumentException =>
-            reply(ex, 400, err("INVALID_REQUEST", e.getMessage))
-        }
-      case _ =>
-        reply(ex, 400, err("INVALID_REQUEST", "Missing required fields: table, feature"))
-    }
-  }
-
   private def tableDetail(ex: HttpExchange): Unit = {
     val q = query(ex)
     q.get("table").filter(_.nonEmpty) match {
@@ -428,6 +398,41 @@ final class HttpApi(
           "lastExpectCounts" -> strs(d.lastExpectCounts),
           "tableFeatures" -> strs(d.tableFeatures),
           "cloneState" -> strs(d.cloneState)))
+    }
+  }
+
+  /** `POST /table/feature/drop {table, feature}` — Delta's `ALTER TABLE …
+    * DROP FEATURE` over the API. 409 when residue blocks the drop (the
+    * body names the remains and the clearing verb), 400 on unknown or
+    * undeclared features, 503 when the drop lost its registry race too
+    * many times (retryable — NOT a residue conflict). */
+  private def featureDrop(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val fields =
+      try Json.parse(if (body.trim.isEmpty) "{}" else body).asObj
+      catch {
+        case e: Exception =>
+          reply(ex, 400, err("INVALID_REQUEST", s"Malformed JSON body: ${e.getMessage}"))
+          return
+      }
+    (fields.get("table"), fields.get("feature")) match {
+      case (Some(JStr(table)), Some(JStr(feature))) =>
+        try {
+          graft.batch.TableFeatures.dropFeature(spark, table, feature)
+          reply(ex, 200, JObj.of(
+            "table" -> JStr(table), "dropped" -> JStr(feature)))
+        } catch {
+          case e: graft.batch.TableFeatures.ResidueException =>
+            reply(ex, 409, err("FEATURE_RESIDUE", e.getMessage))
+          case e: IllegalArgumentException =>
+            reply(ex, 400, err("INVALID_REQUEST", e.getMessage))
+          case e: IllegalStateException =>
+            // contention ("still contended after N attempts") or a
+            // missing residue rule — retryable/internal, never residue
+            reply(ex, 503, err("FEATURE_DROP_UNAVAILABLE", e.getMessage))
+        }
+      case _ =>
+        reply(ex, 400, err("INVALID_REQUEST", "Missing required fields: table, feature"))
     }
   }
 

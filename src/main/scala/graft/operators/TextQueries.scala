@@ -769,7 +769,11 @@ object TextQueries extends QueryModule {
         when(col("capped"), col("cap_tokens"))
           .when(col("m") === col("k"), lit(0L))
           .otherwise(expr("(budget - capped_sum) DIV (m - k)")))
-      .withColumn("epochs_q16", expr("(alloc_tokens * 65536) DIV tokens"))
+      // the *65536 rides DECIMAL(38,0) (oracle: HUGEINT) — a BIGINT
+      // multiply would wrap silently past ~1.4e14 alloc tokens, the one
+      // place the scaladoc's any-token-scale claim could break
+      .withColumn("epochs_q16", expr(
+        "CAST((CAST(alloc_tokens AS DECIMAL(38,0)) * 65536) DIV tokens AS BIGINT)"))
       .select("source", "n_docs", "tokens", "cap_tokens", "capped",
         "alloc_tokens", "epochs_q16")
   }
@@ -1153,7 +1157,8 @@ object TextQueries extends QueryModule {
                        END AS BIGINT) AS alloc_tokens
         FROM fin)
       SELECT source, n_docs, tokens, cap_tokens, capped, alloc_tokens,
-        CAST((alloc_tokens * 65536) // tokens AS BIGINT) AS epochs_q16
+        CAST((CAST(alloc_tokens AS HUGEINT) * 65536) // tokens AS BIGINT)
+          AS epochs_q16
       FROM alloc""",
     "txt_dsir_select" -> s"""$cte,
       tok AS (

@@ -238,6 +238,58 @@ class ShallowCloneSpec extends SparkSpec {
       s"10-partition materialize must stay ~one data job, ran ${jobs.get()}")
   }
 
+  test("a clone of a source with LIVE CLONES does not inherit the source's " +
+      "clone-ref registry: no phantom pins, vacuum after graduation works") {
+    import spark.implicits._
+    val src = tmp("screfs"); seed(src)
+    val cloneA = tmp("screfsa")
+    ShallowClone.create(spark, src, cloneA, "day")
+    // src now carries cloneA's pin in its clonerefs registry; a second
+    // clone must NOT copy that registry into its own _graft_meta
+    val cloneB = tmp("screfsb")
+    ShallowClone.create(spark, src, cloneB, "day")
+    assert(!Upsert.detail(spark, cloneB).cloneState.exists(_.startsWith("<-")),
+      "a fresh clone must not report the SOURCE's other clones as its own pins")
+    assert(Upsert.detail(spark, src).cloneState.count(_.startsWith("<-")) == 2,
+      "the source itself pins both live clones")
+    // graduate B, rewrite it, and prove phantom refs don't block its vacuum
+    ShallowClone.materialize(spark, cloneB, "day")
+    TableFeatures.dropFeature(spark, cloneB, ShallowClone.Feature)
+    Upsert.mergeByKey(spark, cloneB,
+      Seq(("d1", 1L, 77.0)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(Upsert.vacuumHistory(spark, cloneB, minAgeMs = 0L) > 0,
+      "an inherited clonerefs registry would pin the graduated clone's " +
+        "history forever")
+  }
+
+  test("remoteParts is METADATA-ONLY: the residue probe of a feature drop " +
+      "schedules no Spark job over the source snapshot's files") {
+    import spark.implicits._
+    val src = tmp("scmeta"); seed(src)
+    val dst = tmp("scmetad")
+    ShallowClone.create(spark, src, dst, "day")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val e =
+      try intercept[IllegalStateException] {
+        TableFeatures.dropFeature(spark, dst, ShallowClone.Feature)
+      } finally {
+        Thread.sleep(200) // listener events settle
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(e.getMessage.contains("still read from the pinned source"),
+      e.getMessage)
+    assert(jobs.get() == 0,
+      s"the still-remote probe must be driver-side manifest math " +
+        s"(O(partitions), not O(files) at 100 TB); ran ${jobs.get()} job(s)")
+  }
+
   test("concurrency hammer: racing COW merges and localizes never lose " +
       "pinned rows, never duplicate, fail only loudly") {
     import spark.implicits._
