@@ -739,11 +739,19 @@ object TextQueries extends QueryModule {
     * only unpartitioned windows run over that metadata-sized frame (the
     * [[mixEpochs]]/[[dsirSelect]] discipline — never a doc-grained
     * frame). Budget = total_tokens/2, the mixEpochs target discipline. */
-  def mixUnimax(s: SparkSession, d: String): DataFrame = {
-    val perSource = docs(s, d).filter(size(col("toks")) > 0)
+  def mixUnimax(s: SparkSession, d: String): DataFrame =
+    unimaxOver(docs(s, d).filter(size(col("toks")) > 0)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("tokens"))
+        sum(size(col("toks")).cast("long")).as("tokens")))
+      .select("source", "n_docs", "tokens", "cap_tokens", "capped",
+        "alloc_tokens", "epochs_q16")
+
+  /** The closed-form integer water-filling over any (source, n_docs,
+    * tokens) frame — shared by [[mixUnimax]] (whitespace tokens) and
+    * [[mixUnimaxBpe]] (subword tokens). Returns the input columns plus
+    * cap_tokens/capped/alloc_tokens/epochs_q16. */
+  private def unimaxOver(perSource: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     val byCap = Window.orderBy(col("cap_tokens"), col("source"))
     val runByCap = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -973,8 +981,223 @@ object TextQueries extends QueryModule {
       .withColumn("drift_q16", expr("(bpe_tokens * 65536) DIV ws_tokens"))
   }
 
+  /** Per-document BPE token count as ONE codegen'd expression — the
+    * [[bpeChain]] merge loop folded over the token array with
+    * `aggregate` (no explode, no shuffle): the per-doc subword count
+    * the tokenizer-true budgets rank and allocate on. Words outside
+    * the tokenizer alphabet count 1 (<unk>), matching [[bpeTokens]]. */
+  private lazy val bpeDocCount: String = {
+    val enc = bpeChain("concat('|', regexp_replace(w, '(.)', '$1|'))")
+    "aggregate(toks, 0L, (acc, w) -> acc + (CASE WHEN w RLIKE '^[a-z]+" +
+      "$' THEN CAST(length(" + enc + ") - length(replace(" + enc +
+      ", '|', '')) - 1 AS BIGINT) ELSE 1L END))"
+  }
+
+  /** DuckDB twin of [[bpeDocCount]] (list_transform + list_sum). */
+  private lazy val sqlBpeDocCount: String = {
+    val enc = bpeChain("""('|' || regexp_replace(w, '(.)', '\1|', 'g'))""")
+    s"""list_sum(list_transform(toks, w ->
+        CASE WHEN regexp_full_match(w, '[a-z]+')
+          THEN length($enc) - length(replace($enc, '|', '')) - 1
+          ELSE 1 END))"""
+  }
+
+  /** DuckDB integer value of the first `n` lowercase-hex digits of
+    * expression `e` (the md5-prefix bucket/weight idiom — Spark's
+    * `conv(substring(x, 1, n), 16, 10)`). */
+  private def sqlHexVal(e: String, n: Int): String =
+    (1 to n).map { k =>
+      val term = s"(strpos('0123456789abcdef', substring($e, $k, 1)) - 1)"
+      if (k < n) s"$term * ${math.pow(16, (n - k).toDouble).toLong}" else term
+    }.mkString("(", " + ", ")")
+
+  /** Hashed-feature bucket count for the classifier (fastText defaults
+    * to 2M bigram buckets; 256 keeps the weight table broadcast-trivial
+    * and oracle-replayable — the [[DsirBuckets]] discipline). */
+  private val ClfBuckets = 256
+
+  /** Learned quality-classifier selection — the CCNet/DCLM/FineWeb-Edu
+    * gate: a LINEAR fastText-style classifier over hashed word-bigram
+    * features, trained offline, shipped as a weight table, applied as
+    * one inference pass (Joulin et al. 2016; the published pipelines
+    * gate on exactly this, not only heuristics). The weight table here
+    * is a deterministic keyed-hash stand-in for the trained artifact
+    * (the shipped-artifact discipline of [[BpeMerges]] — the engine's
+    * job is the inference plumbing, and the table swaps byte-for-byte
+    * for real trained weights); scoring is exact integer q16 (a doc's
+    * score is a SUM of bucket weights — order-independent under any
+    * parallelism), keep = score > 0 (the sigmoid-0.5 boundary of a
+    * bias-free linear model).
+    *
+    * 100 TB shape: bigram/hash/explode is narrow on the scan; the
+    * 256-row weight table is BROADCAST into the scoring join (the
+    * [[dsirSelect]] economics); the per-doc combine is the one O(docs)
+    * shuffle; keep is a threshold on the doc's OWN score — no global
+    * rank, no doc-grained unpartitioned window; the report aggregates
+    * to |sources| rows. Featureless docs (<2 tokens) score through the
+    * empty-feature bucket, so every doc classifies in the one pass —
+    * no join-back for the unfeatured. */
+  def classifierSelect(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d).select(col("doc_id"), col("source"),
+      explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                            i -> concat(toks[i-1], ' ', toks[i]))
+             ELSE array('') END""")).as("bg"))
+    val w = s.range(ClfBuckets.toLong).select(
+      col("id").as("b"),
+      (conv(substring(md5(concat(lit("clfw:"), col("id").cast("string"))),
+        1, 4), 16, 10).cast("long") - lit(32768L)).as("w_q16"))
+    val perDoc = grams
+      .withColumn("b", conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("w_q16").as("score_q16"))
+    perDoc.withColumn("keep", col("score_q16") > 0)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("kept_frac"),
+        sum(col("score_q16")).as("sum_score_q16"),
+        sum(when(col("keep"), col("score_q16")).otherwise(0L))
+          .as("kept_score_q16"))
+  }
+
+  /** Exact duplicate-substring mass (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the suffix-array
+    * ≥50-token criterion re-expressed relationally): every STRIDE-1
+    * window of L consecutive tokens whose exact text occurs ≥2 times
+    * anywhere in the corpus marks its positions duplicated; a doc's
+    * duplicate mass is the UNION of its duplicated windows. L=8 at
+    * this corpus's ~55-token docs — the same published-protocol
+    * downscale as [[contamination]]'s 8-gram. Fixed-L stride-1
+    * coverage marks the SAME positions the paper's maximal repeats ≥ L
+    * do: every length-L subwindow of a longer repeat is itself
+    * repeated.
+    *
+    * 100 TB shape: the stride-1 fan-out is narrow on the scan; the ONE
+    * wide exchange keys on the shingle string (bounded by distinct
+    * corpus content — the dedup target itself; [[spanDedup]]'s
+    * economics at stride 1, never all-pairs); the interval union is a
+    * per-DOC window over equal-length intervals (one lag,
+    * hash-partitioned on doc_id); the report is |sources| rows. */
+  def exactSubstr(s: SparkSession, d: String): DataFrame =
+    exactSubstrOf(docs(s, d))
+
+  /** Core of [[exactSubstr]] over any (doc_id, source, toks) frame
+    * (unit-testable with planted duplicates). */
+  def exactSubstrOf(docsDf: DataFrame): DataFrame = {
+    val L = 8
+    val base = docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
+    val sh = base.select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""CASE WHEN size(toks) >= $L
+                THEN transform(sequence(1, size(toks) - ${L - 1}),
+                               i -> concat_ws(' ', slice(toks, i, $L)))
+                ELSE array() END""")))
+      .toDF("doc_id", "source", "p0", "sh")
+      .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+    val dup = sh
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("n_occ") > 1)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = dup
+      .withColumn("prev", lag("pos", 1).over(wDoc))
+      .withColumn("covers",
+        when(col("prev").isNull, lit(L.toLong))
+          .otherwise(least(lit(L.toLong), col("pos") - col("prev"))))
+      .groupBy("doc_id", "source").agg(
+        sum("covers").as("dup_tokens"),
+        count(lit(1)).as("dup_windows"))
+    base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"))
+      .join(
+        perDoc.groupBy("source").agg(
+          count(lit(1)).as("dup_docs"),
+          sum("dup_tokens").as("dup_tokens"),
+          sum("dup_windows").as("dup_windows")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("tokens").cast("double")).as("dup_frac"))
+  }
+
+  /** Tokenizer-true budget selection: [[budgetSelect]]'s greedy
+    * quality-ranked fill, budgeted in SUBWORD (BPE) tokens — the unit
+    * a training run actually pays — with the whitespace-form decision
+    * computed in the SAME pass so the report quantifies what the
+    * approximation mis-selects (`swapped_docs`). Same one-exchange
+    * shape: both cumulative sums ride one (source, quality, doc_id)
+    * window sort; the BPE count is [[bpeDocCount]], per-row codegen'd
+    * string work on the scan — no explode, no extra shuffle. */
+  def budgetSelectBpe(s: SparkSession, d: String): DataFrame = {
+    val base = withQuality(docs(s, d)).filter(col("n_tokens") > 0)
+      .withColumn("n_bpe", expr(bpeDocCount))
+    val wRank = Window.partitionBy("source")
+      .orderBy(desc("quality_score"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val flagged = base
+      .withColumn("cum_bpe", sum(col("n_bpe")).over(wRank))
+      .withColumn("cum_ws", sum(col("n_tokens")).over(wRank))
+      .withColumn("tot_bpe", sum(col("n_bpe")).over(wAll))
+      .withColumn("tot_ws", sum(col("n_tokens")).over(wAll))
+      .withColumn("keep", col("cum_bpe").cast("double") <=
+        col("tot_bpe").cast("double") * BudgetFrac)
+      .withColumn("keep_ws", col("cum_ws").cast("double") <=
+        col("tot_ws").cast("double") * BudgetFrac)
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      max(col("tot_bpe")).as("bpe_tokens"),
+      max(col("tot_ws")).as("ws_tokens"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+      sum(when(col("keep"), col("n_bpe")).otherwise(0L)).as("kept_bpe_tokens"),
+      (sum(when(col("keep"), col("n_bpe")).otherwise(0L)).cast("double") /
+        max(col("tot_bpe")).cast("double")).as("kept_frac"),
+      sum(when(col("keep_ws"), 1L).otherwise(0L)).as("ws_kept_docs"),
+      sum(when(col("keep") =!= col("keep_ws"), 1L).otherwise(0L))
+        .as("swapped_docs"))
+  }
+
+  /** Tokenizer-true UniMax: [[mixUnimax]]'s water-filling run on BPE
+    * subword counts (the unit the budget is actually spent in), with
+    * the whitespace-form allocation joined back so the report shows
+    * the drift in EPOCHS — the unit-free number that is comparable
+    * across token accountings. One corpus pass computes both token
+    * sums; everything downstream is |sources|-row metadata. */
+  def mixUnimaxBpe(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d).filter(size(col("toks")) > 0)
+      .withColumn("n_bpe", expr(bpeDocCount))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tokens_ws"),
+        sum(col("n_bpe")).as("tokens_bpe"))
+      .cache() // |sources| rows; feeds both water-fillings
+    val bpe = unimaxOver(per.select(col("source"), col("n_docs"),
+      col("tokens_bpe").as("tokens")))
+    val ws = unimaxOver(per.select(col("source"), col("n_docs"),
+        col("tokens_ws").as("tokens")))
+      .select(col("source"), col("tokens").as("tokens_ws"),
+        col("epochs_q16").as("epochs_q16_ws"))
+    bpe.select(col("source"), col("n_docs"),
+        col("tokens").as("tokens_bpe"), col("capped"),
+        col("alloc_tokens"), col("epochs_q16"))
+      .join(ws, Seq("source"))
+      .withColumn("epochs_delta_q16",
+        col("epochs_q16") - col("epochs_q16_ws"))
+  }
+
   val queries: Map[String, Q] = Map(
     "txt_bpe_tokens" -> (bpeTokens _),
+    "txt_budget_select_bpe" -> (budgetSelectBpe _),
+    "txt_classifier_select" -> (classifierSelect _),
+    "txt_exact_substr" -> (exactSubstr _),
+    "txt_mix_unimax_bpe" -> (mixUnimaxBpe _),
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
     "txt_mix_epochs" -> (mixEpochs _),
@@ -1008,6 +1231,48 @@ object TextQueries extends QueryModule {
 
   private def sqlMarker(words: Seq[String]): String =
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
+
+  /** The UniMax water-filling as a reusable DuckDB CTE chain over a
+    * (source, n_docs, tokens) CTE named `per` — every stage name gets
+    * prefix `p` so two chains (whitespace + BPE accounting) compose in
+    * one query. Ends at `${p}out`: input columns + cap_tokens / capped /
+    * alloc_tokens / epochs_q16. */
+  private def unimaxChainSql(per: String, p: String): String = s"""
+      ${p}tot AS (
+        SELECT *, tokens * 4 AS cap_tokens,
+               SUM(tokens) OVER () AS total_tokens,
+               COUNT(*) OVER () AS m
+        FROM $per),
+      ${p}ord AS (
+        SELECT *, total_tokens // 2 AS budget,
+               CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
+               SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                 ROWS UNBOUNDED PRECEDING) AS prefix_cap
+        FROM ${p}tot),
+      ${p}cnd AS (
+        SELECT *, CAST(cap_tokens AS HUGEINT) * (m - i + 1) <=
+               CAST(budget - prefix_cap + cap_tokens AS HUGEINT) AS cond
+        FROM ${p}ord),
+      ${p}cp AS (
+        SELECT *, MIN(CASE WHEN cond THEN 1 ELSE 0 END) OVER
+               (ORDER BY cap_tokens, source ROWS UNBOUNDED PRECEDING) = 1
+               AS capped
+        FROM ${p}cnd),
+      ${p}fin AS (
+        SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+               SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
+                 AS capped_sum
+        FROM ${p}cp),
+      ${p}alloc AS (
+        SELECT *, CAST(CASE WHEN capped THEN cap_tokens
+                            WHEN m = k THEN 0
+                            ELSE (budget - capped_sum) // (m - k)
+                       END AS BIGINT) AS alloc_tokens
+        FROM ${p}fin),
+      ${p}out AS (
+        SELECT *, CAST((CAST(alloc_tokens AS HUGEINT) * 65536) // tokens
+                 AS BIGINT) AS epochs_q16
+        FROM ${p}alloc)"""
 
   private lazy val packSql: String = s"""$cte,
       sized AS (
@@ -1125,41 +1390,133 @@ object TextQueries extends QueryModule {
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(len(toks)) AS BIGINT) AS tokens
         FROM docs WHERE len(toks) > 0 GROUP BY 1),
-      tot AS (
-        SELECT *, tokens * 4 AS cap_tokens,
-               SUM(tokens) OVER () AS total_tokens,
-               COUNT(*) OVER () AS m
-        FROM per),
-      ord AS (
-        SELECT *, total_tokens // 2 AS budget,
-               CAST(ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS BIGINT) AS i,
-               SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
-                 ROWS UNBOUNDED PRECEDING) AS prefix_cap
-        FROM tot),
-      cnd AS (
-        SELECT *, CAST(cap_tokens AS HUGEINT) * (m - i + 1) <=
-               CAST(budget - prefix_cap + cap_tokens AS HUGEINT) AS cond
-        FROM ord),
-      cp AS (
-        SELECT *, MIN(CASE WHEN cond THEN 1 ELSE 0 END) OVER
-               (ORDER BY cap_tokens, source ROWS UNBOUNDED PRECEDING) = 1
-               AS capped
-        FROM cnd),
-      fin AS (
-        SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
-               SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER ()
-                 AS capped_sum
-        FROM cp),
-      alloc AS (
-        SELECT *, CAST(CASE WHEN capped THEN cap_tokens
-                            WHEN m = k THEN 0
-                            ELSE (budget - capped_sum) // (m - k)
-                       END AS BIGINT) AS alloc_tokens
-        FROM fin)
+      ${unimaxChainSql("per", "")}
       SELECT source, n_docs, tokens, cap_tokens, capped, alloc_tokens,
-        CAST((CAST(alloc_tokens AS HUGEINT) * 65536) // tokens AS BIGINT)
-          AS epochs_q16
-      FROM alloc""",
+        epochs_q16
+      FROM out""",
+    "txt_mix_unimax_bpe" -> s"""$cte,
+      per0 AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS tokens_ws,
+          CAST(SUM($sqlBpeDocCount) AS BIGINT) AS tokens_bpe
+        FROM docs WHERE len(toks) > 0 GROUP BY 1),
+      bper AS (SELECT source, n_docs, tokens_bpe AS tokens FROM per0),
+      wper AS (SELECT source, n_docs, tokens_ws AS tokens FROM per0),
+      ${unimaxChainSql("bper", "b")},
+      ${unimaxChainSql("wper", "w")}
+      SELECT b.source, b.n_docs, b.tokens AS tokens_bpe,
+        w.tokens AS tokens_ws, b.capped, b.alloc_tokens, b.epochs_q16,
+        w.epochs_q16 AS epochs_q16_ws,
+        b.epochs_q16 - w.epochs_q16 AS epochs_delta_q16
+      FROM bout b JOIN wout w ON b.source = w.source""",
+    "txt_budget_select_bpe" -> s"""$cte,
+      scored AS (
+        SELECT source, doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST($sqlBpeDocCount AS BIGINT) AS n_bpe,
+          $sqlQuality AS quality_score
+        FROM docs WHERE len(toks) > 0),
+      ranked AS (
+        SELECT *,
+          SUM(n_bpe) OVER w AS cum_bpe,
+          SUM(n_tokens) OVER w AS cum_ws,
+          SUM(n_bpe) OVER (PARTITION BY source) AS tot_bpe,
+          SUM(n_tokens) OVER (PARTITION BY source) AS tot_ws
+        FROM scored
+        WINDOW w AS (PARTITION BY source
+          ORDER BY quality_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      flagged AS (
+        SELECT *,
+          CAST(cum_bpe AS DOUBLE) <= CAST(tot_bpe AS DOUBLE) * $BudgetFrac
+            AS keep,
+          CAST(cum_ws AS DOUBLE) <= CAST(tot_ws AS DOUBLE) * $BudgetFrac
+            AS keep_ws
+        FROM ranked)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(tot_bpe) AS BIGINT) AS bpe_tokens,
+        CAST(MAX(tot_ws) AS BIGINT) AS ws_tokens,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(CASE WHEN keep THEN n_bpe ELSE 0 END) AS BIGINT)
+          AS kept_bpe_tokens,
+        CAST(SUM(CASE WHEN keep THEN n_bpe ELSE 0 END) AS DOUBLE) /
+          CAST(MAX(tot_bpe) AS DOUBLE) AS kept_frac,
+        CAST(SUM(CASE WHEN keep_ws THEN 1 ELSE 0 END) AS BIGINT)
+          AS ws_kept_docs,
+        CAST(SUM(CASE WHEN keep <> keep_ws THEN 1 ELSE 0 END) AS BIGINT)
+          AS swapped_docs
+      FROM flagged GROUP BY 1""",
+    "txt_classifier_select" -> s"""$cte,
+      grams AS (
+        SELECT doc_id, source, array_to_string(toks[i:i+1], ' ') AS bg
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+        UNION ALL
+        SELECT doc_id, source, '' AS bg FROM docs WHERE len(toks) < 2),
+      wt AS (
+        SELECT CAST(i AS BIGINT) AS b,
+          CAST(${sqlHexVal("md5('clfw:' || CAST(i AS VARCHAR))", 4)}
+            - 32768 AS BIGINT) AS w_q16
+        FROM range(256) t(i)),
+      feats AS (
+        SELECT doc_id, source,
+          CAST(${sqlHexVal("md5(bg)", 2)} AS BIGINT) AS b
+        FROM grams),
+      per_doc AS (
+        SELECT doc_id, source, SUM(w_q16) AS score_q16
+        FROM feats JOIN wt USING (b) GROUP BY 1, 2)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN score_q16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_docs,
+        CAST(SUM(CASE WHEN score_q16 > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+          COUNT(*) AS kept_frac,
+        CAST(SUM(score_q16) AS BIGINT) AS sum_score_q16,
+        CAST(SUM(CASE WHEN score_q16 > 0 THEN score_q16 ELSE 0 END)
+          AS BIGINT) AS kept_score_q16
+      FROM per_doc GROUP BY 1""",
+    "txt_exact_substr" -> s"""$cte,
+      sized AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        FROM docs),
+      sh AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS sh
+        FROM sized CROSS JOIN UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8),
+      dup AS (
+        SELECT * FROM (
+          SELECT doc_id, source, pos,
+                 COUNT(*) OVER (PARTITION BY sh) AS n_occ
+          FROM sh) WHERE n_occ > 1),
+      cov AS (
+        SELECT doc_id, source, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup),
+      per_doc AS (
+        SELECT doc_id, source,
+               SUM(CASE WHEN prev IS NULL THEN 8
+                        ELSE LEAST(8, pos - prev) END) AS dup_tokens,
+               COUNT(*) AS dup_windows
+        FROM cov GROUP BY 1, 2),
+      per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM sized GROUP BY 1),
+      dup_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_docs,
+               CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+               CAST(SUM(dup_windows) AS BIGINT) AS dup_windows
+        FROM per_doc GROUP BY 1)
+      SELECT p.source, n_docs, tokens,
+        CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+        CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_windows,
+        CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / CAST(tokens AS DOUBLE)
+          AS dup_frac
+      FROM per_src p LEFT JOIN dup_src d ON p.source = d.source""",
     "txt_dsir_select" -> s"""$cte,
       tok AS (
         SELECT doc_id, source,

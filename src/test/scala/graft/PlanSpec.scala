@@ -203,6 +203,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"winner must be an argmax agg, not a window:\n$p")
   }
 
+  test("classifier selection broadcasts the weight table and never ranks " +
+      "docs through an unpartitioned window") {
+    val p = planOf("txt_classifier_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-row weight table must be the broadcast side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // keep = per-doc threshold; a global rank would show up as an
+    // unpartitioned Window over the doc-grained score frame
+    assert(!p.contains("Window"), s"keep must be a threshold, not a rank:\n$p")
+  }
+
+  test("exact-substring dedup exchanges on the shingle key, never all-pairs") {
+    val p = planOf("txt_exact_substr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the occurrence count and the coverage union are keyed windows
+    // (shingle, doc) — a Window.partitionBy() here would pull the whole
+    // exploded frame through one task
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("txt_exact_substr")(spark, dir)
+      .queryExecution.sparkPlan
+    val bad = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window:\n${bad.mkString("\n")}")
+  }
+
+  test("tokenizer-true budget select: BPE counting adds no explode and no " +
+      "extra exchange over the whitespace form") {
+    val p = planOf("txt_budget_select_bpe")
+    for (barrier <- Seq("DeserializeToObject", "BatchEvalPython", "Generate"))
+      assert(!p.contains(barrier), s"per-doc BPE count must be a scalar " +
+        s"expression, found $barrier:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val wsExchanges = "Exchange".r.findAllIn(planOf("txt_budget_select")).size
+    assert(exchanges <= wsExchanges,
+      s"BPE form exchanges $exchanges > whitespace form $wsExchanges:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
     // At 100 TB the win is shuffle-volume reduction: a selective dimension
     // predicate is turned into a bloom filter applied to the fact side

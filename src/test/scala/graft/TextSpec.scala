@@ -112,6 +112,32 @@ class TextSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, 0L, 1.0)))
   }
 
+  test("exact-substring dedup: planted duplicate covered exactly, " +
+      "interval union merges overlapping windows") {
+    import org.apache.spark.sql.functions._
+    // doc 1 and doc 2 share a planted 10-token run (in different token
+    // positions); L=8 stride-1 windows inside the run duplicate, nothing
+    // else does. Coverage per doc must be exactly the 10 shared tokens:
+    // three dup windows at starts s, s+1, s+2 union to 8 + 1 + 1.
+    val run = "p q r s t u v w x y" // 10 planted tokens
+    val d = docsDf(
+      1L -> (run + " alpha beta gamma delta"),
+      2L -> ("one two three " + run),
+      3L -> "lone doc with no repeats at all here now")
+      .withColumn("source",
+        when(col("doc_id") === 1L, lit("srcA")).otherwise(lit("srcB")))
+    import spark.implicits._
+    val got = TextQueries.exactSubstrOf(d)
+      .select("source", "n_docs", "tokens", "dup_docs", "dup_tokens",
+        "dup_windows", "dup_frac")
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // srcA: doc 1 alone — 14 tokens, 10 duplicated by 3 windows
+    assert(got("srcA") == (("srcA", 1L, 14L, 1L, 10L, 3L, 10.0 / 14.0)))
+    // srcB: doc 2 (13 tokens, same 10 covered) + doc 3 (9 tokens, clean)
+    assert(got("srcB") == (("srcB", 2L, 22L, 1L, 10L, 3L, 10.0 / 22.0)))
+  }
+
   test("RAG chunking: window/stride boundary math and duplicate-chunk accounting") {
     import org.apache.spark.sql.functions._
     // chunk policy W=64 S=48: n=64 → 1 chunk; n=65 → 2 (the second covers
