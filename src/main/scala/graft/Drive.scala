@@ -317,6 +317,24 @@ object Drive {
           r("k").asInstanceOf[JNum].v.toLong == 7L)}")
     println(s"DRIVE storage-verbs: restore@v$vGood over HTTP ok, clone 60 rows, " +
       s"history+detail+asOf-data+changes routes ok")
+
+    // 7. the text pipeline's terminal sink: pack the sf0.001 corpus into
+    // a managed shard table and read the manifest back — the packed
+    // layout every training run consumes, landing through the same merge
+    // machinery the fact tables use.
+    val packTable = s"$root/pack/t"
+    val packedSrcs = graft.operators.PackWriter.write(
+      spark, "/root/testdata/sf0.001", packTable)
+    val packed = graft.batch.Upsert.readCommitted(spark, packTable, "source")
+    val nShards = packed.count()
+    val fullShards = packed.filter(col("n_tokens") ===
+      lit(graft.operators.PackWriter.SeqLen.toLong)).count()
+    assert(nShards > 0 && packedSrcs.nonEmpty,
+      s"pack must write shards: $nShards over $packedSrcs")
+    assert(fullShards >= nShards - packedSrcs.size,
+      "every shard but each source's tail must be exactly L tokens")
+    println(s"DRIVE pack: $nShards shards ($fullShards full) across " +
+      s"${packedSrcs.size} sources at $packTable")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()

@@ -332,7 +332,12 @@ object TextQueries extends QueryModule {
     * windowed version — is gone; packing is associative over group
     * boundaries, so the offsets (and every downstream sequence) are
     * bit-identical. */
-  def packSequencesSharded(s: SparkSession, d: String): DataFrame = {
+  def packSequencesSharded(s: SparkSession, d: String): DataFrame =
+    packTail(shardedOffsets(s, d))
+
+  /** The two-phase running offsets (with toks still aboard) — shared by
+    * the accounting query and [[PackWriter]]'s materializing write. */
+  private[operators] def shardedOffsets(s: SparkSession, d: String): DataFrame = {
     val G = 500 // docs per offset group; at scale ≈ one parquet file-group
     val base = packSized(s, d).withColumn("grp", expr(s"doc_id DIV $G"))
     // phase 1: one row per (source, group) → base offsets; the window runs
@@ -347,10 +352,9 @@ object TextQueries extends QueryModule {
     // windows partitioned by (source, grp) parallelize across groups
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "grp").orderBy("doc_id")
-    val withOffsets = base.join(broadcast(bases), Seq("source", "grp"))
+    base.join(broadcast(bases), Seq("source", "grp"))
       .withColumn("end_off", col("base_off") + sum("n_tokens").over(wl))
       .withColumn("start_off", col("end_off") - col("n_tokens"))
-    packTail(withOffsets)
   }
 
   /** (source, doc_id, n_tokens, toks…) of the packable docs. Zero-token
@@ -364,8 +368,13 @@ object TextQueries extends QueryModule {
 
   /** Cut the running offsets into L=256-token sequences and aggregate
     * per-sequence occupancy — shared by both offset computations. */
+  /** Packed-sequence length; [[PackWriter]] writes payloads at the same L
+    * so the written shards and the accounting report describe the SAME
+    * layout. */
+  private[operators] val PackLen = 256
+
   private def packTail(withOffsets: DataFrame): DataFrame = {
-    val L = 256
+    val L = PackLen
     withOffsets
       .withColumn("seq_id",
         explode(expr(s"sequence(start_off DIV $L, (end_off - 1) DIV $L)")))
