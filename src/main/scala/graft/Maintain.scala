@@ -62,7 +62,7 @@ object Maintain {
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
       "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster",
-      "view", "shallow", "materialize")
+      "view", "shallow", "materialize", "pack")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -202,6 +202,16 @@ object Maintain {
         val parts = graft.batch.ShallowClone.materialize(spark, table, partCol)
         Seq(s"""{"op":"materialize","table":$tableJson,""" +
           s""""localized":${parts.size}}""")
+      case "pack" =>
+        // the text pipeline's terminal sink over the ops surface: pack
+        // the corpus at <docsDir> into this managed shard table
+        // ([[graft.operators.PackWriter]]; merge-written, so a re-run
+        // after corpus growth upserts only the grown sources' tails)
+        val docsDir = arg(0, "the corpus directory (pack <docsDir>)")
+        val touched = graft.operators.PackWriter.write(spark, docsDir, table)
+        Seq(s"""{"op":"pack","table":$tableJson,""" +
+          s""""docsDir":${graft.http.Json.quote(docsDir)},""" +
+          s""""sources":${touched.size}}""")
       case "convert" =>
         // CONVERT TO over the ops surface: adopt an existing plain
         // partitioned-parquet directory into a managed table — one v1

@@ -216,6 +216,15 @@ object StorageBench {
       require(st.groupsTouched > 0, s"$st")
     }
 
+    // PACK: the text pipeline's terminal sink — the sf0.001 corpus
+    // through sharded offsets, (source, seq_id)-keyed payload assembly,
+    // and the managed-table merge: the full write path a training-shard
+    // materialization pays, as one tracked number.
+    val tPack = time {
+      require(graft.operators.PackWriter.write(
+        spark, "/root/testdata/sf0.001", s"$root/pack").nonEmpty)
+    }
+
     // SERVING: the one-distributed-page discipline of the HTTP table
     // routes, measured at the plan level (the socket adds microseconds;
     // the claim under test is the page's plan shape) — an offset page
@@ -270,7 +279,8 @@ object StorageBench {
       "storage_view_sync" -> tViewSync,
       "storage_serve_offset" -> tServeOffset,
       "storage_serve_keyset" -> tServeKeyset,
-      "storage_serve_indexed" -> tServeIndexed)
+      "storage_serve_indexed" -> tServeIndexed,
+      "storage_pack" -> tPack)
   }
 
   /** Standalone entry (`runMain graft.StorageBench [repeats]`): the

@@ -89,6 +89,7 @@ final class MaintenanceService(
         for { p <- need("partCol"); d <- need("dstDir") }
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
       case "convert" | "reorg" | "materialize" => need("partCol").map(Seq(_))
+      case "pack" => need("docsDir").map(Seq(_))
       case "cluster" =>
         // optional cols registers/changes the CLUSTER BY spec in the same
         // call; without it the table must already be registered

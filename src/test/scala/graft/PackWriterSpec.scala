@@ -70,6 +70,16 @@ class PackWriterSpec extends SparkSpec {
       "the first pack remains readable AS OF its version")
   }
 
+  test("Maintain drives the pack: one JSON line, managed result") {
+    val table = Files.createTempDirectory("packm").toString + "/t"
+    val lines = graft.Maintain.runMode(spark, table, "pack", Seq(dir),
+      graft.core.GraftConfig.load().maintenance)
+    assert(lines.size == 1 && lines.head.contains("\"op\":\"pack\""),
+      lines.mkString("\n"))
+    assert(TxnLog.currentVersion(spark, table) >= 1L)
+    assert(Upsert.readCommitted(spark, table, "source").count() > 0)
+  }
+
   test("collect_list assembly is deterministic: straddling docs gather in " +
       "offset order regardless of partitioning") {
     // the same pack computed under 2 and 32 shuffle partitions must be

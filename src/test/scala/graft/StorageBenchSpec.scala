@@ -15,7 +15,8 @@ class StorageBenchSpec extends SparkSpec {
       "storage_reorg",
       "storage_cluster_full", "storage_cluster_quiet",
       "storage_view_bootstrap", "storage_view_sync",
-      "storage_serve_offset", "storage_serve_keyset", "storage_serve_indexed"))
+      "storage_serve_offset", "storage_serve_keyset", "storage_serve_indexed",
+      "storage_pack"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
 }

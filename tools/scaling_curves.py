@@ -27,8 +27,11 @@ QUERIES = [
     "dedup_exact", "dedup_minhash_pairs", "dedup_incremental",
     "dedup_semantic", "dedup_clusters", "dedup_keep_best",
     "txt_span_dedup", "txt_dsir_select", "txt_bpe_tokens",
+    "txt_mix_unimax", "txt_mix_unimax_bpe", "txt_budget_select_bpe",
+    "txt_classifier_select", "txt_exact_substr", "media_phash_pairs",
     # embeddings 500 -> 500 -> 2,000 (4x at the last step)
     "sim_topk_brute", "sim_topk_ivf", "sim_pq_recall",
+    "sim_hard_negatives",
     # lineitem 6k -> 60k -> 600k (10x each step)
     "rel_pricing_summary", "rel_join_fact_fact", "sql_join_graph",
 ]
