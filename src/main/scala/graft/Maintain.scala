@@ -62,7 +62,7 @@ object Maintain {
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
       "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster",
-      "view", "shallow", "materialize", "pack")
+      "view", "shallow", "materialize", "pack", "packsync")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -212,6 +212,18 @@ object Maintain {
         Seq(s"""{"op":"pack","table":$tableJson,""" +
           s""""docsDir":${graft.http.Json.quote(docsDir)},""" +
           s""""sources":${touched.size}}""")
+      case "packsync" =>
+        // incremental pack maintenance: catch this shard table up with an
+        // append-only managed documents table by consuming its change
+        // feed — only grown sources' tails rewrite
+        // ([[graft.operators.PackWriter.sync]])
+        val partCol = arg(0, "the docs partition column (packsync <partCol> <docsTable>)")
+        val srcTable = arg(1, "the managed docs table (packsync <partCol> <docsTable>)")
+        val st = graft.operators.PackWriter.sync(spark, srcTable, partCol, table)
+        Seq(s"""{"op":"packsync","table":$tableJson,""" +
+          s""""src":${graft.http.Json.quote(srcTable)},""" +
+          s""""rebuilt":${st.rebuilt},"newDocs":${st.newDocs},""" +
+          s""""seqsWritten":${st.seqsWritten},"toVersion":${st.toVersion}}""")
       case "convert" =>
         // CONVERT TO over the ops surface: adopt an existing plain
         // partitioned-parquet directory into a managed table — one v1

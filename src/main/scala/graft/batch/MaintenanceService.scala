@@ -90,6 +90,8 @@ final class MaintenanceService(
           yield Seq(p, d) ++ opts.get("version").filter(_.nonEmpty)
       case "convert" | "reorg" | "materialize" => need("partCol").map(Seq(_))
       case "pack" => need("docsDir").map(Seq(_))
+      case "packsync" =>
+        for { p <- need("partCol"); d <- need("docsTable") } yield Seq(p, d)
       case "cluster" =>
         // optional cols registers/changes the CLUSTER BY spec in the same
         // call; without it the table must already be registered

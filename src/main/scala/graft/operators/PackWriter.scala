@@ -37,11 +37,26 @@ object PackWriter {
     * (source, seq_id). Deterministic for a fixed corpus — contributions
     * gather via `array_sort` on their running offset, so assembly order
     * is independent of task scheduling. */
-  def packedRows(s: SparkSession, d: String): DataFrame = {
+  def packedRows(s: SparkSession, d: String): DataFrame =
+    assemble(plainContribs(TextQueries.shardedOffsets(s, d)))
+
+  /** Ordinary document contributions: each doc weighs 1, represents
+    * itself. [[sync]]'s tail-rewrite adds WEIGHTED pseudo-contributions
+    * (the old tail row standing in for every doc already packed into
+    * it), which is why the weights are explicit columns. */
+  private def plainContribs(withOffsets: DataFrame): DataFrame =
+    withOffsets.select(col("source"), col("toks"),
+      col("start_off"), col("end_off"),
+      lit(1L).as("w_docs"), lit(1L).as("w_full"),
+      col("doc_id").as("fd"), col("doc_id").as("ld"))
+
+  /** Cut contributions into L-token sequences and aggregate payload +
+    * manifest. `w_full` counts only when the contribution lands fully
+    * inside its sequence — true by construction for a tail pseudo-row,
+    * decided by the offsets for a real doc. */
+  private def assemble(contribs: DataFrame): DataFrame = {
     val L = TextQueries.PackLen
-    TextQueries.shardedOffsets(s, d)
-      .select(col("source"), col("doc_id"), col("toks"),
-        col("start_off"), col("end_off"))
+    contribs
       .withColumn("seq_id",
         explode(expr(s"sequence(start_off DIV $L, (end_off - 1) DIV $L)")))
       .withColumn("lo", greatest(col("start_off"), col("seq_id") * L))
@@ -52,13 +67,13 @@ object PackWriter {
       .agg(
         expr("flatten(transform(array_sort(collect_list(" +
           "struct(start_off, part))), x -> x.part))").as("toks"),
-        count(lit(1)).as("n_docs"),
+        sum(col("w_docs")).as("n_docs"),
         sum(when(col("start_off") >= col("seq_id") * L &&
-                 col("end_off") <= (col("seq_id") + lit(1L)) * L, 1L)
-          .otherwise(0L)).as("n_full_docs"),
+                 col("end_off") <= (col("seq_id") + lit(1L)) * L,
+          col("w_full")).otherwise(0L)).as("n_full_docs"),
         sum(col("hi") - col("lo")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+        min(col("fd")).as("first_doc"),
+        max(col("ld")).as("last_doc"))
   }
 
   /** Pack the corpus at `d` into managed table `table`. Returns the
@@ -66,4 +81,160 @@ object PackWriter {
   def write(spark: SparkSession, d: String, table: String): Seq[String] =
     Upsert.mergeByKey(spark, table, packedRows(spark, d),
       "source", Seq("seq_id"))
+
+  // ---- incremental pack: consume the source table's change feed -------
+
+  final case class SyncStats(
+      rebuilt: Boolean, newDocs: Long, seqsWritten: Long,
+      fromVersion: Long, toVersion: Long)
+
+  private def cursorFile(shard: String) =
+    new org.apache.hadoop.fs.Path(s"$shard/_graft_meta/pack_cursor.json")
+
+  private def readCursor(
+      s: SparkSession, shard: String): Option[(Long, Option[Long])] = {
+    val p = cursorFile(shard)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val o = graft.http.Json.parse(txt).asObj
+    def num(k: String): Option[Long] = o.get(k).map {
+      case graft.http.JNum(n) => n.toLong
+      case other => throw new IllegalStateException(s"pack cursor $k: $other")
+    }
+    Some((num("version").getOrElse(
+      throw new IllegalStateException("pack cursor without version")),
+      num("applyingTo")))
+  }
+
+  private def writeCursor(
+      s: SparkSession, shard: String, v: Long, applyingTo: Option[Long]): Unit =
+    graft.core.AtomicWrite.replaceFile(s, cursorFile(shard),
+      (s"""{"version":$v""" +
+        applyingTo.map(t => s""","applyingTo":$t""").getOrElse("") + "}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Catch the shard table up with an APPEND-ONLY managed documents table
+    * by consuming its change feed — the production pack maintenance:
+    * re-packing 100 TB nightly is not a plan; appended docs extend only
+    * their source's TAIL, so sync rewrites exactly one row per grown
+    * source (the partial tail sequence, payload + weighted manifest
+    * carried over) plus the fresh rows after it. `sync ≡ full re-pack at
+    * every version` is the spec'd invariant.
+    *
+    * Packing assigns offsets in doc_id order, so the layout is only
+    * incrementally maintainable under the append discipline: every
+    * appended doc_id must be ABOVE the source's last packed doc, and
+    * update/delete legs refuse loudly (a corpus rewrite invalidates
+    * offsets corpus-wide — delete the shard table and re-pack; that is a
+    * REORG-class rewrite, not a sync).
+    *
+    * Crash-safe without a second ledger: the cursor marks `applyingTo`
+    * BEFORE the merge; on recovery the legs re-read and docs already
+    * packed (doc_id ≤ the source's last packed — exactly the applied
+    * half, BECAUSE appends are doc-ordered) filter out instead of
+    * refusing. Bootstrap (no cursor) packs the snapshot pinned AS OF the
+    * version it records — never a racing live read. */
+  def sync(
+      spark: SparkSession,
+      srcTable: String,
+      partCol: String,
+      shardTable: String): SyncStats = {
+    val L = TextQueries.PackLen
+    def sized(df: DataFrame): DataFrame =
+      df.withColumn("toks", TextQueries.toks(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .filter(col("n_tokens") > 0)
+        .select("source", "doc_id", "toks", "n_tokens")
+    readCursor(spark, shardTable) match {
+      case None =>
+        // bootstrap: pack the snapshot AS OF the recorded version (the
+        // pinned-bootstrap discipline — a live read could include commits
+        // the cursor would then skip)
+        val v = graft.core.TxnLog.currentVersion(spark, srcTable)
+        val snap = sized(Upsert.readAsOf(spark, srcTable, v, partCol))
+        val rows = assemble(plainContribs(TextQueries.shardedOffsetsOf(snap)))
+          .cache()
+        val nSeqs = rows.count()
+        val nDocs = snap.count()
+        Upsert.mergeByKey(spark, shardTable, rows, "source", Seq("seq_id"))
+        rows.unpersist()
+        writeCursor(spark, shardTable, v, None)
+        SyncStats(rebuilt = true, nDocs, nSeqs, 0L, v)
+      case Some((from, applying)) =>
+        val tip = graft.core.TxnLog.currentVersion(spark, srcTable)
+        val recovering = applying.isDefined
+        if (!recovering && tip <= from)
+          return SyncStats(rebuilt = false, 0L, 0L, from, tip)
+        val legs = graft.batch.ChangeFeed.readChanges(
+          spark, srcTable, partCol, from, Some(tip))
+        val nonInsert = legs
+          .filter(col(graft.batch.ChangeFeed.ChangeTypeCol) =!= "insert")
+          .limit(1).count()
+        require(nonInsert == 0L,
+          s"pack sync: $srcTable changed non-append rows since v$from — " +
+            "the packed layout assigns offsets in doc order, so a corpus " +
+            "rewrite invalidates them corpus-wide; delete the shard table " +
+            "and re-pack (a REORG-class rewrite, not a sync)")
+        // per-source packed state from the shard manifest: the stream
+        // length (sum of held tokens — contiguous by construction) and
+        // the last packed doc
+        val packed = Upsert.readCommitted(spark, shardTable, "source")
+        val state = packed.groupBy("source").agg(
+          sum("n_tokens").as("t_s"), max("last_doc").as("last_packed"))
+        val fresh = sized(legs).join(broadcast(state), Seq("source"), "left")
+        if (!recovering) {
+          val bad = fresh.filter(col("last_packed").isNotNull &&
+              col("doc_id") <= col("last_packed"))
+            .select("source", "doc_id").limit(3)
+            .collect().map(r => s"${r.getString(0)}/${r.getLong(1)}")
+          require(bad.isEmpty,
+            s"pack sync: appended docs below their source's last packed " +
+              s"doc (${bad.mkString(", ")}) — packing is doc_id-ordered " +
+              "and append-only; out-of-order backfill needs a re-pack")
+        }
+        val newDocs = fresh
+          .filter(col("last_packed").isNull ||
+            col("doc_id") > col("last_packed"))
+          .withColumn("base", coalesce(col("t_s"), lit(0L)))
+          .drop("t_s", "last_packed")
+          .cache()
+        val nDocs = newDocs.count()
+        if (nDocs == 0L) {
+          newDocs.unpersist()
+          writeCursor(spark, shardTable, tip, None)
+          return SyncStats(rebuilt = false, 0L, 0L, from, tip)
+        }
+        // batch offsets (two-phase, per source) shifted by the packed
+        // stream length
+        val offsets = TextQueries.shardedOffsetsOf(
+            newDocs.select("source", "doc_id", "toks", "n_tokens"))
+          .join(broadcast(newDocs.select("source", "base").distinct()),
+            Seq("source"))
+          .withColumn("start_off", col("start_off") + col("base"))
+          .withColumn("end_off", col("end_off") + col("base"))
+        // the grown sources' PARTIAL tails re-enter as weighted
+        // pseudo-contributions: old payload + carried manifest, so the
+        // rewritten row equals what a from-scratch pack would emit
+        val grown = newDocs.select("source", "base").distinct()
+          .filter(col("base") % L =!= 0 && col("base") > 0)
+        val tails = packed.join(broadcast(grown), Seq("source"))
+          .filter(col("seq_id") === expr(s"(base - 1) DIV $L"))
+          .select(col("source"), col("toks"),
+            (col("seq_id") * L).as("start_off"),
+            (col("seq_id") * L + col("n_tokens")).as("end_off"),
+            col("n_docs").as("w_docs"), col("n_full_docs").as("w_full"),
+            col("first_doc").as("fd"), col("last_doc").as("ld"))
+        val rows = assemble(plainContribs(offsets).unionByName(tails)).cache()
+        val nSeqs = rows.count()
+        writeCursor(spark, shardTable, from, Some(tip))
+        Upsert.mergeByKey(spark, shardTable, rows, "source", Seq("seq_id"))
+        rows.unpersist(); newDocs.unpersist()
+        writeCursor(spark, shardTable, tip, None)
+        SyncStats(rebuilt = false, nDocs, nSeqs, from, tip)
+    }
+  }
 }

@@ -337,9 +337,14 @@ object TextQueries extends QueryModule {
 
   /** The two-phase running offsets (with toks still aboard) — shared by
     * the accounting query and [[PackWriter]]'s materializing write. */
-  private[operators] def shardedOffsets(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shardedOffsets(s: SparkSession, d: String): DataFrame =
+    shardedOffsetsOf(packSized(s, d))
+
+  /** [[shardedOffsets]] over any (source, doc_id, toks, n_tokens) frame —
+    * [[PackWriter.sync]] runs it over the change feed's appended docs. */
+  private[operators] def shardedOffsetsOf(sized: DataFrame): DataFrame = {
     val G = 500 // docs per offset group; at scale ≈ one parquet file-group
-    val base = packSized(s, d).withColumn("grp", expr(s"doc_id DIV $G"))
+    val base = sized.withColumn("grp", expr(s"doc_id DIV $G"))
     // phase 1: one row per (source, group) → base offsets; the window runs
     // over the GROUP list (corpus_size / G rows), broadcastable metadata
     val wg = org.apache.spark.sql.expressions.Window

@@ -70,6 +70,103 @@ class PackWriterSpec extends SparkSpec {
       "the first pack remains readable AS OF its version")
   }
 
+  private def words(from: Int, n: Int): String =
+    (from until from + n).map(i => s"t$i").mkString(" ")
+
+  private def mkDocs(t: String, rows: (String, Long, String)*): Unit = {
+    import spark.implicits._
+    Upsert.mergeByKey(spark, t,
+      rows.toDF("source", "doc_id", "text"), "source", Seq("doc_id"))
+  }
+
+  private def shardRows(t: String) =
+    Upsert.readCommitted(spark, t, "source")
+      .select("source", "seq_id", "toks", "n_docs", "n_full_docs",
+        "n_tokens", "first_doc", "last_doc")
+
+  test("sync ≡ full re-pack at every version: append waves rewrite only " +
+      "the grown source's tail plus the fresh rows") {
+    import graft.operators.PackWriter
+    val root = Files.createTempDirectory("packsync").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    // wave 0: s1 = 200 + 100 tokens (T=300 → seq0 full, seq1 holds 44)
+    mkDocs(docsT,
+      ("s1", 1L, words(0, 200)),
+      ("s1", 2L, words(200, 100)))
+    val st0 = PackWriter.sync(spark, docsT, "source", shard)
+    assert(st0.rebuilt && st0.newDocs == 2 && st0.seqsWritten == 2, s"$st0")
+    // bootstrap ≡ a directory-less full pack: fresh bootstrap of the same
+    // table must produce identical rows
+    val truth0 = s"$root/truth0"
+    PackWriter.sync(spark, docsT, "source", truth0)
+    assert(shardRows(shard).exceptAll(shardRows(truth0)).isEmpty &&
+      shardRows(truth0).exceptAll(shardRows(shard)).isEmpty)
+    val vAfterWave0 = TxnLog.currentVersion(spark, shard)
+    val seq0Before = shardRows(shard).filter(col("seq_id") === 0L)
+      .collect().map(_.toString).toSeq
+
+    // wave 1: s1 grows by 100 tokens (T=400: seq1 rewrites to 144, seq0
+    // untouched); a brand-new source s2 appears (packs from offset 0)
+    mkDocs(docsT,
+      ("s1", 3L, words(300, 100)),
+      ("s2", 10L, words(0, 60)))
+    val st1 = PackWriter.sync(spark, docsT, "source", shard)
+    assert(!st1.rebuilt && st1.newDocs == 2, s"$st1")
+    // exactly TWO rows written: s1's rewritten tail seq1 + s2's seq0 —
+    // s1 seq0 (full) must not be touched
+    assert(st1.seqsWritten == 2, s"tail rewrite must be O(growth): $st1")
+    assert(shardRows(shard).filter(col("seq_id") === 0L &&
+        col("source") === "s1")
+      .collect().map(_.toString).toSeq == seq0Before,
+      "the full seq0 must be byte-identical after an append sync")
+    // hand math for the rewritten tail: doc2's last 44 + doc3's 100
+    import spark.implicits._
+    val tail = shardRows(shard)
+      .filter(col("source") === "s1" && col("seq_id") === 1L)
+      .as[(String, Long, Seq[String], Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(tail._6 == 144L && tail._4 == 2L && tail._5 == 1L &&
+      tail._7 == 2L && tail._8 == 3L,
+      s"tail manifest (n_tokens, n_docs, n_full, first, last): $tail")
+    assert(tail._3 == ((256 until 300) ++ (300 until 400)).map(i => s"t$i"),
+      "tail payload must be doc2's last 44 tokens then doc3's 100")
+    // and the whole table ≡ a from-scratch pack of the current snapshot
+    val truth1 = s"$root/truth1"
+    PackWriter.sync(spark, docsT, "source", truth1)
+    assert(shardRows(shard).exceptAll(shardRows(truth1)).isEmpty &&
+      shardRows(truth1).exceptAll(shardRows(shard)).isEmpty,
+      "sync-maintained shards must equal a from-scratch pack")
+    // pre-sync state remains time-travelable
+    assert(Upsert.readAsOf(spark, shard, vAfterWave0, "source").count() == 2)
+
+    // idempotent at tip: nothing new → no-op, cursor advances cleanly
+    val st2 = PackWriter.sync(spark, docsT, "source", shard)
+    assert(!st2.rebuilt && st2.newDocs == 0 && st2.seqsWritten == 0, s"$st2")
+  }
+
+  test("sync refuses corpus rewrites and out-of-order appends loudly") {
+    import graft.operators.PackWriter
+    val root = Files.createTempDirectory("packsyncr").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    mkDocs(docsT, ("s1", 5L, words(0, 50)))
+    PackWriter.sync(spark, docsT, "source", shard)
+    // an UPDATE of a packed doc (delete+insert legs) must refuse
+    mkDocs(docsT, ("s1", 5L, words(0, 10)))
+    val e1 = intercept[IllegalArgumentException] {
+      PackWriter.sync(spark, docsT, "source", shard)
+    }
+    assert(e1.getMessage.contains("non-append"), e1.getMessage)
+    // an out-of-order append (doc below the last packed doc) must refuse
+    val docsT2 = s"$root/docs2"; val shard2 = s"$root/shard2"
+    mkDocs(docsT2, ("s1", 5L, words(0, 50)))
+    PackWriter.sync(spark, docsT2, "source", shard2)
+    mkDocs(docsT2, ("s1", 3L, words(100, 20)))
+    val e2 = intercept[IllegalArgumentException] {
+      PackWriter.sync(spark, docsT2, "source", shard2)
+    }
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+  }
+
   test("Maintain drives the pack: one JSON line, managed result") {
     val table = Files.createTempDirectory("packm").toString + "/t"
     val lines = graft.Maintain.runMode(spark, table, "pack", Seq(dir),
@@ -78,6 +175,21 @@ class PackWriterSpec extends SparkSpec {
       lines.mkString("\n"))
     assert(TxnLog.currentVersion(spark, table) >= 1L)
     assert(Upsert.readCommitted(spark, table, "source").count() > 0)
+  }
+
+  test("Maintain packsync mode bootstraps then follows the docs table") {
+    val root = Files.createTempDirectory("packms").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    val m = graft.core.GraftConfig.load().maintenance
+    mkDocs(docsT, ("s1", 1L, words(0, 40)))
+    val l1 = graft.Maintain.runMode(spark, shard, "packsync",
+      Seq("source", docsT), m)
+    assert(l1.size == 1 && l1.head.contains("\"rebuilt\":true"), s"$l1")
+    mkDocs(docsT, ("s1", 2L, words(40, 30)))
+    val l2 = graft.Maintain.runMode(spark, shard, "packsync",
+      Seq("source", docsT), m)
+    assert(l2.head.contains("\"rebuilt\":false") &&
+      l2.head.contains("\"newDocs\":1"), s"$l2")
   }
 
   test("collect_list assembly is deterministic: straddling docs gather in " +
