@@ -1099,24 +1099,25 @@ object TextQueries extends QueryModule {
   def exactSubstr(s: SparkSession, d: String): DataFrame =
     exactSubstrOf(docs(s, d))
 
-  /** Core of [[exactSubstr]] over any (doc_id, source, toks) frame
-    * (unit-testable with planted duplicates). */
-  def exactSubstrOf(docsDf: DataFrame): DataFrame = {
-    val L = 8
-    val base = docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
-    val sh = base.select(col("doc_id"), col("source"),
+  /** Stride-1 L-token windows of every doc: (doc_id, source, n_tokens,
+    * pos, sh) — shared by the accounting ([[exactSubstrOf]]) and the cut
+    * ([[exactSubstrCutOf]]). `pos` is the 1-based start. */
+  private def strideWindows(docsDf: DataFrame, L: Int): DataFrame =
+    docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         posexplode(expr(
           s"""CASE WHEN size(toks) >= $L
                 THEN transform(sequence(1, size(toks) - ${L - 1}),
                                i -> concat_ws(' ', slice(toks, i, $L)))
                 ELSE array() END""")))
-      .toDF("doc_id", "source", "p0", "sh")
+      .toDF("doc_id", "source", "n_tokens", "p0", "sh")
       .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
-    val dup = sh
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("n_occ") > 1)
+
+  /** Per-doc interval union of equal-length (L) windows: one lag over a
+    * doc-partitioned window — overlapping windows merge exactly. */
+  private def intervalUnion(windows: DataFrame, L: Int): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val perDoc = dup
+    windows
       .withColumn("prev", lag("pos", 1).over(wDoc))
       .withColumn("covers",
         when(col("prev").isNull, lit(L.toLong))
@@ -1124,6 +1125,18 @@ object TextQueries extends QueryModule {
       .groupBy("doc_id", "source").agg(
         sum("covers").as("dup_tokens"),
         count(lit(1)).as("dup_windows"))
+  }
+
+  /** Core of [[exactSubstr]] over any (doc_id, source, toks) frame
+    * (unit-testable with planted duplicates). */
+  def exactSubstrOf(docsDf: DataFrame): DataFrame = {
+    val L = 8
+    val base = docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
+    val sh = strideWindows(docsDf, L)
+    val dup = sh
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("n_occ") > 1)
+    val perDoc = intervalUnion(dup, L)
     base.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("tokens"))
@@ -1139,6 +1152,50 @@ object TextQueries extends QueryModule {
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("tokens").cast("double")).as("dup_frac"))
+  }
+
+  def exactSubstrCut(s: SparkSession, d: String): DataFrame =
+    exactSubstrCutOf(docs(s, d))
+
+  /** The REMOVAL [[exactSubstr]] only accounts for — what Lee et al.
+    * actually apply: every duplicated window keeps its FIRST occurrence
+    * in (doc_id, pos) order (the [[spanDedup]] keep rule at stride 1) and
+    * later occurrences are cut; a token is removed when ≥1 non-canonical
+    * duplicated window covers it. The report is the per-source removal
+    * bill — cut tokens, surviving tokens, affected docs — the numbers a
+    * curation run budgets the cut by.
+    *
+    * Same scale shape as [[exactSubstrOf]]: one shingle-keyed exchange
+    * (the rank and the occurrence count ride the SAME partitioning), a
+    * per-doc interval union, a |sources|-row rollup. */
+  def exactSubstrCutOf(docsDf: DataFrame): DataFrame = {
+    val L = 8
+    val base = docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
+    val wSh = Window.partitionBy("sh")
+    val cutW = strideWindows(docsDf, L)
+      .withColumn("n_occ", count(lit(1)).over(wSh))
+      .withColumn("rk", row_number().over(wSh.orderBy("doc_id", "pos")))
+      .filter(col("n_occ") > 1 && col("rk") > 1)
+    val perDoc = intervalUnion(cutW, L)
+      .withColumnRenamed("dup_tokens", "cut_tokens")
+      .withColumnRenamed("dup_windows", "cut_windows")
+    base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"))
+      .join(
+        perDoc.groupBy("source").agg(
+          count(lit(1)).as("docs_affected"),
+          sum("cut_tokens").as("cut_tokens"),
+          sum("cut_windows").as("cut_windows")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("cut_windows"), lit(0L)).as("cut_windows"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        (col("tokens") - coalesce(col("cut_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        ((col("tokens") - coalesce(col("cut_tokens"), lit(0L)))
+          .cast("double") / col("tokens").cast("double")).as("kept_frac"))
   }
 
   /** Tokenizer-true budget selection: [[budgetSelect]]'s greedy
@@ -1211,6 +1268,7 @@ object TextQueries extends QueryModule {
     "txt_budget_select_bpe" -> (budgetSelectBpe _),
     "txt_classifier_select" -> (classifierSelect _),
     "txt_exact_substr" -> (exactSubstr _),
+    "txt_exact_substr_cut" -> (exactSubstrCut _),
     "txt_mix_unimax_bpe" -> (mixUnimaxBpe _),
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
@@ -1531,6 +1589,49 @@ object TextQueries extends QueryModule {
         CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / CAST(tokens AS DOUBLE)
           AS dup_frac
       FROM per_src p LEFT JOIN dup_src d ON p.source = d.source""",
+    "txt_exact_substr_cut" -> s"""$cte,
+      sized AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        FROM docs),
+      sh AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS sh
+        FROM sized CROSS JOIN UNNEST(range(1, len(toks) - 6)) AS u(i)
+        WHERE len(toks) >= 8),
+      marked AS (
+        SELECT doc_id, source, pos,
+               COUNT(*) OVER (PARTITION BY sh) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk
+        FROM sh),
+      cutw AS (
+        SELECT doc_id, source, pos FROM marked WHERE n_occ > 1 AND rk > 1),
+      cov AS (
+        SELECT doc_id, source, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM cutw),
+      per_doc AS (
+        SELECT doc_id, source,
+               SUM(CASE WHEN prev IS NULL THEN 8
+                        ELSE LEAST(8, pos - prev) END) AS cut_tokens,
+               COUNT(*) AS cut_windows
+        FROM cov GROUP BY 1, 2),
+      per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM sized GROUP BY 1),
+      cut_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_affected,
+               CAST(SUM(cut_tokens) AS BIGINT) AS cut_tokens,
+               CAST(SUM(cut_windows) AS BIGINT) AS cut_windows
+        FROM per_doc GROUP BY 1)
+      SELECT p.source, n_docs, tokens,
+        CAST(COALESCE(c.docs_affected, 0) AS BIGINT) AS docs_affected,
+        CAST(COALESCE(c.cut_windows, 0) AS BIGINT) AS cut_windows,
+        CAST(COALESCE(c.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+        CAST(tokens - COALESCE(c.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+        CAST(tokens - COALESCE(c.cut_tokens, 0) AS DOUBLE) /
+          CAST(tokens AS DOUBLE) AS kept_frac
+      FROM per_src p LEFT JOIN cut_src c ON p.source = c.source""",
     "txt_dsir_select" -> s"""$cte,
       tok AS (
         SELECT doc_id, source,

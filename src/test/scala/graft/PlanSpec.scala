@@ -230,6 +230,23 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unpartitioned window:\n${bad.mkString("\n")}")
   }
 
+  test("exact-substring CUT: rank and count share the shingle exchange, " +
+      "no unpartitioned window, no cross product") {
+    val p = planOf("txt_exact_substr_cut")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("txt_exact_substr_cut")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(!plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.exists(_ => true), s"unpartitioned window:\n$plan")
+    // the n_occ count and the first-occurrence rank must ride ONE
+    // shingle-keyed exchange, not two
+    val exchanges = "Exchange hashpartitioning\\(sh".r.findAllIn(plan.toString).size
+    assert(exchanges <= 1, s"shingle exchanged $exchanges times:\n$plan")
+  }
+
   test("tokenizer-true budget select: BPE counting adds no explode and no " +
       "extra exchange over the whitespace form") {
     val p = planOf("txt_budget_select_bpe")

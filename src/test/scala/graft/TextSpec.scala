@@ -138,6 +138,28 @@ class TextSpec extends SparkSpec {
     assert(got("srcB") == (("srcB", 2L, 22L, 1L, 10L, 3L, 10.0 / 22.0)))
   }
 
+  test("exact-substring CUT keeps the first occurrence: the canonical doc " +
+      "loses nothing, the later copy loses exactly the planted run") {
+    import org.apache.spark.sql.functions._
+    val run = "p q r s t u v w x y" // 10 planted tokens
+    val d = docsDf(
+      1L -> (run + " alpha beta gamma delta"),
+      2L -> ("one two three " + run),
+      3L -> "lone doc with no repeats at all here now")
+      .withColumn("source",
+        when(col("doc_id") === 1L, lit("srcA")).otherwise(lit("srcB")))
+    import spark.implicits._
+    val got = TextQueries.exactSubstrCutOf(d)
+      .select("source", "n_docs", "tokens", "docs_affected", "cut_windows",
+        "cut_tokens", "kept_tokens", "kept_frac")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the canonical (first) occurrences — srcA loses nothing
+    assert(got("srcA") == (("srcA", 1L, 14L, 0L, 0L, 0L, 14L, 1.0)))
+    // doc 2's three dup windows are all rank-2 — its 10 run tokens cut
+    assert(got("srcB") == (("srcB", 2L, 22L, 1L, 3L, 10L, 12L, 12.0 / 22.0)))
+  }
+
   test("RAG chunking: window/stride boundary math and duplicate-chunk accounting") {
     import org.apache.spark.sql.functions._
     // chunk policy W=64 S=48: n=64 → 1 chunk; n=65 → 2 (the second covers
