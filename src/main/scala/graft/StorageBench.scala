@@ -225,6 +225,27 @@ object StorageBench {
         spark, "/root/testdata/sf0.001", s"$root/pack").nonEmpty)
     }
 
+    // PACK SYNC: the incremental form — a managed docs table bootstraps
+    // (untimed), a ~5%-of-corpus append wave lands, and the timed sync
+    // consumes the change feed. The claim is O(growth): compare against
+    // storage_pack's full-pack bar — the sync pays the wave + one tail
+    // row per grown source, never a corpus re-pack.
+    val packDocs = s"$root/packdocs"
+    val packShard = s"$root/packshard"
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "text")
+    Upsert.mergeByKey(spark, packDocs, corpus, "source", Seq("doc_id"))
+    graft.operators.PackWriter.sync(spark, packDocs, "source", packShard)
+    val maxDocId = corpus.agg(max("doc_id")).head.getLong(0)
+    val wave = corpus.orderBy(col("doc_id").desc).limit(25)
+      .withColumn("doc_id", col("doc_id") + maxDocId + 1L)
+    Upsert.mergeByKey(spark, packDocs, wave, "source", Seq("doc_id"))
+    val tPackSync = time {
+      val st = graft.operators.PackWriter.sync(
+        spark, packDocs, "source", packShard)
+      require(!st.rebuilt && st.newDocs > 0, s"pack sync must be incremental: $st")
+    }
+
     // SERVING: the one-distributed-page discipline of the HTTP table
     // routes, measured at the plan level (the socket adds microseconds;
     // the claim under test is the page's plan shape) — an offset page
@@ -280,7 +301,8 @@ object StorageBench {
       "storage_serve_offset" -> tServeOffset,
       "storage_serve_keyset" -> tServeKeyset,
       "storage_serve_indexed" -> tServeIndexed,
-      "storage_pack" -> tPack)
+      "storage_pack" -> tPack,
+      "storage_packsync" -> tPackSync)
   }
 
   /** Standalone entry (`runMain graft.StorageBench [repeats]`): the

@@ -16,7 +16,7 @@ class StorageBenchSpec extends SparkSpec {
       "storage_cluster_full", "storage_cluster_quiet",
       "storage_view_bootstrap", "storage_view_sync",
       "storage_serve_offset", "storage_serve_keyset", "storage_serve_indexed",
-      "storage_pack"))
+      "storage_pack", "storage_packsync"))
     assert(r.forall(_._2 > 0), s"timings: $r")
   }
 }
