@@ -1052,21 +1052,7 @@ object TextQueries extends QueryModule {
     * empty-feature bucket, so every doc classifies in the one pass —
     * no join-back for the unfeatured. */
   def classifierSelect(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d).select(col("doc_id"), col("source"),
-      explode(expr(
-        """CASE WHEN size(toks) >= 2
-             THEN transform(sequence(1, size(toks) - 1),
-                            i -> concat(toks[i-1], ' ', toks[i]))
-             ELSE array('') END""")).as("bg"))
-    val w = s.range(ClfBuckets.toLong).select(
-      col("id").as("b"),
-      (conv(substring(md5(concat(lit("clfw:"), col("id").cast("string"))),
-        1, 4), 16, 10).cast("long") - lit(32768L)).as("w_q16"))
-    val perDoc = grams
-      .withColumn("b", conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long"))
-      .join(broadcast(w), Seq("b"))
-      .groupBy("doc_id", "source")
-      .agg(sum("w_q16").as("score_q16"))
+    val perDoc = classifierScores(s, docs(s, d))
     perDoc.withColumn("keep", col("score_q16") > 0)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -1096,6 +1082,84 @@ object TextQueries extends QueryModule {
     * economics at stride 1, never all-pairs); the interval union is a
     * per-DOC window over equal-length intervals (one lag,
     * hash-partitioned on doc_id); the report is |sources| rows. */
+  /** Per-doc classifier score over any docs frame — the inference half
+    * of [[classifierSelect]], shared by [[dclmPipeline]]: hashed bigram
+    * buckets, the broadcast weight table, one O(docs) combine. */
+  private def classifierScores(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    val grams = docsDf.select(col("doc_id"), col("source"),
+      explode(expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                            i -> concat(toks[i-1], ' ', toks[i]))
+             ELSE array('') END""")).as("bg"))
+    val w = s.range(ClfBuckets.toLong).select(
+      col("id").as("b"),
+      (conv(substring(md5(concat(lit("clfw:"), col("id").cast("string"))),
+        1, 4), 16, 10).cast("long") - lit(32768L)).as("w_q16"))
+    grams
+      .withColumn("b", conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("w_q16").as("score_q16"))
+  }
+
+  /** The composed DCLM-baseline curation pipeline in ONE declarative
+    * plan (Li et al. 2024, "DataComp-LM" — the published reproduction's
+    * stage ordering): classifier gate → exact dedup (first doc_id per
+    * fingerprint among the gated) → per-source token-budget selection by
+    * classifier score. Reported per source AT EVERY STAGE, so a pipeline
+    * owner sees where documents leave — the composition is the product a
+    * curation run actually ships, not any single filter.
+    *
+    * 100 TB shape: two corpus scans (fingerprint/stats + bigram scoring —
+    * the dsirSelect two-pass discipline), then everything downstream
+    * moves doc STATS only (id, source, tokens, fp, score — text never
+    * leaves the scans): the gate is a threshold, dedup is ONE
+    * fingerprint exchange (min-doc_id groupBy + equi-join, the
+    * [[cleanPipeline]] form), the budget is [[budgetSelect]]'s
+    * source-partitioned window over stats, the rollup is |sources|
+    * rows. */
+  def dclmPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .select("doc_id", "source", "n_tokens", "fp")
+    val gated = base
+      .join(classifierScores(s, docs(s, d)).drop("source"), Seq("doc_id"))
+      .filter(col("score_q16") > 0)
+      .cache() // doc-stats frame (id, source, tokens, fp, score)
+    val canon = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val dd = gated.join(canon, Seq("fp", "doc_id"))
+    val wRank = Window.partitionBy("source")
+      .orderBy(desc("score_q16"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val sel = dd
+      .withColumn("cum", sum("n_tokens").over(wRank))
+      .withColumn("tot", sum("n_tokens").over(wAll))
+      .withColumn("keep", col("cum").cast("double") <=
+        col("tot").cast("double") * BudgetFrac)
+    base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .join(gated.groupBy("source")
+        .agg(count(lit(1)).as("clf_kept_docs")), Seq("source"), "left")
+      .join(dd.groupBy("source")
+        .agg(count(lit(1)).as("dedup_kept_docs")), Seq("source"), "left")
+      .join(sel.groupBy("source").agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("sel_docs"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("sel_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        coalesce(col("clf_kept_docs"), lit(0L)).as("clf_kept_docs"),
+        coalesce(col("dedup_kept_docs"), lit(0L)).as("dedup_kept_docs"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        (coalesce(col("sel_tokens"), lit(0L)).cast("double") /
+          col("tokens").cast("double")).as("retention"))
+  }
+
   def exactSubstr(s: SparkSession, d: String): DataFrame =
     exactSubstrOf(docs(s, d))
 
@@ -1267,6 +1331,7 @@ object TextQueries extends QueryModule {
     "txt_bpe_tokens" -> (bpeTokens _),
     "txt_budget_select_bpe" -> (budgetSelectBpe _),
     "txt_classifier_select" -> (classifierSelect _),
+    "txt_dclm_pipeline" -> (dclmPipeline _),
     "txt_exact_substr" -> (exactSubstr _),
     "txt_exact_substr_cut" -> (exactSubstrCut _),
     "txt_mix_unimax_bpe" -> (mixUnimaxBpe _),
@@ -1549,6 +1614,72 @@ object TextQueries extends QueryModule {
         CAST(SUM(CASE WHEN score_q16 > 0 THEN score_q16 ELSE 0 END)
           AS BIGINT) AS kept_score_q16
       FROM per_doc GROUP BY 1""",
+    "txt_dclm_pipeline" -> s"""$cte,
+      base AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM docs WHERE len(toks) > 0),
+      grams AS (
+        SELECT doc_id, source, array_to_string(toks[i:i+1], ' ') AS bg
+        FROM docs CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+        UNION ALL
+        SELECT doc_id, source, '' AS bg FROM docs WHERE len(toks) < 2),
+      wt AS (
+        SELECT CAST(i AS BIGINT) AS b,
+          CAST(${sqlHexVal("md5('clfw:' || CAST(i AS VARCHAR))", 4)}
+            - 32768 AS BIGINT) AS w_q16
+        FROM range(256) t(i)),
+      feats AS (
+        SELECT doc_id, CAST(${sqlHexVal("md5(bg)", 2)} AS BIGINT) AS b
+        FROM grams),
+      scores AS (
+        SELECT doc_id, SUM(w_q16) AS score_q16
+        FROM feats JOIN wt USING (b) GROUP BY 1),
+      gated AS (
+        SELECT b.doc_id, b.source, b.n_tokens, b.fp, s.score_q16
+        FROM base b JOIN scores s ON b.doc_id = s.doc_id
+        WHERE s.score_q16 > 0),
+      canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY 1),
+      dd AS (
+        SELECT g.* FROM gated g
+        JOIN canon c ON g.fp = c.fp AND g.doc_id = c.doc_id),
+      sel AS (
+        SELECT *, SUM(n_tokens) OVER w AS cum,
+               SUM(n_tokens) OVER (PARTITION BY source) AS tot
+        FROM dd
+        WINDOW w AS (PARTITION BY source
+          ORDER BY score_q16 DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      flg AS (
+        SELECT *, CAST(cum AS DOUBLE) <= CAST(tot AS DOUBLE) * $BudgetFrac
+          AS keep
+        FROM sel),
+      allx AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        FROM base GROUP BY 1),
+      gcnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS clf_kept_docs
+               FROM gated GROUP BY 1),
+      dcnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS dedup_kept_docs
+               FROM dd GROUP BY 1),
+      scnt AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+          CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+            AS sel_tokens
+        FROM flg GROUP BY 1)
+      SELECT a.source, n_docs, tokens,
+        CAST(COALESCE(clf_kept_docs, 0) AS BIGINT) AS clf_kept_docs,
+        CAST(COALESCE(dedup_kept_docs, 0) AS BIGINT) AS dedup_kept_docs,
+        CAST(COALESCE(sel_docs, 0) AS BIGINT) AS sel_docs,
+        CAST(COALESCE(sel_tokens, 0) AS BIGINT) AS sel_tokens,
+        CAST(COALESCE(sel_tokens, 0) AS DOUBLE) / CAST(tokens AS DOUBLE)
+          AS retention
+      FROM allx a
+      LEFT JOIN gcnt g ON a.source = g.source
+      LEFT JOIN dcnt dc ON a.source = dc.source
+      LEFT JOIN scnt sc ON a.source = sc.source""",
     "txt_exact_substr" -> s"""$cte,
       sized AS (
         SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens, toks

@@ -247,6 +247,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"shingle exchanged $exchanges times:\n$plan")
   }
 
+  test("DCLM composed pipeline: broadcast classifier weights, no " +
+      "unpartitioned window, no cross product across all three stages") {
+    val p = planOf("txt_dclm_pipeline")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("txt_dclm_pipeline")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(!plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.exists(_ => true), s"unpartitioned window:\n$plan")
+  }
+
   test("tokenizer-true budget select: BPE counting adds no explode and no " +
       "extra exchange over the whitespace form") {
     val p = planOf("txt_budget_select_bpe")

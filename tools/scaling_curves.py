@@ -28,7 +28,8 @@ QUERIES = [
     "dedup_semantic", "dedup_clusters", "dedup_keep_best",
     "txt_span_dedup", "txt_dsir_select", "txt_bpe_tokens",
     "txt_mix_unimax", "txt_mix_unimax_bpe", "txt_budget_select_bpe",
-    "txt_classifier_select", "txt_exact_substr", "txt_exact_substr_cut",
+    "txt_classifier_select", "txt_dclm_pipeline",
+    "txt_exact_substr", "txt_exact_substr_cut",
     "media_phash_pairs",
     # embeddings 500 -> 500 -> 2,000 (4x at the last step)
     "sim_topk_brute", "sim_topk_ivf", "sim_pq_recall",
