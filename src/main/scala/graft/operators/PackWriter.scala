@@ -142,7 +142,9 @@ object PackWriter {
       spark: SparkSession,
       srcTable: String,
       partCol: String,
-      shardTable: String): SyncStats = {
+      shardTable: String,
+      maxCommits: Long = Long.MaxValue): SyncStats = {
+    require(maxCommits >= 1L, "pack sync: maxCommits must be >= 1")
     val L = TextQueries.PackLen
     def sized(df: DataFrame): DataFrame =
       df.withColumn("toks", TextQueries.toks(col("text")))
@@ -165,10 +167,16 @@ object PackWriter {
         writeCursor(spark, shardTable, v, None)
         SyncStats(rebuilt = true, nDocs, nSeqs, 0L, v)
       case Some((from, applying)) =>
-        val tip = graft.core.TxnLog.currentVersion(spark, srcTable)
+        // bounded steps (Delta's maxFilesPerTrigger at commit
+        // granularity): a shard table restarted after a week of source
+        // churn catches up in absorbable, individually-committed steps
+        val srcTip = graft.core.TxnLog.currentVersion(spark, srcTable)
+        val tip = applying.getOrElse(
+          math.min(srcTip, if (Long.MaxValue - maxCommits < from) Long.MaxValue
+            else from + maxCommits))
         val recovering = applying.isDefined
         if (!recovering && tip <= from)
-          return SyncStats(rebuilt = false, 0L, 0L, from, tip)
+          return SyncStats(rebuilt = false, 0L, 0L, from, from)
         val legs = graft.batch.ChangeFeed.readChanges(
           spark, srcTable, partCol, from, Some(tip))
         val nonInsert = legs
