@@ -215,8 +215,15 @@ object Bench {
       storageError = Some(storageError.fold(msg)(prev => s"$prev; $msg"))
       System.err.println(s"[bench] $what FAILED: ${e.getMessage}")
     }
+    // dev-only: SPARK_GRAFT_SKIP_STORAGE=1 drops the storage/index micro
+    // benches from a targeted SPARK_GRAFT_ONLY run (a 2-query scaling
+    // probe should not pay the full storage suite). NEVER set for
+    // official or envelope-folded runs — their storage map is part of
+    // the artifact.
+    val skipStorage = sys.env.get("SPARK_GRAFT_SKIP_STORAGE").contains("1")
     storageResults =
-      try {
+      if (skipStorage) Nil
+      else try {
         val runs = Seq.fill(2)(StorageBench.run(spark))
         runs.head.map { case (k, _) => k -> runs.flatMap(_.toMap.get(k)).min }
       } catch {
@@ -228,7 +235,8 @@ object Bench {
     // 100 TB story. A fresh directory isolates the build timing from the
     // query rounds' memoized index; min of two probes, like the storage ops.
     storageResults = storageResults ++ (
-      try {
+      if (skipStorage) Nil
+      else try {
         val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
         val t0 = System.nanoTime()
         graft.operators.IvfIndex.build(spark, sfDir, idx)
@@ -249,7 +257,8 @@ object Bench {
     // once; PROBE = broadcast-LUT ADC over the persisted codes table plus
     // the fixed-size exact re-rank — the steady-state compressed-ANN cost.
     storageResults = storageResults ++ (
-      try {
+      if (skipStorage) Nil
+      else try {
         val idx = java.nio.file.Files.createTempDirectory("graft-bench-pq").toString
         val t0 = System.nanoTime()
         graft.operators.PqIndex.build(spark, sfDir, idx)
@@ -270,7 +279,8 @@ object Bench {
     // a compressed-domain scan of ONLY the probed cells — strictly less IO
     // than either single index's probe at scale.
     storageResults = storageResults ++ (
-      try {
+      if (skipStorage) Nil
+      else try {
         val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivfpq").toString
         val t0 = System.nanoTime()
         graft.operators.IvfPqIndex.build(spark, sfDir, idx)
