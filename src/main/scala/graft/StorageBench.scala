@@ -236,8 +236,16 @@ object StorageBench {
       .select("source", "doc_id", "text")
     Upsert.mergeByKey(spark, packDocs, corpus, "source", Seq("doc_id"))
     graft.operators.PackWriter.sync(spark, packDocs, "source", packShard)
+    // the wave grows ONE source — the daily-increment shape the sync is
+    // for: one shard partition rewrites (its tail + fresh rows), the
+    // other 19 sources' shards are untouched. A wave touching every
+    // source degenerates to the full merge (and measures the merge, not
+    // the increment).
     val maxDocId = corpus.agg(max("doc_id")).head.getLong(0)
-    val wave = corpus.orderBy(col("doc_id").desc).limit(25)
+    val oneSrc = corpus.select("source").orderBy("source").limit(1)
+      .head.getString(0)
+    val wave = corpus.filter(col("source") === oneSrc)
+      .orderBy(col("doc_id").desc).limit(25)
       .withColumn("doc_id", col("doc_id") + maxDocId + 1L)
     Upsert.mergeByKey(spark, packDocs, wave, "source", Seq("doc_id"))
     val tPackSync = time {

@@ -177,8 +177,11 @@ object PackWriter {
         val recovering = applying.isDefined
         if (!recovering && tip <= from)
           return SyncStats(rebuilt = false, 0L, 0L, from, from)
+        // the feed and the shard state each feed several actions below
+        // (refusal checks, counts, offsets, tails) — cache both so the
+        // sync reads each ONCE, not once per action
         val legs = graft.batch.ChangeFeed.readChanges(
-          spark, srcTable, partCol, from, Some(tip))
+          spark, srcTable, partCol, from, Some(tip)).cache()
         val nonInsert = legs
           .filter(col(graft.batch.ChangeFeed.ChangeTypeCol) =!= "insert")
           .limit(1).count()
@@ -192,7 +195,8 @@ object PackWriter {
         // the last packed doc
         val packed = Upsert.readCommitted(spark, shardTable, "source")
         val state = packed.groupBy("source").agg(
-          sum("n_tokens").as("t_s"), max("last_doc").as("last_packed"))
+            sum("n_tokens").as("t_s"), max("last_doc").as("last_packed"))
+          .cache() // |sources| rows; broadcast into two joins below
         val fresh = sized(legs).join(broadcast(state), Seq("source"), "left")
         if (!recovering) {
           val bad = fresh.filter(col("last_packed").isNotNull &&
@@ -212,7 +216,7 @@ object PackWriter {
           .cache()
         val nDocs = newDocs.count()
         if (nDocs == 0L) {
-          newDocs.unpersist()
+          newDocs.unpersist(); legs.unpersist(); state.unpersist()
           writeCursor(spark, shardTable, tip, None)
           return SyncStats(rebuilt = false, 0L, 0L, from, tip)
         }
@@ -241,6 +245,7 @@ object PackWriter {
         writeCursor(spark, shardTable, from, Some(tip))
         Upsert.mergeByKey(spark, shardTable, rows, "source", Seq("seq_id"))
         rows.unpersist(); newDocs.unpersist()
+        legs.unpersist(); state.unpersist()
         writeCursor(spark, shardTable, tip, None)
         SyncStats(rebuilt = false, nDocs, nSeqs, from, tip)
     }
