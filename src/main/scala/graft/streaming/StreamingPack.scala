@@ -58,8 +58,22 @@ object StreamingPack {
       .writeStream
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-        drainAvailable(spark, srcTable, partCol, shardTable,
-          maxCommitsPerBatch)
+        // tick-level resilience: a sync can fail LOUDLY on a transient
+        // race (the documented live-read contract — e.g. the feed's
+        // schema inference pinning a tagged change file that the next
+        // merge retires mid-read). The cursor discipline makes a failed
+        // tick harmless — the applyingTo marker replays exactly-once —
+        // so the tick logs and the next one retries, instead of one
+        // transient killing the maintenance query permanently. A
+        // persistent failure keeps surfacing in the log every tick.
+        try { drainAvailable(spark, srcTable, partCol, shardTable,
+          maxCommitsPerBatch); () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft-pack-maintenance] tick failed, retrying next tick: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         ()
       }
       .queryName("graft-pack-maintenance")

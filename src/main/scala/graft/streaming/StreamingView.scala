@@ -67,7 +67,19 @@ object StreamingView {
       .writeStream
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-        drainAvailable(spark, view, maxCommitsPerBatch)
+        // tick-level resilience (same as [[StreamingPack.start]]): a
+        // sync step can fail LOUDLY on a transient live-read race; the
+        // basis-pinned cursor makes the failed step replay exactly-once,
+        // so the tick logs and the next one retries — one transient must
+        // not kill the maintenance query permanently. A persistent
+        // failure keeps surfacing in the log every tick.
+        try { drainAvailable(spark, view, maxCommitsPerBatch); () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft-view-maintenance] tick failed, retrying next tick: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         ()
       }
       .queryName(s"graft-view-maintenance")
