@@ -703,11 +703,42 @@ object TextQueries extends QueryModule {
     * engines' shared IEEE division on exact operands); one
     * |sources|-row aggregate + a window total — nothing corpus-sized
     * moves. */
-  def mixEpochs(s: SparkSession, d: String): DataFrame = {
-    val perSource = docs(s, d).filter(size(col("toks")) > 0)
+  def mixEpochs(s: SparkSession, d: String): DataFrame =
+    epochsOver(docs(s, d).filter(size(col("toks")) > 0)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("tokens"))
+        sum(size(col("toks")).cast("long")).as("tokens")))
+
+  /** Tokenizer-true epoch planning: [[mixEpochs]] run on BPE subword
+    * counts, the whitespace-form epochs joined back — where the two
+    * accountings disagree, the whitespace plan repeats a source the
+    * wrong number of times. One corpus pass computes both token sums
+    * ([[mixUnimaxBpe]]'s discipline); everything downstream is
+    * |sources|-row metadata. */
+  def mixEpochsBpe(s: SparkSession, d: String): DataFrame = {
+    val per = docs(s, d).filter(size(col("toks")) > 0)
+      .withColumn("n_bpe", expr(bpeDocCount))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tokens_ws"),
+        sum(col("n_bpe")).as("tokens_bpe"))
+      .cache() // |sources| rows; feeds both plans
+    val bpe = epochsOver(per.select(col("source"), col("n_docs"),
+      col("tokens_bpe").as("tokens")))
+    val ws = epochsOver(per.select(col("source"), col("n_docs"),
+        col("tokens_ws").as("tokens")))
+      .select(col("source"), col("tokens").as("tokens_ws"),
+        col("epochs").as("epochs_ws"))
+    bpe.select(col("source"), col("n_docs"),
+        col("tokens").as("tokens_bpe"), col("target_tokens"),
+        col("epochs"), col("effective_tokens"), col("shortfall"))
+      .join(ws, Seq("source"))
+      .withColumn("epochs_delta", col("epochs") - col("epochs_ws"))
+  }
+
+  /** The Muennighoff epoch plan over any (source, n_docs, tokens) frame —
+    * shared by the whitespace and tokenizer-true forms. */
+  private def epochsOver(perSource: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
     perSource
       .withColumn("total_tokens", sum("tokens").over(wAll))
@@ -1338,6 +1369,7 @@ object TextQueries extends QueryModule {
     "txt_budget_select" -> (budgetSelect _),
     "txt_dsir_select" -> (dsirSelect _),
     "txt_mix_epochs" -> (mixEpochs _),
+    "txt_mix_epochs_bpe" -> (mixEpochsBpe _),
     "txt_mix_unimax" -> (mixUnimax _),
     "txt_gopher_rules" -> (gopherRules _),
     "txt_rag_chunks" -> (ragChunks _),
@@ -1368,6 +1400,29 @@ object TextQueries extends QueryModule {
 
   private def sqlMarker(words: Seq[String]): String =
     s"len(list_filter(toks, t -> ${inSet("t", words)}))"
+
+  /** The Muennighoff epoch plan as a reusable DuckDB CTE chain over a
+    * (source, n_docs, tokens) CTE named `per`, stage names prefixed `p`.
+    * Ends at `${p}out`. */
+  private def epochsChainSql(per: String, p: String): String = s"""
+      ${p}tot AS (
+        SELECT *, SUM(tokens) OVER () AS total_tokens,
+               COUNT(*) OVER () AS n_sources
+        FROM $per),
+      ${p}tgt AS (
+        SELECT *, CAST(FLOOR(CAST(total_tokens AS DOUBLE) / 2.0 /
+               CAST(n_sources AS DOUBLE)) AS BIGINT) AS target_tokens
+        FROM ${p}tot),
+      ${p}ep AS (
+        SELECT *, LEAST(4, CAST(FLOOR(
+               CAST(target_tokens + tokens - 1 AS DOUBLE) /
+               CAST(tokens AS DOUBLE)) AS BIGINT)) AS epochs
+        FROM ${p}tgt),
+      ${p}out AS (
+        SELECT *, LEAST(target_tokens, epochs * tokens) AS effective_tokens,
+               target_tokens - LEAST(target_tokens, epochs * tokens)
+                 AS shortfall
+        FROM ${p}ep)"""
 
   /** The UniMax water-filling as a reusable DuckDB CTE chain over a
     * (source, n_docs, tokens) CTE named `per` — every stage name gets
@@ -1504,23 +1559,26 @@ object TextQueries extends QueryModule {
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(len(toks)) AS BIGINT) AS tokens
         FROM docs WHERE len(toks) > 0 GROUP BY 1),
-      tot AS (
-        SELECT *, SUM(tokens) OVER () AS total_tokens,
-               COUNT(*) OVER () AS n_sources
-        FROM per),
-      tgt AS (
-        SELECT *, CAST(FLOOR(CAST(total_tokens AS DOUBLE) / 2.0 /
-               CAST(n_sources AS DOUBLE)) AS BIGINT) AS target_tokens
-        FROM tot),
-      ep AS (
-        SELECT *, LEAST(4, CAST(FLOOR(
-               CAST(target_tokens + tokens - 1 AS DOUBLE) /
-               CAST(tokens AS DOUBLE)) AS BIGINT)) AS epochs
-        FROM tgt)
+      ${epochsChainSql("per", "")}
       SELECT source, n_docs, tokens, target_tokens, epochs,
-        LEAST(target_tokens, epochs * tokens) AS effective_tokens,
-        target_tokens - LEAST(target_tokens, epochs * tokens) AS shortfall
-      FROM ep""",
+        effective_tokens, shortfall
+      FROM out""",
+    "txt_mix_epochs_bpe" -> s"""$cte,
+      per0 AS (
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS tokens_ws,
+          CAST(SUM($sqlBpeDocCount) AS BIGINT) AS tokens_bpe
+        FROM docs WHERE len(toks) > 0 GROUP BY 1),
+      bper AS (SELECT source, n_docs, tokens_bpe AS tokens FROM per0),
+      wper AS (SELECT source, n_docs, tokens_ws AS tokens FROM per0),
+      ${epochsChainSql("bper", "b")},
+      ${epochsChainSql("wper", "w")}
+      SELECT b.source, b.n_docs, b.tokens AS tokens_bpe, b.target_tokens,
+        b.epochs, b.effective_tokens, b.shortfall,
+        w.tokens AS tokens_ws, w.epochs AS epochs_ws,
+        b.epochs - w.epochs AS epochs_delta
+      FROM bout b JOIN wout w ON b.source = w.source""",
     "txt_mix_unimax" -> s"""$cte,
       per AS (
         SELECT source,

@@ -27,7 +27,8 @@ QUERIES = [
     "dedup_exact", "dedup_minhash_pairs", "dedup_incremental",
     "dedup_semantic", "dedup_clusters", "dedup_keep_best",
     "txt_span_dedup", "txt_dsir_select", "txt_bpe_tokens",
-    "txt_mix_unimax", "txt_mix_unimax_bpe", "txt_budget_select_bpe",
+    "txt_mix_unimax", "txt_mix_unimax_bpe", "txt_mix_epochs_bpe",
+    "txt_budget_select_bpe",
     "txt_classifier_select", "txt_dclm_pipeline",
     "txt_exact_substr", "txt_exact_substr_cut",
     "media_phash_pairs",
