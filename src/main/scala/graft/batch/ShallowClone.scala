@@ -210,15 +210,28 @@ object ShallowClone {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
           // FileSystem.rename moves tmp INSIDE an existing live dir
-          // instead of refusing; detect the nested move and UNDO it —
-          // in the bulk path tmp is named `partCol=value` (not
-          // dot-prefixed), so a leftover nested dir would read back as
-          // duplicate data inside the live partition
-          if (!fs.rename(tmp, live)) false
-          else {
-            val nested = new Path(live, tmp.getName)
-            if (fs.exists(nested)) { fs.delete(nested, true); false }
-            else true
+          // instead of refusing; detect the nested move and UNDO it.
+          // The name that could get nested is made dot-prefixed FIRST:
+          // in the bulk path tmp is named `partCol=value`, and a crash
+          // between the nested move and its undo would otherwise leave a
+          // non-dot dir that reads back as duplicate rows inside the
+          // live partition — a dot-prefixed leftover is invisible to
+          // readers, so the crash window surfaces nothing
+          val src =
+            if (tmp.getName.startsWith(".")) Some(tmp)
+            else {
+              val dotted = new Path(tmp.getParent, s".install-${tmp.getName}")
+              if (fs.rename(tmp, dotted)) Some(dotted) else None
+            }
+          src match {
+            case None => false
+            case Some(st) =>
+              if (!fs.rename(st, live)) false
+              else {
+                val nested = new Path(live, st.getName)
+                if (fs.exists(nested)) { fs.delete(nested, true); false }
+                else true
+              }
           }
       }
     want match {

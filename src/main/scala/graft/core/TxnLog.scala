@@ -80,6 +80,14 @@ object TxnLog {
     * (production never overrides it). */
   private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
+  /** Structural probe: manifest files opened (commit + checkpoint reads).
+    * The O(tail) claims are assertable on this count — files read per
+    * commit must stay bounded by the checkpoint interval, never grow with
+    * history depth — without wall-clock bounds that flake on a loaded
+    * host. Monotone counter; tests diff it around the probed region. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val Pad = 20
   /** Compact the retained manifest into one checkpoint file every this many
     * commits (Delta defaults to 10). A checkpoint always carries EVERY
@@ -534,6 +542,7 @@ object TxnLog {
   }
 
   private def readFully(fs: FileSystem, p: Path): String = {
+    manifestReads.incrementAndGet()
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }

@@ -91,8 +91,15 @@ object PackWriter {
   private def cursorFile(shard: String) =
     new org.apache.hadoop.fs.Path(s"$shard/_graft_meta/pack_cursor.json")
 
-  private def readCursor(
-      s: SparkSession, shard: String): Option[(Long, Option[Long])] = {
+  /** Per-source packed state a completed sync records in its cursor:
+    * the stream length (sum of held tokens) and the last packed doc —
+    * exactly the aggregates [[sync]] otherwise has to recompute by
+    * scanning the whole shard manifest. |sources|-sized, rides the same
+    * crash-safe cursor file. */
+  private type SrcState = Map[String, (Long, Long)]
+
+  private def readCursor(s: SparkSession, shard: String)
+      : Option[(Long, Option[Long], Option[SrcState])] = {
     val p = cursorFile(shard)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
@@ -105,17 +112,39 @@ object PackWriter {
       case graft.http.JNum(n) => n.toLong
       case other => throw new IllegalStateException(s"pack cursor $k: $other")
     }
+    val state: Option[SrcState] = o.get("state").map {
+      case graft.http.JObj(fields) => fields.map {
+        case (src, graft.http.JObj(f)) =>
+          val m = f.toMap
+          def v(k: String) = m(k) match {
+            case graft.http.JNum(n) => n.toLong
+            case other =>
+              throw new IllegalStateException(s"pack cursor state $k: $other")
+          }
+          src -> (v("t"), v("ld"))
+        case (src, other) =>
+          throw new IllegalStateException(s"pack cursor state $src: $other")
+      }.toMap
+      case other => throw new IllegalStateException(s"pack cursor state: $other")
+    }
     Some((num("version").getOrElse(
       throw new IllegalStateException("pack cursor without version")),
-      num("applyingTo")))
+      num("applyingTo"), state))
   }
 
   private def writeCursor(
-      s: SparkSession, shard: String, v: Long, applyingTo: Option[Long]): Unit =
+      s: SparkSession, shard: String, v: Long, applyingTo: Option[Long],
+      state: Option[SrcState]): Unit = {
+    val stateField = state.map(m =>
+      m.toSeq.sortBy(_._1).map { case (src, (t, ld)) =>
+        s"${graft.http.Json.quote(src)}:" + s"""{"t":$t,"ld":$ld}"""
+      }.mkString(""","state":{""", ",", "}")).getOrElse("")
     graft.core.AtomicWrite.replaceFile(s, cursorFile(shard),
       (s"""{"version":$v""" +
-        applyingTo.map(t => s""","applyingTo":$t""").getOrElse("") + "}")
+        applyingTo.map(t => s""","applyingTo":$t""").getOrElse("") +
+        stateField + "}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Catch the shard table up with an APPEND-ONLY managed documents table
     * by consuming its change feed — the production pack maintenance:
@@ -137,7 +166,22 @@ object PackWriter {
     * packed (doc_id ≤ the source's last packed — exactly the applied
     * half, BECAUSE appends are doc-ordered) filter out instead of
     * refusing. Bootstrap (no cursor) packs the snapshot pinned AS OF the
-    * version it records — never a racing live read. */
+    * version it records — never a racing live read.
+    *
+    * O(growth), not O(table): a completed sync's cursor carries the
+    * |sources|-row packed state (stream length + last packed doc), so
+    * the steady path reads NOTHING from the shard table except the grown
+    * sources' tail rows — fetched by (source, seq_id) key, pushed down
+    * to the scan. The full-manifest state aggregate runs only on crash
+    * recovery (the table, not a pre-merge cursor, is the authority on
+    * whether the interrupted merge applied) and under pre-state cursors.
+    * The shard table is sync-owned: content-preserving maintenance
+    * (compaction, clustering) keeps the cached state exact by
+    * construction.
+    *
+    * `partCol` names the DOCS table's partition column; the shard table
+    * always keys its partitions `source` (the pack schema), so ingestion
+    * renames `partCol` → `source`. */
   def sync(
       spark: SparkSession,
       srcTable: String,
@@ -146,11 +190,15 @@ object PackWriter {
       maxCommits: Long = Long.MaxValue): SyncStats = {
     require(maxCommits >= 1L, "pack sync: maxCommits must be >= 1")
     val L = TextQueries.PackLen
+    // the docs table may partition on any column; the shard table always
+    // keys its partitions "source" — rename at ingestion so the whole
+    // pack pipeline speaks one name
     def sized(df: DataFrame): DataFrame =
       df.withColumn("toks", TextQueries.toks(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .filter(col("n_tokens") > 0)
-        .select("source", "doc_id", "toks", "n_tokens")
+        .select(col(partCol).as("source"), col("doc_id"),
+          col("toks"), col("n_tokens"))
     readCursor(spark, shardTable) match {
       case None =>
         // bootstrap: pack the snapshot AS OF the recorded version (the
@@ -163,10 +211,14 @@ object PackWriter {
         val nSeqs = rows.count()
         val nDocs = snap.count()
         Upsert.mergeByKey(spark, shardTable, rows, "source", Seq("seq_id"))
+        val st: SrcState = rows.groupBy("source").agg(
+            sum("n_tokens").as("t"), max("last_doc").as("ld"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
         rows.unpersist()
-        writeCursor(spark, shardTable, v, None)
+        writeCursor(spark, shardTable, v, None, Some(st))
         SyncStats(rebuilt = true, nDocs, nSeqs, 0L, v)
-      case Some((from, applying)) =>
+      case Some((from, applying, cursorState)) =>
         // bounded steps (Delta's maxFilesPerTrigger at commit
         // granularity): a shard table restarted after a week of source
         // churn catches up in absorbable, individually-committed steps
@@ -190,13 +242,28 @@ object PackWriter {
             "the packed layout assigns offsets in doc order, so a corpus " +
             "rewrite invalidates them corpus-wide; delete the shard table " +
             "and re-pack (a REORG-class rewrite, not a sync)")
-        // per-source packed state from the shard manifest: the stream
-        // length (sum of held tokens — contiguous by construction) and
-        // the last packed doc
-        val packed = Upsert.readCommitted(spark, shardTable, "source")
-        val state = packed.groupBy("source").agg(
-            sum("n_tokens").as("t_s"), max("last_doc").as("last_packed"))
-          .cache() // |sources| rows; broadcast into two joins below
+        // per-source packed state — the stream length (sum of held
+        // tokens, contiguous by construction) and the last packed doc.
+        // The completed-sync cursor carries it, so the steady path never
+        // scans the shard table for state (O(growth), not O(table)).
+        // Recovery ignores the cursor copy and recomputes from the table:
+        // whether the interrupted merge applied is knowable only from the
+        // table itself, and the recomputed state is exactly what makes
+        // the replay filter already-packed docs (exactly-once). The same
+        // scan backstops pre-state cursors.
+        val stateMap: SrcState =
+          cursorState.filter(_ => !recovering).getOrElse {
+            Upsert.readCommitted(spark, shardTable, "source")
+              .groupBy("source").agg(
+                sum("n_tokens").as("t"), max("last_doc").as("ld"))
+              .collect()
+              .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+              .toMap
+          }
+        import spark.implicits._
+        val state = stateMap.toSeq
+          .map { case (src, (t, ld)) => (src, t, ld) }
+          .toDF("source", "t_s", "last_packed")
         val fresh = sized(legs).join(broadcast(state), Seq("source"), "left")
         if (!recovering) {
           val bad = fresh.filter(col("last_packed").isNotNull &&
@@ -216,8 +283,8 @@ object PackWriter {
           .cache()
         val nDocs = newDocs.count()
         if (nDocs == 0L) {
-          newDocs.unpersist(); legs.unpersist(); state.unpersist()
-          writeCursor(spark, shardTable, tip, None)
+          newDocs.unpersist(); legs.unpersist()
+          writeCursor(spark, shardTable, tip, None, Some(stateMap))
           return SyncStats(rebuilt = false, 0L, 0L, from, tip)
         }
         // batch offsets (two-phase, per source) shifted by the packed
@@ -230,23 +297,45 @@ object PackWriter {
           .withColumn("end_off", col("end_off") + col("base"))
         // the grown sources' PARTIAL tails re-enter as weighted
         // pseudo-contributions: old payload + carried manifest, so the
-        // rewritten row equals what a from-scratch pack would emit
-        val grown = newDocs.select("source", "base").distinct()
+        // rewritten row equals what a from-scratch pack would emit.
+        // Fetched by KEY — an OR-chain of (source, seq_id) literals the
+        // scan pushes down (partition pruning on source, stats pruning on
+        // seq_id) — never a second pass over the shard table.
+        val grownPairs = newDocs.select("source", "base").distinct()
           .filter(col("base") % L =!= 0 && col("base") > 0)
-        val tails = packed.join(broadcast(grown), Seq("source"))
-          .filter(col("seq_id") === expr(s"(base - 1) DIV $L"))
-          .select(col("source"), col("toks"),
-            (col("seq_id") * L).as("start_off"),
-            (col("seq_id") * L + col("n_tokens")).as("end_off"),
-            col("n_docs").as("w_docs"), col("n_full_docs").as("w_full"),
-            col("first_doc").as("fd"), col("last_doc").as("ld"))
-        val rows = assemble(plainContribs(offsets).unionByName(tails)).cache()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val plain = plainContribs(offsets)
+        val contribs =
+          if (grownPairs.isEmpty) plain
+          else {
+            val keyed = grownPairs.map { case (src, base) =>
+              col("source") === src && col("seq_id") === lit((base - 1L) / L)
+            }.reduce(_ || _)
+            val tails = Upsert.readCommitted(spark, shardTable, "source")
+              .filter(keyed)
+              .select(col("source"), col("toks"),
+                (col("seq_id") * L).as("start_off"),
+                (col("seq_id") * L + col("n_tokens")).as("end_off"),
+                col("n_docs").as("w_docs"), col("n_full_docs").as("w_full"),
+                col("first_doc").as("fd"), col("last_doc").as("ld"))
+            plain.unionByName(tails)
+          }
+        val rows = assemble(contribs).cache()
         val nSeqs = rows.count()
-        writeCursor(spark, shardTable, from, Some(tip))
+        // the applyingTo marker carries NO state: recovery must learn
+        // what applied from the table, never from a pre-merge snapshot
+        writeCursor(spark, shardTable, from, Some(tip), None)
         Upsert.mergeByKey(spark, shardTable, rows, "source", Seq("seq_id"))
-        rows.unpersist(); newDocs.unpersist()
-        legs.unpersist(); state.unpersist()
-        writeCursor(spark, shardTable, tip, None)
+        // roll the |sources|-row state forward from the applied docs —
+        // appends only grow a source's stream and its max doc_id
+        val deltas = newDocs.groupBy("source").agg(
+            sum("n_tokens").as("dt"), max("doc_id").as("dld"),
+            max("base").as("b"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(3) + r.getLong(1), r.getLong(2)))
+          .toMap
+        rows.unpersist(); newDocs.unpersist(); legs.unpersist()
+        writeCursor(spark, shardTable, tip, None, Some(stateMap ++ deltas))
         SyncStats(rebuilt = false, nDocs, nSeqs, from, tip)
     }
   }

@@ -1151,16 +1151,35 @@ object TextQueries extends QueryModule {
     * source-partitioned window over stats, the rollup is |sources|
     * rows. */
   def dclmPipeline(s: SparkSession, d: String): DataFrame = {
+    val (gated, rollup) = dclmStages(s, d, cache = true)
+    // pin the |sources|-row rollup, then drop the doc-grained cache —
+    // the scratch frame must not linger for the rest of the session
+    val pinned = rollup.localCheckpoint(true)
+    gated.unpersist()
+    pinned
+  }
+
+  /** The UNMATERIALIZED rollup plan — what PlanSpec probes (broadcast
+    * weights, no unpartitioned window, no cross product). The declared
+    * query executes exactly this plan, with the doc-stats stage cached
+    * across the four rollup branches and dropped after materialization. */
+  private[graft] def dclmPipelinePlan(s: SparkSession, d: String): DataFrame =
+    dclmStages(s, d, cache = false)._2
+
+  private def dclmStages(
+      s: SparkSession, d: String, cache: Boolean): (DataFrame, DataFrame) = {
     val base = docs(s, d)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("fp",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .select("doc_id", "source", "n_tokens", "fp")
-    val gated = base
+    val gated0 = base
       .join(classifierScores(s, docs(s, d)).drop("source"), Seq("doc_id"))
       .filter(col("score_q16") > 0)
-      .cache() // doc-stats frame (id, source, tokens, fp, score)
+    // doc-stats frame (id, source, tokens, fp, score) — cached only in
+    // the executing form, for the four rollup branches of ONE action
+    val gated = if (cache) gated0.cache() else gated0
     val canon = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val dd = gated.join(canon, Seq("fp", "doc_id"))
     val wRank = Window.partitionBy("source")
@@ -1172,7 +1191,7 @@ object TextQueries extends QueryModule {
       .withColumn("tot", sum("n_tokens").over(wAll))
       .withColumn("keep", col("cum").cast("double") <=
         col("tot").cast("double") * BudgetFrac)
-    base.groupBy("source").agg(
+    val rollup = base.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
       .join(gated.groupBy("source")
         .agg(count(lit(1)).as("clf_kept_docs")), Seq("source"), "left")
@@ -1189,6 +1208,7 @@ object TextQueries extends QueryModule {
         coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
         (coalesce(col("sel_tokens"), lit(0L)).cast("double") /
           col("tokens").cast("double")).as("retention"))
+    (gated, rollup)
   }
 
   def exactSubstr(s: SparkSession, d: String): DataFrame =

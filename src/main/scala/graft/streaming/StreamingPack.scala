@@ -23,16 +23,21 @@ object StreamingPack {
   /** Catch the shard table up to the source tip in bounded steps — the
     * `Trigger.AvailableNow` analog. Returns the number of steps that
     * advanced the cursor (0 when already at tip; the bootstrap counts
-    * as a step). */
+    * as a step). `maxSteps` bounds ONE drain call: against a source that
+    * commits continuously, an unbounded chase never reaches the moving
+    * tip — inside a streaming tick that starves the trigger and blocks
+    * query stop. A partial drain is safe by construction (the cursor is
+    * the ledger); the next call continues. */
   def drainAvailable(
       spark: SparkSession,
       srcTable: String,
       partCol: String,
       shardTable: String,
-      maxCommitsPerBatch: Long = Long.MaxValue): Int = {
+      maxCommitsPerBatch: Long = Long.MaxValue,
+      maxSteps: Int = Int.MaxValue): Int = {
     var steps = 0
     var advanced = true
-    while (advanced) {
+    while (advanced && steps < maxSteps) {
       val st = PackWriter.sync(
         spark, srcTable, partCol, shardTable, maxCommitsPerBatch)
       advanced = st.toVersion > st.fromVersion
@@ -52,7 +57,8 @@ object StreamingPack {
       partCol: String,
       shardTable: String,
       intervalMs: Long = 1000L,
-      maxCommitsPerBatch: Long = Long.MaxValue): StreamingQuery =
+      maxCommitsPerBatch: Long = Long.MaxValue,
+      maxStepsPerTick: Int = 64): StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1).load()
       .writeStream
@@ -66,8 +72,11 @@ object StreamingPack {
         // so the tick logs and the next one retries, instead of one
         // transient killing the maintenance query permanently. A
         // persistent failure keeps surfacing in the log every tick.
+        // bounded steps per tick: a continuously-committing source must
+        // not starve the trigger (or block stop) — the cursor makes a
+        // partial drain safe, the next tick continues the chase
         try { drainAvailable(spark, srcTable, partCol, shardTable,
-          maxCommitsPerBatch); () }
+          maxCommitsPerBatch, maxStepsPerTick); () }
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(

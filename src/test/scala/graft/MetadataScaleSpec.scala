@@ -112,27 +112,34 @@ class MetadataScaleSpec extends SparkSpec {
   test("600-commit TxnLog with checkpoints: flat commit latency, O(tail) probes") {
     val table = tmp("meta-txn")
     var snapshot = 0L
-    def commitRange(a: Int, b: Int): Long = timeMs {
-      (a until b).foreach { i =>
-        snapshot = TxnLog.commit(spark, table, "merge",
-          Set(s"day=d${i % 8}"), snapshot).version
+    def commitRange(a: Int, b: Int): (Long, Long) = {
+      val r0 = TxnLog.manifestReads.get()
+      val ms = timeMs {
+        (a until b).foreach { i =>
+          snapshot = TxnLog.commit(spark, table, "merge",
+            Set(s"day=d${i % 8}"), snapshot).version
+        }
       }
+      (ms, TxnLog.manifestReads.get() - r0)
     }
-    val first50 = commitRange(0, 50)
+    val (first50, reads0) = commitRange(0, 50)
     commitRange(50, 550)
-    val last50 = commitRange(550, 600)
+    val (last50, reads550) = commitRange(550, 600)
     info(s"commit latency: first 50 in $first50 ms, last 50 in $last50 ms")
+    info(s"manifest files read: first 50 commits $reads0, last 50 $reads550")
     assert(snapshot == 600L)
     // checkpoints exist (every CheckpointInterval-th commit compacts)
     val ckpts = new java.io.File(s"$table/_graft_txn").listFiles()
       .count(_.getName.startsWith("checkpoint-v"))
     assert(ckpts > 0, "checkpoint files must exist at 600 commits")
-    // O(tail), not O(history): commit #550-600 must not cost materially
-    // more than commit #0-50 — without checkpointed probes the conflict
-    // check would reread the whole log and the loop would go quadratic.
-    // Generous 8x tolerance for shared-host noise on a sub-second figure.
-    assert(last50 < math.max(2000L, 8L * first50),
-      s"commit latency grew with history depth: $first50 ms -> $last50 ms")
+    // O(tail), not O(history) — STRUCTURAL, not wall-clock (ms figures
+    // are info-only; a loaded host must not flake this gate): each commit
+    // at depth 550-600 reads the tail above the newest checkpoint plus
+    // (every CheckpointInterval-th) one checkpoint compaction re-read —
+    // bounded by the interval, never by the 550 commits of history. A
+    // quadratic regression would read ~29,000 files here.
+    assert(reads550 < 50L * (TxnLog.CheckpointInterval + 10L),
+      s"manifest reads grew with history depth: first50=$reads0, last50=$reads550")
     // near-tip probe (the merge-path conflict check) reads only the tail
     val nearTip = TxnLog.commitsSince(spark, table, 597L)
     assert(nearTip.map(_.version) == Seq(598L, 599L, 600L))
@@ -155,23 +162,35 @@ class MetadataScaleSpec extends SparkSpec {
     // 5,000 claims, checkpoint compactions, and truncations.
     val table = tmp("meta-txn5k")
     var snapshot = 0L
-    def commitRange(a: Int, b: Int): Long = timeMs {
-      (a until b).foreach { i =>
-        snapshot = TxnLog.commit(spark, table, "merge",
-          Set(s"day=d${i % 8}"), snapshot).version
+    def commitRange(a: Int, b: Int): (Long, Long) = {
+      val r0 = TxnLog.manifestReads.get()
+      val ms = timeMs {
+        (a until b).foreach { i =>
+          snapshot = TxnLog.commit(spark, table, "merge",
+            Set(s"day=d${i % 8}"), snapshot).version
+        }
       }
+      (ms, TxnLog.manifestReads.get() - r0)
     }
-    val first50 = commitRange(0, 50)
+    val (first50, reads0) = commitRange(0, 50)
     (1 to 9).foreach { k =>
       commitRange(k * 500 - 450, k * 500 + 50)
       TxnLog.truncate(spark, table, keep = 100)
     }
     commitRange(4550, 4950)
-    val last50 = commitRange(4950, 5000)
+    val (last50, reads4950) = commitRange(4950, 5000)
     info(s"5k-commit latency: first 50 in $first50 ms, last 50 in $last50 ms")
+    info(s"manifest files read: first 50 commits $reads0, last 50 $reads4950")
     assert(snapshot == 5000L)
-    assert(last50 < math.max(2000L, 8L * first50),
-      s"commit latency grew with lifetime depth: $first50 ms -> $last50 ms")
+    // STRUCTURAL flatness (ms info-only, see the 600-commit gate): at
+    // lifetime commit 4,950+ each commit's conflict probe still reads
+    // only the tail above the newest checkpoint — bounded by the
+    // interval, independent of the 4,900 commits of lifetime history.
+    // Post-truncation the retained manifest is ~100 commits, so even the
+    // checkpoint compaction re-reads stay O(keep): a lifetime-quadratic
+    // regression would read millions of files here.
+    assert(reads4950 < 50L * (TxnLog.CheckpointInterval + 10L),
+      s"manifest reads grew with lifetime depth: first50=$reads0, last50=$reads4950")
     // the retained manifest is bounded: one truncation brings it to ~keep,
     // and the log directory holds O(keep) files, not O(lifetime)
     TxnLog.truncate(spark, table, keep = 100)

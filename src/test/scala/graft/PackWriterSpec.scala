@@ -192,6 +192,131 @@ class PackWriterSpec extends SparkSpec {
       l2.head.contains("\"newDocs\":1"), s"$l2")
   }
 
+  /** Total task input bytes during `body` (the BloomIndexSpec probe). */
+  private def bytesRead(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      while (System.nanoTime() < deadline && acc.get() != last) {
+        last = acc.get()
+        Thread.sleep(500)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  /** Strip the `state` field from a shard's cursor (the r18 format),
+    * leaving version/applyingTo intact. */
+  private def stripCursorState(shard: String): Unit = {
+    val p = java.nio.file.Paths.get(shard, "_graft_meta", "pack_cursor.json")
+    val old = new String(java.nio.file.Files.readAllBytes(p))
+    val v = old.split("\"version\":")(1).takeWhile(_.isDigit)
+    java.nio.file.Files.write(p, s"""{"version":$v}""".getBytes)
+    // java.nio writes bypass Hadoop's checksum sidecar — drop it
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      shard, "_graft_meta", ".pack_cursor.json.crc"))
+  }
+
+  test("steady sync is O(growth): state rides the cursor and the shard " +
+      "table contributes only the grown source's tail row") {
+    val root = Files.createTempDirectory("packbytes").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    // 12 sources × 80 docs × 40 tokens: a shard table whose full payload
+    // dwarfs any single source's partition
+    val seed = (0 until 12).flatMap { s =>
+      (0 until 80).map(i => (s"s$s", i.toLong, words(i * 40, 40)))
+    }
+    mkDocs(docsT, seed: _*)
+    PackWriter.sync(spark, docsT, "source", shard)
+    // the completed sync's cursor carries the |sources|-row state
+    val cursor = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(shard, "_graft_meta", "pack_cursor.json")))
+    assert(cursor.contains("\"state\""), s"cursor must carry state: $cursor")
+    assert(!cursor.contains("applyingTo"), s"completed cursor: $cursor")
+    // two identically-shaped appends to ONE source. The FIRST sync runs
+    // with the state stripped (the r18 fallback: full-manifest state
+    // scan); the SECOND runs steady (state from the cursor the fallback
+    // sync rewrote). The steady sync runs against the LARGER table, so
+    // any growth bias works AGAINST the assertion — a pass means the
+    // state scan is really gone, not that the table shrank.
+    stripCursorState(shard)
+    mkDocs(docsT, ("s3", 100L, words(0, 10)))
+    val fallbackBytes = bytesRead {
+      val st = PackWriter.sync(spark, docsT, "source", shard)
+      assert(st.newDocs == 1L, s"$st")
+    }
+    mkDocs(docsT, ("s3", 101L, words(10, 10)))
+    val steadyBytes = bytesRead {
+      val st = PackWriter.sync(spark, docsT, "source", shard)
+      assert(st.newDocs == 1L, s"$st")
+    }
+    info(s"fallback sync (state scan): $fallbackBytes bytes; " +
+      s"steady sync (cursor state): $steadyBytes bytes")
+    assert(steadyBytes < fallbackBytes,
+      s"steady sync must read strictly less than the state-scanning " +
+        s"fallback: steady=$steadyBytes vs fallback=$fallbackBytes")
+    // and the result still equals a from-scratch pack
+    val truth = s"$root/truth"
+    PackWriter.sync(spark, docsT, "source", truth)
+    assert(shardRows(shard).exceptAll(shardRows(truth)).isEmpty &&
+      shardRows(truth).exceptAll(shardRows(shard)).isEmpty)
+  }
+
+  test("pre-state cursors (and crash recovery) fall back to the manifest " +
+      "scan: sync stays exact") {
+    val root = Files.createTempDirectory("packoldcur").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    mkDocs(docsT, ("s1", 1L, words(0, 300)), ("s2", 1L, words(0, 100)))
+    PackWriter.sync(spark, docsT, "source", shard)
+    // rewrite the cursor in the r18 (state-less) format
+    stripCursorState(shard)
+    mkDocs(docsT, ("s1", 2L, words(300, 50)))
+    val st = PackWriter.sync(spark, docsT, "source", shard)
+    assert(!st.rebuilt && st.newDocs == 1L, s"$st")
+    val truth = s"$root/truth"
+    PackWriter.sync(spark, docsT, "source", truth)
+    assert(shardRows(shard).exceptAll(shardRows(truth)).isEmpty &&
+      shardRows(truth).exceptAll(shardRows(shard)).isEmpty,
+      "state-less cursor fallback must equal a from-scratch pack")
+    // and the fallback sync upgrades the cursor to the state-carrying form
+    assert(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(shard, "_graft_meta", "pack_cursor.json"))).contains("\"state\""))
+  }
+
+  test("docs tables partitioned by a column other than 'source' pack " +
+      "through the same pipeline") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("packpcol").toString
+    val docsT = s"$root/docs"; val shard = s"$root/shard"
+    Upsert.mergeByKey(spark, docsT,
+      Seq(("web", 1L, words(0, 100)), ("books", 1L, words(0, 60)))
+        .toDF("src", "doc_id", "text"), "src", Seq("doc_id"))
+    val st = PackWriter.sync(spark, docsT, "src", shard)
+    assert(st.rebuilt && st.newDocs == 2L, s"$st")
+    val got = Upsert.readCommitted(spark, shard, "source")
+    assert(got.select("source").distinct().orderBy("source")
+      .as[String].collect().toSeq == Seq("books", "web"))
+    // incremental leg under the renamed partition column
+    Upsert.mergeByKey(spark, docsT,
+      Seq(("web", 2L, words(100, 30))).toDF("src", "doc_id", "text"),
+      "src", Seq("doc_id"))
+    val st1 = PackWriter.sync(spark, docsT, "src", shard)
+    assert(!st1.rebuilt && st1.newDocs == 1L, s"$st1")
+    // re-read: the merge rewrote web's partition under the first plan
+    assert(Upsert.readCommitted(spark, shard, "source")
+      .filter(col("source") === "web")
+      .agg(sum("n_tokens")).as[Long].collect().head == 130L)
+  }
+
   test("collect_list assembly is deterministic: straddling docs gather in " +
       "offset order regardless of partitioning") {
     // the same pack computed under 2 and 32 shuffle partitions must be

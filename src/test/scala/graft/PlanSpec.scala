@@ -249,14 +249,17 @@ class PlanSpec extends SparkSpec {
 
   test("DCLM composed pipeline: broadcast classifier weights, no " +
       "unpartitioned window, no cross product across all three stages") {
-    val p = planOf("txt_dclm_pipeline")
+    // the declared query materializes the |sources|-row rollup eagerly
+    // (and drops its doc-grained cache) — probe the underlying plan it
+    // executes, exposed for exactly this purpose
+    val df = graft.operators.TextQueries.dclmPipelinePlan(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"the weight table must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     import org.apache.spark.sql.execution.window.WindowExec
-    val plan = SparkEntry.queries("txt_dclm_pipeline")(spark, dir)
-      .queryExecution.sparkPlan
+    val plan = df.queryExecution.sparkPlan
     assert(!plan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }.exists(_ => true), s"unpartitioned window:\n$plan")
