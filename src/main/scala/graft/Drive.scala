@@ -335,6 +335,56 @@ object Drive {
       "every shard but each source's tail must be exactly L tokens")
     println(s"DRIVE pack: $nShards shards ($fullShards full) across " +
       s"${packedSrcs.size} sources at $packTable")
+
+    // 8. the heartbeat follower end-to-end (the r18 tick-resilience flake
+    // class, caught here instead of in a full-suite run): a StreamingPack
+    // query follows a CHURNING managed docs table, is killed mid-churn,
+    // drained by hand, restarted, churned again — and the shards must
+    // converge to a from-scratch pack, with no stream state beyond the
+    // shard table's own cursor.
+    val hbDocs = s"$root/hbdocs"; val hbShard = s"$root/hbshard"
+    def hbWave(from: Int, n: Int): Unit =
+      graft.batch.Upsert.mergeByKey(spark, hbDocs,
+        (from until from + n).map(i =>
+          ("hb", i.toLong, s"t${i}a t${i}b t${i}c"))
+          .toDF("source", "doc_id", "text"),
+        "source", Seq("doc_id"))
+    hbWave(0, 40)
+    val hbQ = graft.streaming.StreamingPack.start(
+      spark, hbDocs, "source", hbShard, intervalMs = 150L)
+    try (1 to 4).foreach { k => hbWave(k * 40, 40); Thread.sleep(150) }
+    finally hbQ.stop() // killed mid-churn: an in-flight tick may leave the
+                      // applyingTo marker — the next drain must recover
+    hbWave(200, 40) // appends land while NO follower is running
+    graft.streaming.StreamingPack.drainAvailable(
+      spark, hbDocs, "source", hbShard)
+    val hbQ2 = graft.streaming.StreamingPack.start(
+      spark, hbDocs, "source", hbShard, intervalMs = 150L)
+    try {
+      hbWave(240, 40)
+      val expected = 280L * 3L
+      val deadline = System.currentTimeMillis() + 60000L
+      var held = -1L
+      while (held != expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        held = graft.batch.Upsert.readCommitted(spark, hbShard, "source")
+          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      }
+      assert(held == expected,
+        s"heartbeat shards must converge to the corpus: $held != $expected")
+    } finally hbQ2.stop()
+    val hbTruth = s"$root/hbtruth"
+    graft.operators.PackWriter.sync(spark, hbDocs, "source", hbTruth)
+    val manifestCols = Seq("source", "seq_id", "toks", "n_docs",
+      "n_full_docs", "n_tokens", "first_doc", "last_doc")
+    val hbGot = graft.batch.Upsert.readCommitted(spark, hbShard, "source")
+      .select(manifestCols.map(col): _*)
+    val hbWant = graft.batch.Upsert.readCommitted(spark, hbTruth, "source")
+      .select(manifestCols.map(col): _*)
+    assert(hbGot.exceptAll(hbWant).isEmpty && hbWant.exceptAll(hbGot).isEmpty,
+      "restarted heartbeat shards must equal a from-scratch pack")
+    println("DRIVE heartbeat-pack: killed mid-churn, hand-drained, " +
+      "restarted — shards ≡ from-scratch pack")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()

@@ -62,7 +62,8 @@ object Maintain {
   val modes: Set[String] =
     Set("stream", "upsert", "zorder", "bloom", "stats", "ivf", "pq", "ivfpq",
       "restore", "clone", "convert", "reorg", "dedup", "scd2", "cluster",
-      "view", "shallow", "materialize", "pack", "packsync")
+      "view", "shallow", "materialize", "pack", "packsync", "widen",
+      "widenmat")
 
   /** Run one maintenance mode against `table`. `modeArgs` are the
     * positional args after the mode word (see object doc); `m` supplies
@@ -224,6 +225,28 @@ object Maintain {
           s""""src":${graft.http.Json.quote(srcTable)},""" +
           s""""rebuilt":${st.rebuilt},"newDocs":${st.newDocs},""" +
           s""""seqsWritten":${st.seqsWritten},"toVersion":${st.toVersion}}""")
+      case "widen" =>
+        // type widening over the ops surface: declare that <column> now
+        // carries <type> — pure metadata, no rewrite
+        // ([[graft.batch.TypeWidening.widen]]; narrowing/lossy refused)
+        val partCol = arg(0, "the partition column (widen <partCol> <column> <type>)")
+        val column = arg(1, "the column (widen <partCol> <column> <type>)")
+        val typ = arg(2, "the widened type (widen <partCol> <column> <type>)")
+        graft.batch.TypeWidening.widen(spark, table, partCol, column,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(typ))
+        Seq(s"""{"op":"widen","table":$tableJson,""" +
+          s""""column":${graft.http.Json.quote(column)},""" +
+          s""""to":${graft.http.Json.quote(typ)}}""")
+      case "widenmat" =>
+        // the REORG-class half of DROP FEATURE type-widening: rewrite the
+        // still-narrow partitions at the registered wide types, then
+        // clear the registry so the feature drop's residue check passes
+        val partCol = arg(0, "the partition column (widenmat <partCol>)")
+        val parts = graft.batch.TypeWidening.materialize(spark, table, partCol)
+        graft.batch.TypeWidening.clear(spark, table, partCol)
+        Seq(s"""{"op":"widen-materialize","table":$tableJson,""" +
+          s""""partitionsRewritten":${parts.size}}""")
       case "convert" =>
         // CONVERT TO over the ops surface: adopt an existing plain
         // partitioned-parquet directory into a managed table — one v1

@@ -15,6 +15,7 @@ object SparkEntry {
     operators.DedupQueries,
     operators.SimilarityQueries,
     operators.MediaQueries,
+    operators.PackWriter,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -50,6 +50,7 @@ object TableFeatures {
   val GeneratedColumns = "generated-columns"
   val Clustering = "clustering"
   val ShallowCloneFeature = "shallow-clone"
+  val TypeWideningFeature = "type-widening"
 
   /** Feature → required level, for every feature THIS build implements.
     * The key set is what this build supports; the refusal matrix compares
@@ -66,7 +67,10 @@ object TableFeatures {
     Clustering -> "writer",
     // reader: a build that does not know shallow clones reads only the
     // localized partitions — wrong data, the gate's defining case
-    ShallowCloneFeature -> "reader")
+    ShallowCloneFeature -> "reader",
+    // writer: an unaware writer refuses the widened-type merge loudly
+    // (safe failure); reads upcast through ordinary union coercion
+    TypeWideningFeature -> "writer")
 
   /** The features `table` has declared, feature → level. */
   def features(spark: SparkSession, table: String): Map[String, String] =
@@ -219,6 +223,7 @@ object TableFeatures {
                 s"table (first remote: ${
                   remote.toSeq.sorted.take(3).mkString(", ")})")
         }
+      case TypeWideningFeature => TypeWidening.residueOf(spark, table)
       case other => Some(s"no residue rule for $other — refusing to guess")
     }
 

@@ -143,6 +143,13 @@ object Upsert {
       TableFeatures.InCommitTimestamps +:
         (if (changeFeedEnabled(spark)) Seq(TableFeatures.ChangeDataFeed)
          else Seq.empty))
+    // declared type widenings let the per-partition type-conflict check
+    // resolve by casting the narrow side up (one registry read per merge,
+    // only when the feature is declared)
+    val widenings =
+      if (feats.contains(TableFeatures.TypeWideningFeature))
+        TypeWidening.widenings(spark, table)
+      else Map.empty[String, org.apache.spark.sql.types.DataType]
     // GENERATED columns ([[GeneratedColumns]], Delta's GENERATED ALWAYS
     // AS): updates that omit a registered column get it computed here —
     // including the PARTITION column, so producers can ship raw rows and
@@ -334,7 +341,7 @@ object Upsert {
         val merges = touched.map { p =>
           Future(mergeOnePartition(spark, table, updatesP, partColP, keyColsP, dataCols, p,
             snapshot, deleteWhen, deletesOnly, dvPairs,
-            colMap.collect { case (ph, "") => ph }.toSet))
+            colMap.collect { case (ph, "") => ph }.toSet, widenings))
         }
         // surface the FIRST failure but let in-flight merges complete first
         // (each is atomic; cancelling a distributed write mid-flight buys
@@ -537,10 +544,11 @@ object Upsert {
       deleteWhen: Option[String],
       deletesOnly: Boolean,
       dvPairs: Option[DataFrame],
-      droppedCols: Set[String]): Unit = {
+      droppedCols: Set[String],
+      widenings: Map[String, org.apache.spark.sql.types.DataType]): Unit = {
     val claim = TxnLog.begin(spark, table, "upsert", Set(p), snapshot)
     try mergeUnderClaim(spark, table, updates, partCol, keyCols, dataCols, p, claim,
-      deleteWhen, deletesOnly, dvPairs, droppedCols)
+      deleteWhen, deletesOnly, dvPairs, droppedCols, widenings)
     catch {
       case scala.util.control.NonFatal(e) =>
         // rollback BEFORE the abort record: once the abort releases the
@@ -565,7 +573,9 @@ object Upsert {
       deleteWhen: Option[String],
       deletesOnly: Boolean,
       dvPairs: Option[DataFrame],
-      droppedCols: Set[String]): Unit = {
+      droppedCols: Set[String],
+      widenings: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): Unit = {
     // Spark's partitionBy ESCAPES special chars in directory names
     // (':' -> %3A etc.); building the path from the raw value would miss
     // the existing dir, treat the partition as new, and publish a
@@ -596,7 +606,8 @@ object Upsert {
     val existing = existingPartition(spark, partDir,
       dataCols, p, requireCoverage = !deletesOnly, dv = dvPairs,
       droppedCols = droppedCols,
-      updatesSchema = Some(updates.schema), keyCols = keyCols)
+      updatesSchema = Some(updates.schema), keyCols = keyCols,
+      widenings = widenings)
     if (existing.isEmpty && (deletesOnly ||
         (deleteWhen.isDefined && upserts.limit(1).isEmpty))) {
       // deleting keys from a partition that does not exist is a no-op
@@ -936,26 +947,35 @@ object Upsert {
       table: String,
       version: Long,
       partCol: String): DataFrame = {
-    if (ShallowClone.isShallowIn(TableFeatures.checkReadOf(
-        TableFeatures.features(spark, table), table)))
+    val feats = TableFeatures.checkReadOf(
+      TableFeatures.features(spark, table), table)
+    if (ShallowClone.isShallowIn(feats))
       throw new IllegalStateException(
         s"time travel on shallow clone $table is undefined before " +
           "materialization — the clone's version axis begins at its own " +
           "writes; read the live state (readCommitted/ShallowClone.read) " +
           "or materialize first")
     // time travel shows OLD versions under the CURRENT logical names,
-    // exactly Delta's column-mapping semantics
+    // exactly Delta's column-mapping semantics — and under the CURRENT
+    // widened types (values exact; the whole timeline presents one
+    // stable schema)
     val colMap = ColumnMapping.mapping(spark, table)
+    val wid =
+      if (feats.contains(TableFeatures.TypeWideningFeature))
+        TypeWidening.widenings(spark, table)
+      else Map.empty[String, org.apache.spark.sql.types.DataType]
     ColumnMapping.applyLogical(
       readAsOfPhysical(spark, table, version,
-        ColumnMapping.physicalName(colMap, partCol)), colMap)
+        ColumnMapping.physicalName(colMap, partCol), wid), colMap)
   }
 
   private[batch] def readAsOfPhysical(
       spark: SparkSession,
       table: String,
       version: Long,
-      partCol: String): DataFrame = {
+      partCol: String,
+      widenings: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): DataFrame = {
     val all = TxnLog.commitsSince(spark, table, 0L)
     val tip = all.lastOption.map(_.version).getOrElse(0L)
     if (version > tip)
@@ -995,7 +1015,7 @@ object Upsert {
           if (attempt == 1) all else TxnLog.commitsSince(spark, table, 0L)
         val (df, liveResolved, ambiguous) =
           resolveSnapshot(spark, table, version, partCol, commits,
-            pinLiveFiles = true)
+            pinLiveFiles = true, widenings = widenings)
         val ambiguousStable = ambiguous.forall { case (gen, marker) =>
           !fs.exists(new org.apache.hadoop.fs.Path(gen)) &&
             !fs.exists(new org.apache.hadoop.fs.Path(marker))
@@ -1451,16 +1471,25 @@ object Upsert {
       return ColumnMapping.applyLogical(
         ShallowClone.readPhysical(spark, table,
           ColumnMapping.physicalName(colMap, partCol)), colMap)
+    // type widenings (registry read only when the feature is declared —
+    // zero cost on ordinary tables) upcast below the partition union
+    val wid =
+      if (feats.contains(TableFeatures.TypeWideningFeature))
+        TypeWidening.widenings(spark, table)
+      else Map.empty[String, org.apache.spark.sql.types.DataType]
     ColumnMapping.applyLogical(
       readCommittedPhysical(spark, table,
-        ColumnMapping.physicalName(colMap, partCol), maxAttempts), colMap)
+        ColumnMapping.physicalName(colMap, partCol), maxAttempts, wid),
+      colMap)
   }
 
   private[batch] def readCommittedPhysical(
       spark: SparkSession,
       table: String,
       partCol: String,
-      maxAttempts: Int = 80): DataFrame = {
+      maxAttempts: Int = 80,
+      widenings: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // fast path — plain read with the PRE-EXISTING semantics (no
@@ -1472,7 +1501,7 @@ object Upsert {
     // no partCol= dirs — that one must go through resolution, where the
     // manifest's mentions recover the committed state from history.
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_txn")))
-      return spark.read.parquet(table)
+      return TypeWidening.applyTo(spark.read.parquet(table), widenings)
     // `identity` commits claim only the reserved synthetic
     // `_graft_identity:*` values (range allocation, [[IdentityColumns]]) —
     // never a data partition, so they must not push a dataless manifest
@@ -1482,7 +1511,7 @@ object Upsert {
           st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")) &&
         !TxnLog.commitsSince(spark, table, 0L).exists(c =>
           c.all || (c.partitions.nonEmpty && c.op != "identity")))
-      return spark.read.parquet(table)
+      return TypeWidening.applyTo(spark.read.parquet(table), widenings)
     // honor an in-flight WHOLE-TABLE claim (compaction log swap) up to the
     // mark's age: mid-swap listings can silently fall back to raw directory
     // enumeration. Partition-level claims are NOT waited out — snapshot
@@ -1510,7 +1539,8 @@ object Upsert {
           val commits = TxnLog.commitsSince(spark, table, 0L)
           val tip = commits.lastOption.map(_.version).getOrElse(0L)
           val (df, liveResolved, ambiguous) =
-            resolveSnapshot(spark, table, tip, partCol, commits)
+            resolveSnapshot(spark, table, tip, partCol, commits,
+              widenings = widenings)
           // Post-resolution stability checks, cheapest first:
           //  (a) ambiguous partitions (live dir read as the pre-image of an
           //      unclosed begin): if the writer's retain rename landed after
@@ -1560,7 +1590,9 @@ object Upsert {
       version: Long,
       partCol: String,
       all: Seq[TxnLog.Commit],
-      pinLiveFiles: Boolean = false): (DataFrame, Set[String], Seq[(String, String)]) = {
+      pinLiveFiles: Boolean = false,
+      widenings: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): (DataFrame, Set[String], Seq[(String, String)]) = {
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val liveDirs = fs.listStatus(root)
@@ -1593,31 +1625,50 @@ object Upsert {
       // dir mounting (its stability loop + ms-scale plan-listing window
       // keep the exposure to "a newer committed state", which reading the
       // tip tolerates; per-file stats on the hot path would not scale).
-      val mounts =
-        if (!pinLiveFiles) live.map(v => s"$table/$partCol=${escape(v)}")
-        else live.flatMap { v =>
-          fs.listStatus(new org.apache.hadoop.fs.Path(
-              s"$table/$partCol=${escape(v)}"))
-            .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-              !st.getPath.getName.startsWith("_"))
-            .map(_.getPath.toString).toSeq
-        }
-      if (mounts.nonEmpty)
-        reads += DeletionVectors.applyTo(
-          spark.read.option("mergeSchema", "true").option("basePath", table)
-            .parquet(mounts: _*)
-            .filter(col(partCol).cast("string").isin(live: _*)), dv)
+      // TYPE WIDENING: partitions rewritten since a widening carry the
+      // wide type, untouched ones the narrow — ONE mergeSchema read
+      // across both fails the footer merge (int vs bigint), so a widened
+      // table reads one leg PER PARTITION DIR, each upcast to the
+      // registered type below the union. Unwidened tables (the common
+      // case) keep the single mounted read.
+      def liveLeg(vals: Seq[String]): Unit = {
+        val mounts =
+          if (!pinLiveFiles) vals.map(v => s"$table/$partCol=${escape(v)}")
+          else vals.flatMap { v =>
+            fs.listStatus(new org.apache.hadoop.fs.Path(
+                s"$table/$partCol=${escape(v)}"))
+              .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+                !st.getPath.getName.startsWith("_"))
+              .map(_.getPath.toString).toSeq
+          }
+        if (mounts.nonEmpty)
+          reads += TypeWidening.applyTo(DeletionVectors.applyTo(
+            spark.read.option("mergeSchema", "true").option("basePath", table)
+              .parquet(mounts: _*)
+              .filter(col(partCol).cast("string").isin(vals: _*)), dv),
+            widenings)
+      }
+      if (widenings.isEmpty) liveLeg(live)
+      else live.foreach(v => liveLeg(Seq(v)))
     }
     r.fromHistory.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (begin, dirs) =>
       val base = s"$table/$HistoryDir/v$begin"
-      reads += DeletionVectors.applyTo(
-        spark.read.option("mergeSchema", "true").option("basePath", base)
-          .parquet(dirs.map(d => s"$base/${d._2}"): _*), dv)
+      // one generation can retain pre-images of MIXED widths (a partition
+      // rewritten wide next to one still narrow) — same per-dir split
+      val groups =
+        if (widenings.isEmpty) Seq(dirs) else dirs.map(Seq(_))
+      groups.foreach { g =>
+        reads += TypeWidening.applyTo(DeletionVectors.applyTo(
+          spark.read.option("mergeSchema", "true").option("basePath", base)
+            .parquet(g.map(d => s"$base/${d._2}"): _*), dv), widenings)
+      }
     }
     val parts = reads.result()
     val df =
       if (parts.isEmpty)
-        spark.read.parquet(table).filter(lit(false)) // every partition postdates `version`
+        // every partition postdates `version`
+        TypeWidening.applyTo(
+          spark.read.parquet(table).filter(lit(false)), widenings)
       else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     (df, r.liveResolved, r.ambiguous)
   }
@@ -2227,14 +2278,50 @@ object Upsert {
       dv: Option[DataFrame] = None,
       droppedCols: Set[String] = Set.empty,
       updatesSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      keyCols: Seq[String] = Seq.empty): Option[DataFrame] = {
+      keyCols: Seq[String] = Seq.empty,
+      widenings: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(partDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // TYPE CONFLICTS on columns both sides share: a DECLARED widening
+    // ([[TypeWidening]]) resolves by casting the partition's narrow side
+    // up — this rewrite is exactly where the partition turns physically
+    // wide. Anything else refuses LOUDLY: the union used to coerce
+    // silently, which wrote one partition wider than its siblings and
+    // broke the whole table's mergeSchema union read.
+    def resolveTypes(old: DataFrame): DataFrame = updatesSchema match {
+      case None => old
+      case Some(schema) =>
+        val conflicts = dataCols.filter(c =>
+          old.columns.contains(c) && schema.fieldNames.contains(c) &&
+            TypeWidening.ignoreNull(old.schema(c).dataType) !=
+              TypeWidening.ignoreNull(schema(c).dataType))
+        // updates NARROWER than the table are benign — the union casts
+        // them up to the table's own type, partition width unchanged
+        // (Delta writes cast to the table schema the same way)
+        val wideningSide = conflicts.filterNot(c =>
+          TypeWidening.upcastable(
+            schema(c).dataType, old.schema(c).dataType))
+        val (declared, refused) = wideningSide.partition(c =>
+          widenings.get(c).exists(w =>
+            TypeWidening.upcastable(old.schema(c).dataType, w) &&
+              TypeWidening.upcastable(schema(c).dataType, w)))
+        require(refused.isEmpty,
+          "type conflict on column(s) " +
+            refused.map(c => s"$c (table ${old.schema(c).dataType.simpleString} " +
+              s"vs updates ${schema(c).dataType.simpleString})").mkString(", ") +
+            s" in partition $partValue — a merge never changes existing " +
+            "types silently; declare a value-preserving widening with " +
+            "TypeWidening.widen, or cast the updates to the table's types")
+        declared.foldLeft(old)((d, c) =>
+          d.withColumn(c, col(c).cast(widenings(c))))
+    }
     if (!fs.exists(path)) None
     else if (!requireCoverage)
       Some(DeletionVectors.applyTo(spark.read.parquet(partDir), dv))
     else {
-      val old = DeletionVectors.applyTo(spark.read.parquet(partDir), dv)
+      val old = resolveTypes(
+        DeletionVectors.applyTo(spark.read.parquet(partDir), dv))
       // columns DROPPED via ColumnMapping are exempt from coverage: the
       // rewrite is exactly where their bytes lazily leave the partition
       val uncovered = old.columns.toSet -- dataCols.toSet -- droppedCols
@@ -2270,14 +2357,8 @@ object Upsert {
             s"partition $partValue lacks; set graft.schema.autoMerge.enabled=true " +
             "to widen the table at merge time (old rows null-fill), or " +
             "pre-widen with an explicit append")
-        val conflicts = dataCols.filter(c => old.columns.contains(c) &&
-          old.schema(c).dataType != schema(c).dataType)
-        require(conflicts.isEmpty,
-          "schema evolution type conflict on column(s) " +
-            conflicts.map(c => s"$c (table ${old.schema(c).dataType.simpleString} " +
-              s"vs updates ${schema(c).dataType.simpleString})").mkString(", ") +
-            s" in partition $partValue — autoMerge adds columns, it never " +
-            "changes existing types")
+        // shared-column type conflicts were resolved (or refused) by
+        // resolveTypes above — autoMerge itself only ADDS columns
         val widened = missing.foldLeft(old)((d, c) =>
           d.withColumn(c, lit(null).cast(schema(c).dataType)))
         Some(widened.select(dataCols.map(col): _*))

@@ -27,7 +27,7 @@ import graft.batch.Upsert
   * change — the merge's claim machinery keeps concurrent source packs
   * serialized per partition.
   */
-object PackWriter {
+object PackWriter extends graft.QueryModule {
 
   /** Tokens per packed sequence — the published layout constant a
     * consumer of the shard table sizes its reader against. */
@@ -81,6 +81,109 @@ object PackWriter {
   def write(spark: SparkSession, d: String, table: String): Seq[String] =
     Upsert.mergeByKey(spark, table, packedRows(spark, d),
       "source", Seq("seq_id"))
+
+  // ---- declared occupancy queries over MATERIALIZED shard tables ------
+  //
+  // These read a REAL shard table back (not the accounting plan), so the
+  // DuckDB oracle pins `write` ≡ accounting and `sync` ≡ accounting at
+  // the query level — the scalatest `sync ≡ re-pack` invariant, enforced
+  // per corpus by the correctness gate itself.
+
+  private val packedTables =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        Map[String, (String, String)]]())
+
+  private def docsFingerprint(s: SparkSession, d: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(root)
+    val entries = if (st.isDirectory) fs.listStatus(root).toSeq else Seq(st)
+    entries.map(e => s"${e.getPath.getName}:${e.getLen}:${e.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Build (once per corpus state — the IvfIndex.ensureBuilt memo
+    * discipline, so bench rounds past the first measure the READ) the two
+    * shard tables the occupancy queries read: `shard_w` = one-shot
+    * [[write]]; `shard_s` = a managed docs table seeded with each
+    * source's first ~3/5 of doc ids, bootstrap-synced, grown by the
+    * remaining wave, synced again — both must roll up to the identical
+    * pure-SQL accounting. */
+  private[graft] def ensurePacked(
+      s: SparkSession, d: String): (String, String) =
+    packedTables.synchronized {
+      val fp = docsFingerprint(s, d)
+      val m = Option(packedTables.get(s)).getOrElse(
+        Map.empty[String, (String, String)])
+      m.get(d) match {
+        case Some((oldFp, root)) if oldFp == fp =>
+          (s"$root/shard_w", s"$root/shard_s")
+        case stale =>
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-pack-occ").toString
+          write(s, d, s"$root/shard_w")
+          val docsDf = graft.core.Tables.documents(s, d)
+            .select("source", "doc_id", "text")
+          // per-source cut at 3/5 of the max doc id: wave 2 appends stay
+          // strictly above every wave-1 doc (the sync append discipline)
+          val cuts = docsDf.groupBy("source")
+            .agg((max("doc_id") * 3L / 5L).as("cut"))
+          val docsT = s"$root/docs"
+          graft.batch.Upsert.mergeByKey(s, docsT,
+            docsDf.join(broadcast(cuts), Seq("source"))
+              .filter(col("doc_id") <= col("cut")).drop("cut"),
+            "source", Seq("doc_id"))
+          sync(s, docsT, "source", s"$root/shard_s")
+          graft.batch.Upsert.mergeByKey(s, docsT,
+            docsDf.join(broadcast(cuts), Seq("source"))
+              .filter(col("doc_id") > col("cut")).drop("cut"),
+            "source", Seq("doc_id"))
+          sync(s, docsT, "source", s"$root/shard_s")
+          stale.foreach { case (_, old) =>
+            val p = new org.apache.hadoop.fs.Path(old)
+            scala.util.Try(
+              p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true))
+          }
+          packedTables.put(s, m.updated(d, (fp, root)))
+          (s"$root/shard_w", s"$root/shard_s")
+      }
+    }
+
+  /** Per-source fill curve of a shard table: sequence count, full
+    * sequences, held tokens, per-sequence doc contributions. */
+  private def occupancyOf(shard: DataFrame): DataFrame = {
+    val L = TextQueries.PackLen.toLong
+    shard.groupBy("source").agg(
+      count(lit(1)).as("n_seqs"),
+      sum(when(col("n_tokens") === lit(L), 1L).otherwise(0L)).as("full_seqs"),
+      sum("n_tokens").as("tokens"),
+      sum("n_docs").as("doc_contribs"),
+      sum("n_full_docs").as("full_docs"),
+      max("last_doc").as("last_doc"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pack_occupancy" -> ((s: SparkSession, d: String) =>
+      occupancyOf(Upsert.readCommitted(s, ensurePacked(s, d)._1, "source"))),
+    "pack_occupancy_synced" -> ((s: SparkSession, d: String) =>
+      occupancyOf(Upsert.readCommitted(s, ensurePacked(s, d)._2, "source"))))
+
+  /** Both shard tables must equal the pure accounting — one shared SQL. */
+  private lazy val occupancySql: String = s"""
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_seqs,
+      CAST(SUM(CASE WHEN n_tokens = ${TextQueries.PackLen} THEN 1 ELSE 0 END)
+        AS BIGINT) AS full_seqs,
+      CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      CAST(SUM(n_docs) AS BIGINT) AS doc_contribs,
+      CAST(SUM(n_full_docs) AS BIGINT) AS full_docs,
+      MAX(last_doc) AS last_doc
+    FROM (${TextQueries.packSql}) q GROUP BY source"""
+
+  val oracleSql: Map[String, String] = Map(
+    "pack_occupancy" -> occupancySql,
+    "pack_occupancy_synced" -> occupancySql)
 
   // ---- incremental pack: consume the source table's change feed -------
 

@@ -1009,10 +1009,17 @@ object TextQueries extends QueryModule {
     * 100 TB shape: tokenize/explode is narrow on the scan; the merge
     * chain is per-row string work inside whole-stage codegen (no UDF,
     * no shuffle); the only exchange is the |sources|-row final agg. */
-  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    bpeTokensWith(s, d,
+      bpeChain("concat('|', regexp_replace(w, '(.)', '$1|'))"))
+
+  /** [[bpeTokens]] with the merge chain swapped in — the plumbing is
+    * table-agnostic (the shipped-artifact contract): [[bpeTokensLearned]]
+    * feeds it the corpus-trained table byte-for-byte. */
+  private def bpeTokensWith(
+      s: SparkSession, d: String, enc: String): DataFrame = {
     val words = docs(s, d).select(col("doc_id"), col("source"),
       explode(col("toks")).as("w"))
-    val enc = bpeChain("concat('|', regexp_replace(w, '(.)', '$1|'))")
     val sym = words.withColumn("s",
       when(col("w").rlike("^[a-z]+$"), expr(enc)))
     val counted = sym.withColumn("bpe_w",
@@ -1024,6 +1031,93 @@ object TextQueries extends QueryModule {
       count(lit(1)).as("ws_tokens"),
       sum(col("bpe_w")).as("bpe_tokens"))
       .withColumn("drift_q16", expr("(bpe_tokens * 65536) DIV ws_tokens"))
+  }
+
+  /** Number of merges [[bpeTrain]] learns — fixed and small, the
+    * bounded-rounds discipline of the Lloyd iterations in
+    * [[SimilarityQueries]] (every round is oracle-replayable as one
+    * unrolled CTE stage). */
+  private[operators] val BpeTrainRounds = 8
+
+  /** LEARN the top-K BPE merges from the corpus itself (Sennrich et al.
+    * 2016): start from characters, repeatedly count adjacent symbol
+    * pairs over the word-frequency dictionary and merge the most
+    * frequent pair — ties broken lexicographically on (l, r), so the
+    * champion is deterministic under any parallelism. [[bpeTokens]]
+    * APPLIES a fixed shipped table (inference); this is the published
+    * counterpart that learns one.
+    *
+    * 100 TB shape: ONE corpus exchange builds the word-frequency dict
+    * (Sennrich's training input — |vocab| rows, orders of magnitude
+    * smaller than the corpus); each of the K rounds is one pair-count
+    * aggregation over the dict plus a 1-row champion collect, and the
+    * dict re-caches per round (lineage stays K-deep, never corpus-wide). */
+  private[graft] def trainMerges(
+      s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    trainMergesOf(docs(s, d).select(explode(col("toks")).as("w")))
+
+  private[graft] def trainMergesOf(
+      words: DataFrame): Seq[(Int, String, String, Long)] = {
+    var vocab = words.filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        expr("concat('|', regexp_replace(w, '(.)', '$1|'))"))
+      .cache()
+    vocab.count()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to BpeTrainRounds).foreach { round =>
+      val top = pairCounts(vocab)
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round, l, r, c))
+        val next = vocab
+          .withColumn("sym", expr(s"replace(sym, '|$l|$r|', '|$l$r|')"))
+          .cache()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    learned.result()
+  }
+
+  /** One training round's pair counts over the (w, cnt, sym) dict —
+    * Sennrich's get_stats: every adjacent pair of every word counts,
+    * weighted by the word's corpus frequency (overlaps included). ONE
+    * aggregation exchange per round (PlanSpec probes it); the champion
+    * pick rides a TakeOrdered, never a global sort. */
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("sy", expr("filter(split(sym, '\\\\|'), x -> x != '')"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"))
+        .as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum("cnt").as("c"))
+
+  /** The learned merge table as a declared query: (merge_rank, l, r,
+    * pair_count) — DuckDB replays the identical K rounds as an unrolled
+    * CTE chain and must agree bit-for-bit. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainMerges(s, d).toDF("merge_rank", "l", "r", "pair_count")
+  }
+
+  /** [[bpeTokens]] under the CORPUS-TRAINED merge table — proves the
+    * shipped-table plumbing swaps byte-for-byte (the learned table folds
+    * through the exact same chain [[bpeChain]] builds for the fixed one). */
+  def bpeTokensLearned(s: SparkSession, d: String): DataFrame = {
+    val enc = trainMerges(s, d).foldLeft(
+      "concat('|', regexp_replace(w, '(.)', '$1|'))") {
+      case (e, (_, l, r, _)) => s"replace($e, '|$l|$r|', '|$l$r|')"
+    }
+    bpeTokensWith(s, d, enc)
   }
 
   /** Per-document BPE token count as ONE codegen'd expression — the
@@ -1380,6 +1474,8 @@ object TextQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "txt_bpe_tokens" -> (bpeTokens _),
+    "txt_bpe_train" -> (bpeTrain _),
+    "txt_bpe_tokens_learned" -> (bpeTokensLearned _),
     "txt_budget_select_bpe" -> (budgetSelectBpe _),
     "txt_classifier_select" -> (classifierSelect _),
     "txt_dclm_pipeline" -> (dclmPipeline _),
@@ -1486,7 +1582,7 @@ object TextQueries extends QueryModule {
                  AS BIGINT) AS epochs_q16
         FROM ${p}alloc)"""
 
-  private lazy val packSql: String = s"""$cte,
+  private[operators] lazy val packSql: String = s"""$cte,
       sized AS (
         SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
         FROM docs WHERE len(toks) > 0),
@@ -1525,7 +1621,70 @@ object TextQueries extends QueryModule {
         (CAST(${sqlMarker(enWords)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.3 +
         LEAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2"""
 
+  /** DuckDB replay of the K training rounds ([[trainMergesOf]]): `w0` is
+    * the word-frequency dict with char-interleaved symbols; round i
+    * counts adjacent pairs from `w{i-1}`, picks the champion with the
+    * SAME tie-break (ORDER BY c DESC, l, r LIMIT 1), and applies the
+    * merge — the [[SimilarityQueries]] unrolled-Lloyd discipline. */
+  private def sqlBpeTrainChain(k: Int): String = {
+    // every stage MATERIALIZED: each round references its predecessor
+    // twice (pair counts + merge apply), and DuckDB inlines plain CTEs —
+    // an un-materialized chain re-expands w0 2^K times and opens the
+    // parquet once per expansion (observed: EMFILE at K=8)
+    val w0 =
+      """
+      w0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+          '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym
+        FROM (SELECT unnest(toks) AS w FROM docs)
+        WHERE regexp_full_match(w, '[a-z]+')
+        GROUP BY w)"""
+    val rounds = (1 to k).map { i =>
+      s"""
+      pc$i AS MATERIALIZED (
+        SELECT sy[i] AS l, sy[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (
+          SELECT cnt, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+          FROM (SELECT cnt,
+                  list_filter(string_split(sym, '|'), x -> x <> '') AS sy
+                FROM w${i - 1}))
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (
+        SELECT l, r, c FROM pc$i ORDER BY c DESC, l, r LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT w, cnt, replace(sym,
+          '|' || (SELECT l FROM b$i) || '|' || (SELECT r FROM b$i) || '|',
+          '|' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '|') AS sym
+        FROM w${i - 1})"""
+    }.mkString(",")
+    s"$w0,$rounds"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "txt_bpe_train" -> s"""$cte,${sqlBpeTrainChain(BpeTrainRounds)}
+      SELECT * FROM (
+        ${(1 to BpeTrainRounds).map(i =>
+          s"SELECT $i AS merge_rank, l, r, c AS pair_count FROM b$i")
+          .mkString(" UNION ALL ")}
+      ) ORDER BY merge_rank""",
+    "txt_bpe_tokens_learned" -> s"""$cte,${sqlBpeTrainChain(BpeTrainRounds)},
+      wc AS (
+        SELECT w, CAST(len(list_filter(string_split(sym, '|'),
+          x -> x <> '')) AS BIGINT) AS bpe_w
+        FROM w$BpeTrainRounds),
+      tok AS (SELECT doc_id, source, unnest(toks) AS w FROM docs),
+      j AS (
+        SELECT t.doc_id, t.source, COALESCE(wc.bpe_w, 1) AS bpe_w
+        FROM tok t LEFT JOIN wc ON t.w = wc.w),
+      per_source AS (
+        SELECT source,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+          CAST(SUM(bpe_w) AS BIGINT) AS bpe_tokens
+        FROM j GROUP BY 1)
+      SELECT source, n_docs, ws_tokens, bpe_tokens,
+        CAST((bpe_tokens * 65536) // ws_tokens AS BIGINT) AS drift_q16
+      FROM per_source""",
     "txt_bpe_tokens" -> s"""$cte,
       words AS (
         SELECT doc_id, source, unnest(toks) AS w FROM docs),

@@ -42,6 +42,8 @@ class FeatureGateSpec extends SparkSpec {
     DeletionVectors.deleteVectored(spark, t,
       Seq(("d2", 3L)).toDF("day", "k"), "day", Seq("k"))
     LiquidClustering.setClusterBy(spark, t, Seq("v"))
+    TypeWidening.widen(spark, t, "day", "v",
+      org.apache.spark.sql.types.DecimalType(19, 0))
     val f = TableFeatures.features(spark, t)
     val want = Map(
       TableFeatures.CheckConstraints -> "writer",
@@ -50,7 +52,8 @@ class FeatureGateSpec extends SparkSpec {
       TableFeatures.RowTracking -> "writer",
       TableFeatures.Identity -> "writer", // row tracking rides identity
       TableFeatures.DeletionVectors -> "reader",
-      TableFeatures.Clustering -> "writer")
+      TableFeatures.Clustering -> "writer",
+      TableFeatures.TypeWideningFeature -> "writer")
     want.foreach { case (feat, level) =>
       assert(f.get(feat).contains(level), s"$feat should be $level in $f")
     }

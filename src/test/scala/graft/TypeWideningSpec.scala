@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.batch.{ChangeFeed, TableFeatures, TypeWidening, Upsert}
+import graft.core.TxnLog
+
+/** Type widening (the Delta `enableTypeWidening` analog): declaring
+  * INT→LONG / FLOAT→DOUBLE / DECIMAL-up is pure metadata — reads upcast
+  * narrow partitions below the union, merges accept the wide type and
+  * rewrite only the partitions they touch, time travel and the change
+  * feed stay exact across the widening, and DROP FEATURE demands the
+  * materialize-then-clear residue discipline. */
+class TypeWideningSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def seedInt(t: String): Unit = {
+    import spark.implicits._
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 1L, 10), ("a", 2L, 20), ("b", 1L, 30))
+        .toDF("day", "k", "v"), "day", Seq("k"))
+  }
+
+  private def vType(t: String, part: String): DataType =
+    spark.read.parquet(s"$t/day=$part").schema("v").dataType
+
+  test("INT→LONG is pure metadata: reads upcast, the merge accepts the " +
+      "wide type, only touched partitions rewrite wide") {
+    import spark.implicits._
+    val t = tmp("widen") + "/t"
+    seedInt(t)
+    val v0 = TxnLog.currentVersion(spark, t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    // no data job ran: both partitions still physically INT
+    assert(vType(t, "a") == IntegerType && vType(t, "b") == IntegerType)
+    // but every read presents LONG, values exact
+    val r = Upsert.readCommitted(spark, t, "day")
+    assert(r.schema("v").dataType == LongType)
+    assert(r.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
+    // the feature is declared at writer level
+    assert(TableFeatures.features(spark, t)
+      .get(TableFeatures.TypeWideningFeature).contains("writer"))
+    // a merge carrying genuinely-long values lands; it touches only day=a
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(vType(t, "a") == LongType, "touched partition rewrites wide")
+    assert(vType(t, "b") == IntegerType, "untouched partition stays narrow")
+    val r1 = Upsert.readCommitted(spark, t, "day")
+    assert(r1.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 30L, 9999999999L))
+    // time travel to the pre-widening version: values exact (presented
+    // under the current wide type — one stable schema for the timeline)
+    val back = Upsert.readAsOf(spark, t, v0, "day")
+    assert(back.schema("v").dataType == LongType)
+    assert(back.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+  }
+
+  test("the change feed stays exact across the widening commit") {
+    import spark.implicits._
+    val t = tmp("widen-cdf") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    val feed = ChangeFeed.readChanges(spark, t, "day", 0L)
+      .select(col("k"), col("v").cast("long"),
+        col(ChangeFeed.ChangeTypeCol).as("ct"))
+      .as[(Long, Long, String)].collect().toSet
+    // the widened merge feeds a delete of the narrow pre-image and an
+    // insert of the wide row, alongside the seed inserts
+    assert(feed.contains((2L, 20L, "insert")), s"$feed")
+    assert(feed.contains((2L, 20L, "delete")), s"$feed")
+    assert(feed.contains((2L, 9999999999L, "insert")), s"$feed")
+  }
+
+  test("refusal matrix: narrowing, lossy and cross-kind changes, the " +
+      "partition column, unknown columns — all refused by name") {
+    import spark.implicits._
+    val t = tmp("widen-refuse") + "/t"
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 1L, 10L, "x")).toDF("day", "k", "v", "s"),
+      "day", Seq("k"))
+    def refuses(col: String, to: DataType, what: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        TypeWidening.widen(spark, t, "day", col, to)
+      }
+      assert(e.getMessage.contains(what), s"$col->$to: ${e.getMessage}")
+    }
+    refuses("v", IntegerType, "not a value-preserving widening") // narrow
+    refuses("v", DoubleType, "not a value-preserving widening")  // lossy
+    refuses("s", LongType, "not a value-preserving widening")    // kind
+    refuses("day", LongType, "partition column")
+    refuses("nope", LongType, "no column nope")
+    // an UNDECLARED wider-type merge refuses with the widening hint
+    val e = intercept[Exception] {
+      Upsert.mergeByKey(spark, t,
+        Seq(("a", 1L, 1.5, "y")).toDF("day", "k", "v", "s"),
+        "day", Seq("k"))
+    }
+    assert(e.getMessage.contains("type conflict") &&
+      e.getMessage.contains("TypeWidening.widen"), e.getMessage)
+    // updates NARROWER than the table are benign (cast up, no refusal)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 1L, 11, "y")).toDF("day", "k", "v", "s"), "day", Seq("k"))
+    val r = Upsert.readCommitted(spark, t, "day")
+    assert(r.schema("v").dataType == LongType)
+    assert(r.select("v").as[Long].collect().toSeq == Seq(11L))
+  }
+
+  test("float→double and decimal precision-up widen; long→double never") {
+    assert(TypeWidening.isAllowed(FloatType, DoubleType))
+    assert(TypeWidening.isAllowed(DecimalType(10, 2), DecimalType(14, 4)))
+    assert(!TypeWidening.isAllowed(DecimalType(10, 2), DecimalType(10, 1)))
+    assert(!TypeWidening.isAllowed(LongType, DoubleType))
+    assert(TypeWidening.isAllowed(IntegerType, DoubleType))
+    assert(TypeWidening.isAllowed(LongType, DecimalType(19, 0)))
+    assert(!TypeWidening.isAllowed(LongType, DecimalType(18, 0)))
+  }
+
+  test("DROP FEATURE: residue names the widening; materialize rewrites " +
+      "the narrow partitions; clear then drop succeeds") {
+    import spark.implicits._
+    val t = tmp("widen-drop") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    val e = intercept[TableFeatures.ResidueException] {
+      TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    }
+    assert(e.getMessage.contains("v->bigint") &&
+      e.getMessage.contains("materialize"), e.getMessage)
+    // clear refuses while narrow files remain
+    val e2 = intercept[IllegalStateException] {
+      TypeWidening.clear(spark, t, "day")
+    }
+    assert(e2.getMessage.contains("narrow"), e2.getMessage)
+    // materialize rewrites exactly the narrow partitions, wide
+    val rewritten = TypeWidening.materialize(spark, t, "day")
+    assert(rewritten == Seq("a", "b"), s"$rewritten")
+    assert(vType(t, "a") == LongType && vType(t, "b") == LongType)
+    assert(TypeWidening.narrowParts(spark, t, "day").isEmpty)
+    // values intact, rewrite time-travelable like any rewrite
+    val r = Upsert.readCommitted(spark, t, "day")
+    assert(r.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
+    TypeWidening.clear(spark, t, "day")
+    TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    assert(!TableFeatures.features(spark, t)
+      .contains(TableFeatures.TypeWideningFeature))
+    // post-drop reads are plain (every file is wide)
+    assert(Upsert.readCommitted(spark, t, "day").count() == 3L)
+  }
+
+  test("Maintain drives the widening lifecycle: widen declares, widenmat " +
+      "rewrites + clears") {
+    val t = tmp("widen-maint") + "/t"
+    seedInt(t)
+    val m = graft.core.GraftConfig.load().maintenance
+    val l1 = graft.Maintain.runMode(spark, t, "widen",
+      Seq("day", "v", "bigint"), m)
+    assert(l1.size == 1 && l1.head.contains("\"op\":\"widen\""), s"$l1")
+    assert(Upsert.readCommitted(spark, t, "day")
+      .schema("v").dataType == LongType)
+    val l2 = graft.Maintain.runMode(spark, t, "widenmat", Seq("day"), m)
+    assert(l2.head.contains("\"partitionsRewritten\":2"), s"$l2")
+    assert(vType(t, "a") == LongType && vType(t, "b") == LongType)
+    TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    assert(Upsert.readCommitted(spark, t, "day").count() == 3L)
+  }
+
+  test("widening composes with autoMerge: one merge adds a column AND " +
+      "carries the widened type") {
+    import spark.implicits._
+    val t = tmp("widen-automerge") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    val saved = spark.conf.getOption("graft.schema.autoMerge.enabled")
+    spark.conf.set("graft.schema.autoMerge.enabled", "true")
+    try {
+      Upsert.mergeByKey(spark, t,
+        Seq(("a", 3L, 8589934592L, "eu")).toDF("day", "k", "v", "region"),
+        "day", Seq("k"))
+    } finally {
+      saved.fold(spark.conf.unset("graft.schema.autoMerge.enabled"))(
+        v => spark.conf.set("graft.schema.autoMerge.enabled", v))
+    }
+    val r = Upsert.readCommitted(spark, t, "day")
+    assert(r.schema("v").dataType == LongType)
+    val rows = r.select("k", "v", "region")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows.contains((3L, 8589934592L, Some("eu"))))
+    assert(rows.contains((1L, 10L, None)) || rows.contains((1L, 30L, None)))
+  }
+}

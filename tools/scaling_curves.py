@@ -31,6 +31,8 @@ QUERIES = [
     "txt_budget_select_bpe",
     "txt_classifier_select", "txt_dclm_pipeline",
     "txt_exact_substr", "txt_exact_substr_cut",
+    "txt_bpe_train", "txt_bpe_tokens_learned",
+    "pack_occupancy", "pack_occupancy_synced",
     "media_phash_pairs",
     # embeddings 500 -> 500 -> 2,000 (4x at the last step)
     "sim_topk_brute", "sim_topk_ivf", "sim_pq_recall",
