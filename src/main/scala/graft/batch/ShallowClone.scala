@@ -100,8 +100,10 @@ object ShallowClone {
         "merge the source once, or deep-clone instead")
     // resolve the pinned snapshot NOW — an unreadable pin (beyond the
     // manifest horizon, vacuumed generation) must fail at create, not at
-    // the first read
-    Upsert.readAsOfPhysical(spark, src, pinned, partColP)
+    // the first read (a widened source needs its per-dir upcast legs
+    // even for this probe: schema inference runs at DataFrame build)
+    Upsert.readAsOfPhysical(spark, src, pinned, partColP,
+      srcWidenings(spark, src))
     fs.mkdirs(dstPath)
     // registries carry over verbatim, exactly like deep clone (the
     // features registry rides along, so the clone inherits the source's
@@ -147,6 +149,19 @@ object ShallowClone {
         ColumnMapping.physicalName(colMap, partCol)), colMap)
   }
 
+  /** The pinned SOURCE's declared type widenings — a clone of a widened
+    * source must upcast the still-remote partitions exactly like the
+    * source's own reads do (mixed-width source partitions cannot share
+    * one mergeSchema read), and [[localize]] must land its copies WIDE
+    * so the clone's own partitions stay uniform. */
+  private def srcWidenings(
+      spark: SparkSession,
+      src: String): Map[String, org.apache.spark.sql.types.DataType] =
+    if (TableFeatures.features(spark, src)
+        .contains(TableFeatures.TypeWideningFeature))
+      TypeWidening.widenings(spark, src)
+    else Map.empty
+
   private[batch] def readPhysical(
       spark: SparkSession, table: String, partColP: String): DataFrame = {
     val m = meta(spark, table)
@@ -154,7 +169,8 @@ object ShallowClone {
     require(partColP == m("srcPartCol"),
       s"shallow clone $table is partitioned by ${m("srcPartCol")}, not $partColP")
     val localized = localizedParts(spark, table, partColP)
-    val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP)
+    val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP,
+        srcWidenings(spark, src))
       .filter(!col(partColP).cast("string")
         .isin(localized.toSeq.sorted: _*))
     if (localized.isEmpty) remote
@@ -195,7 +211,8 @@ object ShallowClone {
     val (src, pinned) = (m("source"), m("sourceVersion").toLong)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(table).getFileSystem(conf)
-    val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP)
+    val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP,
+      srcWidenings(spark, src))
     val already = localizedParts(spark, table, partColP)
     val want = parts.distinct.filterNot(already)
     // exclusive dir install: the rename refuses an existing dest, so a

@@ -1219,6 +1219,8 @@ object Upsert {
       lastExpectCounts: Seq[String] = Seq.empty,
       /** declared table features, `feature (level)` */
       tableFeatures: Seq[String] = Seq.empty,
+      /** declared type widenings, `col -> type` ([[TypeWidening]]) */
+      typeWidenings: Seq[String] = Seq.empty,
       /** shallow-clone state: on a clone, `source @vN, K remote / M
         * localized partition(s)`; on a pinned SOURCE, one
         * `<- cloneDir @vN` per live pin */
@@ -1272,6 +1274,8 @@ object Upsert {
           counts.toSeq.sortBy(_._1).map { case (r, n) => s"$r=$n @v$v" } },
       tableFeatures = TableFeatures.features(spark, table).toSeq.sortBy(_._1)
         .map { case (f, level) => s"$f ($level)" },
+      typeWidenings = TypeWidening.widenings(spark, table).toSeq.sortBy(_._1)
+        .map { case (c, t) => s"$c -> ${t.simpleString}" },
       cloneState = {
         val asClone =
           if (!ShallowClone.isShallow(spark, table)) Seq.empty

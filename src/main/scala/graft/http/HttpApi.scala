@@ -397,6 +397,7 @@ final class HttpApi(
           "expectations" -> strs(d.expectations),
           "lastExpectCounts" -> strs(d.lastExpectCounts),
           "tableFeatures" -> strs(d.tableFeatures),
+          "typeWidenings" -> strs(d.typeWidenings),
           "cloneState" -> strs(d.cloneState)))
     }
   }

@@ -660,6 +660,8 @@ class HttpSpec extends SparkSpec {
           assert(cs.size == 1 && cs.head.str.startsWith("v_cap=0 @v"), s"$cs")
         case other => fail(s"lastExpectCounts: $other")
       }
+      // r19 surface: declared type widenings render (none on this table)
+      assert(det2("typeWidenings") == JArr(Vector()), det2("typeWidenings"))
 
       // shallow-clone state on the detail surface: the clone names its
       // source + pin + localized count, the source names its live pins

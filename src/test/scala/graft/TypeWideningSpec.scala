@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.batch.{ChangeFeed, TableFeatures, TypeWidening, Upsert}
+import graft.batch.{ChangeFeed, ShallowClone, TableFeatures, TypeWidening, Upsert}
 import graft.core.TxnLog
 
 /** Type widening (the Delta `enableTypeWidening` analog): declaring
@@ -41,9 +41,11 @@ class TypeWideningSpec extends SparkSpec {
     val r = Upsert.readCommitted(spark, t, "day")
     assert(r.schema("v").dataType == LongType)
     assert(r.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
-    // the feature is declared at writer level
+    // the feature is declared at writer level, and DESCRIBE DETAIL
+    // surfaces the widening
     assert(TableFeatures.features(spark, t)
       .get(TableFeatures.TypeWideningFeature).contains("writer"))
+    assert(Upsert.detail(spark, t).typeWidenings == Seq("v -> bigint"))
     // a merge carrying genuinely-long values lands; it touches only day=a
     Upsert.mergeByKey(spark, t,
       Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
@@ -152,6 +154,31 @@ class TypeWideningSpec extends SparkSpec {
       .contains(TableFeatures.TypeWideningFeature))
     // post-drop reads are plain (every file is wide)
     assert(Upsert.readCommitted(spark, t, "day").count() == 3L)
+  }
+
+  test("a shallow clone of a widened source upcasts its remote reads and " +
+      "localizes its copies wide") {
+    import spark.implicits._
+    val t = tmp("widen-src") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    // the source is now mixed-width: day=a LONG, day=b INT
+    assert(vType(t, "a") == LongType && vType(t, "b") == IntegerType)
+    val c = tmp("widen-clone") + "/c"
+    ShallowClone.create(spark, t, c, "day")
+    val r = ShallowClone.read(spark, c, "day")
+    assert(r.schema("v").dataType == LongType)
+    assert(r.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 30L, 9999999999L))
+    // copy-on-write localization of the NARROW partition lands wide —
+    // the clone's own partitions stay uniform
+    assert(ShallowClone.localize(spark, c, "day", Seq("b")) == Seq("b"))
+    assert(spark.read.parquet(s"$c/day=b").schema("v").dataType == LongType)
+    assert(ShallowClone.read(spark, c, "day")
+      .select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 30L, 9999999999L))
   }
 
   test("Maintain drives the widening lifecycle: widen declares, widenmat " +
