@@ -1058,27 +1058,27 @@ object TextQueries extends QueryModule {
 
   private[graft] def trainMergesOf(
       words: DataFrame): Seq[(Int, String, String, Long)] = {
-    var vocab = words.filter(col("w").rlike("^[a-z]+$"))
+    // ONE cached dict; round r re-derives the current symbols by folding
+    // the r-1 merges learned so far as a per-row replace chain over it —
+    // cheap string work inside the round's single aggregation job, so no
+    // intermediate dict ever caches or materializes (K jobs total, the
+    // unrolled-CTE shape the oracle replays)
+    val vocab = words.filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
         expr("concat('|', regexp_replace(w, '(.)', '$1|'))"))
       .cache()
-    vocab.count()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var chain = "sym"
     (1 to BpeTrainRounds).foreach { round =>
-      val top = pairCounts(vocab)
+      val top = pairCounts(vocab.withColumn("sym", expr(chain)))
         .orderBy(desc("c"), col("l"), col("r"))
         .limit(1).collect()
       if (top.nonEmpty) {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((round, l, r, c))
-        val next = vocab
-          .withColumn("sym", expr(s"replace(sym, '|$l|$r|', '|$l$r|')"))
-          .cache()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        chain = s"replace($chain, '|$l|$r|', '|$l$r|')"
       }
     }
     vocab.unpersist()
