@@ -157,10 +157,7 @@ object ShallowClone {
   private def srcWidenings(
       spark: SparkSession,
       src: String): Map[String, org.apache.spark.sql.types.DataType] =
-    if (TableFeatures.features(spark, src)
-        .contains(TableFeatures.TypeWideningFeature))
-      TypeWidening.widenings(spark, src)
-    else Map.empty
+    TypeWidening.of(spark, src, TableFeatures.features(spark, src))
 
   private[batch] def readPhysical(
       spark: SparkSession, table: String, partColP: String): DataFrame = {
@@ -177,8 +174,12 @@ object ShallowClone {
     else
       // a widened clone (autoMerge on localized partitions) null-fills
       // the still-remote side — the same contract as untouched narrow
-      // partitions under schema evolution
-      Upsert.readCommittedPhysical(spark, table, partColP)
+      // partitions under schema evolution. The SOURCE's type widenings
+      // apply to the clone's own dirs too: localizations made before a
+      // source widening landed narrow, later ones land wide, so the
+      // clone's partitions can mix widths exactly like the source's
+      Upsert.readCommittedPhysical(spark, table, partColP,
+          widenings = srcWidenings(spark, src))
         .unionByName(remote, allowMissingColumns = true)
   }
 
@@ -347,7 +348,10 @@ object ShallowClone {
     val remote = candidates -- localizedParts(spark, table, partColP)
     if (remote.isEmpty || !hasDv) remote
     else
-      Upsert.readAsOfPhysical(spark, src, pinned, partColP)
+      // a widened mixed-width source needs its per-dir upcast legs even
+      // for this scoped probe (schema inference runs at DataFrame build)
+      Upsert.readAsOfPhysical(spark, src, pinned, partColP,
+          srcWidenings(spark, src))
         .filter(col(partColP).cast("string").isin(remote.toSeq.sorted: _*))
         .select(col(partColP).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet

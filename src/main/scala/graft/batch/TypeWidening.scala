@@ -92,6 +92,16 @@ object TypeWidening {
         .parseDataType(t)
     }
 
+  /** The widening map IFF the feature is declared in `feats` — the one
+    * helper every read/merge path threads from, so no call site can
+    * forget the registry-gated fetch (zero cost on unwidened tables). */
+  private[batch] def of(
+      spark: SparkSession, table: String,
+      feats: Map[String, String]): Map[String, DataType] =
+    if (feats.contains(TableFeatures.TypeWideningFeature))
+      widenings(spark, table)
+    else Map.empty
+
   /** Declare that logical `column` of `table` now carries type `to` —
     * pure metadata, no rewrite. Validates against the CURRENT effective
     * type (physical, or an earlier widening), refuses non-widenings by
@@ -119,6 +129,7 @@ object TypeWidening {
         s"${schema.fieldNames.sorted.mkString(", ")})")
     val cur = widenings(spark, table).getOrElse(
       colP, schema(column).dataType)
+    if (ignoreNull(cur) == ignoreNull(to)) return // idempotent re-declare
     require(isAllowed(cur, to),
       s"type widening $column: ${cur.simpleString} -> ${to.simpleString} " +
         "is not a value-preserving widening — allowed: integral up " +

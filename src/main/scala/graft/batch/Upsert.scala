@@ -144,12 +144,9 @@ object Upsert {
         (if (changeFeedEnabled(spark)) Seq(TableFeatures.ChangeDataFeed)
          else Seq.empty))
     // declared type widenings let the per-partition type-conflict check
-    // resolve by casting the narrow side up (one registry read per merge,
-    // only when the feature is declared)
-    val widenings =
-      if (feats.contains(TableFeatures.TypeWideningFeature))
-        TypeWidening.widenings(spark, table)
-      else Map.empty[String, org.apache.spark.sql.types.DataType]
+    // resolve by casting BOTH sides to the registered type (one registry
+    // read per merge, only when the feature is declared)
+    val widenings = TypeWidening.of(spark, table, feats)
     // GENERATED columns ([[GeneratedColumns]], Delta's GENERATED ALWAYS
     // AS): updates that omit a registered column get it computed here —
     // including the PARTITION column, so producers can ship raw rows and
@@ -593,9 +590,17 @@ object Upsert {
     // delete-marked rows do not — exactly Delta's WHEN MATCHED THEN
     // UPDATE / DELETE / WHEN NOT MATCHED THEN INSERT on a per-partition
     // rewrite. A delete-marked key with no match is a no-op, as in Delta.
+    // Declared widenings cast the UPDATES side to exactly the registered
+    // type too (the old side casts in existingPartition): if only one
+    // side were cast, the union's own coercion could land the partition
+    // WIDER than declared (int table + long updates under a
+    // decimal(19,0) widening → decimal(20,0)), leaving it permanently
+    // "narrow" to every registry comparison.
     val deltaKeys = rawDelta.select(keyCols.map(col): _*)
-    val upserts = deleteWhen.fold(rawDelta)(m => rawDelta.filter(!col(m)))
-      .select(dataCols.map(col): _*)
+    val upserts = TypeWidening.applyTo(
+      deleteWhen.fold(rawDelta)(m => rawDelta.filter(!col(m)))
+        .select(dataCols.map(col): _*),
+      widenings)
     // deletes-only merges skip the column-coverage discipline: survivors
     // keep the table's own schema, nothing is unioned in. The read is the
     // EFFECTIVE state — deletion vectors subtracted (`dvPairs`, resolved
@@ -960,13 +965,10 @@ object Upsert {
     // widened types (values exact; the whole timeline presents one
     // stable schema)
     val colMap = ColumnMapping.mapping(spark, table)
-    val wid =
-      if (feats.contains(TableFeatures.TypeWideningFeature))
-        TypeWidening.widenings(spark, table)
-      else Map.empty[String, org.apache.spark.sql.types.DataType]
     ColumnMapping.applyLogical(
       readAsOfPhysical(spark, table, version,
-        ColumnMapping.physicalName(colMap, partCol), wid), colMap)
+        ColumnMapping.physicalName(colMap, partCol),
+        TypeWidening.of(spark, table, feats)), colMap)
   }
 
   private[batch] def readAsOfPhysical(
@@ -1331,10 +1333,14 @@ object Upsert {
     val pinned = version.orElse(
       Some(TxnLog.currentVersion(spark, src)).filter(_ > 0L))
     // PHYSICAL snapshot: copied data keeps the source's physical column
-    // names, so the copied column map stays valid over it
+    // names, so the copied column map stays valid over it. A widened
+    // source needs its per-dir upcast legs (mixed-width partitions fail
+    // a single merged read) — and the copy then LANDS wide, consistent
+    // with the widen registry the clone carries over below.
+    val wid = TypeWidening.of(spark, src, TableFeatures.features(spark, src))
     val snap = pinned
-      .map(v => readAsOfPhysical(spark, src, v, partColP))
-      .getOrElse(readCommittedPhysical(spark, src, partColP))
+      .map(v => readAsOfPhysical(spark, src, v, partColP, wid))
+      .getOrElse(readCommittedPhysical(spark, src, partColP, widenings = wid))
     // atomic install: a clone that dies mid-write (or loses a race with a
     // source writer's install — the documented loud-retryable failure)
     // leaves NO dst, so the existence refusal above never blocks a retry.
@@ -1477,13 +1483,10 @@ object Upsert {
           ColumnMapping.physicalName(colMap, partCol)), colMap)
     // type widenings (registry read only when the feature is declared —
     // zero cost on ordinary tables) upcast below the partition union
-    val wid =
-      if (feats.contains(TableFeatures.TypeWideningFeature))
-        TypeWidening.widenings(spark, table)
-      else Map.empty[String, org.apache.spark.sql.types.DataType]
     ColumnMapping.applyLogical(
       readCommittedPhysical(spark, table,
-        ColumnMapping.physicalName(colMap, partCol), maxAttempts, wid),
+        ColumnMapping.physicalName(colMap, partCol), maxAttempts,
+        TypeWidening.of(spark, table, feats)),
       colMap)
   }
 

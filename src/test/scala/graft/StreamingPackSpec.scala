@@ -76,6 +76,24 @@ class StreamingPackSpec extends SparkSpec {
     assertFresh(shard, docsT)
   }
 
+  test("maxSteps caps ONE drain call; the cursor lets the next call " +
+      "continue — a churning source cannot starve a tick") {
+    val docsT = tmp("spkcsrc"); val shard = tmp("spkcshard")
+    appendDocs(docsT, "s1", 1, 30)
+    StreamingPack.drainAvailable(spark, docsT, "source", shard)
+    (1 to 4).foreach(_ => appendDocs(docsT, "s1", 1, 30))
+    // 4 commits of churn at 2 commits/step would need 2 steps; cap at 1:
+    // the drain RETURNS mid-catch-up instead of chasing the tip
+    val s1 = StreamingPack.drainAvailable(
+      spark, docsT, "source", shard, maxCommitsPerBatch = 2, maxSteps = 1)
+    assert(s1 == 1, s"capped drain must stop after one step: $s1")
+    // partial state is safe: the next (uncapped) call finishes the chase
+    val s2 = StreamingPack.drainAvailable(
+      spark, docsT, "source", shard, maxCommitsPerBatch = 2)
+    assert(s2 >= 1, s"the next drain continues from the cursor: $s2")
+    assertFresh(shard, docsT)
+  }
+
   test("the live heartbeat query follows the docs table; restart needs no " +
       "stream state") {
     val docsT = tmp("spklsrc"); val shard = tmp("spklshard")

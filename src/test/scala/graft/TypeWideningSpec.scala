@@ -181,6 +181,73 @@ class TypeWideningSpec extends SparkSpec {
       Seq(10L, 30L, 9999999999L))
   }
 
+  test("widen is idempotent, and merged updates land at EXACTLY the " +
+      "registered type — union coercion cannot overshoot it") {
+    import spark.implicits._
+    val t = tmp("widen-exact") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", DecimalType(19, 0))
+    // re-declaring the same widening is a no-op, not a refusal
+    TypeWidening.widen(spark, t, "day", "v", DecimalType(19, 0))
+    // LONG updates into a still-INT partition under a decimal(19,0)
+    // widening: both sides must cast to the REGISTERED type — plain
+    // union coercion of decimal(19,0) with bigint would write
+    // decimal(20,0), a partition no registry comparison ever matches
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(vType(t, "a") == DecimalType(19, 0),
+      s"partition must land at the registered type: ${vType(t, "a")}")
+    assert(TypeWidening.narrowParts(spark, t, "day") == Seq("day=b"),
+      "only the untouched partition stays narrow")
+    TypeWidening.materialize(spark, t, "day")
+    TypeWidening.clear(spark, t, "day")
+    TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    val r = Upsert.readCommitted(spark, t, "day")
+    assert(r.select(col("v").cast("long")).as[Long].collect().sorted.toSeq ==
+      Seq(10L, 30L, 9999999999L))
+  }
+
+  test("deep clone of a mixed-width widened source copies wide and stays " +
+      "consistent with the carried registry") {
+    import spark.implicits._
+    val t = tmp("widen-deep") + "/t"
+    seedInt(t)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(vType(t, "a") == LongType && vType(t, "b") == IntegerType)
+    val c = tmp("widen-deepdst") + "/c"
+    Upsert.cloneTo(spark, t, c, "day")
+    // the copy lands WIDE everywhere, matching the carried widen registry
+    assert(vType(c, "a") == LongType && vType(c, "b") == LongType)
+    assert(TypeWidening.narrowParts(spark, c, "day").isEmpty)
+    assert(Upsert.readCommitted(spark, c, "day")
+      .select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 30L, 9999999999L))
+  }
+
+  test("a clone whose own localizations straddle the source's widening " +
+      "reads mixed-width clone partitions through the source registry") {
+    import spark.implicits._
+    val t = tmp("widen-straddle") + "/t"
+    seedInt(t)
+    val c = tmp("widen-straddledst") + "/c"
+    ShallowClone.create(spark, t, c, "day")
+    // localized BEFORE the widening: lands narrow
+    assert(ShallowClone.localize(spark, c, "day", Seq("b")) == Seq("b"))
+    assert(spark.read.parquet(s"$c/day=b").schema("v").dataType ==
+      IntegerType)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    // localized AFTER the widening: lands wide — the clone's own dirs
+    // now mix widths exactly like a widened table's
+    assert(ShallowClone.localize(spark, c, "day", Seq("a")) == Seq("a"))
+    assert(spark.read.parquet(s"$c/day=a").schema("v").dataType == LongType)
+    val r = ShallowClone.read(spark, c, "day")
+    assert(r.schema("v").dataType == LongType)
+    assert(r.select("v").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+  }
+
   test("Maintain drives the widening lifecycle: widen declares, widenmat " +
       "rewrites + clears") {
     val t = tmp("widen-maint") + "/t"
