@@ -385,6 +385,56 @@ object Drive {
       "restarted heartbeat shards must equal a from-scratch pack")
     println("DRIVE heartbeat-pack: killed mid-churn, hand-drained, " +
       "restarted — shards ≡ from-scratch pack")
+
+    // 9. the OTHER heartbeat follower end-to-end (StreamingView shares
+    // StreamingPack's tick-retry machinery — the r18 flake proved the
+    // two followers share a failure class, so both get the
+    // kill/drain/restart recipe): a view-maintenance query follows a
+    // CHURNING source, is killed mid-churn, maintained BY HAND,
+    // restarted, churned again — and the view must equal a from-scratch
+    // aggregation of the source. The only state is the view's own
+    // basis-pinned cursor: no stream checkpoint took part.
+    val svSrc = s"$root/svsrc"; val svView = s"$root/svview"
+    def svWave(from: Int, n: Int): Unit =
+      graft.batch.Upsert.mergeByKey(spark, svSrc,
+        (from until from + n).map(i =>
+          ("d" + (i % 7), "c" + (i % 3), i.toLong, (i * 3 + 1).toLong))
+          .toDF("day", "cat", "k", "qty"),
+        "day", Seq("k"))
+    svWave(0, 60)
+    graft.batch.IncrementalView.register(spark, svView, svSrc, "day",
+      Seq("day", "cat"), Seq("qty"), "day")
+    val svQ = graft.streaming.StreamingView.start(
+      spark, svView, intervalMs = 150L)
+    try (1 to 4).foreach { k => svWave(k * 60, 60); Thread.sleep(150) }
+    finally { svQ.stop(); svQ.awaitTermination(30000) } // killed mid-churn
+    svWave(300, 60) // churn lands while NO follower is running
+    graft.streaming.StreamingView.drainAvailable(spark, svView) // by hand
+    val svQ2 = graft.streaming.StreamingView.start(
+      spark, svView, intervalMs = 150L)
+    try {
+      svWave(360, 60)
+      def viewFresh(): Boolean = {
+        val cols = Seq("day", "cat", "n_rows", "sum_qty", "nn_qty")
+        val got = graft.batch.Upsert.readCommitted(spark, svView, "day")
+          .select(cols.map(col): _*)
+        val want = graft.batch.IncrementalView.aggregateOf(
+          graft.batch.Upsert.readCommitted(spark, svSrc, "day"),
+          Seq("day", "cat"), Seq("qty")).select(cols.map(col): _*)
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      }
+      val svDeadline = System.currentTimeMillis() + 60000L
+      var svFresh = false
+      while (!svFresh && System.currentTimeMillis() < svDeadline) {
+        Thread.sleep(250L)
+        svFresh = scala.util.Try(viewFresh()).getOrElse(false)
+      }
+      assert(svFresh,
+        "restarted view heartbeat must converge to the from-scratch " +
+          "aggregation of the churned source")
+    } finally { svQ2.stop(); svQ2.awaitTermination(30000) }
+    println("DRIVE heartbeat-view: killed mid-churn, hand-maintained, " +
+      "restarted — view ≡ from-scratch aggregation")
     println("DRIVE OK")
     api.stop()
     svc.shutdown()

@@ -117,8 +117,15 @@ object Maintain {
       case "stats" =>
         val column = arg(0, "the indexed column (stats <col>)")
         // footer-only incremental: existing per-file intervals are reused
-        // (data files are immutable), only new files' footers are read
-        val st = graft.core.StatsIndex.refresh(spark, table, column)
+        // (data files are immutable), only new files' footers are read.
+        // On a type-widened table the storage tag pins to the registered
+        // wide type — never to one sampled (possibly narrow) footer
+        val hint =
+          if (graft.batch.TableFeatures.features(spark, table)
+              .contains(graft.batch.TableFeatures.TypeWideningFeature))
+            graft.batch.TypeWidening.widenings(spark, table).get(column)
+          else None
+        val st = graft.core.StatsIndex.refresh(spark, table, column, hint)
         Seq(s"""{"op":"stats-refresh","table":$tableJson,""" +
           s""""filesIndexed":${st.filesIndexed},"entriesDropped":${st.entriesDropped},""" +
           s""""filesTotal":${st.filesTotal}}""")

@@ -16,6 +16,7 @@ object SparkEntry {
     operators.SimilarityQueries,
     operators.MediaQueries,
     operators.PackWriter,
+    operators.WidenQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

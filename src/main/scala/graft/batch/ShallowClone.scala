@@ -102,8 +102,11 @@ object ShallowClone {
     // manifest horizon, vacuumed generation) must fail at create, not at
     // the first read (a widened source needs its per-dir upcast legs
     // even for this probe: schema inference runs at DataFrame build)
+    // (the clone does not exist yet, so this one probe resolves the
+    // source's LIVE registry — at create time that IS the pinned state
+    // the copy below will carry)
     Upsert.readAsOfPhysical(spark, src, pinned, partColP,
-      srcWidenings(spark, src))
+      TypeWidening.of(spark, src, TableFeatures.features(spark, src)))
     fs.mkdirs(dstPath)
     // registries carry over verbatim, exactly like deep clone (the
     // features registry rides along, so the clone inherits the source's
@@ -149,15 +152,26 @@ object ShallowClone {
         ColumnMapping.physicalName(colMap, partCol)), colMap)
   }
 
-  /** The pinned SOURCE's declared type widenings — a clone of a widened
-    * source must upcast the still-remote partitions exactly like the
-    * source's own reads do (mixed-width source partitions cannot share
-    * one mergeSchema read), and [[localize]] must land its copies WIDE
-    * so the clone's own partitions stay uniform. */
-  private def srcWidenings(
+  /** The type widenings the clone CARRIED OVER at create (the source's
+    * registries copy verbatim, so this is the source's widening registry
+    * AS OF THE PIN) — a clone of a widened source must upcast the
+    * still-remote partitions exactly like the source's own reads did at
+    * the pinned version (mixed-width source partitions cannot share one
+    * mergeSchema read), and [[localize]] lands its copies at exactly the
+    * pin's widths.
+    *
+    * Resolved from the CLONE's registry, never the source's LIVE one:
+    * a post-pin source widening must not retroactively change the
+    * clone's read schema, and — the sharp edge — a post-pin source
+    * `materialize` + `clear` (the sanctioned DROP FEATURE path, which
+    * checks only the source's own partitions) must not strand clone
+    * dirs that a live-registry read had localized wide. The pinned
+    * snapshot's files cannot be wider than the pinned registry says, so
+    * the carried map is always sufficient. */
+  private def cloneWidenings(
       spark: SparkSession,
-      src: String): Map[String, org.apache.spark.sql.types.DataType] =
-    TypeWidening.of(spark, src, TableFeatures.features(spark, src))
+      clone: String): Map[String, org.apache.spark.sql.types.DataType] =
+    TypeWidening.of(spark, clone, TableFeatures.features(spark, clone))
 
   private[batch] def readPhysical(
       spark: SparkSession, table: String, partColP: String): DataFrame = {
@@ -167,19 +181,19 @@ object ShallowClone {
       s"shallow clone $table is partitioned by ${m("srcPartCol")}, not $partColP")
     val localized = localizedParts(spark, table, partColP)
     val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP,
-        srcWidenings(spark, src))
+        cloneWidenings(spark, table))
       .filter(!col(partColP).cast("string")
         .isin(localized.toSeq.sorted: _*))
     if (localized.isEmpty) remote
     else
       // a widened clone (autoMerge on localized partitions) null-fills
       // the still-remote side — the same contract as untouched narrow
-      // partitions under schema evolution. The SOURCE's type widenings
-      // apply to the clone's own dirs too: localizations made before a
-      // source widening landed narrow, later ones land wide, so the
-      // clone's partitions can mix widths exactly like the source's
+      // partitions under schema evolution. The CARRIED widenings apply
+      // to the clone's own dirs too: a pre-pin source widening means
+      // localized copies can mix widths exactly like the source's
+      // partitions did at the pin
       Upsert.readCommittedPhysical(spark, table, partColP,
-          widenings = srcWidenings(spark, src))
+          widenings = cloneWidenings(spark, table))
         .unionByName(remote, allowMissingColumns = true)
   }
 
@@ -213,7 +227,7 @@ object ShallowClone {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(table).getFileSystem(conf)
     val remote = Upsert.readAsOfPhysical(spark, src, pinned, partColP,
-      srcWidenings(spark, src))
+      cloneWidenings(spark, table))
     val already = localizedParts(spark, table, partColP)
     val want = parts.distinct.filterNot(already)
     // exclusive dir install: the rename refuses an existing dest, so a
@@ -351,7 +365,7 @@ object ShallowClone {
       // a widened mixed-width source needs its per-dir upcast legs even
       // for this scoped probe (schema inference runs at DataFrame build)
       Upsert.readAsOfPhysical(spark, src, pinned, partColP,
-          srcWidenings(spark, src))
+          cloneWidenings(spark, table))
         .filter(col(partColP).cast("string").isin(remote.toSeq.sorted: _*))
         .select(col(partColP).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet

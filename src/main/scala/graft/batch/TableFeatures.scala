@@ -68,9 +68,14 @@ object TableFeatures {
     // reader: a build that does not know shallow clones reads only the
     // localized partitions — wrong data, the gate's defining case
     ShallowCloneFeature -> "reader",
-    // writer: an unaware writer refuses the widened-type merge loudly
-    // (safe failure); reads upcast through ordinary union coercion
-    TypeWideningFeature -> "writer")
+    // reader: the widening registry is what makes MIXED-WIDTH partitions
+    // readable (per-dir upcast legs below the union) — an unaware build's
+    // single mergeSchema read dies on an int vs bigint footer merge (or a
+    // vectorized-reader type mismatch), a raw Spark error instead of a
+    // clean feature-gate refusal. Loud either way, never wrong data, but
+    // Delta classifies typeWidening reader+writer for exactly this case
+    // and the gate's contract is "name the feature you are missing"
+    TypeWideningFeature -> "reader")
 
   /** The features `table` has declared, feature → level. */
   def features(spark: SparkSession, table: String): Map[String, String] =

@@ -25,11 +25,14 @@ import graft.core.TxnLog
   * (its value IS the directory name; reads type it by partition
   * inference, not by file schema).
   *
-  * Feature gating: declaring a widening declares the writer-level
-  * `type-widening` table feature — an unaware build refuses to write
-  * (its merge would refuse the type conflict anyway: safe failure, not
-  * wrong data) but reads fine (the upcast union is ordinary Spark type
-  * coercion). DROP FEATURE carries a residue rule: widenings may be
+  * Feature gating: declaring a widening declares the reader-level
+  * `type-widening` table feature (matching Delta's reader+writer
+  * classification) — an unaware build refuses BOTH ways, by name: its
+  * merge would refuse the type conflict, and its single mergeSchema
+  * read would die on the int-vs-bigint footer merge that the registry's
+  * per-dir upcast legs exist to avoid — a raw Spark error where the
+  * gate gives a clean refusal. DROP FEATURE carries a residue rule:
+  * widenings may be
   * cleared only after [[materialize]] has rewritten every narrow
   * partition at the wide type, so no file an unaware build could
   * mis-merge remains.
@@ -105,7 +108,7 @@ object TypeWidening {
   /** Declare that logical `column` of `table` now carries type `to` —
     * pure metadata, no rewrite. Validates against the CURRENT effective
     * type (physical, or an earlier widening), refuses non-widenings by
-    * name, and declares the writer-level table feature. */
+    * name, and declares the reader-level table feature. */
   def widen(
       spark: SparkSession,
       table: String,
@@ -139,12 +142,30 @@ object TypeWidening {
         "need a rewrite")
     TableFeatures.declare(spark, table, TableFeatures.TypeWideningFeature)
     // max-wins registry write with the declareAll retry discipline: two
-    // racing widenings of DISJOINT columns must both land
+    // racing widenings of DISJOINT columns must both land, and two racing
+    // widenings of the SAME column re-validate against whatever the other
+    // registered — the wider of two COMPARABLE types survives (partitions
+    // the loser already rewrote still upcast to it); incomparable
+    // concurrent targets (int→bigint vs int→decimal(10,0): neither
+    // upcasts to the other) refuse loudly instead of last-writer-wins
+    // re-introducing the mixed-width conflict the registry exists to stop
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val curReg = TableMeta.read(spark, table, Prefix)
-      if (curReg.get(colP).contains(to.catalogString)) return
+      val registered = curReg.get(colP).map(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType)
+      registered match {
+        case Some(t0) if upcastable(to, t0) => return // t0 is ≥ to: it wins
+        case Some(t0) if !upcastable(t0, to) =>
+          throw new IllegalStateException(
+            s"concurrent type widenings of $table.$column diverge: " +
+              s"${t0.simpleString} is already registered and ${to.simpleString} " +
+              "is not comparable with it — files rewritten at either width " +
+              "could not upcast to the other; pick the wider of the two " +
+              "explicitly")
+        case _ => // none registered, or `to` is strictly wider: write it
+      }
       try {
         TableMeta.write(spark, table, Prefix,
           curReg + (colP -> to.catalogString))
@@ -208,6 +229,11 @@ object TypeWidening {
       Upsert.compactOne(spark, table, partColP, dirName,
         materializes = true, dvPairs)(rows => applyTo(rows, w))
     }
+    // the rewrite replaced files: catch any bloom/stats sidecars up
+    // inline, exactly like the merge/compaction paths (stale sidecars
+    // only degrade to conservative scans, but widenmat is the verb that
+    // RESTORES uniform-width serving — leave it fully served)
+    if (targets.nonEmpty) Upsert.refreshIndexSidecars(spark, table)
     targets.map(d => Upsert.unescape(d, partColP))
   }
 

@@ -416,8 +416,13 @@ object Upsert {
               s"degrade to scanning the new files until Maintain bloom): $e")
       }
     }
+    // a stats sidecar's storage tag pins to the REGISTERED wide type on a
+    // widened table — one sampled narrow footer must never tag an
+    // int→double column "long" (double maxima would truncate: wrong skips)
+    lazy val w = TypeWidening.of(spark, table,
+      TableFeatures.features(spark, table))
     graft.core.StatsIndex.indexedColumns(spark, table).foreach { c =>
-      try graft.core.StatsIndex.refresh(spark, table, c)
+      try graft.core.StatsIndex.refresh(spark, table, c, w.get(c))
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
@@ -2054,8 +2059,10 @@ object Upsert {
       // still helps parquet's own row-group pruning there); existing
       // sidecars were already caught up by the refresh above.
       val have = graft.core.StatsIndex.indexedColumns(spark, table).toSet
+      val w = TypeWidening.of(spark, table,
+        TableFeatures.features(spark, table))
       zCols.filterNot(have).foreach { c =>
-        try graft.core.StatsIndex.build(spark, table, c)
+        try graft.core.StatsIndex.build(spark, table, c, w.get(c))
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(
@@ -2146,12 +2153,71 @@ object Upsert {
     // the Bloom sidecar is keyed by PHYSICAL column name — a rename
     // invalidates nothing; callers probe by logical name
     val colMap = ColumnMapping.mapping(spark, table)
-    val (raw, _, _) = graft.core.BloomIndex.lookup(spark, table,
-      ColumnMapping.physicalName(colMap, column), value)
+    val colP = ColumnMapping.physicalName(colMap, column)
+    val w = TypeWidening.of(spark, table, TableFeatures.features(spark, table))
     val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
+    val raw =
+      if (w.isEmpty)
+        graft.core.BloomIndex.lookup(spark, table, colP, value)._1
+      else {
+        // a live widening of the PROBED column is only servable when the
+        // widening keeps the value's rendered string form (the sidecar
+        // folds per-file values as strings): every integral→integral
+        // upcast does; int→double / →decimal re-render ("10" vs "10.0"),
+        // so no single probe string admits both widths — refuse loudly
+        // rather than silently miss, the route's asOf discipline
+        w.get(colP).foreach { to =>
+          val stable = to match {
+            case org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          if (!stable) throw new IllegalStateException(
+            s"pointLookup on $table.$column is unavailable under the live " +
+              s"type widening to ${to.simpleString}: the Bloom sidecar " +
+              "folds per-file STRING forms and this widening re-renders " +
+              "them — run TypeWidening.materialize (Maintain widenmat) " +
+              "first")
+        }
+        // mixed physical widths cannot share one mounted read: mount the
+        // admitted files per partition dir (the publish unit — widths are
+        // uniform inside one dir), upcast each leg, union by name —
+        // exactly readCommittedPhysical's discipline
+        val (candidates, _) =
+          graft.core.BloomIndex.admission(spark, table, colP, value)
+        widenedCandidateRead(spark, table, candidates, w,
+          col(colP) === value)
+      }
     ColumnMapping.applyLogical(DeletionVectors.applyTo(raw, dv), colMap)
   }
+
+  /** Mount sidecar-admitted `candidates` on a type-widened table: one
+    * read leg per partition dir (widths are uniform within one publish
+    * unit), each leg upcast to the registered wide types BEFORE the
+    * union, the probe predicate applied per leg (after the upcast, so
+    * its comparison types agree). Empty candidates read the schema-only
+    * empty frame, upcast. */
+  private def widenedCandidateRead(
+      spark: SparkSession,
+      table: String,
+      candidates: Seq[String],
+      w: Map[String, org.apache.spark.sql.types.DataType],
+      pred: org.apache.spark.sql.Column): DataFrame =
+    if (candidates.isEmpty)
+      TypeWidening.applyTo(
+        spark.read.parquet(table).filter(lit(false)), w)
+    else
+      candidates.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        .toSeq.sortBy(_._1)
+        .map { case (_, group) =>
+          TypeWidening.applyTo(
+            spark.read.option("basePath", table)
+              .option("mergeSchema", "true").parquet(group: _*), w)
+            .filter(pred)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** DV-aware range scan through the min/max stats sidecar — the range
     * twin of [[pointLookup]] ([[graft.core.StatsIndex.rangeScan]] prunes
@@ -2181,9 +2247,23 @@ object Upsert {
     ShallowClone.refuseDirect(spark, table, "rangeLookup")
     // stats sidecars are keyed by PHYSICAL column name, like bloom's
     val colMap = ColumnMapping.mapping(spark, table)
-    val (raw, _, _) = graft.core.StatsIndex.rangeScanAll(spark, table,
-      probes.map { case (c, lo, hi) =>
-        (ColumnMapping.physicalName(colMap, c), lo, hi) })
+    val probesP = probes.map { case (c, lo, hi) =>
+      (ColumnMapping.physicalName(colMap, c), lo, hi) }
+    val w = TypeWidening.of(spark, table, TableFeatures.features(spark, table))
+    val raw =
+      if (w.isEmpty)
+        graft.core.StatsIndex.rangeScanAll(spark, table, probesP)._1
+      else {
+        // same admission as the plain scan, but the candidates mount per
+        // partition dir with each leg upcast below the union (mixed
+        // widths refuse one shared read); the probe bounds compare at
+        // the WIDE type on every leg, so int and bigint files of one
+        // widened column admit identically
+        val (candidates, _) =
+          graft.core.StatsIndex.admissionAll(spark, table, probesP)
+        widenedCandidateRead(spark, table, candidates, w,
+          graft.core.StatsIndex.predicateOf(probesP))
+      }
     val dv = DeletionVectors.pairsAsOf(spark, table, Long.MaxValue,
       TxnLog.commitsSince(spark, table, 0L))
     ColumnMapping.applyLogical(DeletionVectors.applyTo(raw, dv), colMap)

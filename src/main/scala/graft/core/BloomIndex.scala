@@ -132,13 +132,32 @@ object BloomIndex {
       return spark.emptyDataset[(String, Array[Byte])].toDF("file", "filter")
     val sizes = footerCounts(spark, files, column)
     val sizesB = spark.sparkContext.broadcast(sizes)
-    val df = spark.read.option("basePath", table)
-      .option("mergeSchema", "true").parquet(files: _*)
+    // one mergeSchema mount when the footers agree; a TYPE-WIDENED table
+    // mixes physical widths across partition dirs (an int and a bigint
+    // footer refuse to merge), so fall back to per-dir legs projected to
+    // the fold's (file, string-value) shape BEFORE the union — the string
+    // projection is width-agnostic (every allowed integral widening keeps
+    // the rendered form), and each file is still read exactly once
+    def projected(fs: Seq[String]): Option[DataFrame] = {
+      val d = spark.read.option("basePath", table)
+        .option("mergeSchema", "true").parquet(fs: _*)
+      if (!d.columns.contains(column)) None
+      else Some(d.select(input_file_name().as("_f"),
+        col(column).cast("string").as("_v")))
+    }
+    val proj: Option[DataFrame] =
+      try projected(files)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+            .toSeq.sortBy(_._1)
+            .flatMap { case (_, group) => projected(group) }
+            .reduceOption(_.unionByName(_))
+      }
     val folded: org.apache.spark.rdd.RDD[(String, Array[Byte])] =
-      if (!df.columns.contains(column))
-        spark.sparkContext.emptyRDD[(String, Array[Byte])]
-      else df.select(input_file_name().as("_f"),
-          col(column).cast("string").as("_v"))
+      proj match {
+        case None => spark.sparkContext.emptyRDD[(String, Array[Byte])]
+        case Some(p) => p
         .filter(col("_v").isNotNull)
         .rdd.mapPartitions { rows =>
           val acc = scala.collection.mutable.Map.empty[String, BloomFilter]
@@ -161,6 +180,7 @@ object BloomIndex {
           bf.writeTo(out)
           out.toByteArray
         }
+      }
     // only KEYS come back; files with no non-null values get an EMPTY
     // filter (a non-null lookup value cannot live there, so they are
     // skippable, not unknown) — tiny driver-built rows, typically few

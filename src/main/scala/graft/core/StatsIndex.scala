@@ -88,8 +88,18 @@ object StatsIndex {
   }
 
   /** Build (or rebuild) the per-file min/max sidecar for `column`. Returns
-    * the number of files indexed. Footer-only: no row-group IO. */
-  def build(spark: SparkSession, table: String, column: String): Long = {
+    * the number of files indexed. Footer-only: no row-group IO.
+    *
+    * `typeHint` pins the storage tag to the column's DECLARED type when
+    * the caller knows better than one sampled footer — a table with a
+    * live type widening mixes physical widths across files, and sampling
+    * a narrow footer for an int→double widening would tag the index
+    * "long": double footer stats would then fold through `longValue()`,
+    * truncating maxima and WRONGLY skipping files. Widening-aware
+    * callers ([[graft.batch.Upsert]], Maintain) pass the registered wide
+    * type. */
+  def build(spark: SparkSession, table: String, column: String,
+      typeHint: Option[DataType] = None): Long = {
     val df = spark.read.parquet(table)
     val schema = df.schema
     require(schema.fieldNames.contains(column), s"stats index: no column $column")
@@ -102,8 +112,9 @@ object StatsIndex {
         "its values are in directory names, not parquet footers, so a stats " +
         "index would skip every file. Use partition pruning (a plain filter " +
         "on the column) instead.")
-    val typ = typeTag(schema(column).dataType).getOrElse(
-      sys.error(s"stats index: unsupported type ${schema(column).dataType} " +
+    val declared = typeHint.getOrElse(schema(column).dataType)
+    val typ = typeTag(declared).getOrElse(
+      sys.error(s"stats index: unsupported type $declared " +
         s"for $column (supported: integral, date, timestamp, float/double, string)"))
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -235,18 +246,28 @@ object StatsIndex {
   /** Catch the sidecar up to the table's current file set: existing
     * entries keep their intervals (file bytes are immutable), vanished
     * files drop, and ONLY new files pay a footer read. A missing sidecar
-    * falls back to [[build]]. */
-  def refresh(spark: SparkSession, table: String, column: String): RefreshStats = {
+    * falls back to [[build]], as does a `typeHint` whose storage tag
+    * differs from the sidecar's (a type widening changed the column's
+    * declared KIND, e.g. int→double — old "long"-tagged entries and new
+    * "double"-tagged ones cannot share one probe normalization, so the
+    * whole sidecar re-tags in one footer-only pass). */
+  def refresh(spark: SparkSession, table: String, column: String,
+      typeHint: Option[DataType] = None): RefreshStats = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val idx = new Path(indexDir(table, column))
     AtomicWrite.recoverSwap(spark, idx.toString)
     if (!fs.exists(idx)) {
-      val n = build(spark, table, column)
+      val n = build(spark, table, column, typeHint)
       return RefreshStats(n, 0L, n)
     }
     val old = readSidecar(spark, table, column)
-    val typ = old.headOption.map(_.typ).getOrElse(
+    val hinted = typeHint.flatMap(typeTag)
+    if (old.nonEmpty && hinted.exists(_ != old.head.typ)) {
+      val n = build(spark, table, column, typeHint)
+      return RefreshStats(n, old.size.toLong, n)
+    }
+    val typ = old.headOption.map(_.typ).orElse(hinted).getOrElse(
       typeTag(spark.read.parquet(table).schema(column).dataType).getOrElse(
         sys.error(s"stats index: unsupported type for $column")))
     val current = listDataFiles(fs, root)
@@ -392,6 +413,35 @@ object StatsIndex {
       spark: SparkSession,
       table: String,
       probes: Seq[(String, Option[Any], Option[Any])]): (DataFrame, Seq[String], Seq[String]) = {
+    val (candidates, skipped) = admissionAll(spark, table, probes)
+    val pred = predicateOf(probes)
+    val result =
+      if (candidates.isEmpty)
+        spark.read.parquet(table).filter(lit(false))
+      else
+        spark.read.option("basePath", table)
+          .parquet(candidates: _*).filter(pred)
+    (result, candidates, skipped)
+  }
+
+  /** The conjunction of all probe bounds — what [[rangeScanAll]] rides on
+    * the candidate read; widening-aware callers re-apply it over their
+    * own per-width read legs. */
+  private[graft] def predicateOf(
+      probes: Seq[(String, Option[Any], Option[Any])]): org.apache.spark.sql.Column =
+    probes.flatMap { case (column, lo, hi) =>
+      Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v))).flatten
+    }.reduce(_ && _)
+
+  /** The file-pruning half of [[rangeScanAll]]: (candidate files, skipped
+    * files), full scheme-qualified paths, candidates sorted. Exposed so a
+    * caller that must MOUNT the candidates itself (per-width legs on a
+    * type-widened table) shares exactly the admission the plain scan
+    * uses. */
+  private[graft] def admissionAll(
+      spark: SparkSession,
+      table: String,
+      probes: Seq[(String, Option[Any], Option[Any])]): (Seq[String], Seq[String]) = {
     require(probes.nonEmpty, "stats index rangeScanAll: at least one probe")
     require(probes.forall { case (_, lo, hi) => lo.isDefined || hi.isDefined },
       "stats index rangeScan: at least one bound per column (a fully " +
@@ -401,35 +451,26 @@ object StatsIndex {
       val entries = readSidecar(spark, table, column)
       val byKey = entries.map(e => e.file -> e).toMap
       // an EMPTY sidecar (built on an empty table, or every entry dropped
-      // by refresh) carries no type tag; resolve it from the table schema
-      // so a legitimate string/date probe is normalized instead of dying
-      // on a bogus "long" default — with zero entries nothing prunes anyway
-      val typ = entries.headOption.map(_.typ).getOrElse(
-        typeTag(spark.read.parquet(table).schema(column).dataType).getOrElse(
-          sys.error(s"stats index: unsupported type for $column")))
-      (byKey, lo.map(normBound(typ, _)), hi.map(normBound(typ, _)))
+      // by refresh) admits every file unconditionally — don't normalize
+      // the probe bounds at all: there is no entry interval to compare
+      // against, and resolving a tag from one sampled footer would be
+      // nondeterministic on a mixed-width (type-widened) table
+      entries.headOption match {
+        case Some(h) => (byKey, lo.map(normBound(h.typ, _)), hi.map(normBound(h.typ, _)))
+        case None => (byKey, None, None)
+      }
     }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dataFiles = listDataFiles(fs, root)
     // a file is scheduled only when EVERY probe's sidecar admits it (a
     // file unknown to a sidecar is admitted by that probe — conservative)
-    val (candidates, skipped) = dataFiles.sorted.partition { f =>
+    dataFiles.sorted.partition { f =>
       val k = normKey(f)
       perCol.forall { case (byKey, loN, hiN) =>
         byKey.get(k).forall(e => admitsEntry(e, loN, hiN))
       }
     }
-    val pred = probes.flatMap { case (column, lo, hi) =>
-      Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v))).flatten
-    }.reduce(_ && _)
-    val result =
-      if (candidates.isEmpty)
-        spark.read.parquet(table).filter(lit(false))
-      else
-        spark.read.option("basePath", table)
-          .parquet(candidates: _*).filter(pred)
-    (result, candidates, skipped)
   }
 
   /** The table as an ordinary DataFrame with TRANSPARENT data skipping:

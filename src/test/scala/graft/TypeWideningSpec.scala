@@ -41,10 +41,12 @@ class TypeWideningSpec extends SparkSpec {
     val r = Upsert.readCommitted(spark, t, "day")
     assert(r.schema("v").dataType == LongType)
     assert(r.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 20L, 30L))
-    // the feature is declared at writer level, and DESCRIBE DETAIL
+    // the feature is declared at reader level (mixed-width partitions
+    // need the registry's per-dir upcast legs — an unaware build's one
+    // mergeSchema read fails the footer merge), and DESCRIBE DETAIL
     // surfaces the widening
     assert(TableFeatures.features(spark, t)
-      .get(TableFeatures.TypeWideningFeature).contains("writer"))
+      .get(TableFeatures.TypeWideningFeature).contains("reader"))
     assert(Upsert.detail(spark, t).typeWidenings == Seq("v -> bigint"))
     // a merge carrying genuinely-long values lands; it touches only day=a
     Upsert.mergeByKey(spark, t,
@@ -226,26 +228,42 @@ class TypeWideningSpec extends SparkSpec {
       Seq(10L, 30L, 9999999999L))
   }
 
-  test("a clone whose own localizations straddle the source's widening " +
-      "reads mixed-width clone partitions through the source registry") {
+  test("a clone pins the source's widening registry at create: a post-pin " +
+      "source widening does not leak in, and the source's sanctioned " +
+      "materialize+clear cannot strand the clone") {
     import spark.implicits._
     val t = tmp("widen-straddle") + "/t"
     seedInt(t)
     val c = tmp("widen-straddledst") + "/c"
     ShallowClone.create(spark, t, c, "day")
-    // localized BEFORE the widening: lands narrow
+    // localized BEFORE the source widening: lands at the pin's width
     assert(ShallowClone.localize(spark, c, "day", Seq("b")) == Seq("b"))
     assert(spark.read.parquet(s"$c/day=b").schema("v").dataType ==
       IntegerType)
     TypeWidening.widen(spark, t, "day", "v", LongType)
-    // localized AFTER the widening: lands wide — the clone's own dirs
-    // now mix widths exactly like a widened table's
-    assert(ShallowClone.localize(spark, c, "day", Seq("a")) == Seq("a"))
-    assert(spark.read.parquet(s"$c/day=a").schema("v").dataType == LongType)
+    // the post-pin widening does NOT retroactively change the clone: its
+    // carried registry (copied at create) predates the declaration, the
+    // pinned snapshot's files are all narrow, so reads and any further
+    // localizations stay at the pin's width
     val r = ShallowClone.read(spark, c, "day")
-    assert(r.schema("v").dataType == LongType)
-    assert(r.select("v").as[Long].collect().sorted.toSeq ==
-      Seq(10L, 20L, 30L))
+    assert(r.schema("v").dataType == IntegerType)
+    assert(r.select("v").as[Int].collect().sorted.toSeq == Seq(10, 20, 30))
+    // the sharp edge the pinned registry closes: the source widens a
+    // partition, then legally MATERIALIZES and CLEARS its widenings
+    // (the residue check sees only the source's own partitions). A clone
+    // resolving the source's LIVE registry would have localized wide and
+    // now mix widths under an empty map — the carried registry keeps the
+    // clone consistent and readable throughout
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    TypeWidening.materialize(spark, t, "day")
+    TypeWidening.clear(spark, t, "day")
+    TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    val r2 = ShallowClone.read(spark, c, "day")
+    assert(r2.schema("v").dataType == IntegerType)
+    assert(r2.select("v").as[Int].collect().sorted.toSeq == Seq(10, 20, 30),
+      "clone still serves the pinned narrow snapshot after the source " +
+        "graduated its widening")
   }
 
   test("Maintain drives the widening lifecycle: widen declares, widenmat " +
@@ -263,6 +281,81 @@ class TypeWideningSpec extends SparkSpec {
     assert(vType(t, "a") == LongType && vType(t, "b") == LongType)
     TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
     assert(Upsert.readCommitted(spark, t, "day").count() == 3L)
+  }
+
+  test("sidecar-admitted lookups thread the widening registry: point and " +
+      "range lookups serve mixed-width tables row-identical to a " +
+      "committed read") {
+    import spark.implicits._
+    val t = tmp("widen-index") + "/t"
+    seedInt(t)
+    // sidecars built BEFORE the widening (entries over narrow files)
+    require(graft.core.BloomIndex.build(spark, t, "k") > 0)
+    require(graft.core.StatsIndex.build(spark, t, "v") > 0)
+    TypeWidening.widen(spark, t, "day", "v", LongType)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 9999999999L)).toDF("day", "k", "v"), "day", Seq("k"))
+    // mixed widths persist by design until widenmat; the merge's inline
+    // sidecar refresh already caught both indexes up
+    assert(vType(t, "a") == LongType && vType(t, "b") == IntegerType)
+    // a from-scratch bloom BUILD over the mixed file set must also work:
+    // the one mergeSchema mount refuses int-vs-bigint footers, so the
+    // fold falls back to per-dir legs projected to strings pre-union
+    require(graft.core.BloomIndex.build(spark, t, "k") > 0)
+    // pointLookup's admitted files span BOTH widths of v: the per-dir
+    // legs upcast below the union instead of one failing mergeSchema read
+    val p = Upsert.pointLookup(spark, t, "k", "1")
+    assert(p.schema("v").dataType == LongType)
+    assert(p.select("v").as[Long].collect().sorted.toSeq == Seq(10L, 30L))
+    // range lookup ON the widened column: bounds compare at the wide
+    // type on every leg, and the result is row-identical to
+    // readCommitted + filter (the via=index route's contract)
+    val rl = Upsert.rangeLookup(spark, t, "v", Some(10L), Some(9999999999L))
+    assert(rl.schema("v").dataType == LongType)
+    val viaIndex = rl.select("day", "k", "v")
+      .as[(String, Long, Long)].collect().toSet
+    val viaScan = Upsert.readCommitted(spark, t, "day")
+      .filter(col("v") >= 10L && col("v") <= 9999999999L)
+      .select("day", "k", "v").as[(String, Long, Long)].collect().toSet
+    assert(viaIndex == viaScan && viaIndex.map(_._3) ==
+      Set(10L, 30L, 9999999999L), s"$viaIndex vs $viaScan")
+  }
+
+  test("a KIND-changing widening re-tags the stats sidecar to the wide " +
+      "type and refuses the bloom string probe it would silently break") {
+    import spark.implicits._
+    val t = tmp("widen-kind") + "/t"
+    seedInt(t)
+    require(graft.core.BloomIndex.build(spark, t, "v") > 0)
+    require(graft.core.StatsIndex.build(spark, t, "v") > 0)
+    TypeWidening.widen(spark, t, "day", "v", DoubleType)
+    Upsert.mergeByKey(spark, t,
+      Seq(("a", 2L, 2.5)).toDF("day", "k", "v"), "day", Seq("k"))
+    assert(vType(t, "a") == DoubleType && vType(t, "b") == IntegerType)
+    // the merge's refresh saw the registered DOUBLE hint, tag "long" ≠
+    // "double" → the sidecar re-tagged in one footer-only rebuild; int
+    // footer maxima fold through doubleValue (exact), never truncated
+    val rl = Upsert.rangeLookup(spark, t, "v", Some(2.0), Some(25.0))
+    assert(rl.schema("v").dataType == DoubleType)
+    assert(rl.select("v").as[Double].collect().sorted.toSeq ==
+      Seq(2.5, 10.0))
+    // bloom folds per-file STRING forms; int→double re-renders them
+    // ("10" vs "10.0"), so no single probe admits both widths — the
+    // point lookup refuses loudly, naming the clearing verb
+    val e = intercept[IllegalStateException] {
+      Upsert.pointLookup(spark, t, "v", "10")
+    }
+    assert(e.getMessage.contains("widenmat") ||
+      e.getMessage.contains("materialize"), e.getMessage)
+    // ...and widenmat clears the way: materialize leaves the table
+    // uniform wide AND refreshes the sidecars inline (rewritten files
+    // re-index), the widening clears, and the probe serves again at the
+    // wide type's string form
+    TypeWidening.materialize(spark, t, "day")
+    TypeWidening.clear(spark, t, "day")
+    TableFeatures.dropFeature(spark, t, TableFeatures.TypeWideningFeature)
+    val p = Upsert.pointLookup(spark, t, "v", "10.0")
+    assert(p.select("k").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("widening composes with autoMerge: one merge adds a column AND " +
