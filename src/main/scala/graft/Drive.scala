@@ -367,8 +367,17 @@ object Drive {
       var held = -1L
       while (held != expected && System.currentTimeMillis() < deadline) {
         Thread.sleep(250L)
-        held = graft.batch.Upsert.readCommitted(spark, hbShard, "source")
-          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+        // the shard table is being rewritten by the LIVE heartbeat: a
+        // committed read can race a tick's install at execution time —
+        // the documented loud retryable contract (readCommitted under
+        // churn). This convergence loop IS the retry, so a transient
+        // read failure is just "not converged yet" (step 9's viewFresh
+        // loop already does exactly this; unwrapped, one race killed
+        // the whole Drive run).
+        held = scala.util.Try(
+          graft.batch.Upsert.readCommitted(spark, hbShard, "source")
+            .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0))
+          .getOrElse(-1L)
       }
       assert(held == expected,
         s"heartbeat shards must converge to the corpus: $held != $expected")

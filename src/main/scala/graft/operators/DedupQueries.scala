@@ -133,7 +133,14 @@ object DedupQueries extends QueryModule {
       .distinct()
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    // Verify joins keyed the SCALE-correct way round: the banded candidate
+    // list (a vanishing fraction of the corpus) is the broadcast/build
+    // side, the corpus-sized signature frame STREAMS — the planner's
+    // stats-derived choice was to broadcast sa/sb themselves (the whole
+    // corpus's shingle arrays collected to the driver, twice), which
+    // inverts at scale (guide §3.1). Inner equi-joins — row-identical.
+    val withA = sa.join(broadcast(cand), "doc_a")
+    sb.join(broadcast(withA), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -182,7 +189,9 @@ object DedupQueries extends QueryModule {
       .distinct()
     val sn = sig.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
     val so = sig.select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
-    cand.join(sn, "new_id").join(so, "old_id")
+    // candidate list broadcast, corpus signatures stream (see minhashPairs)
+    val withN = sn.join(broadcast(cand), "new_id")
+    so.join(broadcast(withN), "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
@@ -302,24 +311,26 @@ object DedupQueries extends QueryModule {
     var iter = 0
     val maxIter = 64
     while (changed > 0 && iter < maxIter) {
-      // 1-hop: min label over graph neighbors
-      val prop = edges.join(labels, col("doc_b") === col("id"))
+      // 1-hop propagation AND pointer doubling in ONE join+aggregate:
+      // label(label(x)) is exactly a propagation step over the auxiliary
+      // edge (x → label(x)) (labels only ever take node-id values, so the
+      // lookup always resolves), so augmenting the edge list with the
+      // current label edges lets min-over-neighbors compute
+      // min(nlabel, hlabel) in the same aggregation — the previous form
+      // paid a separate labels self-join plus a second left join per
+      // round; per-round result is identical (least of the same three
+      // values), so convergence and the fixpoint are unchanged.
+      val aug = edges.unionByName(
+        labels.select(col("id").as("doc_a"), col("label").as("doc_b")))
+      val prop = aug.join(labels, col("doc_b") === col("id"))
         .groupBy(col("doc_a").as("pid")).agg(min("label").as("nlabel"))
-      // pointer doubling: the label of one's label (labels only ever take
-      // node-id values, so this self-join always matches)
-      val hop = labels.as("l1")
-        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
-          col("l1.label") === col("lid"))
-        .select(col("l1.id").as("hid"), col("llabel").as("hlabel"))
       // carry the previous label in the checkpointed frame: the convergence
       // count then reads it directly instead of paying a join per iteration
       val (next, freeNext) = checkpointed(labels
         .join(prop, col("id") === col("pid"), "left")
-        .join(hop, col("id") === col("hid"), "left")
         .select(col("id"),
           least(col("label"),
-            coalesce(col("nlabel"), col("label")),
-            coalesce(col("hlabel"), col("label"))).as("label"),
+            coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("prev")))
       changed = next.filter(col("label") =!= col("prev")).count()
       freeLabels() // previous round's checkpoint blocks
@@ -471,9 +482,13 @@ object DedupQueries extends QueryModule {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na")), "vec_a")
-      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb")), "vec_b")
+    // candidate pairs broadcast, corpus vectors stream (the minhashPairs
+    // verify-join direction — never broadcast the corpus side)
+    val withA = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      .join(broadcast(cand), "vec_a")
+    q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+      .join(broadcast(withA), "vec_b")
       .withColumn("cosine",
         expr("graft_dot(qa, qb)").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -555,7 +570,8 @@ object DedupQueries extends QueryModule {
       .distinct()
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
+    // candidate list broadcast, corpus signatures stream (see minhashPairs)
+    val verified = sb.join(broadcast(sa.join(broadcast(cand), "doc_a")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

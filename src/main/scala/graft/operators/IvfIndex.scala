@@ -89,6 +89,9 @@ object IvfIndex {
     * assignment rule, or the incremental index would drift from a full
     * rebuild). */
   private[operators] def assignTo(cent: DataFrame, q: DataFrame): DataFrame = {
+    // row_number window argmax (a max(struct) groupBy was measured and
+    // rejected in r20 — struct-typed max buffers plan as SortAggregate,
+    // no cheaper than the window and slower per row)
     val wAssign = Window.partitionBy(col("a.vec_id")).orderBy(desc("ccos"), col("cid"))
     q.as("a").join(cent)
       .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))

@@ -61,10 +61,20 @@ object SimilarityQueries extends QueryModule {
       .select("vec_id", "label", "qv", "nrm")
   }
 
-  /** Deterministic LCG hyperplane weight for (plane j, dim i), in ±1000.
-    * 64-bit literal: the product overflows INT and Spark 4 runs ANSI mode. */
-  private def weightExpr(j: Int): String =
-    s"((1103515245L * ($j * 64 + i) + 12345L) % 2001L) - 1000L"
+  /** Deterministic LCG hyperplane weight for (plane p, dim i), in ±1000 —
+    * evaluated driver-side in Long arithmetic, value-identical to the
+    * oracle's SQL replay `((1103515245 * (p*64 + i) + 12345) % 2001) - 1000`
+    * for every (plane, dim). */
+  private def weightOf(p: Int, i: Int): Long =
+    ((1103515245L * (p * 64 + i) + 12345L) % 2001L) - 1000L
+
+  /** Plane p's 64 weights as an `array(...)` literal for [[QuantizedDot]].
+    * Sized to the 64-dim corpus the `$j * 64` plane stride already assumes;
+    * graft_dot's min-length loop reproduces the zip_with-over-sequence sum
+    * exactly for any vector of ≤ 64 dims. */
+  private def weightsLit(p: Int): String =
+    (0 until 64).map(i => s"${weightOf(p, i)}L")
+      .mkString("array(", ", ", ")")
 
   /** Independent LSH tables for OR-amplification (multi-table union).
     * Every consumer — the Spark bucket expressions, the DuckDB oracle SQL,
@@ -73,13 +83,20 @@ object SimilarityQueries extends QueryModule {
   private val LshTables = 8
 
   /** Sign-random-projection bucket for table `t` (planes t·Planes …
-    * t·Planes+Planes-1, so tables use disjoint hyperplane sets). */
+    * t·Planes+Planes-1, so tables use disjoint hyperplane sets).
+    *
+    * The per-plane dot product runs through the codegen'd
+    * [[graft.functions.QuantizedDot]] against a LITERAL weight array
+    * (the LCG is a pure function of (plane, dim), so the weights fold at
+    * plan build): the previous `aggregate(zip_with(.., sequence(..)))`
+    * form allocated a fresh index sequence plus a zipped array and
+    * evaluated two lambdas per element, per plane, per row — 32× per row
+    * under the 8-table family. Bucket values are bit-identical (same LCG,
+    * same Long math), so the DuckDB oracle replay is unchanged. */
   private def bucketExprFor(t: Int): String =
     (0 until Planes).map { j =>
       val p = t * Planes + j
-      s"""((CASE WHEN aggregate(zip_with(qv, sequence(0, size(qv) - 1),
-                                 (x, i) -> x * (${weightExpr(p)})),
-                           0L, (acc, v) -> acc + v) > 0
+      s"""((CASE WHEN graft_dot(qv, ${weightsLit(p)}) > 0
              THEN 1 ELSE 0 END) << $j)"""
     }.mkString(" + ")
 
@@ -357,6 +374,14 @@ object SimilarityQueries extends QueryModule {
       .withColumn("cdot", expr("graft_dot(a.qv, cqv)"))
       .withColumn("ccos", col("cdot").cast("double") /
         (sqrt(col("a.nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+    // Measured and rejected (r20), two variants: (1) argmax via
+    // max(struct(...)) groupBy — struct-typed max buffers are not
+    // hash-aggregable, so it planned a SortAggregate over the same
+    // product; (2) splitting assign / probeCells into separately-filtered
+    // window subtrees — it broke ReuseExchange of the shared `ranked`
+    // frame, so the scoring+window ran twice (the IVF family regressed
+    // ~0.1–0.4 s each at sf0.1 under both). The shared-ranked form
+    // stands.
     val wAssign = Window.partitionBy(col("a.vec_id")).orderBy(desc("ccos"), col("cid"))
     val wBest = Window.partitionBy(col("a.vec_id"))
     // multi-probe: the fixed nprobe-nearest cells PLUS every boundary cell
@@ -388,6 +413,11 @@ object SimilarityQueries extends QueryModule {
   private[operators] def assignedToCells(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d)
     val cent = broadcast(ivfCentroids(s, d))
+    // Measured and rejected (r20): argmax via max(struct(csim, -cid, qv,
+    // nrm)) groupBy — a struct-typed max buffer is not hash-aggregable,
+    // so Spark planned a SortAggregate over the same corpus × centroids
+    // product the window sorts, plus per-row struct comparisons (the IVF
+    // family regressed ~0.1–0.4 s each at sf0.1). The window stands.
     val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("csim"), col("cid"))
     q.as("a").join(cent)
       .withColumn("csim", expr("graft_dot(a.qv, cqv)").cast("double") /
@@ -545,6 +575,11 @@ object SimilarityQueries extends QueryModule {
     * works when neighbors actually exist. Per-table candidate generation is
     * the same (t, bucket) equi-join shape as [[topkLshMulti]]. */
   def clusteredRecall(s: SparkSession, d: String): DataFrame = {
+    // Measured and rejected (r20): eagerly pinning the mixture corpus and
+    // bucket projection (localCheckpoint) for the seven consuming
+    // subtrees — Spark's ReuseExchange already deduplicates the repeated
+    // subtrees at their exchange boundaries, so the pins only added
+    // serial materialization barriers (1.23 s → 1.87 s at sf0.1).
     val q = clustered(s, d)
     val probes = q.filter(col("vec_id") < 20)
     val w = Window.partitionBy(col("a.vec_id")).orderBy(desc("cosine"), col("b.vec_id"))
@@ -706,6 +741,10 @@ object SimilarityQueries extends QueryModule {
   def pqClusteredRecall(s: SparkSession, d: String): DataFrame =
     pqRecallOn(s, clustered(s, d))
 
+  // Measured and rejected (r20): pinning the corpus frame for the ~12
+  // consuming subtrees (localCheckpoint) — ReuseExchange already covers
+  // the repeats, and the eager pin regressed both PQ recall queries
+  // ~0.8 s each at sf0.1 (serial barrier + full-width materialization).
   private def pqRecallOn(s: SparkSession, q: DataFrame): DataFrame =
     pqRecallFromScores(s, q, pqAdcScores(s, q))
 
@@ -817,17 +856,20 @@ object SimilarityQueries extends QueryModule {
   /** LCG weight for (projection row j, input dim i), offset by 1e6 so the
     * stream is disjoint from every LSH plane (planes use arguments
     * < 8·4·64 = 2048). */
-  private def rpWeightExpr(j: Int): String =
-    s"((1103515245L * ($j * 64 + i + 1000000L) + 12345L) % 2001L) - 1000L"
 
   /** The projected vector as a [[RpDims]]-element integer array: row j is
     * Σᵢ qv[i]·w(j,i). Magnitudes: |qv|≤1000, |w|≤1000, 64 terms →
     * |rv[j]| ≤ 6.4e7; dots of two such 16-dim vectors ≤ 6.6e16, inside
-    * Long for the codegen'd graft_dot. */
+    * Long for the codegen'd graft_dot. Each row is graft_dot against the
+    * LITERAL weight array (same rewrite as [[bucketExprFor]] — the LCG
+    * folds at plan build; values bit-identical to the oracle's replay). */
+  private def rpWeightOf(j: Int, i: Int): Long =
+    ((1103515245L * (j * 64 + i + 1000000L) + 12345L) % 2001L) - 1000L
+
   private def rpProjExpr: String =
     "array(" + (0 until RpDims).map { j =>
-      s"""aggregate(zip_with(qv, sequence(0, size(qv) - 1),
-            (x, i) -> x * (${rpWeightExpr(j)})), 0L, (acc, v) -> acc + v)"""
+      (0 until 64).map(i => s"${rpWeightOf(j, i)}L")
+        .mkString("graft_dot(qv, array(", ", ", "))")
     }.mkString(", ") + ")"
 
   /** Shortlist sizes for the project→shortlist→re-rank pipeline — the
@@ -852,6 +894,9 @@ object SimilarityQueries extends QueryModule {
     * both index and probe. */
   def rpRecall(s: SparkSession, d: String): DataFrame = {
     val rMax = RpShortlists.max
+    // (an eager Pin of the projected corpus was measured and rejected in
+    // r20 — ReuseExchange covers the repeated subtrees; the pin barrier
+    // doubled this query's time at sf0.1)
     val q = quantized(s, d)
       .withColumn("rv", expr(rpProjExpr))
       .withColumn("rnrm", expr("graft_dot(rv, rv)"))

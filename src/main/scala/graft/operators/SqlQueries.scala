@@ -213,6 +213,50 @@ object SqlQueries extends QueryModule {
     s.sql(sql)
   }
 
+  /** [[qRecursive]] with the `ord` CTE materialized ONCE: Spark plans a
+    * recursive CTE as a UnionLoop whose STEP subtree re-executes per
+    * iteration, so the inline `ord` (scan + per-customer window) was
+    * re-scanned and re-windowed at every recursion depth — depth here is
+    * the longest increasing-spend streak, so the whole corpus window ran
+    * ~max(len)+1 times (guide §2.4: remove repeated passes). The windowed
+    * frame is eagerly checkpointed (|custkey%10=0 orders| rows — small),
+    * the recursion joins against it, and only the |streak_len|-row result
+    * survives (intermediate blocks freed, [[graft.core.Pin]] discipline).
+    * The recursive step/anchor text is OTHERWISE IDENTICAL to
+    * [[qRecursive]], which remains the oracle's replay — row-identical by
+    * construction (the CTE was referentially pure), hash-checked every
+    * round. */
+  private def runRecursive(s: SparkSession, d: String): DataFrame = {
+    views(s, d)
+    val (ord, freeOrd) = graft.core.Pin(s.sql(
+      """SELECT o_custkey, o_totalprice,
+                ROW_NUMBER() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders
+         WHERE o_custkey % 10 = 0"""))
+    ord.createOrReplaceTempView("ord_materialized")
+    val out = s.sql(
+      """WITH RECURSIVE
+         chain(o_custkey, rn, o_totalprice, len) AS (
+           SELECT o_custkey, rn, o_totalprice, 1
+           FROM ord_materialized WHERE rn = 1
+           UNION ALL
+           SELECT nxt.o_custkey, nxt.rn, nxt.o_totalprice, c.len + 1
+           FROM chain c
+           JOIN ord_materialized nxt
+             ON nxt.o_custkey = c.o_custkey
+            AND nxt.rn = c.rn + 1
+            AND nxt.o_totalprice > c.o_totalprice)
+       SELECT streak_len, COUNT(*) AS n_customers
+       FROM (SELECT o_custkey, MAX(len) AS streak_len
+             FROM chain GROUP BY o_custkey)
+       GROUP BY streak_len
+       ORDER BY streak_len""").localCheckpoint(true)
+    freeOrd()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_join_graph" -> (run(q5) _),
     "sql_exists_subquery" -> (run(q4) _),
@@ -223,7 +267,7 @@ object SqlQueries extends QueryModule {
     "sql_topk_over_agg" -> (run(q3) _),
     "sql_not_in_anti" -> (run(q16) _),
     "sql_in_having" -> (run(q18) _),
-    "sql_recursive_chain" -> (run(qRecursive) _),
+    "sql_recursive_chain" -> (runRecursive _),
   )
 
   val oracleSql: Map[String, String] = Map(

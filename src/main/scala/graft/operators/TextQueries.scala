@@ -1016,6 +1016,12 @@ object TextQueries extends QueryModule {
   /** [[bpeTokens]] with the merge chain swapped in — the plumbing is
     * table-agnostic (the shipped-artifact contract): [[bpeTokensLearned]]
     * feeds it the corpus-trained table byte-for-byte. */
+  // Measured and rejected (r20): folding the merge chain once per DISTINCT
+  // (source, word) instead of per occurrence — this corpus's vocabulary is
+  // large relative to its occurrence count, so the extra (source, w)
+  // exchange cost more than the deduplicated chain evaluations saved
+  // (txt_bpe_tokens_learned 2.26 s → 2.97 s at sf0.1). Per-occurrence
+  // map-side evaluation feeding ONE per-source partial agg stands.
   private def bpeTokensWith(
       s: SparkSession, d: String, enc: String): DataFrame = {
     val words = docs(s, d).select(col("doc_id"), col("source"),
