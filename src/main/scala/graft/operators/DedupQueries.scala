@@ -231,14 +231,21 @@ object DedupQueries extends QueryModule {
     val labeled = connectedComponents(s, minhashPairs(s, d)
         .select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("cluster"))
-    val q = TextQueries.quality(s, d)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      // source rides a second 2-column scan of the same table (pure
-      // columnar projection) — the quality frame is already past its
-      // tokenize stage when this joins, mirroring the oracle's shape
-      .join(graft.core.Tables.documents(s, d).select("doc_id", "source"),
-        "doc_id")
-    val member = labeled.join(q, "doc_id")
+    // Quality is scored AFTER pruning to the clustered docs (broadcast
+    // join on the CC output — a vanishing corpus fraction): the previous
+    // form ran the tokenize+quality projection over the WHOLE corpus and
+    // paid a second full documents scan for `source`, then inner-joined
+    // the tiny label set anyway — all of that per-doc work was thrown
+    // away for every unclustered doc (guide §1.2: don't compute what you
+    // discard). Per-doc quality is a pure projection, so scoring the
+    // pruned rows is row-identical.
+    val member = graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .join(broadcast(labeled), "doc_id")
+      .withColumn("toks", TextQueries.toks(col("text")))
+      .transform(TextQueries.withQuality)
+      .select(col("doc_id"), col("cluster"), col("source"),
+        col("n_tokens"), col("quality_score"))
     val winners = member.groupBy("cluster")
       .agg(max(struct(col("quality_score"),
         (-col("doc_id")).as("neg_id"))).as("w"))
@@ -382,6 +389,11 @@ object DedupQueries extends QueryModule {
     //      expression at every use site — so each stage is let-bound via
     //      `flatten(transform(array(<stage>), x -> …))`, which evaluates
     //      the stage exactly once per row and binds it as a lambda var.
+    //  (r20, measured and rejected: unrolling the inner aggregate to a
+    //  literal 8-level Horner chain and array_min(slice) to least(...) —
+    //  the flat trees evaluated SLOWER than the lambda loop (1.51 →
+    //  2.41 s at sf0.1) and the allocation churn measurably taxed the
+    //  rest of the bench round. The aggregate form stands.)
     val fpsExpr =
       s"""CASE WHEN length(norm) >= ${K + W - 1} THEN
             flatten(transform(
@@ -410,7 +422,14 @@ object DedupQueries extends QueryModule {
       .select("doc_a", "doc_b", "n_shared", "overlap")
   }
 
-  /** 16-bit SimHash per document (frequency-weighted token hyperplanes). */
+  /** 16-bit SimHash per document (frequency-weighted token hyperplanes).
+    *
+    * (r20, measured and rejected: folding all 16 bit counters into ONE
+    * aggregate pass with md5 bound once per token via a struct
+    * accumulator — the per-token 16-field struct allocation in the
+    * interpreted lambda cost MORE than the 16 repeated md5 calls it
+    * saved (0.30 → 0.48 s at sf0.1) and its allocation churn taxed the
+    * rest of the bench round. The 16-filter projection stands.) */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val bitSums = (0 until 16).map { b =>
       val pos = b / 4 + 1
