@@ -37,8 +37,15 @@ QUERIES = [
     # embeddings 500 -> 500 -> 2,000 (4x at the last step)
     "sim_topk_brute", "sim_topk_ivf", "sim_pq_recall",
     "sim_hard_negatives",
+    # r20: the multi-table LSH probe rides the literal-weight graft_dot
+    # buckets now — its growth row documents the rewritten hot path
+    "sim_topk_lsh_multi",
     # lineitem 6k -> 60k -> 600k (10x each step)
     "rel_pricing_summary", "rel_join_fact_fact", "sql_join_graph",
+    # orders 1.5k -> 15k -> 150k; r20 materializes the recursive CTE's
+    # windowed anchor once — the row pins that the recursion stays
+    # data-bounded (depth = max streak) as orders grow
+    "sql_recursive_chain",
 ]
 
 
