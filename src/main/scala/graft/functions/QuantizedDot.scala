@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** `graft_dot(array<bigint>, array<bigint>) -> bigint`: exact integer dot
   * product as a native Catalyst expression with whole-stage codegen.
   *
-  * This is the engine's one custom expression (SURVEY.md §7.2): the
+  * This was the engine's first custom expression (SURVEY.md §7.2; the
+  * text-hashing pipelines in [[GraftTextHash]] followed in the r21
+  * optimization round under the same profiling bar): the
   * built-in higher-order alternative
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` is
   * semantically identical but allocates an intermediate array per row and
@@ -70,20 +72,47 @@ case class QuantizedDot(left: Expression, right: Expression)
 }
 
 /** Idempotent function registration so any session (Verify, Bench, tests —
-  * which build their own SparkSessions) can call `graft_dot` via SQL/expr. */
+  * which build their own SparkSessions) can call the graft_* expressions
+  * via SQL/expr. */
 object GraftFunctions {
-  private val ident = FunctionIdentifier("graft_dot")
-  private val info = new ExpressionInfo(
-    classOf[QuantizedDot].getName, null, "graft_dot",
-    "graft_dot(a, b) - exact integer dot product of two bigint arrays.", "")
+
+  /** (name, doc, builder) for every engine expression — single source of
+    * truth shared by [[register]] and [[GraftExtensions]]. */
+  private[functions] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a, b) - exact integer dot product of two bigint arrays.",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
+        QuantizedDot(exprs.head, exprs(1))
+      }),
+    ("graft_minhash",
+      "graft_minhash(sh) - 16 MinHash signatures of a shingle set.",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_minhash takes exactly 1 argument")
+        MinhashSigs(exprs.head)
+      }),
+    ("graft_winnow",
+      "graft_winnow(s) - winnowing fingerprint set of a normalized string.",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_winnow takes exactly 1 argument")
+        WinnowFps(exprs.head)
+      }),
+    ("graft_ngrams3",
+      "graft_ngrams3(toks) - all space-joined word 3-grams of a token array.",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_ngrams3 takes exactly 1 argument")
+        Ngrams3(exprs.head)
+      }))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(ident, info, { exprs =>
-        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
-        QuantizedDot(exprs.head, exprs(1))
-      })
+    all.foreach { case (name, doc, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident,
+          new ExpressionInfo(classOf[QuantizedDot].getName, null, name, doc, ""),
+          builder)
+      }
     }
   }
 }
@@ -96,14 +125,12 @@ object GraftFunctions {
   * ([[graft.plans.IntervalBinJoinRule]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[QuantizedDot].getName, null, "graft_dot",
-        "graft_dot(a, b) - exact integer dot product of two bigint arrays.", ""),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
-        QuantizedDot(exprs.head, exprs(1))
-      }))
+    GraftFunctions.all.foreach { case (name, doc, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[QuantizedDot].getName, null, name, doc, ""),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.IntervalBinJoinRule)
   }
 }

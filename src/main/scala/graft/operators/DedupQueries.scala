@@ -41,14 +41,17 @@ object DedupQueries extends QueryModule {
 
   /** Adds `toks` + the distinct 3-gram shingle set `sh` to any frame with
     * a `text` column (shared with [[DedupIndex]], which shingles table
-    * rows and probe batches rather than the corpus directory). */
-  private[operators] def shingleOf(df: DataFrame): DataFrame =
+    * rows and probe batches rather than the corpus directory). The 3-gram
+    * construction is the native [[graft.functions.Ngrams3]] (r21, guide §4:
+    * one compiled pass instead of an interpreted transform lambda per
+    * token); `array_distinct` stays the built-in — both produce the
+    * first-occurrence order of the old
+    * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`. */
+  private[operators] def shingleOf(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("toks", TextQueries.toks(col("text")))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3
-             THEN array_distinct(transform(sequence(0, size(toks)-3),
-                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-             ELSE array() END"""))
+      .withColumn("sh", expr("array_distinct(graft_ngrams3(toks))"))
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     val raw = Tables.documents(s, d)
@@ -73,24 +76,17 @@ object DedupQueries extends QueryModule {
     * `'{'` (0x7b) sorts above every hex char, so it is the fold's top
     * sentinel; shingle-less docs get NULL sigs (array_min-on-empty
     * semantics, matching the oracle's list_aggregate 'min'). */
-  /** Adds sig0..sig(K-1) to a shingled frame ([[shingleOf]] output). */
+  /** Adds `sigs` (the K-element MinHash signature array) to a shingled
+    * frame ([[shingleOf]] output). The md5-slice-min fold is the native
+    * [[graft.functions.MinhashSigs]] expression (r21, guide §4): the old
+    * form ran 4 interpreted `aggregate(transform(sh, md5(...)))` lambda
+    * chains per row, allocating a 4-field struct per shingle per seed —
+    * same digests, same minima, bit-identical sigs (empty-shingle docs get
+    * NULL sig elements, the array_min-on-empty semantics the oracle's
+    * list_aggregate 'min' shares). */
   private[operators] def signedOf(base: DataFrame): DataFrame = {
-    val seeds = K / 4
-    val withMins = (0 until seeds).foldLeft(base) { (df, sd) =>
-      df.withColumn(s"mn$sd", expr(
-        s"""IF(size(sh) = 0, NULL,
-              aggregate(transform(sh, x -> md5(concat('$sd|', x))),
-                named_struct('m0', '{', 'm1', '{', 'm2', '{', 'm3', '{'),
-                (a, h) -> named_struct(
-                  'm0', least(a.m0, substring(h, 1, 8)),
-                  'm1', least(a.m1, substring(h, 9, 8)),
-                  'm2', least(a.m2, substring(h, 17, 8)),
-                  'm3', least(a.m3, substring(h, 25, 8)))))"""))
-    }
-    (0 until K).foldLeft(withMins) { (df, k) =>
-      val (sd, c) = (k / 4, k % 4)
-      df.withColumn(s"sig$k", col(s"mn$sd").getField(s"m$c"))
-    }.drop((0 until seeds).map(sd => s"mn$sd"): _*)
+    graft.functions.GraftFunctions.register(base.sparkSession)
+    base.withColumn("sigs", expr("graft_minhash(sh)"))
   }
 
   private def signed(s: SparkSession, d: String): DataFrame =
@@ -102,7 +98,7 @@ object DedupQueries extends QueryModule {
     // adjacent slices (sig 2b, 2b+1) would correlate the two hashes within a
     // band and weaken the minhash independence assumption.
     val bandCols = (0 until B).map(b =>
-      expr(s"md5(concat('$b|', sig$b, sig${b + B}))"))
+      expr(s"md5(concat('$b|', sigs[$b], sigs[${b + B}]))"))
     df.withColumn("band", explode(array(bandCols: _*)))
       .select("doc_id", "band")
   }
@@ -124,23 +120,35 @@ object DedupQueries extends QueryModule {
     // Cache only what downstream stages read (doc_id, shingles, sigs) —
     // carrying text/toks through the cache roughly doubles materialization.
     val sig = signed(s, d)
-      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .select(col("doc_id"), col("sh"), col("sigs"))
       .cache()
     val bands = bandsOf(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // cached because it is REFERENCED TWICE below (one broadcast into
+      // each signature probe): an uncached 2nd reference re-runs the whole
+      // band explode + self-join + distinct over the corpus cache
+      // (plan-audited: the two-half shape doubled the InMemoryTableScan
+      // count from 8 to 24 before this). 2 bigint cols, candidate-bounded.
+      .cache()
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // Verify joins keyed the SCALE-correct way round: the banded candidate
-    // list (a vanishing fraction of the corpus) is the broadcast/build
-    // side, the corpus-sized signature frame STREAMS — the planner's
-    // stats-derived choice was to broadcast sa/sb themselves (the whole
-    // corpus's shingle arrays collected to the driver, twice), which
-    // inverts at scale (guide §3.1). Inner equi-joins — row-identical.
+    // Verify joins keyed the SCALE-correct way round: ONLY the bare 2-col
+    // banded candidate list (a vanishing fraction of the corpus) is ever
+    // broadcast — once into each signature probe, so the corpus-sized
+    // signature frames STREAM through both (the planner's stats-derived
+    // choice was to broadcast sa/sb themselves, which inverts at scale,
+    // guide §3.1). The final pair-up of the two candidate-bounded halves
+    // is deliberately UNHINTED: its sides carry the shingle arrays, whose
+    // total size is corpus-growth-coupled under band skew, so the planner/
+    // AQE must stay free to shuffle it rather than die at the 8 GB
+    // broadcast cap (r20 verdict: never force-broadcast an array-carrying
+    // candidate join). Inner equi-joins — row-identical.
     val withA = sa.join(broadcast(cand), "doc_a")
-    sb.join(broadcast(withA), "doc_b")
+    val withB = sb.join(broadcast(cand), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -170,7 +178,7 @@ object DedupQueries extends QueryModule {
     * pipeline. */
   def incrementalScreen(s: SparkSession, d: String): DataFrame = {
     val sig = signed(s, d)
-      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .select(col("doc_id"), col("sh"), col("sigs"))
       .cache()
     // the split threshold rides the plan as a broadcast scalar — no
     // driver-side collect. floor() BEFORE the integer cast: a bare
@@ -187,11 +195,14 @@ object DedupQueries extends QueryModule {
         col("x.band") === col("y.band"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
+      .cache() // referenced twice below — see minhashPairs
     val sn = sig.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
     val so = sig.select(col("doc_id").as("old_id"), col("sh").as("sh_o"))
-    // candidate list broadcast, corpus signatures stream (see minhashPairs)
+    // only the 2-col candidate list is broadcast (into both probes); the
+    // array-carrying pair-up stays unhinted (see minhashPairs)
     val withN = sn.join(broadcast(cand), "new_id")
-    so.join(broadcast(withN), "old_id")
+    val withO = so.join(broadcast(cand), "old_id")
+    withN.join(withO, Seq("new_id", "old_id"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_o"))).cast("double"))
@@ -377,38 +388,19 @@ object DedupQueries extends QueryModule {
   /** Same pipeline over any (doc_id, text) frame — separated so specs can
     * drive it on synthetic documents with hand-checkable overlaps. */
   private[graft] def winnowPairsOf(docsDf: DataFrame): DataFrame = {
-    val K = 8   // k-gram length (chars)
-    val W = 4   // winnow window (hashes)
-    // Two evaluation traps both avoided here, each measured as a multi-
-    // second pathology on 50 docs:
-    //  (1) substring(norm, p, 1) is an O(p) UTF-8 seek, so hashing off the
-    //      string directly is quadratic in document length — the codepoint
-    //      array is materialized first and hashing indexes it in O(1);
-    //  (2) staged withColumn intermediates collapse back into ONE
-    //      projection (CollapseProject), re-inlining the full upstream
-    //      expression at every use site — so each stage is let-bound via
-    //      `flatten(transform(array(<stage>), x -> …))`, which evaluates
-    //      the stage exactly once per row and binds it as a lambda var.
-    //  (r20, measured and rejected: unrolling the inner aggregate to a
-    //  literal 8-level Horner chain and array_min(slice) to least(...) —
-    //  the flat trees evaluated SLOWER than the lambda loop (1.51 →
-    //  2.41 s at sf0.1) and the allocation churn measurably taxed the
-    //  rest of the bench round. The aggregate form stands.)
-    val fpsExpr =
-      s"""CASE WHEN length(norm) >= ${K + W - 1} THEN
-            flatten(transform(
-              array(transform(sequence(1, length(norm)),
-                p -> CAST(ascii(substring(norm, p, 1)) AS BIGINT))),
-              cps -> flatten(transform(
-                array(transform(sequence(0, size(cps) - $K),
-                  p -> aggregate(sequence(1, $K), 0L,
-                    (acc, i) -> (acc * 257 + cps[p + i - 1]) % 2147483647))),
-                hashes -> array_distinct(transform(sequence(0, size(hashes) - $W),
-                  q -> array_min(slice(hashes, q + 1, $W))))))))
-          ELSE array() END"""
+    // The whole per-document fingerprint pipeline (codepoints → K=8
+    // Rabin-Karp k-gram hashes → W=4 window minima → distinct) is the
+    // native [[graft.functions.WinnowFps]] expression (r21, guide §4):
+    // the interpreted form ran ~12 lambda invocations per CHARACTER per
+    // document; values are identical — same modular Horner on the same
+    // codepoints, same window minima, same distinct. (History: the r20
+    // in-language Horner unroll was measured-and-rejected at 1.51→2.41 s
+    // because it STAYED interpreted and just flattened the tree; the
+    // compiled pass is the form that actually removes the lambda tax.)
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val fp = docsDf
       .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      .withColumn("fps", expr(fpsExpr))
+      .withColumn("fps", expr("graft_winnow(norm)"))
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n_fp"))
     val ex = fp.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("h"))
     ex.as("a").join(ex.as("b"),
@@ -501,13 +493,19 @@ object DedupQueries extends QueryModule {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    // candidate pairs broadcast, corpus vectors stream (the minhashPairs
-    // verify-join direction — never broadcast the corpus side)
+      .cache() // referenced twice below — see minhashPairs
+    // only the bare 2-col candidate list is broadcast (into both probes);
+    // the corpus vectors stream through each, and the vector-carrying
+    // pair-up of the two halves stays UNHINTED so the planner/AQE can
+    // shuffle it — a forced broadcast there is corpus-growth-coupled
+    // under bucket skew (see minhashPairs)
     val withA = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
         col("nrm").as("na"))
       .join(broadcast(cand), "vec_a")
-    q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
-      .join(broadcast(withA), "vec_b")
+    val withB = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("nrm").as("nb"))
+      .join(broadcast(cand), "vec_b")
+    withA.join(withB, Seq("vec_a", "vec_b"))
       .withColumn("cosine",
         expr("graft_dot(qa, qb)").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -580,27 +578,39 @@ object DedupQueries extends QueryModule {
     * rows through the driver at 100 TB). */
   def crossSourceLeakage(s: SparkSession, d: String): DataFrame = {
     val sig = signed(s, d)
-      .select(col("doc_id") +: col("sh") +: (0 until K).map(k => col(s"sig$k")): _*)
+      .select(col("doc_id"), col("sh"), col("sigs"))
       .cache()
     val bands = bandsOf(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache() // referenced twice below — see minhashPairs
     val sa = sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // candidate list broadcast, corpus signatures stream (see minhashPairs)
-    val verified = sb.join(broadcast(sa.join(broadcast(cand), "doc_a")), "doc_b")
+    // only the 2-col candidate list is broadcast (into both probes); the
+    // shingle-carrying pair-up stays unhinted (see minhashPairs)
+    val verified = sa.join(broadcast(cand), "doc_a")
+      .join(sb.join(broadcast(cand), "doc_b"), Seq("doc_a", "doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b")
+      // cached: the verified pair list (already a vanishing corpus
+      // fraction after the 0.8 bar) is referenced twice by the source
+      // attach — uncached, each reference re-runs the ENTIRE verify
+      // pipeline (bands + self-join + both probes + pair-up)
+      .cache()
     val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // same discipline for the source attach: the bare 2-col verified pair
+    // list is broadcast into BOTH (doc_id, source) probes; the pair-up of
+    // the two narrow halves is unhinted
     val withA = srcs.select(col("doc_id").as("doc_a"), col("source").as("src_a"))
       .join(broadcast(verified), "doc_a")
-    srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
-      .join(broadcast(withA), "doc_b")
+    val withB = srcs.select(col("doc_id").as("doc_b"), col("source").as("src_b"))
+      .join(broadcast(verified), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .filter(col("src_a") =!= col("src_b"))
       .withColumn("src_lo", least(col("src_a"), col("src_b")))
       .withColumn("src_hi", greatest(col("src_a"), col("src_b")))

@@ -121,18 +121,19 @@ object TextQueries extends QueryModule {
         md5(col("norm")).as("fingerprint"),
         substring(md5(col("norm")), 1, 2).as("bucket"))
 
-  /** Top-20 word trigrams (deterministic tiebreak on the ngram text). */
-  def ngramTop(s: SparkSession, d: String): DataFrame =
+  /** Top-20 word trigrams (deterministic tiebreak on the ngram text).
+    * Trigram construction is the native [[graft.functions.Ngrams3]] (r21,
+    * guide §4) — same space-joined trigrams in the same order, one
+    * compiled pass instead of an interpreted transform lambda. */
+  def ngramTop(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, d)
-      .withColumn("ngram", explode(expr(
-        """CASE WHEN size(toks) >= 3
-             THEN transform(sequence(0, size(toks)-3),
-                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-             ELSE array() END""")))
+      .withColumn("ngram", explode(expr("graft_ngrams3(toks)")))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("ngram"))
       .limit(20)
+  }
 
   /** BPE-ish token-class counting via regex: word / number / symbol runs per
     * source. */
