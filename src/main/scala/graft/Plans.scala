@@ -17,10 +17,18 @@ object Plans {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Pre-checkpoint probes for queries whose DECLARED plan collapses to a
+    // checkpointed ExistingRDD stub (the construction runs an eager Pin):
+    // these dump the interesting body so plan claims stay auditable.
+    val probes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "sql_recursive_chain_body" ->
+        ((s, d) => graft.operators.SqlQueries.recursivePlanProbe(s, d)),
+      "txt_dclm_pipeline_body" ->
+        ((s, d) => graft.operators.TextQueries.dclmPipelinePlan(s, d)))
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      probes.getOrElse(n, SparkEntry.queries(n))(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -132,19 +132,25 @@ object TxnLog {
     while (true) {
       attempt += 1
       try {
+        // ONE directory listing serves both the commit-file and the
+        // checkpoint-file views (r21: the split versionsIn +
+        // checkpointVersions calls cost two listStatus round-trips per
+        // probe, and every commit/conflict-check/readerState probe lands
+        // here — manifest LATENCY, not read count, was the storage floor)
+        val (vs, ckpts) = listLog(fs, dir)
         // fast path: when `after` is at or above the newest checkpoint, its
         // whole content would be filtered out anyway — skip the (possibly
         // large) checkpoint read entirely and walk only the tail files.
         // This is the shape of every hot probe (conflict checks against a
         // near-tip snapshot, readCommitted's newTouches re-probe).
-        val newestCkpt = checkpointVersions(fs, dir).lastOption.getOrElse(Long.MinValue)
+        val newestCkpt = ckpts.lastOption.getOrElse(Long.MinValue)
         if (after >= newestCkpt)
-          return versionsIn(fs, dir).filter(_ > after)
+          return vs.filter(_ > after)
             .map(v => readCommit(fs, dir, v)).sortBy(_.version)
-        val base = latestCheckpoint(fs, dir)
+        val base = latestCheckpointOf(fs, dir, ckpts)
         val floor = base.map(_._1).getOrElse(0L)
         val fromCkpt = base.map(_._2).getOrElse(Seq.empty).filter(_.version > after)
-        val tail = versionsIn(fs, dir).filter(v => v > floor && v > after)
+        val tail = vs.filter(v => v > floor && v > after)
           .map(v => readCommit(fs, dir, v))
         return (fromCkpt ++ tail).sortBy(_.version)
       } catch {
@@ -444,24 +450,31 @@ object TxnLog {
 
   // ------------------------------------------------------------- internals
 
-  private def versionsIn(fs: FileSystem, dir: Path): Seq[Long] =
-    fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("v\\d{" + Pad + "}\\.json"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
-      .sorted.toSeq
-
-  private def checkpointVersions(fs: FileSystem, dir: Path): Seq[Long] =
-    fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("checkpoint-v\\d{" + Pad + "}\\.json"))
+  /** ONE listStatus, split into (commit versions, checkpoint versions) —
+    * every probe shape needs both views, and the directory round-trip is
+    * the unit of manifest latency (r21, guide §1). */
+  private def listLog(fs: FileSystem, dir: Path): (Seq[Long], Seq[Long]) = {
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val vs = names.filter(_.matches("v\\d{" + Pad + "}\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted.toSeq
+    val ckpts = names.filter(_.matches("checkpoint-v\\d{" + Pad + "}\\.json"))
       .map(_.stripPrefix("checkpoint-v").stripSuffix(".json").toLong)
       .sorted.toSeq
+    (vs, ckpts)
+  }
+
+  private def versionsIn(fs: FileSystem, dir: Path): Seq[Long] =
+    listLog(fs, dir)._1
+
+  private def checkpointVersions(fs: FileSystem, dir: Path): Seq[Long] =
+    listLog(fs, dir)._2
 
   /** The newest PARSEABLE checkpoint as (version, commits), newest first —
     * a checkpoint whose content write is still in flight (no terminal
     * marker) falls back to the one before it, then to no checkpoint. */
-  private def latestCheckpoint(
-      fs: FileSystem, dir: Path): Option[(Long, Seq[Commit])] = {
-    checkpointVersions(fs, dir).reverse.iterator.flatMap { v =>
+  private def latestCheckpointOf(
+      fs: FileSystem, dir: Path, ckpts: Seq[Long]): Option[(Long, Seq[Commit])] = {
+    ckpts.reverse.iterator.flatMap { v =>
       scala.util.Try(readFully(fs, ckptFile(dir, v))).toOption
         .flatMap(parseCheckpoint)
         .map(v -> _)

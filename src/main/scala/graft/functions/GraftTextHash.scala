@@ -131,13 +131,14 @@ object GraftHashHelpers {
     new GenericArrayData(out)
   }
 
-  /** All word 3-grams of a token array, space-joined in order (the
-    * concat_ws(' ', toks[i], toks[i+1], toks[i+2]) transform; null tokens
-    * are skipped concat_ws-style, though the whitespace tokenizer never
-    * produces them). Fewer than 3 tokens → empty array. */
-  def ngrams3(toks: ArrayData): ArrayData = {
+  /** All stride-1 word k-grams of a token array, space-joined in order
+    * (the `transform(sequence(0, size-k), i -> concat_ws(' ',
+    * slice(toks, i+1, k)))` shape every stride-1 shingle site uses; null
+    * tokens are skipped concat_ws-style, though the whitespace tokenizer
+    * never produces them). Fewer than k tokens → empty array. */
+  def ngramsK(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    if (n < k) return new GenericArrayData(new Array[Any](0))
     val words = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
@@ -145,16 +146,22 @@ object GraftHashHelpers {
       i += 1
     }
     val sp = UTF8String.fromString(" ")
-    val out = new Array[Any](n - 2)
+    val out = new Array[Any](n - k + 1)
     i = 0
-    while (i < n - 2) {
+    while (i <= n - k) {
       // concat_ws semantics: UTF8String.concatWs itself skips null inputs
       // (separator only between non-nulls), so the window passes through
-      out(i) = UTF8String.concatWs(sp, words(i), words(i + 1), words(i + 2))
+      val win = new Array[UTF8String](k)
+      System.arraycopy(words, i, win, 0, k)
+      out(i) = UTF8String.concatWs(sp, win: _*)
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  /** 3-gram special case (kept as its own entry point so the existing
+    * `graft_ngrams3` call sites and generated code stay stable). */
+  def ngrams3(toks: ArrayData): ArrayData = ngramsK(toks, 3)
 }
 
 /** `graft_minhash(array<string>) -> array<string>`: the 16 MinHash
@@ -213,4 +220,30 @@ case class Ngrams3(child: Expression) extends UnaryExpression {
       s"graft.functions.GraftHashHelpers.ngrams3($x)")
   override protected def withNewChildInternal(newChild: Expression): Ngrams3 =
     copy(child = newChild)
+}
+
+/** `graft_ngrams(array<string>, k) -> array<string>`: all stride-1 word
+  * k-grams, space-joined, for a FOLDABLE positive k (see
+  * [[GraftHashHelpers.ngramsK]]) — the generalization every stride-1
+  * shingle site (2-gram repetition, 8-gram decontamination, L-token
+  * exact-substring windows) shares. */
+case class NgramsK(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("graft_ngrams requires a literal k")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams requires (array<string>, int) input, got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+  override protected def nullSafeEval(a: Any, k: Any): Any =
+    GraftHashHelpers.ngramsK(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, k) =>
+      s"graft.functions.GraftHashHelpers.ngramsK($x, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramsK =
+    copy(left = newLeft, right = newRight)
 }

@@ -102,6 +102,12 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_ngrams3 takes exactly 1 argument")
         Ngrams3(exprs.head)
+      }),
+    ("graft_ngrams",
+      "graft_ngrams(toks, k) - all space-joined stride-1 word k-grams.",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_ngrams takes exactly 2 arguments")
+        NgramsK(exprs.head, exprs(1))
       }))
 
   def register(spark: SparkSession): Unit = {

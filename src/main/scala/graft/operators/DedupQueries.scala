@@ -486,7 +486,10 @@ object DedupQueries extends QueryModule {
     * arithmetic, so the pruned graph is still hash-checked. */
   private def embeddingCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val q = SimilarityQueries.quantized(s, d)
-    val tb = SimilarityQueries.multiBuckets(q)
+    // the (vec_id, t, b) bucket table is 3 narrow cols but costs 32
+    // graft_dot evaluations per vector to build — cached so the self-join
+    // below (two references) computes it once (r21, guide §1.2)
+    val tb = SimilarityQueries.multiBuckets(q).cache()
     val cand = tb.filter(col("vec_id") < 200).as("x")
       .join(tb.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
@@ -537,7 +540,11 @@ object DedupQueries extends QueryModule {
     * cell-partitioned IVF table, and within-cell self-joins shuffle on
     * `cid` — dense cells bound memory, not the corpus. */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val assigned = SimilarityQueries.assignedToCells(s, d)
+    // assignment (corpus × broadcast-centroid join + per-vector argmax
+    // window) is referenced THREE times below (both sides of the
+    // within-cell self-join + the retention rollup) — cached so it runs
+    // once (r21, guide §1.2; the sig-cache discipline of minhashPairs)
+    val assigned = SimilarityQueries.assignedToCells(s, d).cache()
     val pairs = assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine", expr("graft_dot(x.qv, y.qv)").cast("double") /

@@ -61,19 +61,27 @@ object SimilarityQueries extends QueryModule {
       .select("vec_id", "label", "qv", "nrm")
   }
 
+  /** The embedding dimensionality contract every SRP weight literal (and
+    * the oracle's `p*64 + i` LCG stride) is sized to. A corpus with MORE
+    * dims would be silently truncated by graft_dot's min-length loop —
+    * changing buckets with no error — so any dim change must update this
+    * constant AND the oracle SQL together (the `% 2001` LCG replay bakes
+    * the same 64 stride). */
+  private[operators] val Dims = 64
+
   /** Deterministic LCG hyperplane weight for (plane p, dim i), in ±1000 —
     * evaluated driver-side in Long arithmetic, value-identical to the
     * oracle's SQL replay `((1103515245 * (p*64 + i) + 12345) % 2001) - 1000`
     * for every (plane, dim). */
   private def weightOf(p: Int, i: Int): Long =
-    ((1103515245L * (p * 64 + i) + 12345L) % 2001L) - 1000L
+    ((1103515245L * (p * Dims + i) + 12345L) % 2001L) - 1000L
 
-  /** Plane p's 64 weights as an `array(...)` literal for [[QuantizedDot]].
-    * Sized to the 64-dim corpus the `$j * 64` plane stride already assumes;
-    * graft_dot's min-length loop reproduces the zip_with-over-sequence sum
-    * exactly for any vector of ≤ 64 dims. */
+  /** Plane p's [[Dims]] weights as an `array(...)` literal for
+    * [[QuantizedDot]]. graft_dot's min-length loop reproduces the
+    * zip_with-over-sequence sum exactly for any vector of ≤ [[Dims]]
+    * dims; see [[Dims]] for the >Dims truncation hazard. */
   private def weightsLit(p: Int): String =
-    (0 until 64).map(i => s"${weightOf(p, i)}L")
+    (0 until Dims).map(i => s"${weightOf(p, i)}L")
       .mkString("array(", ", ", ")")
 
   /** Independent LSH tables for OR-amplification (multi-table union).
@@ -438,7 +446,9 @@ object SimilarityQueries extends QueryModule {
     * Per-cell report: size, rate, sampled count. Scale shape: one
     * assignment pass + a |cells|-row broadcast back — no corpus shuffle. */
   def clusterSample(s: SparkSession, d: String): DataFrame = {
-    val assigned = assignedToCells(s, d)
+    // referenced twice (cell sizes + the sample pass) — cached so the
+    // corpus × centroid assignment runs once (r21, guide §1.2)
+    val assigned = assignedToCells(s, d).cache()
     val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
       .withColumn("rate",
         least(lit(1.0), lit(ClusterSampleTarget) / col("n_vecs").cast("double")))
@@ -864,11 +874,11 @@ object SimilarityQueries extends QueryModule {
     * LITERAL weight array (same rewrite as [[bucketExprFor]] — the LCG
     * folds at plan build; values bit-identical to the oracle's replay). */
   private def rpWeightOf(j: Int, i: Int): Long =
-    ((1103515245L * (j * 64 + i + 1000000L) + 12345L) % 2001L) - 1000L
+    ((1103515245L * (j * Dims + i + 1000000L) + 12345L) % 2001L) - 1000L
 
   private def rpProjExpr: String =
     "array(" + (0 until RpDims).map { j =>
-      (0 until 64).map(i => s"${rpWeightOf(j, i)}L")
+      (0 until Dims).map(i => s"${rpWeightOf(j, i)}L")
         .mkString("graft_dot(qv, array(", ", ", "))")
     }.mkString(", ") + ")"
 

@@ -226,7 +226,21 @@ object SqlQueries extends QueryModule {
     * [[qRecursive]], which remains the oracle's replay — row-identical by
     * construction (the CTE was referentially pure), hash-checked every
     * round. */
-  private def runRecursive(s: SparkSession, d: String): DataFrame = {
+  /** Dev-only plan probe ([[graft.Plans]]): the recursion WITHOUT the
+    * terminal localCheckpoint, so the committed plan dump shows the
+    * UnionLoop body joining the pinned `ord_materialized` stub — i.e. no
+    * Window inside the loop — instead of the 7-line checkpointed
+    * ExistingRDD the declared query's dump collapses to (r20 verdict
+    * asked for exactly this auditability). Same construction as
+    * [[runRecursive]] minus the checkpoint+free of the result. */
+  private[graft] def recursivePlanProbe(s: SparkSession, d: String): DataFrame =
+    runRecursiveImpl(s, d, checkpoint = false)
+
+  private def runRecursive(s: SparkSession, d: String): DataFrame =
+    runRecursiveImpl(s, d, checkpoint = true)
+
+  private def runRecursiveImpl(
+      s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     views(s, d)
     val (ord, freeOrd) = graft.core.Pin(s.sql(
       """SELECT o_custkey, o_totalprice,
@@ -252,9 +266,11 @@ object SqlQueries extends QueryModule {
        FROM (SELECT o_custkey, MAX(len) AS streak_len
              FROM chain GROUP BY o_custkey)
        GROUP BY streak_len
-       ORDER BY streak_len""").localCheckpoint(true)
+       ORDER BY streak_len""")
+    if (!checkpoint) return out // plan probe: keep ord pinned, plan visible
+    val pinned = out.localCheckpoint(true)
     freeOrd()
-    out
+    pinned
   }
 
   val queries: Map[String, Q] = Map(

@@ -188,12 +188,9 @@ object TextQueries extends QueryModule {
     // scan, ONE exchange on doc_id (both Windows share it), no self-join:
     // n_bigrams = Σn, adjacent-dup mass = Σn over bigrams whose halves are
     // equal (tokens are whitespace-split, so the split is unambiguous)
+    graft.functions.GraftFunctions.register(s)
     val grams = docs(s, d)
-      .withColumn("bigram", explode(expr(
-        """CASE WHEN size(toks) >= 2
-             THEN transform(sequence(0, size(toks)-2),
-                            i -> concat_ws(' ', toks[i], toks[i+1]))
-             ELSE array() END""")))
+      .withColumn("bigram", explode(expr("graft_ngrams(toks, 2)")))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
     val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wtop = org.apache.spark.sql.expressions.Window
@@ -253,13 +250,10 @@ object TextQueries extends QueryModule {
     dupNgramFracOf(docs(s, d))
 
   /** Core of [[dupNgramFrac]] over any (doc_id, toks) frame. */
-  def dupNgramFracOf(docsDf: DataFrame): DataFrame =
+  def dupNgramFracOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf
-      .withColumn("tri", explode(expr(
-        """CASE WHEN size(toks) >= 3
-             THEN transform(sequence(0, size(toks)-3),
-                            i -> concat_ws(' ', slice(toks, i+1, 3)))
-             ELSE array() END""")))
+      .withColumn("tri", explode(expr("graft_ngrams3(toks)")))
       .groupBy("doc_id", "tri").agg(count(lit(1)).as("n"))
       .groupBy("doc_id").agg(
         sum("n").as("n_trigrams"),
@@ -267,6 +261,7 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("n_trigrams"), col("dup_mass"),
         (col("dup_mass").cast("double") / col("n_trigrams").cast("double"))
           .as("dup_frac"))
+  }
 
   /** Benchmark decontamination scan (the public 13-gram protocol of
     * GPT-3/PaLM appendix C, at 8 tokens for this corpus's ~55-token docs):
@@ -276,23 +271,28 @@ object TextQueries extends QueryModule {
     * the shingle string — never all-pairs, so the scan is linear at 100 TB
     * with the eval set as the build side. */
   def contamination(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // shingling is the native stride-1 k-gram expression (r21, guide §4);
+    // same 8-grams in the same order as the transform/slice lambda
     val sh = docs(s, d)
-      .withColumn("sh", explode(expr(
-        """CASE WHEN size(toks) >= 8
-             THEN array_distinct(transform(sequence(0, size(toks)-8),
-                            i -> concat_ws(' ', slice(toks, i+1, 8))))
-             ELSE array() END""")))
+      .withColumn("sh",
+        explode(expr("array_distinct(graft_ngrams(toks, 8))")))
       .select(col("doc_id"), col("sh"))
     val probes = sh.filter(col("doc_id") < 10).select("sh").distinct()
     val corpus = sh.filter(col("doc_id") >= 10)
-    val perDoc = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = corpus.join(broadcast(probes), "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_cont"))
-    perDoc.join(hits, Seq("doc_id"), "left")
+    // ONE corpus shingle pass (r21, guide §1.2): the old shape ran the
+    // shingle explode twice (a per-doc total branch + an inner-join hit
+    // branch, then joined the two O(docs) aggregates). probes is distinct,
+    // so the LEFT broadcast join matches each corpus shingle at most once
+    // — count(hit) ≡ the old inner-join count, row-identical.
+    corpus.join(broadcast(probes.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_cont"))
       .select(
         col("doc_id"), col("n_shingles"),
-        coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
-        (coalesce(col("n_cont"), lit(0L)).cast("double") /
+        col("n_cont").as("n_contaminated"),
+        (col("n_cont").cast("double") /
           col("n_shingles").cast("double")).as("contamination_rate"))
       .orderBy(desc("contamination_rate"), col("doc_id"))
       .limit(20)
@@ -867,8 +867,10 @@ object TextQueries extends QueryModule {
     * BROADCAST into the scoring join, so scoring is one map-side join +
     * a per-doc combine whose shuffle is O(docs); totals ride the plan
     * inside the broadcast weight table (no driver collect). The whole
-    * query reads the corpus exactly TWICE (estimation pass + scoring
-    * pass — DSIR's own two-phase shape). The keep-set is a THRESHOLD
+    * query reads the corpus exactly ONCE (r21): both DSIR phases —
+    * estimation and scoring — derive from one cached per-(doc, bucket)
+    * count frame, so the second tokenize+hash pass the two-phase shape
+    * used to pay is gone. The keep-set is a THRESHOLD
     * cut, not a global rank: no unpartitioned window ever sees a
     * doc-grained frame (the one single-partition window runs over the
     * coarse score-bucket list, pure metadata). */
@@ -878,14 +880,23 @@ object TextQueries extends QueryModule {
       .withColumn("b", conv(substring(md5(col("t")), 1, 2), 16, 10).cast("long"))
       .drop("t")
     val isTarget = col("source") === DsirTarget
-    // BOTH distribution estimates in ONE pass over the tokenized scan
-    // (conditional counts), and both totals as a second agg over the
-    // 256-row result — the whole estimation phase costs one scan + one
-    // candle-sized shuffle, not four scan subtrees (.explain-audited:
-    // the first form read the corpus 4x)
-    val cnt = tok.groupBy("b").agg(
-      count(when(isTarget, 1)).as("tc"),
-      count(when(!isTarget, 1)).as("sc"))
+    // ONE tokenize+hash pass for the WHOLE query (r21, guide §1.2): the
+    // per-(doc, bucket) token counts are doc-grained STATS (4 narrow
+    // cols, ≤ DsirBuckets rows per doc, never text) from which BOTH the
+    // distribution estimate (groupBy b) and the scoring pass (Σ n·λ per
+    // doc) derive — the previous two-pass form tokenized and md5-hashed
+    // the corpus twice (estimation pass + scoring pass). Integer counts
+    // and an exact BIGINT Σ n·λ keep the scores bit-identical to the
+    // per-token sum (order-independent — addition over the same terms).
+    val docBuckets = tok.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    // both distribution estimates from the doc-bucket stats (conditional
+    // sums), both totals as a second agg over the 256-row result — the
+    // estimation phase costs one candle-sized shuffle, not a corpus scan
+    val cnt = docBuckets.groupBy("b").agg(
+      sum(when(isTarget, col("n")).otherwise(0L)).as("tc"),
+      sum(when(!isTarget, col("n")).otherwise(0L)).as("sc"))
     val bl = lit(DsirBuckets.toLong)
     // add-one smoothed ratio, factored as two exact-operand divisions so
     // no integer product can outgrow a double's 2^53 exactness window.
@@ -908,10 +919,10 @@ object TextQueries extends QueryModule {
         floor(lit(2.0) * (col("r") - lit(1.0)) / (col("r") + lit(1.0)) *
           lit(65536.0)).cast("long"))
       .select("b", "lam_q16")
-    val perDoc = tok.filter(!isTarget)
+    val perDoc = docBuckets.filter(!isTarget)
       .join(broadcast(lam), Seq("b"))
       .groupBy("doc_id", "source")
-      .agg(sum(col("lam_q16")).as("score_q16"))
+      .agg(sum(col("lam_q16") * col("n")).as("score_q16"))
       .cache() // ~24 B/doc stats frame; four tiny passes read it below
     // ---- selection by THRESHOLD, not by global rank ----
     // keep-set = top floor(n_raw·frac) docs by (score desc, doc_id asc),
@@ -1252,11 +1263,11 @@ object TextQueries extends QueryModule {
     * source-partitioned window over stats, the rollup is |sources|
     * rows. */
   def dclmPipeline(s: SparkSession, d: String): DataFrame = {
-    val (gated, rollup) = dclmStages(s, d, cache = true)
-    // pin the |sources|-row rollup, then drop the doc-grained cache —
-    // the scratch frame must not linger for the rest of the session
+    val (stats, rollup) = dclmStages(s, d, cache = true)
+    // pin the |sources|-row rollup, then drop the doc-grained caches —
+    // the scratch frames must not linger for the rest of the session
     val pinned = rollup.localCheckpoint(true)
-    gated.unpersist()
+    stats.foreach(_.unpersist())
     pinned
   }
 
@@ -1268,13 +1279,19 @@ object TextQueries extends QueryModule {
     dclmStages(s, d, cache = false)._2
 
   private def dclmStages(
-      s: SparkSession, d: String, cache: Boolean): (DataFrame, DataFrame) = {
-    val base = docs(s, d)
+      s: SparkSession, d: String, cache: Boolean): (Seq[DataFrame], DataFrame) = {
+    val base0 = docs(s, d)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("fp",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .select("doc_id", "source", "n_tokens", "fp")
+    // base doc-stats (id, source, tokens, fp — never text) are referenced
+    // twice: the gate join AND the rollup's all-docs branch. Uncached, the
+    // rollup branch re-ran the whole tokenize+fingerprint scan (r21, guide
+    // §1.2) — the pipeline now reads the corpus text exactly TWICE (stats
+    // pass + bigram classifier pass), the floor its scaladoc claims.
+    val base = if (cache) base0.cache() else base0
     val gated0 = base
       .join(classifierScores(s, docs(s, d)).drop("source"), Seq("doc_id"))
       .filter(col("score_q16") > 0)
@@ -1309,7 +1326,7 @@ object TextQueries extends QueryModule {
         coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
         (coalesce(col("sel_tokens"), lit(0L)).cast("double") /
           col("tokens").cast("double")).as("retention"))
-    (gated, rollup)
+    (Seq(base, gated), rollup)
   }
 
   def exactSubstr(s: SparkSession, d: String): DataFrame =
@@ -1318,16 +1335,14 @@ object TextQueries extends QueryModule {
   /** Stride-1 L-token windows of every doc: (doc_id, source, n_tokens,
     * pos, sh) — shared by the accounting ([[exactSubstrOf]]) and the cut
     * ([[exactSubstrCutOf]]). `pos` is the 1-based start. */
-  private def strideWindows(docsDf: DataFrame, L: Int): DataFrame =
+  private def strideWindows(docsDf: DataFrame, L: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf.withColumn("n_tokens", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
-        posexplode(expr(
-          s"""CASE WHEN size(toks) >= $L
-                THEN transform(sequence(1, size(toks) - ${L - 1}),
-                               i -> concat_ws(' ', slice(toks, i, $L)))
-                ELSE array() END""")))
+        posexplode(expr(s"graft_ngrams(toks, $L)")))
       .toDF("doc_id", "source", "n_tokens", "p0", "sh")
       .withColumn("pos", (col("p0") + 1).cast("long")).drop("p0")
+  }
 
   /** Per-doc interval union of equal-length (L) windows: one lag over a
     * doc-partitioned window — overlapping windows merge exactly. */

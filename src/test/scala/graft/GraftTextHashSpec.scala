@@ -37,6 +37,31 @@ class GraftTextHashSpec extends SparkSpec {
     assert(df.filter(not(col("native") <=> col("legacy"))).count() == 0)
   }
 
+  test("graft_ngrams(toks, k) ≡ transform(sequence, concat_ws(slice)) for k=2,8") {
+    val df = withToks(texts)
+      .withColumn("n2", expr("graft_ngrams(toks, 2)"))
+      .withColumn("l2", expr(
+        """CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks)-2),
+                            i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE array() END"""))
+      .withColumn("n8", expr("graft_ngrams(toks, 8)"))
+      .withColumn("l8", expr(
+        """CASE WHEN size(toks) >= 8
+             THEN transform(sequence(0, size(toks)-8),
+                            i -> concat_ws(' ', slice(toks, i+1, 8)))
+             ELSE array() END"""))
+      // the 1-based strideWindows form: sequence(1, size-L+1), slice(i, L)
+      .withColumn("s8", expr(
+        """CASE WHEN size(toks) >= 8
+             THEN transform(sequence(1, size(toks) - 7),
+                            i -> concat_ws(' ', slice(toks, i, 8)))
+             ELSE array() END"""))
+    assert(df.filter(not(col("n2") <=> col("l2"))).count() == 0)
+    assert(df.filter(not(col("n8") <=> col("l8"))).count() == 0)
+    assert(df.filter(not(col("n8") <=> col("s8"))).count() == 0)
+  }
+
   test("graft_minhash ≡ the md5-slice aggregate fold, all 16 sigs") {
     val base = withToks(texts)
       .withColumn("sh", expr("array_distinct(graft_ngrams3(toks))"))
