@@ -1229,11 +1229,15 @@ object TextQueries extends QueryModule {
     * of [[classifierSelect]], shared by [[dclmPipeline]]: hashed bigram
     * buckets, the broadcast weight table, one O(docs) combine. */
   private def classifierScores(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    // bigrams via the native stride-1 k-gram expression (r21, guide §4);
+    // identical values (whitespace tokens are never null, so the old
+    // concat and concat_ws agree), and the <2-token empty-feature bucket
+    // edge is preserved by the CASE
     val grams = docsDf.select(col("doc_id"), col("source"),
       explode(expr(
         """CASE WHEN size(toks) >= 2
-             THEN transform(sequence(1, size(toks) - 1),
-                            i -> concat(toks[i-1], ' ', toks[i]))
+             THEN graft_ngrams(toks, 2)
              ELSE array('') END""")).as("bg"))
     val w = s.range(ClfBuckets.toLong).select(
       col("id").as("b"),
